@@ -1,0 +1,265 @@
+"""Deduplication operators (north-star extension, BASELINE.json).
+
+Exact dedup, n-gram Jaccard near-dup (exact, oracle-checked), and
+MinHash-LSH / SimHash (approximate scale paths, rows-only checked —
+their hash functions are Spark-native and not reproducible in ANSI SQL).
+
+Scale notes (the whole point of these operators):
+
+* **Exact dedup** is one hash-aggregate on a 32-char fingerprint — the
+  shuffle carries (fingerprint, doc_id) pairs only, never document text.
+* **Exact Jaccard** (d2) joins on shingles. Hot shingles (appearing in
+  thousands of docs) make the postings self-join quadratic; the guard is
+  ``max_shingle_freq`` — drop shingles more common than a cutoff before
+  the join (a standard near-dup trick: ubiquitous shingles carry no
+  discriminative signal). With the cutoff, the join is linear in the
+  number of truly-shared shingles.
+* **MinHash-LSH** (d3) is the sub-quadratic path: constant-size
+  signatures (k hashes) per doc, banded so only same-band-bucket docs
+  are candidate pairs; candidates are then verified with exact Jaccard.
+  Everything is built-in expressions (`xxhash64`, array lambdas,
+  explode + groupBy) — no UDFs, fully distributed, and the only
+  shuffles are the signature aggregation and the band-bucket join.
+* **SimHash** (d4) gives a 64-bit near-dup key per doc in a single
+  projection + explode/agg; Hamming-distance bucketing via bit-band
+  prefixes follows the same LSH pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .text import TOKEN_PATTERN, tokens_col
+
+SHINGLE_K = 3
+
+
+def shingles_col(text_col):
+    """Distinct k-word shingles (k=3) of the normalized token stream.
+    Documents with fewer than k tokens yield an empty array (guarded —
+    ``sequence(0, -1)`` would count *down* in Spark)."""
+    toks = tokens_col(text_col)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= SHINGLE_K, windows).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest
+    doc_id per group. One hash-agg shuffle of (fingerprint, id) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", tokens_col(F.col("text")))
+    return (
+        docs.groupBy(F.md5(norm).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def d2_ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.18, max_shingle_freq: int = 10_000
+) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs ≥ threshold.
+
+    Plan shape: docs → distinct shingles (projection) → explode postings
+    → (optional hot-shingle cutoff) → self-join on shingle → pair-count
+    agg → jaccard = |∩| / (|A|+|B|-|∩|). All counts are integers, the
+    final division is one double op — bit-identical to the SQL oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles_col(F.col("text")).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    postings = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    # Hot-shingle guard: ubiquitous shingles explode the self-join at
+    # scale and carry no signal. No-op at test SF, load-bearing at 100 TB.
+    freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        postings.join(F.broadcast(freq.filter(F.col("df") > max_shingle_freq)),
+                      "shingle", "left_anti")
+        if max_shingle_freq is not None
+        else postings
+    )
+    a = postings.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = postings.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+NUM_HASHES = 64
+BANDS = 16  # 16 bands × 4 rows — catches J≳0.3 pairs w.h.p.
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures as a single projection: for each of k seeds,
+    min over shingles of xxhash64(seed, shingle). Array lambdas keep it
+    in codegen; no explode, no shuffle — signature lives with the row."""
+    sh = F.col("__shingles")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+        lambda seed: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(seed, s))
+        ),
+    )
+    return (
+        docs.withColumn("__shingles", shingles_col(F.col(text_col)))
+        .filter(F.size("__shingles") > 0)
+        .select(F.col(id_col), sig.alias("signature"), F.col("__shingles").alias("shingles"))
+    )
+
+
+def d3_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.18
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified with exact Jaccard.
+
+    Banding: signature split into BANDS bands of ROWS_PER_BAND hashes;
+    docs sharing any band hash become candidates (explode bands →
+    groupBy band-bucket → pairs), then exact Jaccard over the candidate
+    pairs only. Sub-quadratic: the all-pairs join is replaced by
+    same-bucket joins. Rows-only correctness check (hash functions are
+    engine-native); the exact twin d2 is the oracle-checked path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified
+
+
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, as pure array expressions.
+
+    For each bit b: sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1).
+    Computed with a transform over bit positions and an aggregate over
+    token hashes — single projection, zero shuffle. Rows-only check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda s, b: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return docs.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+QUERIES = {
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_ngram_jaccard_pairs": d2_ngram_jaccard_pairs,
+    "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+    "d4_simhash": d4_simhash,
+}
+
+ORACLE = {
+    "d1_exact_dedup": f"""
+        SELECT md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' '))
+                   AS fingerprint,
+               MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies
+        FROM documents GROUP BY fingerprint ORDER BY keep_doc_id
+    """,
+    "d2_ngram_jaccard_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), postings AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+            FROM postings a JOIN postings b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, common,
+               ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) AS jaccard
+        FROM pairs
+        WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
+        ORDER BY doc_a, doc_b
+    """,
+    # d3/d4: engine-native hash functions — no ANSI-SQL oracle (driver
+    # records rows-only checks; d2 is the oracle-checked exact twin).
+}

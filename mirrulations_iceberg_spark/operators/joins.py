@@ -1,0 +1,249 @@
+"""Join operators (SURVEY §2.6 — a [gap] in the reference).
+
+The reference never joins: its three tables are co-located by directory
+and queried independently. The real relationships (``comments.commentOn →
+documents.id``, ``comments.docketId → dockets.id``) become equi-joins
+here, modeled on the star-schema fixtures.
+
+Scale stance:
+
+* Dimension joins (region/nation/customer) are **broadcast** explicitly —
+  at 100 TB the fact side never shuffles for a 25-row dimension. AQE
+  would usually infer this, but `F.broadcast` makes the plan contract
+  explicit and survives stale statistics.
+* Fact-to-fact (lineitem⋈orders) is left to sort-merge + AQE skew
+  handling; both sides shuffle-partition on the join key once, and any
+  later groupBy on the same key reuses that exchange.
+* Semi/anti joins use ``left_semi``/``left_anti`` — no payload columns
+  cross the shuffle for the probe side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def j1_broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region: orders ⋈ customer ⋈ nation ⋈ region.
+
+    The three dimension tables are broadcast; the only shuffle is the
+    final 5-group aggregation (map-side partials reduce it to ~nothing).
+    This is the join shape of "comments per agency" in the reference's
+    data model (agency = dimension of dockets).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: customers having at least one urgent order, counted by
+    market segment. ``left_semi`` ships no order payload columns."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no high-value (>400k) order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def j4_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact sort-merge join: lineitem ⋈ orders, revenue per
+    order status. Both sides hash-partition on orderkey; AQE splits
+    skewed partitions (reference skew analog: 981 vs 25,725 comments
+    per docket, CONVERSION_READY.md:37-41)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("net_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def j5_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched dimension rows: parts with
+    their lineitem demand, including never-ordered parts (NULL-safe
+    aggregation over the outer side)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.col("l_orderkey")).alias("n_big_lines"),
+            F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def u1_union_base_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (SURVEY §2.8): base + delta UNION ALL read — the Spark
+    equivalent of the reference's side-by-side base/delta parquet files
+    (simple_iceberg_exploration.py:188-247). In Iceberg this union is
+    implicit in snapshot reads; here it is explicit ``unionByName``."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    delta = orders.filter(F.col("o_orderkey") % 10 >= 8)
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT — custkeys that both placed an urgent order and
+    hold a high balance."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").cast("long").alias("custkey")
+    )
+    return a.intersect(b).orderBy("custkey")
+
+
+def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT — high-balance customers who never ordered urgent."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").cast("long").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b.distinct()).orderBy("custkey")
+
+
+QUERIES = {
+    "j1_broadcast_star_join": j1_broadcast_star_join,
+    "j2_semi_join": j2_semi_join,
+    "j3_anti_join": j3_anti_join,
+    "j4_fact_fact_join": j4_fact_fact_join,
+    "j5_left_outer_join": j5_left_outer_join,
+    "u1_union_base_delta": u1_union_base_delta,
+    "u2_intersect": u2_intersect,
+    "u3_except": u3_except,
+}
+
+ORACLE = {
+    "j1_broadcast_star_join": """
+        SELECT r_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "j2_semi_join": """
+        SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "j3_anti_join": """
+        SELECT c_mktsegment, COUNT(*) AS cnt,
+               ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "j4_fact_fact_join": """
+        SELECT o_orderstatus, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                   AS net_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "j5_left_outer_join": """
+        SELECT p_brand, COUNT(l_orderkey) AS n_big_lines,
+               CAST(SUM(CAST(COALESCE(l_quantity, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM part
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) li
+               ON p_partkey = li.l_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "u1_union_base_delta": """
+        SELECT o_orderstatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+            SELECT * FROM orders WHERE o_orderkey % 10 < 8
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderkey % 10 >= 8
+        )
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "u2_intersect": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer WHERE c_acctbal > 5000
+        ORDER BY custkey
+    """,
+    "u3_except": """
+        SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY custkey
+    """,
+}

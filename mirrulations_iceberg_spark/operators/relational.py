@@ -1,0 +1,393 @@
+"""Core relational operators — the reference's entire SQL/pandas workload.
+
+Re-expresses every query the reference actually executes (DuckDB SQL in
+``demo_optimized_data.py:92-119`` / ``simple_iceberg_exploration.py:320-328``
+and the pandas analytics in ``demo_optimized_data.py:48-80,137-169``) as
+native DataFrame plans over the driver's synthetic tables. Operator IDs in
+function names refer to SURVEY.md §2 rows (F=filter, A=aggregation,
+O=order/limit, C=scalar).
+
+Scale notes (100 TB design stance):
+
+* Every aggregation here is a hash aggregate with map-side partial
+  aggregation — Catalyst's default — so the shuffle carries one row per
+  (partition, group), not per input row.
+* Every top-k is ``ORDER BY … LIMIT k`` which Spark plans as
+  ``TakeOrderedAndProject`` — per-partition heaps + a k-row driver merge;
+  no global sort, no full shuffle.
+* Filters and projections are plain column expressions so they reach the
+  Parquet scan as pushed filters / pruned columns.
+* Multi-statistic profiles (A5, A8) are a *single* ``agg`` pass — one scan
+  — rather than the reference's one-pass-per-column pandas loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# F — filters / predicates (SURVEY §2.3; demo_optimized_data.py:92-119)
+# ---------------------------------------------------------------------------
+
+
+def f1_like_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: substring search, the reference's ``LIKE '%health%'``
+    (simple_iceberg_exploration.py:324) on the documents fixture.
+
+    At 100 TB a bare ``%x%`` is a full scan; the scan here is at least
+    column-pruned to (text, doc_id, lang, n_chars) and the limit is a
+    TakeOrderedAndProject. The scale path is the inverted token table in
+    :mod:`.text` (token_index) — flagged in SURVEY §4.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").contains("hash"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(10)
+    )
+
+
+def f2_is_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: ``WHERE firstName IS NOT NULL`` (demo_optimized_data.py:100).
+
+    The fixture has no natural NULLs, so NULLs are derived with
+    ``nullif`` — exercising both the null-production and null-filter
+    paths.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("non_en_lang", F.nullif(F.col("lang"), F.lit("en")))
+        .filter(F.col("non_en_lang").isNotNull())
+        .groupBy("non_en_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("non_en_lang")
+    )
+
+
+def f3_boolean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: boolean-equality filter (``has_attachments = true``,
+    demo_optimized_data.py:95) via a derived boolean column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("has_discount", F.col("l_discount") > F.lit(0.05))
+        .filter(F.col("has_discount"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def f4_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: conjunctive filter + LENGTH predicate
+    (demo_optimized_data.py:113-118). All three predicates are
+    scan-pushable Parquet filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") > 30)
+            & (F.col("l_extendedprice") > 1000)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def a1_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global COUNT(*) (simple_iceberg_exploration.py:322)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def a2_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: GROUP BY agencyId COUNT(*) (simple_iceberg_exploration.py:323);
+    low-cardinality key → partial agg makes the shuffle tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("l_returnflag")
+    )
+
+
+def a3_multikey_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+O1: multi-key GROUP BY + top-k ("top 5 commenters",
+    demo_optimized_data.py:97-104). Tie-broken total order before LIMIT."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "o_orderpriority", "o_orderstatus")
+        .limit(5)
+    )
+
+
+def a4_avg_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: AVG(LENGTH(comment)) (demo_optimized_data.py:96)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(F.round(F.avg(F.length("text")), 4).alias("avg_text_len"))
+
+
+def a5_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: mean/median/min/max (demo_optimized_data.py:63-66), one pass.
+
+    ``median`` is exact here to match the oracle; the 100 TB variant is
+    ``percentile_approx`` (single-pass sketch, no global sort) — exposed
+    as a5b below.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.median("l_extendedprice").alias("median_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def a6_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: nunique (demo_optimized_data.py:56). Exact here; the 100 TB
+    variant is approx_count_distinct (HLL, no distinct-expand shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+def a7_boolean_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: sum of booleans (demo_optimized_data.py:57-58)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("n_discounted"),
+        F.sum((F.col("l_tax") == 0).cast("long")).alias("n_taxfree"),
+    )
+
+
+def a8_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-column null counts (demo_optimized_data.py:142-148) as ONE
+    aggregate pass over all columns — the reference loops per column."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        for c in docs.columns
+    ]
+    return docs.agg(*aggs)
+
+
+def a9_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: value_counts on a key column (demo_optimized_data.py:158-169)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "lang")
+    )
+
+
+def a10_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: GROUP BY DATE(postedDate) (demo_optimized_data.py:105-111)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("order_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O — sorts / limits / top-k (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def o2_top_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-k dates by count (demo_optimized_data.py:105-111).
+    TakeOrderedAndProject — no global sort at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "order_date")
+        .limit(5)
+    )
+
+
+def o4_peak_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: argmax — peak posting day (demo_optimized_data.py:77-78)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "order_date")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C — scalar function suite (SURVEY §2.9, C1-C13)
+# ---------------------------------------------------------------------------
+
+
+def c_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C13 in one projection: length, contains→flag, concat, split/
+    getItem, upper, startswith, rlike, to_date, size-analog, arithmetic.
+
+    Mirrors the reference's scalar vocabulary (SURVEY §2.9) including the
+    agency-extraction rule ``split('-')[0]`` (convert_to_iceberg.py:404-411).
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.length("p_name").alias("name_len"),  # C1
+            F.col("p_name").contains("red").alias("is_red"),  # C2
+            F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),  # C3
+            F.split(F.col("p_brand"), "#").getItem(0).alias("brand_prefix"),  # C4
+            F.upper("p_type").alias("type_upper"),  # C5
+            F.col("p_name").startswith("small").alias("is_small_name"),  # C6
+            F.col("p_name").rlike("^[a-z]+ (ring|bolt)$").alias("matches_pattern"),  # C7
+            (F.col("p_retailprice") * 1.1).cast("decimal(18,2)").cast("double").alias("taxed_price"),  # C13/C14
+        )
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 (gap row): JSON path extraction at query time over
+    ``events.props`` — ``get_json_object`` stays in codegen (no UDF)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+QUERIES = {
+    "f1_like_substring": f1_like_substring,
+    "f2_is_not_null": f2_is_not_null,
+    "f3_boolean_filter": f3_boolean_filter,
+    "f4_conjunctive_filter": f4_conjunctive_filter,
+    "a1_count_star": a1_count_star,
+    "a2_groupby_count": a2_groupby_count,
+    "a3_multikey_groupby": a3_multikey_groupby,
+    "a4_avg_length": a4_avg_length,
+    "a5_numeric_stats": a5_numeric_stats,
+    "a6_count_distinct": a6_count_distinct,
+    "a7_boolean_sum": a7_boolean_sum,
+    "a8_null_profile": a8_null_profile,
+    "a9_value_counts": a9_value_counts,
+    "a10_date_histogram": a10_date_histogram,
+    "o2_top_dates": o2_top_dates,
+    "o4_peak_day": o4_peak_day,
+    "c_scalar_suite": c_scalar_suite,
+    "c_json_extract": c_json_extract,
+}
+
+ORACLE = {
+    "f1_like_substring": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE text LIKE '%hash%' ORDER BY doc_id LIMIT 10
+    """,
+    "f2_is_not_null": """
+        SELECT non_en_lang, COUNT(*) AS cnt FROM (
+            SELECT NULLIF(lang, 'en') AS non_en_lang FROM documents
+        ) WHERE non_en_lang IS NOT NULL
+        GROUP BY non_en_lang ORDER BY non_en_lang
+    """,
+    "f3_boolean_filter": """
+        SELECT COUNT(*) AS cnt FROM lineitem WHERE (l_discount > 0.05) = true
+    """,
+    "f4_conjunctive_filter": """
+        SELECT COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity > 30 AND l_extendedprice > 1000
+    """,
+    "a1_count_star": "SELECT COUNT(*) AS cnt FROM lineitem",
+    "a2_groupby_count": """
+        SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "a3_multikey_groupby": """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY cnt DESC, o_orderpriority, o_orderstatus LIMIT 5
+    """,
+    "a4_avg_length": """
+        SELECT ROUND(AVG(LENGTH(text)), 4) AS avg_text_len FROM documents
+    """,
+    "a5_numeric_stats": """
+        SELECT ROUND(AVG(l_extendedprice), 4) AS mean_price,
+               MEDIAN(l_extendedprice) AS median_price,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+    """,
+    "a6_count_distinct": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders
+    """,
+    "a7_boolean_sum": """
+        SELECT SUM(CAST(l_discount > 0.05 AS BIGINT)) AS n_discounted,
+               SUM(CAST(l_tax = 0 AS BIGINT)) AS n_taxfree
+        FROM lineitem
+    """,
+    "a8_null_profile": """
+        SELECT SUM(CAST(doc_id IS NULL AS BIGINT)) AS nulls_doc_id,
+               SUM(CAST(text IS NULL AS BIGINT)) AS nulls_text,
+               SUM(CAST(lang IS NULL AS BIGINT)) AS nulls_lang,
+               SUM(CAST(source IS NULL AS BIGINT)) AS nulls_source,
+               SUM(CAST(n_chars IS NULL AS BIGINT)) AS nulls_n_chars
+        FROM documents
+    """,
+    "a9_value_counts": """
+        SELECT lang, COUNT(*) AS cnt FROM documents
+        GROUP BY lang ORDER BY cnt DESC, lang
+    """,
+    "a10_date_histogram": """
+        SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt
+        FROM orders GROUP BY order_date ORDER BY order_date
+    """,
+    "o2_top_dates": """
+        SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt
+        FROM orders GROUP BY order_date ORDER BY cnt DESC, order_date LIMIT 5
+    """,
+    "o4_peak_day": """
+        SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt
+        FROM orders GROUP BY order_date ORDER BY cnt DESC, order_date LIMIT 1
+    """,
+    "c_scalar_suite": """
+        SELECT p_partkey,
+               LENGTH(p_name) AS name_len,
+               (p_name LIKE '%red%') AS is_red,
+               p_brand || '/' || p_type AS brand_type,
+               SPLIT_PART(p_brand, '#', 1) AS brand_prefix,
+               UPPER(p_type) AS type_upper,
+               (p_name LIKE 'small%') AS is_small_name,
+               REGEXP_FULL_MATCH(p_name, '[a-z]+ (ring|bolt)') AS matches_pattern,
+               CAST(CAST(p_retailprice * 1.1 AS DECIMAL(18,2)) AS DOUBLE) AS taxed_price
+        FROM part ORDER BY p_partkey LIMIT 50
+    """,
+    "c_json_extract": """
+        SELECT k % 10 AS k_mod, COUNT(*) AS cnt, ROUND(AVG(value), 4) AS avg_value
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, value
+              FROM events)
+        GROUP BY k_mod ORDER BY k_mod
+    """,
+}

@@ -1,0 +1,222 @@
+"""Text-analysis operators (north-star extension, BASELINE.json).
+
+The reference's only text operation is ``LIKE '%health%'`` over comment
+bodies (F1) and ``LENGTH(comment)`` (C1/P8). A training-data pipeline
+needs more: token counting, quality scoring, fingerprinting, and a
+scale-safe replacement for the full-scan substring search.
+
+Everything here is pure column expressions (regexp / array lambdas) —
+JVM-side, whole-stage-codegen friendly; no Python UDFs.
+
+Scale notes:
+
+* ``token_index`` is the 100 TB answer to F1: materialize an inverted
+  (token, doc_id) table once (explode + distinct — one shuffle),
+  partition/bucket it by token, and ``LIKE '%word%'`` becomes a
+  partition-pruned point lookup instead of a 100 TB scan (SURVEY §4,
+  "candidates for custom work").
+* Per-document scoring (t2) is embarrassingly parallel: no shuffle at
+  all — the plan is scan → project.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+TOKEN_PATTERN = "[a-z0-9]+"
+#: Tiny english stopword list used by the quality heuristic (shared with
+#: the DuckDB oracle — keep sorted and lowercase).
+STOPWORDS = ("a", "an", "and", "in", "is", "of", "on", "the", "to")
+
+
+def tokens_col(text: Column) -> Column:
+    """Tokenize: lowercase + regexp word extraction (BPE-ish splitter)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
+
+
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document + corpus aggregates (one pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.withColumn("n_tokens", F.size(tokens_col(F.col("text"))))
+    return with_toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    ).orderBy("lang")
+
+
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics: length, token count, mean token
+    length, stopword ratio, alpha ratio — the standard pre-training
+    corpus filters. Pure projection: zero shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    n_stop = F.size(F.array_intersect(toks, stop_arr))  # distinct-stopword presence
+    n_stop_occ = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("text_len"),
+            n_tokens.alias("n_tokens"),
+            F.round(alpha_chars / F.greatest(n_tokens, F.lit(1)), 4).alias(
+                "mean_token_len"
+            ),
+            F.round(
+                n_stop_occ / F.greatest(n_tokens, F.lit(1)).cast("double"), 4
+            ).alias("stopword_ratio"),
+            F.round(alpha_chars / F.greatest(F.length("text"), F.lit(1)), 4).alias(
+                "alpha_ratio"
+            ),
+            (n_stop > 0).alias("has_stopwords"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized token stream —
+    whitespace/punct-insensitive exact-dup key (the groupBy key of
+    exact dedup in :mod:`.dedup`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", tokens_col(F.col("text")))
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def t4_token_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index formulation of F1's substring search.
+
+    Builds (token → doc) postings with explode+distinct and probes for
+    one token. At 100 TB the postings table is materialized once
+    (bucketed by token) and this query becomes a pruned point lookup —
+    see :func:`build_token_index`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("token")
+    )
+    return (
+        postings.filter(F.col("token") == "hash")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+def t5_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID plumbing: score documents against per-language marker
+    token lists (n-gram-heuristic shape; the synthetic fixture's text is
+    language-independent, so markers here are corpus tokens — the
+    *operator* is what matters: array-intersection scoring per doc,
+    zero shuffle, then a small agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    markers = {
+        "latin": ("the", "a", "of"),
+        "query": ("join", "scan", "filter", "merge"),
+        "data": ("row", "column", "table", "value"),
+    }
+    cols = [
+        F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(m) for m in ms]))).alias(
+            f"score_{name}"
+        )
+        for name, ms in markers.items()
+    ]
+    scored = docs.select("doc_id", "lang", *cols)
+    return scored.groupBy("lang").agg(
+        F.round(F.avg("score_latin"), 4).alias("avg_score_latin"),
+        F.round(F.avg("score_query"), 4).alias("avg_score_query"),
+        F.round(F.avg("score_data"), 4).alias("avg_score_data"),
+    ).orderBy("lang")
+
+
+def build_token_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materializable inverted index: one (token, doc_id) row per distinct
+    token occurrence. Write with ``.write.bucketBy(N, "token")`` (or an
+    Iceberg bucket(token) partition spec) so lookups and token-joins are
+    shuffle-free."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
+    )
+
+
+_STOP_SQL = "', '".join(STOPWORDS)
+
+QUERIES = {
+    "t1_token_stats": t1_token_stats,
+    "t2_quality_score": t2_quality_score,
+    "t3_fingerprint": t3_fingerprint,
+    "t4_token_index_lookup": t4_token_index_lookup,
+    "t5_lang_profile": t5_lang_profile,
+}
+
+ORACLE = {
+    "t1_token_stats": f"""
+        WITH toks AS (
+            SELECT lang, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+               ROUND(AVG(n_tokens), 4) AS avg_tokens,
+               MAX(n_tokens) AS max_tokens
+        FROM toks GROUP BY lang ORDER BY lang
+    """,
+    "t2_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks,
+                   LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars
+            FROM documents
+        )
+        SELECT doc_id,
+               LENGTH(text) AS text_len,
+               len(toks) AS n_tokens,
+               ROUND(alpha_chars / GREATEST(len(toks), 1), 4) AS mean_token_len,
+               ROUND(len(list_filter(toks, x -> x IN ('{_STOP_SQL}')))
+                     / CAST(GREATEST(len(toks), 1) AS DOUBLE), 4) AS stopword_ratio,
+               ROUND(alpha_chars / GREATEST(LENGTH(text), 1), 4) AS alpha_ratio,
+               len(list_intersect(toks, ['{_STOP_SQL}'])) > 0 AS has_stopwords
+        FROM t ORDER BY doc_id
+    """,
+    "t3_fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' '))
+                   AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    "t4_token_index_lookup": f"""
+        WITH postings AS (
+            SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')))
+                       AS token
+            FROM documents
+        )
+        SELECT token, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        FROM postings WHERE token = 'hash' GROUP BY token
+    """,
+    "t5_lang_profile": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_intersect(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')),
+                                      ['the', 'a', 'of'])) AS score_latin,
+                   len(list_intersect(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')),
+                                      ['join', 'scan', 'filter', 'merge'])) AS score_query,
+                   len(list_intersect(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')),
+                                      ['row', 'column', 'table', 'value'])) AS score_data
+            FROM documents
+        )
+        SELECT lang,
+               ROUND(AVG(score_latin), 4) AS avg_score_latin,
+               ROUND(AVG(score_query), 4) AS avg_score_query,
+               ROUND(AVG(score_data), 4) AS avg_score_data
+        FROM scored GROUP BY lang ORDER BY lang
+    """,
+}

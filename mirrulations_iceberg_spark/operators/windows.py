@@ -1,0 +1,177 @@
+"""Window functions (SURVEY §2.7 — a [gap] in the reference).
+
+The reference's only argmax ("peak day", demo_optimized_data.py:77-78) is
+sort+limit; these queries add the window-function formulations needed by
+the north-star workload (dedup-rank, sessionization, per-entity top-N).
+
+Scale stance: a window partitioned by a key is ONE hash shuffle on that
+key followed by a per-partition sort — no global sort. Unbounded frames
+(`rowsBetween(unboundedPreceding, currentRow)`) run in a single streaming
+pass per partition. Skewed partition keys (one user with millions of
+events) are the risk at 100 TB; sessionization caps frame state, and AQE
+cannot split a window partition — so keys chosen here (custkey, user_id,
+nation) are bounded-cardinality-per-key by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def w1_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number top-N per group: each customer's single largest order.
+    The window formulation of the reference's sort+limit argmax."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user over event time (rows-unbounded frame —
+    single streaming pass per partition)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): inter-event gap seconds per user — the building block of
+    sessionization (gap > threshold ⇒ new session)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            ).alias("gap_sec"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def w4_rank_in_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank: top-3 customers by balance within each nation. Rank is
+    value-determined, so ties resolve identically in both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return (
+        customer.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    )
+
+
+def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via windows: new session when gap > 30 min; then
+    per-session stats. Two windows over the SAME (user_id, ts) ordering —
+    Catalyst plans one exchange + one sort, the second window reuses
+    them (verify with .explain: a single Exchange)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+QUERIES = {
+    "w1_topn_per_group": w1_topn_per_group,
+    "w2_running_sum": w2_running_sum,
+    "w3_lag_delta": w3_lag_delta,
+    "w4_rank_in_partition": w4_rank_in_partition,
+    "w5_sessionize": w5_sessionize,
+}
+
+ORACLE = {
+    "w1_topn_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    "w2_running_sum": """
+        SELECT user_id, event_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_value
+        FROM events ORDER BY user_id, event_id
+    """,
+    "w3_lag_delta": """
+        SELECT user_id, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+        FROM events ORDER BY user_id, event_id
+    """,
+    "w4_rank_in_partition": """
+        SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   DENSE_RANK() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC) AS rnk
+            FROM customer
+        ) WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey
+    """,
+    "w5_sessionize": """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
+                        AS new_session
+            FROM gaps
+        ), sessions AS (
+            SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS session_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+}

@@ -1,0 +1,63 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference runs a single Python process and bounds memory by handling
+one docket at a time (``convert_to_iceberg.py:956-1121``). Here the unit
+of parallelism is the Spark task; these defaults are what we would ship
+to a real cluster, sized down only where local[,N] testing requires.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that are correct at any scale (cluster or local test).
+_SCALE_SAFE_CONF = {
+    # AQE re-plans at runtime: coalesces tiny shuffle partitions, converts
+    # sort-merge joins to broadcast when the built side turns out small,
+    # and splits skewed partitions (docket skew: 981 vs 25,725 comments
+    # per docket in the reference corpus — CONVERSION_READY.md:37-41).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas interchange (similarity / multimodal UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics for oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # Don't silently truncate decimal-ish aggregations.
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+}
+
+
+def get_spark(
+    app_name: str = "mirrulations-iceberg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so tests and ``bench.py`` share one code path; on a real
+    cluster the caller passes ``master=None`` with a cluster deploy and the
+    builder inherits spark-submit's config.
+
+    ``shuffle_partitions`` defaults to the local core count for tests; on a
+    cluster leave it unset and rely on AQE's
+    ``spark.sql.adaptive.coalescePartitions`` with a high initial value.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _SCALE_SAFE_CONF.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

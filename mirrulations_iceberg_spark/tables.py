@@ -1,0 +1,47 @@
+"""Loading and registering the synthetic star-schema test tables.
+
+Mirrors the reference's in-memory table registration
+(``simple_iceberg_exploration.py:314-318`` — ``con.register('comments',
+df)``) with ``createOrReplaceTempView``; at production scale these are
+Iceberg/Parquet tables and the reader below is the only place that
+changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table.
+
+    Plain ``spark.read.parquet`` keeps the scan declarative: Catalyst
+    pushes filters / prunes columns into the vectorized Parquet reader,
+    so callers never pre-materialize.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` queries."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
