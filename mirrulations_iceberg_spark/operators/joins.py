@@ -158,7 +158,7 @@ def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = customer.filter(F.col("c_acctbal") > 5000).select(
         F.col("c_custkey").cast("long").alias("custkey")
     )
-    return a.intersect(b).orderBy("custkey")
+    return a.intersect(b)
 
 
 def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +171,7 @@ def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
     )
-    return a.exceptAll(b.distinct()).orderBy("custkey")
+    return a.exceptAll(b.distinct())
 
 
 QUERIES = {

@@ -76,7 +76,6 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (n_stop > 0).alias("has_stopwords"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -88,7 +87,7 @@ def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.concat_ws(" ", tokens_col(F.col("text")))
     return docs.select(
         "doc_id", F.md5(norm).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
 
 
 def t4_token_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,7 +32,6 @@ def w1_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey")
     )
 
 
@@ -51,7 +50,6 @@ def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.round(F.sum("value").over(w), 4).alias("running_value"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -68,7 +66,6 @@ def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
             ).alias("gap_sec"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -108,7 +105,6 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("session_value"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 

@@ -28,6 +28,11 @@ _SCALE_SAFE_CONF = {
     # Don't silently truncate decimal-ish aggregations.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # Spark 4 refuses Parquet TIMESTAMP(NANOS) outright; read it as a
+    # raw long instead and let load_table() convert with exact integer
+    # arithmetic (tables.py). Spark timestamps are microsecond-precision,
+    # so nanos must be truncated explicitly either way.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
