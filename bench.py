@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Round benchmark: run the full SURVEY §2 query inventory and print ONE
+JSON line the driver records as BENCH_r{N}.json.
+
+Each query executes end-to-end into the `noop` sink — the full physical
+plan runs (scan → shuffle → agg), nothing collects to the driver, and
+Catalyst cannot short-circuit projections the way `count()` allows.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32 → master local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mirrulations_iceberg_spark.operators import collect_queries  # noqa: E402
+from mirrulations_iceberg_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(sf_dir: str) -> float | str:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            return float(tail[2:])
+        except ValueError:
+            pass
+    return tail
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    queries, _ = collect_queries()
+
+    # Warm-up: first action pays JVM/codegen startup; don't bill it to q1.
+    queries["a1_count_star"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock of SURVEY §2 query inventory (noop sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

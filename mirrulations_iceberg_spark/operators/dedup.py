@@ -36,11 +36,33 @@ from .text import TOKEN_PATTERN, tokens_col
 SHINGLE_K = 3
 
 
-def shingles_col(text_col):
-    """Distinct k-word shingles (k=3) of the normalized token stream.
-    Documents with fewer than k tokens yield an empty array (guarded —
-    ``sequence(0, -1)`` would count *down* in Spark)."""
-    toks = tokens_col(text_col)
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Round the scan's parallelism up to the session default.
+
+    The local fixtures are single-row-group parquet files, so the scan
+    plans ONE task and every CPU-heavy per-row operator (tokenize /
+    shingle / hash) runs single-threaded. On a production layout (many
+    files / row groups) the scan already yields ≥ defaultParallelism
+    partitions and this is a no-op — the repartition only fires when
+    input parallelism is the bottleneck.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
+def shingles_from_tokens(toks):
+    """Distinct k-word shingles (k=3) over a pre-projected token column.
+
+    ``toks`` must be a NAMED column (not an inline ``tokens_col(...)``
+    expression): it is referenced three times per window element, and
+    Catalyst's CollapseProject would inline — and so re-evaluate — an
+    expensive producer expression at every reference. Projecting tokens
+    first keeps tokenization at once-per-row (measured 2.6× on the
+    shingle stage). Documents with fewer than k tokens yield an empty
+    array (guarded — ``sequence(0, -1)`` would count *down* in Spark).
+    """
     windows = F.transform(
         F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
         lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
@@ -49,6 +71,22 @@ def shingles_col(text_col):
         F.when(F.size(toks) >= SHINGLE_K, windows).otherwise(
             F.array().cast("array<string>")
         )
+    )
+
+
+def shingles_col(text_col):
+    """Shingles straight from a text column (tests / one-shot use).
+    Hot paths should project tokens first — see shingles_from_tokens."""
+    return shingles_from_tokens(tokens_col(text_col))
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingles) projection with the tokenize step materialized as
+    its own named column so it is evaluated once per row."""
+    return (
+        parallelize_scan(docs)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .select(id_col, shingles_from_tokens(F.col("__toks")).alias("shingles"))
     )
 
 
@@ -74,28 +112,37 @@ def d2_ngram_jaccard_pairs(
     final division is one double op — bit-identical to the SQL oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles_col(F.col("text")).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    sh = with_shingles(docs).withColumn("n_sh", F.size("shingles"))
     postings = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    # Hot-shingle guard: ubiquitous shingles explode the self-join at
-    # scale and carry no signal. No-op at test SF, load-bearing at 100 TB.
-    freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        postings.join(F.broadcast(freq.filter(F.col("df") > max_shingle_freq)),
-                      "shingle", "left_anti")
-        if max_shingle_freq is not None
-        else postings
+    # Group-and-pair instead of a postings self-join: ONE shuffle on
+    # shingle builds per-shingle doc lists, pairs are generated with
+    # array lambdas inside the group. A self-join would scan + tokenize
+    # the corpus twice and shuffle it twice; this scans once. The size
+    # filter is the hot-shingle guard (ubiquitous shingles carry no
+    # signal and would make pair generation quadratic) — no-op at test
+    # SF, load-bearing at 100 TB.
+    grouped = (
+        postings.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_shingle_freq))
     )
-    a = postings.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
-    )
-    b = postings.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("n_a"),
+            F.col("p.b.n_sh").alias("n_b"),
+        )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
         .withColumn(
@@ -118,20 +165,34 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """MinHash signatures as a single projection: for each of k seeds,
-    min over shingles of xxhash64(seed, shingle). Array lambdas keep it
-    in codegen; no explode, no shuffle — signature lives with the row."""
-    sh = F.col("__shingles")
+    """MinHash signatures as a single projection: base-hash each shingle
+    string ONCE (xxhash64 over a ~20-char string), then derive the k
+    per-seed hashes by rehashing the resulting long (xxhash64 over 8
+    bytes — far cheaper than k string hashes). Array lambdas keep it in
+    codegen; no explode, no shuffle — the signature lives with the row.
+    """
+    base = F.col("__base")
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
         lambda seed: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(seed, s))
+            F.transform(base, lambda h: F.xxhash64(seed, h))
         ),
     )
+    # No row filter for empty docs: a filter on a derived column gets
+    # pushed below the exchange with the full expression inlined (same
+    # trap as InferFiltersFromGenerate — see session.py). Instead the
+    # signature is NULL for shingle-less docs; the band explode in d3
+    # skips nulls, so such docs never become candidates.
     return (
-        docs.withColumn("__shingles", shingles_col(F.col(text_col)))
-        .filter(F.size("__shingles") > 0)
-        .select(F.col(id_col), sig.alias("signature"), F.col("__shingles").alias("shingles"))
+        with_shingles(docs, text_col, id_col)
+        .withColumn("__base", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
+        .select(
+            F.col(id_col),
+            F.when(F.size("shingles") > 0, sig)
+            .otherwise(F.lit(None).cast("array<bigint>"))
+            .alias("signature"),
+            F.col("shingles"),
+        )
     )
 
 
@@ -150,34 +211,47 @@ def d3_minhash_lsh_pairs(
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs).cache()
+    # when(): null signature (shingle-less doc) → null band array →
+    # posexplode emits zero rows, so empty docs never become candidates.
     bands = sigs.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("signature"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+            F.when(
+                F.col("signature").isNotNull(),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(F.col("signature"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                    ),
                 ),
             )
         ).alias("band", "bucket"),
     )
-    # Degenerate-bucket guard: a boilerplate-heavy corpus can put
-    # thousands of near-identical docs into one band bucket, making the
-    # self-join quadratic in that bucket. Same cure as d2's hot-shingle
-    # cutoff — buckets past the cap carry no pruning signal, drop them.
-    # No-op at test SF, load-bearing at 100 TB.
-    hot = (
+    # Group-and-pair (same shape as d2): ONE shuffle on (band, bucket)
+    # builds per-bucket doc lists; candidate pairs are generated with
+    # array lambdas inside the bucket instead of a bands⋈bands self-join
+    # (which would recompute the signature lineage twice). The size cap
+    # is the degenerate-bucket guard: a boilerplate-heavy corpus can put
+    # thousands of near-identical docs into one bucket and make pair
+    # generation quadratic — buckets past the cap carry no pruning
+    # signal. No-op at test SF, load-bearing at 100 TB.
+    buckets = (
         bands.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .filter(F.col("sz") > max_bucket_size)
-        .select("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     )
-    bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -208,7 +282,16 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token hashes — single projection, zero shuffle. Rows-only check.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok_hashes = F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
+    # Project token hashes into a named column: the bit-sum transform
+    # references them once per bit position, and an inline expression
+    # would be re-tokenized + re-hashed 64× per row (see
+    # shingles_from_tokens for the same Catalyst inlining trap).
+    docs = (
+        parallelize_scan(docs)
+        .withColumn("__toks", tokens_col(F.col("text")))
+        .withColumn("__th", F.transform(F.col("__toks"), lambda t: F.xxhash64(t)))
+    )
+    tok_hashes = F.col("__th")
     bit_sums = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         # F.shiftright's numBits wrapper only takes a Python int; the SQL

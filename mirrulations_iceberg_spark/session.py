@@ -33,6 +33,19 @@ _SCALE_SAFE_CONF = {
     # arithmetic (tables.py). Spark timestamps are microsecond-precision,
     # so nanos must be truncated explicitly either way.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes `size(x)>0 AND isnotnull(x)`
+    # above every explode; predicate pushdown then substitutes the
+    # generator's producing expression into that filter and pushes it
+    # below exchanges to the scan. For cheap array columns that's a win;
+    # for our text operators — where the exploded column is an expensive
+    # derived expression (tokenize → shingle) — it re-evaluates the whole
+    # pipeline a second time at the scan, serialized before the
+    # parallelizing exchange (measured 17s → 1s on the d2 postings stage
+    # at sf0.1). Every Generate in this package already sits directly on
+    # a projection, so the inferred filter saves nothing.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
