@@ -1,0 +1,258 @@
+"""Table-maintenance suite (SURVEY §2.12, M1–M6) — the reference's
+specialty, re-expressed Spark-first.
+
+Reference parity:
+
+* M1 codec benchmark          — ``simple_iceberg_exploration.py:148-168``
+* M2 storage-efficiency report — ``exploration_summary.md:11-28``
+* M3 delta-append simulation  — ``simple_iceberg_exploration.py:188-247``
+* M4 compaction               — ``simple_iceberg_exploration.py:249-304``
+* M6 data-profiling report    — ``simple_iceberg_exploration.py:344-378``
+
+(M5, the latency harness, is ``bench.py`` at the repo root.)
+
+Writes go to a per-call temp dir under ``/tmp`` and are removed
+best-effort. At production scale the same code targets a table
+location; the *plans* are what matter — every write is a distributed
+``df.write.parquet``, every report is a single pass, and the profile
+(m6) is ONE aggregate over the table, not a query per column
+(the reference loops a DuckDB query per column; at 100 TB that is
+N full scans vs this module's 1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+#: Codecs shipped with Spark's default build.
+CODECS = ("snappy", "gzip", "zstd", "lz4")
+
+
+def _tmpdir() -> str:
+    return tempfile.mkdtemp(prefix="miis_maint_")
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _n_files(path: str) -> int:
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    codec: str = "snappy",
+    partition_by: list[str] | None = None,
+    n_files: int | None = None,
+) -> None:
+    """Parquet writer with codec + layout control (S8–S10 parity:
+    ``convert_to_iceberg.py:671-768``). ``n_files`` repartitions before
+    the write — the distributed equivalent of the reference's chunked
+    writer; ``partition_by`` gives the hive-partitioned sink."""
+    if n_files is not None:
+        df = df.repartition(n_files)
+    writer = df.write.mode("overwrite").option("compression", codec)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def m1_codec_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: write the same table under each codec, report size + ratio
+    vs the uncompressed write. Sizes are environment-dependent →
+    rows-only check (row count == len(CODECS), stable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _tmpdir()
+    try:
+        sizes: dict[str, int] = {}
+        for codec in CODECS:
+            path = os.path.join(base, codec)
+            write_parquet(orders, path, codec=codec, n_files=4)
+            sizes[codec] = _dir_bytes(path)
+        raw_path = os.path.join(base, "none")
+        write_parquet(orders, raw_path, codec="none", n_files=4)
+        raw = _dir_bytes(raw_path)
+        rows = [
+            (codec, sizes[codec], round(raw / sizes[codec], 4))
+            for codec in CODECS
+        ]
+        return spark.createDataFrame(
+            rows, "codec string, bytes long, ratio_vs_uncompressed double"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def m2_storage_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: per-column compressed/uncompressed bytes from the parquet
+    footer of the orders fixture — the report the reference derives in
+    ``exploration_summary.md:11-28``. Footer-only: no data scan.
+    Byte counts are writer-dependent → rows-only check."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata
+    agg: dict[str, list[int]] = {}
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            cur = agg.setdefault(col.path_in_schema, [0, 0])
+            cur[0] += col.total_compressed_size
+            cur[1] += col.total_uncompressed_size
+    rows = [
+        (name, comp, uncomp, round(uncomp / comp, 4))
+        for name, (comp, uncomp) in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, compressed_bytes long, uncompressed_bytes long, ratio double",
+    )
+
+
+def m3_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: base + N small delta files, then one union read — the
+    reference's incremental-append pattern (base file + per-run delta
+    parquet, ``simple_iceberg_exploration.py:188-247``). The split is
+    deterministic (orderkey mod 50) so the per-part row counts are
+    oracle-checkable; the union read is a multi-path parquet scan, which
+    at scale is exactly an Iceberg/Hive table with appended files."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _tmpdir()
+    try:
+        parts: list[tuple[str, DataFrame]] = [
+            ("base", orders.filter(F.col("o_orderkey") % 50 < 45))
+        ]
+        for i in range(5):
+            parts.append(
+                (f"delta_{i}", orders.filter(F.col("o_orderkey") % 50 == 45 + i))
+            )
+        paths = []
+        for name, df in parts:
+            path = os.path.join(base, name)
+            write_parquet(df, path, n_files=1)
+            paths.append(path)
+        union = spark.read.parquet(*paths)
+        total = union.count()
+        rows = [(name, df.count()) for name, df in parts]
+        rows.append(("union_read", total))
+        return spark.createDataFrame(rows, "part string, n_rows long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def m4_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: many-small-files → few-big-files rewrite, the reference's
+    chunk/compact demo (20→3 files, ``simple_iceberg_exploration.py:
+    249-304``). Row counts must be preserved — oracle-checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _tmpdir()
+    try:
+        frag = os.path.join(base, "fragmented")
+        write_parquet(orders, frag, n_files=20)
+        compacted = os.path.join(base, "compacted")
+        write_parquet(spark.read.parquet(frag), compacted, n_files=3)
+        rows = [
+            ("fragmented", _n_files(frag), spark.read.parquet(frag).count()),
+            ("compacted", _n_files(compacted), spark.read.parquet(compacted).count()),
+        ]
+        return spark.createDataFrame(rows, "stage string, n_files long, n_rows long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+#: Columns of the orders fixture, profiled by m6.
+_ORDERS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def m6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: per-column profile (nulls, distinct, min, max) in ONE pass.
+
+    The reference profiles with one DuckDB query per column
+    (``simple_iceberg_exploration.py:344-378``) — N scans. Here every
+    per-column statistic is an expression in a single aggregate (one
+    scan, map-side partial agg), then the 1×4N row is unpivoted with
+    ``stack`` into the (column, stat...) report shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _ORDERS_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in _ORDERS_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_ORDERS_COLS)}, {stack_args}) AS "
+        "(column, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+QUERIES = {
+    "m1_codec_benchmark": m1_codec_benchmark,
+    "m2_storage_efficiency": m2_storage_efficiency,
+    "m3_delta_append": m3_delta_append,
+    "m4_compaction": m4_compaction,
+    "m6_profile": m6_profile,
+}
+
+_M6_UNION = "\n        UNION ALL\n".join(
+    f"""
+        SELECT '{c}' AS "column",
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM orders"""
+    for c in _ORDERS_COLS
+)
+
+ORACLE = {
+    # m1/m2: byte counts depend on writer version → rows-only.
+    "m3_delta_append": """
+        SELECT 'base' AS part, COUNT(*) AS n_rows FROM orders
+            WHERE o_orderkey % 50 < 45
+        UNION ALL
+        SELECT 'delta_' || CAST(i AS VARCHAR), COUNT(*)
+        FROM orders CROSS JOIN range(0, 5) t(i)
+            WHERE o_orderkey % 50 = 45 + i
+        GROUP BY i
+        UNION ALL
+        SELECT 'union_read', COUNT(*) FROM orders
+    """,
+    "m4_compaction": """
+        SELECT 'fragmented' AS stage, 20 AS n_files, COUNT(*) AS n_rows FROM orders
+        UNION ALL
+        SELECT 'compacted', 3, COUNT(*) FROM orders
+    """,
+    "m6_profile": _M6_UNION,
+}
