@@ -29,11 +29,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Merge QUERIES/ORACLE from every operator module."""
-    from . import dedup, joins, maintenance, relational, similarity, text, windows
+    from . import (
+        dedup,
+        etl,
+        joins,
+        maintenance,
+        relational,
+        similarity,
+        text,
+        windows,
+    )
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for mod in (relational, joins, windows, text, dedup, similarity, maintenance):
+    for mod in (relational, joins, windows, text, dedup, similarity, maintenance, etl):
         q = getattr(mod, "QUERIES", {})
         o = getattr(mod, "ORACLE", {})
         dup = set(q) & set(queries)
