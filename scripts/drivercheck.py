@@ -12,7 +12,6 @@ Usage: python scripts/drivercheck.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
@@ -25,26 +24,7 @@ import duckdb  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 from mirrulations_iceberg_spark.session import get_spark  # noqa: E402
 from mirrulations_iceberg_spark.tables import TABLE_NAMES  # noqa: E402
-
-
-def _norm_cell(v) -> str:
-    if v is None:
-        return "␀"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        return f"{v:.6g}"
-    return str(v)
-
-
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
-        h.update(b"\x1e")
-    return h.hexdigest()[:16]
+from mirrulations_iceberg_spark.testing import value_hash  # noqa: E402
 
 
 def main() -> int:

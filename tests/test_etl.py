@@ -1,0 +1,98 @@
+"""ETL round-trip: synthetic docket tree → flattened tables →
+partitioned parquet, with tolerant-scan quarantine (SURVEY Phase 2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mirrulations_iceberg_spark.etl import (
+    flatten_comments,
+    read_docket_json,
+    run_pipeline,
+)
+from mirrulations_iceberg_spark.etl.fixtures import write_docket_tree
+from mirrulations_iceberg_spark.etl.ingest import split_corrupt
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tree"))
+    expected = write_docket_tree(root)
+    return root, expected
+
+
+@pytest.fixture(scope="module")
+def result(spark, tree, tmp_path_factory):
+    root, expected = tree
+    out = str(tmp_path_factory.mktemp("out"))
+    return run_pipeline(spark, root, out), expected, out
+
+
+def test_round_trip_counts(result):
+    res, expected, _ = result
+    assert res.counts["comments"] == expected["comments"]
+    assert res.counts["documents"] == expected["documents"]
+    assert res.counts["docket_info"] == expected["dockets"]
+    assert res.quarantined == expected["corrupt"]
+
+
+def test_comments_schema(result):
+    res, _, _ = result
+    cols = dict(res.tables["comments"].dtypes)
+    assert cols["postedDate"] == "timestamp"
+    assert cols["withdrawn"] == "boolean"
+    assert cols["attachment_count"] == "bigint"
+    assert cols["has_attachments"] == "boolean"
+    assert cols["comment_length"] == "int"
+
+
+def test_sparse_attributes_are_null_not_missing(result):
+    """Absent JSON keys must land as nulls in fixed columns
+    (FIXTURES.md: 'Null attributes may be absent entirely')."""
+    res, _, _ = result
+    comments = res.tables["comments"]
+    n = comments.count()
+    n_org = comments.filter(comments.organization.isNotNull()).count()
+    assert 0 < n_org < n  # sparse but present as a column
+
+
+def test_agency_partitioned_layout(result):
+    _, _, out = result
+    parts = sorted(
+        d for d in os.listdir(os.path.join(out, "comments")) if d.startswith("agencyId=")
+    )
+    assert parts == ["agencyId=CMS", "agencyId=DEA", "agencyId=EPA"]
+
+
+def test_agency_extraction(result):
+    res, _, _ = result
+    rows = res.tables["comments"].select("agency", "agencyId").distinct().collect()
+    assert all(r.agency == r.agencyId for r in rows)
+
+
+def test_attachment_flags_consistent(result):
+    res, _, _ = result
+    bad = res.tables["comments"].filter(
+        (res.tables["comments"].has_attachments)
+        != (res.tables["comments"].attachment_count > 0)
+    )
+    assert bad.count() == 0
+
+
+def test_quarantine_keeps_raw_and_source(spark, tree):
+    root, expected = tree
+    raw = read_docket_json(spark, root, "comments")
+    _clean, bad = raw, None
+    clean, bad = split_corrupt(raw)
+    rows = bad.collect()
+    assert len(rows) == expected["corrupt"]
+    assert all(r.raw.startswith('{"data"') for r in rows)
+    assert all("corrupt-" in r.source_file for r in rows)
+
+
+def test_kind_pruning(spark, tree):
+    root, expected = tree
+    docket_only = read_docket_json(spark, root, "docket")
+    assert docket_only.count() == expected["dockets"]

@@ -1,0 +1,90 @@
+"""Operator-level properties that the oracle sweep can't express:
+LSH⊆exact containment, shingle edge cases, profile correctness, band
+key structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mirrulations_iceberg_spark.operators.dedup import (
+    d2_ngram_jaccard_pairs,
+    d3_minhash_lsh_pairs,
+    d4_simhash,
+    shingles_col,
+)
+from mirrulations_iceberg_spark.operators.similarity import (
+    TOP_K,
+    x1_cosine_topk,
+    x2_ann_lsh_topk,
+)
+
+from .conftest import SF_DIR
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("one two three four",)], ["text"])
+    got = [r.s for r in df.select(shingles_col(F.col("text")).alias("s")).collect()]
+    assert got[0] == []
+    assert got[1] == ["one two three", "two three four"]
+
+
+def test_lsh_pairs_subset_of_exact(spark):
+    """Every LSH-verified pair must appear in the exact-Jaccard result:
+    LSH only prunes candidates, the verify step enforces the same
+    threshold."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in d2_ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in d3_minhash_lsh_pairs(spark, SF_DIR).collect()}
+    assert lsh <= exact
+    assert len(lsh) > 0  # identical twins must collide in every band
+
+
+def test_simhash_band_keys(spark):
+    df = d4_simhash(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows[:20]:
+        # 4 bands of 16 bits reassemble into the full 64-bit key.
+        reassembled = 0
+        for i, b in enumerate(r.band_keys):
+            reassembled |= (b & 0xFFFF) << (16 * i)
+        assert reassembled == r.simhash & 0xFFFFFFFFFFFFFFFF
+
+
+def test_exact_duplicates_share_simhash(spark):
+    """Docs with identical fingerprints (d1's duplicate groups) must
+    collide in simhash — the minimum bar for a near-dup key."""
+    from mirrulations_iceberg_spark.operators.dedup import d1_exact_dedup
+    from mirrulations_iceberg_spark.tables import load_table
+    from mirrulations_iceberg_spark.operators.text import tokens_col
+
+    docs = load_table(spark, SF_DIR, "documents")
+    norm = F.concat_ws(" ", tokens_col(F.col("text")))
+    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
+    sim = d4_simhash(spark, SF_DIR).select("doc_id", "simhash")
+    joined = fp.join(sim, "doc_id")
+    n_fp_groups = joined.select("fp").distinct().count()
+    n_pair_groups = joined.select("fp", "simhash").distinct().count()
+    assert n_fp_groups == n_pair_groups  # same fp ⇒ same simhash
+
+
+def test_topk_is_ranked(spark):
+    rows = x1_cosine_topk(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) <= TOP_K
+
+
+def test_lsh_recall_bounded(spark):
+    rows = x2_ann_lsh_topk(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_candidates >= 0
