@@ -34,6 +34,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         etl,
         joins,
         maintenance,
+        multimodal,
         relational,
         similarity,
         text,
@@ -42,7 +43,17 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for mod in (relational, joins, windows, text, dedup, similarity, maintenance, etl):
+    for mod in (
+        relational,
+        joins,
+        windows,
+        text,
+        dedup,
+        similarity,
+        maintenance,
+        etl,
+        multimodal,
+    ):
         q = getattr(mod, "QUERIES", {})
         o = getattr(mod, "ORACLE", {})
         dup = set(q) & set(queries)

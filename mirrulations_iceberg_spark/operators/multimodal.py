@@ -1,0 +1,226 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+A training-data pipeline carries images/audio/video as ``binary``
+columns with typed metadata structs. The real decode libraries are not
+in this container, so the DECODE step is stubbed (deterministic fake
+behind ``try: import``) — but everything Spark-side is real and tested:
+schema, batch shape, Arrow transfer, partitioning, and the JVM-side
+byte operators.
+
+Fixture stand-in: ``documents.text`` encoded as UTF-8 bytes plays the
+payload role, so every query is deterministic and (where the engines
+share byte ops) DuckDB-oracle-checkable.
+
+Operator design:
+
+* **mm1 manifest** — pure built-ins over binary (`octet_length`, `md5`,
+  `substring`): JVM-side, codegen'd, no Python in the hot path.
+* **mm2 feature extraction** — ``mapInPandas``: payloads arrive as an
+  Arrow batch, features computed vectorized per batch. This is the
+  pattern for any real decoder (PIL/torchvision/ffmpeg): swap
+  ``_extract_features`` and the plumbing is unchanged.
+* **mm3 frame sampling** — byte-range frame extraction with
+  ``F.substring`` on binary: pure JVM expressions; "frames" are fixed-
+  stride byte windows, exactly how a real fixed-size-frame codec is
+  strided.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .dedup import parallelize_scan
+
+try:  # real decoders are not shipped in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_IMAGE_LIBS = True
+except ImportError:
+    HAVE_IMAGE_LIBS = False
+
+FRAME_BYTES = 64  # stand-in fixed frame stride for mm3
+FRAME_SAMPLE_EVERY = 4
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media rows: (media_id, kind, payload binary, meta).
+
+    The kind is derived from the source column so the fixture exercises
+    a mixed-modality table; meta is the typed struct a real pipeline
+    stores next to the blob.
+    """
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    payload = F.encode(F.col("text"), "UTF-8")
+    kind_num = F.expr("CAST(substring(source, 4) AS INT) % 3")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(kind_num == 0, "image")
+        .when(kind_num == 1, "video")
+        .otherwise("audio")
+        .alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.col("lang").alias("container"),
+            F.col("n_chars").cast("long").alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+
+def mm1_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind manifest: counts, byte totals, distinct fingerprints —
+    all JVM-side binary built-ins, one aggregate."""
+    media = media_table(spark, sf_dir)
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.octet_length("payload").cast("long")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+        F.countDistinct(F.md5("payload")).alias("n_distinct_payloads"),
+    )
+
+
+def _extract_features(payloads: pd.Series) -> pd.DataFrame:
+    """STUB DECODE: deterministic per-payload byte statistics standing
+    in for a real decoder's output. With image libs installed this is
+    where PIL/torchvision decode the bytes; the surrounding Spark
+    plumbing (Arrow batch in, feature frame out) stays identical."""
+    import numpy as np
+
+    n_bytes, mean_b, max_b, entropy = [], [], [], []
+    for p in payloads:
+        arr = np.frombuffer(p, dtype=np.uint8)
+        n_bytes.append(len(arr))
+        mean_b.append(float(arr.mean()) if len(arr) else 0.0)
+        max_b.append(int(arr.max()) if len(arr) else 0)
+        counts = np.bincount(arr, minlength=256) if len(arr) else np.zeros(256)
+        probs = counts[counts > 0] / max(len(arr), 1)
+        entropy.append(float(-(probs * np.log2(probs)).sum()) if len(arr) else 0.0)
+    return pd.DataFrame(
+        {
+            "n_bytes": n_bytes,
+            "mean_byte": mean_b,
+            "max_byte": max_b,
+            "byte_entropy": entropy,
+        }
+    )
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch of payloads in,
+    one feature frame out. Pure projection — no shuffle; parallelism is
+    the scan's."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _extract_features(pdf["payload"])
+            out = pd.concat(
+                [pdf[["media_id", "kind"]].reset_index(drop=True), feats], axis=1
+            )
+            yield out
+
+    schema = (
+        "media_id long, kind string, n_bytes long, mean_byte double, "
+        "max_byte int, byte_entropy double"
+    )
+    return media.mapInPandas(run, schema)
+
+
+def mm2_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stub) every payload via mapInPandas, aggregate per kind.
+    Rows-only check (byte entropy is Python-side float math)."""
+    feats = decode_features(media_table(spark, sf_dir))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+        F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+    )
+
+
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every k-th fixed-stride frame from 'video' payloads with
+    JVM byte slicing (substring on binary) — no Python, no decode.
+    Returns per-video sampled-frame fingerprints."""
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "video")
+    n_frames = F.floor(F.octet_length("payload") / FRAME_BYTES).cast("int")
+    frames = media.select(
+        "media_id",
+        n_frames.alias("n_frames"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(n_frames / FRAME_SAMPLE_EVERY).cast("int") - 1, F.lit(0)
+                    ),
+                ),
+                lambda i: F.substring(
+                    F.col("payload"), i * FRAME_SAMPLE_EVERY * FRAME_BYTES + 1, FRAME_BYTES
+                ),
+            )
+        ).alias("frame_idx", "frame"),
+    )
+    return frames.groupBy("media_id").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct(F.md5("frame")).alias("n_distinct_frames"),
+    )
+
+
+QUERIES = {
+    "mm1_media_manifest": mm1_media_manifest,
+    "mm2_feature_stats": mm2_feature_stats,
+    "mm3_frame_sample": mm3_frame_sample,
+}
+
+_KIND = """
+        CASE CAST(substring(source, 4) AS INT) % 3
+             WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END
+"""
+
+ORACLE = {
+    "mm1_media_manifest": f"""
+        WITH media AS (
+            SELECT doc_id AS media_id, {_KIND} AS kind, text,
+                   encode(text) AS payload
+            FROM documents
+        )
+        SELECT kind, COUNT(*) AS n_items,
+               SUM(octet_length(payload)) AS total_bytes,
+               MAX(octet_length(payload)) AS max_bytes,
+               COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+        FROM media GROUP BY kind
+    """,
+    # mm2: stub decoder output is Python-side → rows-only.
+    # mm3: frame fingerprints need byte slicing DuckDB's substring does
+    # on TEXT; with 1-byte UTF-8 fixture text the byte/char strides
+    # agree, so the frame sample IS oracle-checkable:
+    "mm3_frame_sample": f"""
+        WITH media AS (
+            SELECT doc_id AS media_id, text,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+            WHERE {_KIND} = 'video'
+        ), base AS (
+            SELECT media_id, text,
+                   CAST(FLOOR(n_bytes / {FRAME_BYTES}) AS INT) AS n_frames,
+                   GREATEST(CAST(CEIL(CAST(FLOOR(n_bytes / {FRAME_BYTES}) AS DOUBLE)
+                       / {FRAME_SAMPLE_EVERY}) AS INT) - 1, 0) AS max_i
+            FROM media
+        ), frames AS (
+            SELECT media_id, n_frames,
+                   md5(substring(text,
+                       i * {FRAME_SAMPLE_EVERY * FRAME_BYTES} + 1,
+                       {FRAME_BYTES})) AS fp
+            FROM base CROSS JOIN range(0, 64) t(i)  -- fixture max_i ≤ 2
+            WHERE i <= max_i
+        )
+        SELECT media_id, MAX(n_frames) AS n_frames,
+               COUNT(*) AS n_sampled,
+               COUNT(DISTINCT fp) AS n_distinct_frames
+        FROM frames GROUP BY media_id
+    """,
+}
