@@ -277,7 +277,54 @@ def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (gap row): ROLLUP over (status, priority) — subtotal rows and
+    the grand total in ONE aggregation pass (Spark expands the grouping
+    sets map-side; no repeated scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def o6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: deterministic systematic row sample (key mod N) — unlike
+    TABLESAMPLE it is reproducible across engines AND pushes to the
+    scan as a cheap predicate. Aggregates the sample so the result is
+    O(1) regardless of corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    sample = orders.filter(F.col("o_orderkey") % 20 == 7)
+    return sample.agg(
+        F.count(F.lit(1)).alias("sample_rows"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def c9_ts_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9/C10: timestamp min/max + span per event type over the events
+    table (epoch-second floor on both engines — Spark timestamps are
+    µs, the fixture file is ns; see tables.load_table)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min("ts").cast("long").alias("first_sec"),
+        F.max("ts").cast("long").alias("last_sec"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("span_sec"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 QUERIES = {
+    "a12_rollup": a12_rollup,
+    "o6_systematic_sample": o6_systematic_sample,
+    "c9_ts_minmax": c9_ts_minmax,
     "f1_like_substring": f1_like_substring,
     "f2_is_not_null": f2_is_not_null,
     "f3_boolean_filter": f3_boolean_filter,
@@ -299,6 +346,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a12_rollup": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "o6_systematic_sample": """
+        SELECT COUNT(*) AS sample_rows,
+               ROUND(AVG(o_totalprice), 4) AS avg_price,
+               MIN(o_orderkey) AS min_key,
+               MAX(o_orderkey) AS max_key
+        FROM orders WHERE o_orderkey % 20 = 7
+    """,
+    "c9_ts_minmax": """
+        SELECT event_type,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_sec,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_sec,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+                 - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS span_sec,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+    """,
     "f1_like_substring": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE text LIKE '%hash%' ORDER BY doc_id LIMIT 10

@@ -81,6 +81,26 @@ def test_attachment_flags_consistent(result):
     assert bad.count() == 0
 
 
+def test_partition_pruning_on_agency_filter(spark, result):
+    """F5/F6: an agency filter over the partitioned comments table must
+    prune at the partition level (PartitionFilters in the scan, only
+    the CMS directory read) — the 100 TB reason for partitionBy."""
+    _, expected, out = result
+    comments = spark.read.parquet(os.path.join(out, "comments"))
+    cms = comments.filter(comments.agencyId == "CMS")
+    plan = cms._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(agencyId" in plan
+    # CMS is the first, largest docket (COMMENT_COUNTS[0]).
+    from mirrulations_iceberg_spark.etl.fixtures import COMMENT_COUNTS
+
+    assert cms.count() == COMMENT_COUNTS[0]
+    # F6 docket-pattern prune: the docketId prefix predicate pushes to
+    # the scan as a data filter.
+    pat = comments.filter(comments.docketId.startswith("CMS-"))
+    pplan = pat._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(docketId), StringStartsWith(docketId,CMS-)" in pplan
+
+
 def test_quarantine_keeps_raw_and_source(spark, tree):
     root, expected = tree
     raw = read_docket_json(spark, root, "comments")
