@@ -154,6 +154,20 @@ def a5_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a5b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 at 100 TB: percentile_approx + approx_count_distinct — both
+    single-pass mergeable sketches (no global sort, no distinct-expand
+    shuffle). Rows-only check: sketch internals are engine-specific."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("median_approx"),
+        F.approx_count_distinct("l_partkey").alias("parts_approx"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
 def a6_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: nunique (demo_optimized_data.py:56). Exact here; the 100 TB
     variant is approx_count_distinct (HLL, no distinct-expand shuffle)."""
@@ -334,6 +348,7 @@ QUERIES = {
     "a3_multikey_groupby": a3_multikey_groupby,
     "a4_avg_length": a4_avg_length,
     "a5_numeric_stats": a5_numeric_stats,
+    "a5b_approx_stats": a5b_approx_stats,
     "a6_count_distinct": a6_count_distinct,
     "a7_boolean_sum": a7_boolean_sum,
     "a8_null_profile": a8_null_profile,
