@@ -144,11 +144,15 @@ def x2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector; the join against the (tiny, broadcast) query buckets prunes
     the corpus to candidates — no corpus self-join, no all-pairs.
     """
-    emb = _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols())
+    # One cached projection feeds all four uses (corpus bands, query
+    # bands, LSH re-rank, exact top-k) — without it each use re-reads
+    # the table and re-evaluates the 48 hyperplane dot products.
+    emb = _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols()).cache()
     corpus = emb.select(
         "vec_id", "e", "norm", F.posexplode("buckets").alias("t", "bucket")
     )
-    qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES)
+    qside = qrows.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("norm").alias("qnorm"),
@@ -161,7 +165,20 @@ def x2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["query_id", "vec_id"])
     )
     lsh_topk = _rank_topk(cand.withColumn("cos_sim", _cosine_sim()))
-    exact_topk = x1_cosine_topk(spark, sf_dir).select(
+    exact_scored = (
+        emb.crossJoin(
+            F.broadcast(
+                qrows.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("e").alias("qe"),
+                    F.col("norm").alias("qnorm"),
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _cosine_sim())
+    )
+    exact_topk = _rank_topk(exact_scored).select(
         "query_id", F.col("vec_id").alias("exact_vec_id")
     )
     hits = lsh_topk.join(
