@@ -330,11 +330,56 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d5_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3,
+    max_bucket_size: int = 1_000,
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming-band candidates + bit_count
+    verify. By pigeonhole, any pair within Hamming distance 3 agrees on
+    at least one of the four 16-bit bands, so candidates come from ONE
+    shuffle on (band_idx, band_key) with in-group pair generation (the
+    d2/d3 shape + the same degenerate-bucket cap) and are verified with
+    ``bit_count(a XOR b) <= 3`` — no all-pairs stage anywhere."""
+    keyed = d4_simhash(spark, sf_dir)
+    bands = keyed.select(
+        "doc_id", "simhash", F.posexplode("band_keys").alias("band", "key")
+    )
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
+        )
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket_size))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_pairs": d2_ngram_jaccard_pairs,
     "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
     "d4_simhash": d4_simhash,
+    "d5_simhash_pairs": d5_simhash_pairs,
 }
 
 ORACLE = {
