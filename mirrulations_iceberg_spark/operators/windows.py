@@ -108,12 +108,31 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w5's semantics via the built-in ``session_window`` (gap-merge
+    aggregation): one shuffle on user_id, no per-row window state. The
+    oracle is the hand-rolled LAG/SUM sessionization — the two
+    formulations must agree row-for-row."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select("user_id", "n_events", "session_value")
+    )
+
+
 QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
     "w2_running_sum": w2_running_sum,
     "w3_lag_delta": w3_lag_delta,
     "w4_rank_in_partition": w4_rank_in_partition,
     "w5_sessionize": w5_sessionize,
+    "w6_session_window": w6_session_window,
 }
 
 ORACLE = {
@@ -146,6 +165,34 @@ ORACLE = {
                                       ORDER BY c_acctbal DESC) AS rnk
             FROM customer
         ) WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey
+    """,
+    # session_window splits when the next event does NOT overlap the
+    # previous event's [ts, ts+gap) window — i.e. gap >= 1800 (w5's
+    # hand-rolled rule splits strictly > 1800; at µs precision the
+    # boundary case cannot occur in the fixture, but the oracle mirrors
+    # the exact semantics anyway).
+    "w6_session_window": """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts, value,
+                   epoch(ts) - LAG(epoch(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END
+                       AS new_session
+            FROM gaps
+        ), sessions AS (
+            SELECT user_id, value,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS session_value
+        FROM sessions GROUP BY user_id, session_id
     """,
     "w5_sessionize": """
         WITH gaps AS (
