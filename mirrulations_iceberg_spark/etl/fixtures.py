@@ -98,7 +98,11 @@ def write_docket_tree(root: str, seed: int = 42) -> dict[str, int]:
                 "commentOn": f"{docket_id}-doc-0",
                 "docketId": docket_id,
                 "agencyId": agency,
-                "comment": f"Synthetic comment {c} " + "text " * rng.randint(1, 30),
+                "comment": (
+                    f"Synthetic comment {c} "
+                    + ("about public health " if rng.random() < 0.25 else "")
+                    + "text " * rng.randint(1, 30)
+                ),
                 "postedDate": f"2025-02-{rng.randint(1, 28):02d}T12:00:00Z",
                 "withdrawn": rng.random() < 0.05,
                 "documentType": "Public Submission",

@@ -1,0 +1,40 @@
+"""The reference's 8-query workload over the pipeline's comments
+output, differential-checked against DuckDB on the same parquet —
+end-to-end proof that a reference user can switch engines and keep
+their queries."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from mirrulations_iceberg_spark.etl.fixtures import write_docket_tree
+from mirrulations_iceberg_spark.etl.pipeline import run_pipeline
+from mirrulations_iceberg_spark.etl.workload import WORKLOAD, WORKLOAD_SQL
+from mirrulations_iceberg_spark.testing import compare
+
+
+@pytest.fixture(scope="module")
+def comments_env(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tree"))
+    out = str(tmp_path_factory.mktemp("out"))
+    write_docket_tree(root)
+    res = run_pipeline(spark, root, out)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW comments AS SELECT * FROM read_parquet("
+        f"'{os.path.join(out, 'comments')}/*/*.parquet', hive_partitioning=true)"
+    )
+    return res.tables["comments"], con
+
+
+@pytest.mark.parametrize("name", sorted(WORKLOAD))
+def test_reference_workload(name, comments_env):
+    comments, con = comments_env
+    sdf = WORKLOAD[name](comments)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(WORKLOAD_SQL[name])
+    ocols = [d[0] for d in res.description]
+    assert compare(sdf.columns, srows, ocols, res.fetchall()) is None
