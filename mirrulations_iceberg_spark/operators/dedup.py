@@ -374,12 +374,35 @@ def d5_simhash_pairs(
     )
 
 
+def d6_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step: drop near-duplicates, keep canonical docs.
+
+    Keep rule: a doc survives unless it is the greater partner of any
+    near-dup pair (doc_a < doc_b ⇒ doc_b drops) — deterministic, one
+    left-anti join against the pair set's doc_b column, no connected-
+    components iteration. Every surviving doc is the minimum of its
+    pair-neighborhood; a training pipeline points this at d3's LSH
+    pairs for the sub-quadratic version (same apply, cheaper pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = d2_ngram_jaccard_pairs(spark, sf_dir)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).alias("kept_chars"),
+        F.min("doc_id").alias("min_kept_id"),
+        F.max("doc_id").alias("max_kept_id"),
+    )
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_pairs": d2_ngram_jaccard_pairs,
     "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
     "d4_simhash": d4_simhash,
     "d5_simhash_pairs": d5_simhash_pairs,
+    "d6_dedup_apply": d6_dedup_apply,
 }
 
 ORACLE = {
@@ -412,6 +435,33 @@ ORACLE = {
         FROM pairs
         WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
         ORDER BY doc_a, doc_b
+    """,
+    "d6_dedup_apply": f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), postings AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+            FROM postings a JOIN postings b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ), drops AS (
+            SELECT DISTINCT doc_b AS doc_id FROM pairs
+            WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
+        )
+        SELECT COUNT(*) AS n_kept,
+               SUM(n_chars) AS kept_chars,
+               MIN(doc_id) AS min_kept_id,
+               MAX(doc_id) AS max_kept_id
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """,
     # d3/d4: engine-native hash functions — no ANSI-SQL oracle (driver
     # records rows-only checks; d2 is the oracle-checked exact twin).
