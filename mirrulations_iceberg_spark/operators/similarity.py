@@ -232,10 +232,55 @@ def x3_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x4_embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8,
+    max_bucket_size: int = 1_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the vector-space flavor of the
+    dedup family (d2/d3/d5 operate on token shingles; this one on the
+    embedding column). Same sub-quadratic shape: SRP-LSH buckets →
+    in-bucket pair generation (capped) → exact cosine verify ≥
+    threshold. Rows-only check (seeded engine-native bucketing).
+    """
+    emb = _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols())
+    bands = emb.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+    buckets = (
+        bands.groupBy("t", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    b = emb.select(F.col("vec_id").alias("vec_b"), "e", "norm")
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cos_sim", _cosine_sim())
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
 QUERIES = {
     "x1_cosine_topk": x1_cosine_topk,
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
     "x3_label_centroid_sim": x3_label_centroid_sim,
+    "x4_embedding_neardup_pairs": x4_embedding_neardup_pairs,
 }
 
 _COS = f"""
