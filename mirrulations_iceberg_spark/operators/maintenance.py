@@ -217,7 +217,45 @@ def m6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a plain-parquet table (the Iceberg behavior
+    S12/S13 would give; no Iceberg jar in this container): write a base
+    file, append a file with an added column, read with mergeSchema —
+    old rows surface the new column as null, nothing is rewritten.
+    Deterministic splits → oracle-checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _tmpdir()
+    try:
+        old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_totalprice") > 100_000).alias("is_large"),
+        )
+        write_parquet(old, os.path.join(base, "t"), n_files=1)
+        new.coalesce(1).write.mode("append").parquet(os.path.join(base, "t"))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(base, "t")
+        )
+        # Materialize before the temp dir is removed (the returned
+        # DataFrame must not depend on the scratch files).
+        row = merged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("is_large").alias("n_with_new_col"),
+            F.sum(F.col("is_large").cast("long")).alias("n_large"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row.n_rows, row.n_with_new_col, row.n_large)],
+            "n_rows long, n_with_new_col long, n_large long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
+    "s13_schema_evolution": s13_schema_evolution,
     "m1_codec_benchmark": m1_codec_benchmark,
     "m2_storage_efficiency": m2_storage_efficiency,
     "m3_delta_append": m3_delta_append,
@@ -237,6 +275,14 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    "s13_schema_evolution": """
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                   AS n_with_new_col,
+               SUM(CASE WHEN o_orderkey % 2 = 1 AND o_totalprice > 100000
+                        THEN 1 ELSE 0 END) AS n_large
+        FROM orders
+    """,
     # m1/m2: byte counts depend on writer version → rows-only.
     "m3_delta_append": """
         SELECT 'base' AS part, COUNT(*) AS n_rows FROM orders
