@@ -26,6 +26,34 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the skewed side's key, replicate
+    the other side once per salt, join on (key, salt).
+
+    A hot key that would land one monster task is split across
+    ``n_salts`` tasks; the other side grows ×n_salts (keep it the
+    smaller input). AQE's skew-join split (enabled in session.py)
+    handles this adaptively for sort-merge joins — this helper is for
+    when the skew is known up front or the join must be planned
+    statically. The salt is derived from the skewed row's OTHER
+    columns (xxhash64 of the whole row), so it is deterministic,
+    needs no extra state, and spreads a hot key uniformly.
+    """
+    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int")
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = left.join(right, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def j1_broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by region: orders ⋈ customer ⋈ nation ⋈ region.
 
