@@ -119,16 +119,40 @@ def _hyperplanes() -> list[list[list[float]]]:
 
 
 def _bucket_cols():
-    """One int bucket per LSH table: bit b = sign(e · plane[t][b])."""
+    """One int bucket per LSH table: bit b = sign(e · plane[t][b]).
+
+    The hyperplane matrix is ONE nested-array literal ([table][bit·dim],
+    flattened per table) rather than L·B separate array literals — the
+    unrolled form made the analyzer/codegen cost of every x2/x4 plan
+    dominate the query (15s → ~4s cold at sf0.1)."""
     planes = _hyperplanes()
-    buckets = []
-    for t in range(LSH_TABLES):
-        bits = F.lit(0)
-        for b in range(LSH_BITS):
-            plane = F.array(*[F.lit(v) for v in planes[t][b]])
-            bits = bits + F.when(_dot(F.col("e"), plane) > 0, F.lit(1 << b)).otherwise(0)
-        buckets.append(bits.cast("int"))
-    return F.array(*buckets)
+    flat = [
+        [v for bits in table for v in bits]  # [B*DIM] per table
+        for table in planes
+    ]
+    m = F.lit(flat)  # array<array<double>>, a single literal node
+    dim = F.lit(EMB_DIM)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_TABLES - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(LSH_BITS - 1)),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.slice(m[t], b * dim + 1, dim),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda p, q: p + q,
+                )
+                > 0,
+                F.call_function("shiftleft", F.lit(1), b),
+            ).otherwise(0),
+        ).cast("int"),
+    )
 
 
 def x2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
