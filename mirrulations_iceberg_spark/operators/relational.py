@@ -335,8 +335,30 @@ def c9_ts_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c11_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: schema'd ``from_json`` — the scale-preferred JSON path
+    (parse once into a typed struct; get_json_object re-parses per
+    extraction). Joint stats over the parsed field and event payload."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 7).alias("k_mod7"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "a12_rollup": a12_rollup,
+    "c11_from_json_typed": c11_from_json_typed,
     "o6_systematic_sample": o6_systematic_sample,
     "c9_ts_minmax": c9_ts_minmax,
     "f1_like_substring": f1_like_substring,
@@ -361,6 +383,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "c11_from_json_typed": """
+        WITH parsed AS (
+            SELECT CAST(props->>'$.k' AS INT) AS k, value FROM events
+        )
+        SELECT k % 7 AS k_mod7, COUNT(*) AS cnt,
+               MIN(k) AS min_k, MAX(k) AS max_k,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+                   AS total_value
+        FROM parsed GROUP BY k % 7
+    """,
     "a12_rollup": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
