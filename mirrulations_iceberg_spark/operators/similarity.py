@@ -300,11 +300,87 @@ def x4_embedding_neardup_pairs(
     )
 
 
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+
+
+def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer + n-probe search, with in-plan
+    recall@k against exact top-k (the x2 pattern, different index).
+
+    Index build: Spark ML KMeans (seeded) assigns every vector to a
+    cell — at 100 TB the assignment is one broadcast of k·dim centroid
+    floats over the corpus scan, and the fit itself runs on a sample.
+    Search: each query probes its IVF_NPROBE nearest cells (ranked via
+    a broadcast centroid table — no driver-side math), candidates are
+    the union of those cells, exact cosine re-ranks. Rows-only check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _embeddings(spark, sf_dir).withColumn("vec", array_to_vector("e")).cache()
+    model = KMeans(
+        k=IVF_CLUSTERS, seed=42, featuresCol="vec", predictionCol="cell"
+    ).fit(emb)
+    assigned = model.transform(emb).select("vec_id", "e", "norm", "cell")
+    centers = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    # probe ranking: L2 distance query→centroid, keep the nprobe nearest
+    d2 = F.aggregate(
+        F.zip_with("qe", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wp = Window.partitionBy("query_id").orderBy("dist2", "cell")
+    probes = (
+        qrows.crossJoin(F.broadcast(centers))
+        .withColumn("dist2", d2)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "qe", "qnorm", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ivf_topk = _rank_topk(cand.withColumn("cos_sim", _cosine_sim()))
+    exact_scored = (
+        emb.crossJoin(F.broadcast(qrows))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _cosine_sim())
+    )
+    exact_topk = _rank_topk(exact_scored).select(
+        "query_id", F.col("vec_id").alias("exact_vec_id")
+    )
+    hits = ivf_topk.join(
+        exact_topk,
+        (ivf_topk.query_id == exact_topk.query_id)
+        & (ivf_topk.vec_id == exact_topk.exact_vec_id),
+        "left_semi",
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_cand.join(n_hit, "query_id", "left").select(
+        "query_id",
+        "n_candidates",
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 4
+        ).alias("recall_at_k"),
+    )
+
+
 QUERIES = {
     "x1_cosine_topk": x1_cosine_topk,
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
     "x3_label_centroid_sim": x3_label_centroid_sim,
     "x4_embedding_neardup_pairs": x4_embedding_neardup_pairs,
+    "x5_ann_ivf_topk": x5_ann_ivf_topk,
 }
 
 _COS = f"""
