@@ -70,6 +70,45 @@ def q8_complex_filter(comments: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q9_comments_per_document(comments: DataFrame, documents: DataFrame) -> DataFrame:
+    """comments ⋈ documents star join (commentOn → documents.id):
+    comment volume per document type. The documents side broadcasts."""
+    return (
+        comments.join(
+            F.broadcast(
+                documents.select(
+                    F.col("id").alias("doc_id"), F.col("documentType").alias("doc_type")
+                )
+            ),
+            comments.commentOn == F.col("doc_id"),
+        )
+        .groupBy("doc_type")
+        .agg(F.count(F.lit(1)).alias("n_comments"))
+    )
+
+
+def q10_docket_rollup(comments: DataFrame, dockets: DataFrame) -> DataFrame:
+    """comments ⋈ docket_info: per-docket counts against the docket's
+    declared relationship count — the integrity check a reference user
+    runs after conversion."""
+    per_docket = comments.groupBy("docketId").agg(
+        F.count(F.lit(1)).alias("n_comments")
+    )
+    return (
+        dockets.select(
+            F.col("id").alias("docketId"),
+            F.col("comments_count").alias("declared"),
+        )
+        .join(per_docket, "docketId", "left")
+        .select(
+            "docketId",
+            "declared",
+            F.coalesce("n_comments", F.lit(0)).alias("actual"),
+            (F.coalesce("n_comments", F.lit(0)) == F.col("declared")).alias("consistent"),
+        )
+    )
+
+
 WORKLOAD = {
     "q1_count_total": q1_count_total,
     "q2_count_by_agency": q2_count_by_agency,
