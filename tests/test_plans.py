@@ -1,0 +1,93 @@
+"""Plan-shape regression tests: the scale properties the code claims
+(broadcasts, column pruning, single exchanges, no accidental
+cartesians) asserted on the physical plans so they can't silently
+regress."""
+
+from __future__ import annotations
+
+import pytest
+
+from mirrulations_iceberg_spark.operators import collect_queries
+
+from .conftest import SF_DIR
+
+QUERIES, _ = collect_queries()
+
+#: Queries that intentionally cross-join a broadcast side (similarity
+#: brute-force / probe ranking): BroadcastNestedLoopJoin is the point.
+CROSS_JOIN_OK = {"x1_cosine_topk", "x2_ann_lsh_topk", "x5_ann_ivf_topk"}
+
+#: Queries that run their own jobs / driver-side work during
+#: construction (writers, ML fit) — plan string still checked, but they
+#: are slow; keep the sweep to declarative queries plus these few.
+SKIP_SWEEP = {
+    "m1_codec_benchmark",
+    "m2_storage_efficiency",
+    "m3_delta_append",
+    "m4_compaction",
+    "s13_schema_evolution",
+    "e1_docket_pipeline",
+    "x5_ann_ivf_topk",
+}
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_no_accidental_cartesian_products(spark):
+    for name in sorted(set(QUERIES) - SKIP_SWEEP):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in CROSS_JOIN_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    plan = _plan(spark, "j1_broadcast_star_join")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("Exchange hashpartitioning") == 1  # only the agg
+    # column pruning reaches the fact scan: only the 2 needed columns
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "f1_like_substring")
+    assert "PushedFilters: [IsNotNull(text), StringContains(text,hash)]" in plan
+
+
+def test_sessionize_plans_single_exchange(spark):
+    """w5's two windows share ordering: one exchange + agg exchange."""
+    plan = _plan(spark, "w5_sessionize")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_projection_queries_have_no_exchange(spark):
+    """t2/t3 are pure per-row projections — any Exchange is a bug."""
+    for name in ("t2_quality_score", "t3_fingerprint"):
+        assert "Exchange" not in _plan(spark, name), name
+
+
+def test_topk_uses_window_group_limit(spark):
+    assert "WindowGroupLimit" in _plan(spark, "x1_cosine_topk")
+
+
+def test_limits_plan_take_ordered(spark):
+    """Tie-broken orderBy+limit must plan TakeOrderedAndProject, not a
+    global sort."""
+    plan = _plan(spark, "o2_top_dates")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs", "d5_simhash_pairs"])
+def test_dedup_has_no_self_join(spark, name):
+    """Group-and-pair formulation: near-dup pair generation must not
+    plan a join at all before the verify stage (d3's verify joins the
+    cached signatures — hash joins there are fine; d2/d5 have none)."""
+    plan = _plan(spark, name)
+    assert "SortMergeJoin" not in plan, name
