@@ -189,31 +189,40 @@ _ORDERS_COLS = (
 )
 
 
-def m6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6: per-column profile (nulls, distinct, min, max) in ONE pass.
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile (nulls, distinct, min, max) of ANY table in
+    ONE pass: every statistic is an expression in a single aggregate
+    (one scan, map-side partial agg), then the 1×4N row is unpivoted
+    with ``stack`` into the (column, stat...) report shape.
 
     The reference profiles with one DuckDB query per column
-    (``simple_iceberg_exploration.py:344-378``) — N scans. Here every
-    per-column statistic is an expression in a single aggregate (one
-    scan, map-side partial agg), then the 1×4N row is unpivoted with
-    ``stack`` into the (column, stat...) report shape."""
-    orders = load_table(spark, sf_dir, "orders")
+    (``simple_iceberg_exploration.py:344-378``) — N scans; at 100 TB
+    that is N full reads vs this one. Exact countDistinct is kept for
+    oracle parity; swap approx_count_distinct at petabyte scale."""
+    columns = columns or df.columns
     aggs = []
-    for c in _ORDERS_COLS:
+    for c in columns:
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    wide = orders.agg(*aggs)
+    wide = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
-        for c in _ORDERS_COLS
+        for c in columns
     )
     return wide.selectExpr(
-        f"stack({len(_ORDERS_COLS)}, {stack_args}) AS "
+        f"stack({len(columns)}, {stack_args}) AS "
         "(column, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def m6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: the single-pass profiler over the orders fixture."""
+    return profile_table(
+        load_table(spark, sf_dir, "orders"), list(_ORDERS_COLS)
     )
 
 

@@ -49,6 +49,26 @@ _SCALE_SAFE_CONF = {
 }
 
 
+#: Production-cluster deltas — what changes (and what deliberately does
+#: not) when this engine runs on a 1000-executor cluster against 100 TB
+#: instead of local[32] against fixtures. Pass to get_spark(extra_conf=
+#: CLUSTER_CONF) on a real deployment; values are starting points.
+CLUSTER_CONF = {
+    # High initial shuffle parallelism; AQE coalesces down per-stage.
+    "spark.sql.shuffle.partitions": "4000",
+    # Scan split size: 128 MB default is right for HDFS/S3 columnar
+    # scans; raise for very wide tables to cut task-scheduling overhead.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Keep the broadcast threshold modest; AQE upgrades joins at runtime
+    # when the built side turns out small, which is safer than a large
+    # static threshold OOMing the driver.
+    "spark.sql.autoBroadcastJoinThreshold": "33554432",
+    # Shuffle/storage stability at scale.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "67108864",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
 def get_spark(
     app_name: str = "mirrulations-iceberg-spark",
     master: str | None = None,
