@@ -147,6 +147,47 @@ def build_token_index(docs: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+WINNOW_K = 8  # char k-gram size
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et
+    al., SIGMOD'03): hash every character k-gram, keep the minimum of
+    each w-window of consecutive hashes — a position-robust fingerprint
+    set whose size is ~1/w of the k-gram count, guaranteed to share
+    fingerprints with any document that shares a (k+w-1)-char run.
+
+    Pure column expressions: substring windows + xxhash64 + per-window
+    array_min — no UDF, no shuffle until the final summary aggregate.
+    Rows-only check (engine-native hash).
+    """
+    from .dedup import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    norm = F.concat_ws(" ", tokens_col(F.col("text")))
+    docs = docs.withColumn("__norm", norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("__norm") - WINNOW_K + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.substring(F.col("__norm"), i, WINNOW_K)),
+    )
+    docs = docs.withColumn("__hashes", grams)
+    winnowed = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("__hashes") - WINNOW_W + 1, F.lit(1)),
+            ),
+            lambda i: F.array_min(F.slice(F.col("__hashes"), i, WINNOW_W)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size("__hashes").alias("n_grams"),
+        F.size(winnowed).alias("n_fingerprints"),
+    )
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 QUERIES = {
@@ -155,6 +196,7 @@ QUERIES = {
     "t3_fingerprint": t3_fingerprint,
     "t4_token_index_lookup": t4_token_index_lookup,
     "t5_lang_profile": t5_lang_profile,
+    "t6_winnow_fingerprints": t6_winnow_fingerprints,
 }
 
 ORACLE = {
