@@ -20,7 +20,7 @@ Scale stance:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -52,6 +52,153 @@ def salted_join(
     )
     out = left.join(right, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """As-of join: attach to each left row the latest right row with
+    ``right_ts <= left_ts`` for the same ``on`` key (left outer).
+
+    Spark has no ASOF JOIN operator; the naive inequality-join
+    (``l.key = r.key AND r.ts <= l.ts`` + argmax) explodes to the full
+    per-key cross product before pruning. The scalable formulation is
+    **union + running last_value**: tag both inputs, union them, and run
+    one window per key ordered by (ts, side) where right rows sort
+    before left rows at equal timestamps (ASOF semantics include
+    equality). ``last(col, ignorenulls=True)`` over rows UNBOUNDED
+    PRECEDING..CURRENT then carries the most recent right payload onto
+    every left row.
+
+    Cost at scale: ONE shuffle of |left|+|right| rows on the key — the
+    same price as the equi-join we'd need anyway — and a per-partition
+    sort; no row amplification, no skew beyond the key's own frequency.
+    """
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    for c in payload:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = right.withColumn("__ts", F.col(right_ts)).withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    cols = [on, "__ts", "__side", *payload, *[c for c in left.columns if c != on]]
+    unioned = lt.select(*cols).unionByName(rt.select(*cols))
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in payload]
+    )
+    out = carried.filter(F.col("__side") == 1)
+    for c in payload:
+        out = out.drop(c).withColumnRenamed(f"__asof_{c}", c)
+    return out.drop("__ts", "__side")
+
+
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the events stream: each purchase matched to the
+    same user's most recent click at-or-before it, plus the gap in
+    microseconds. Oracle is DuckDB's native ``ASOF LEFT JOIN``.
+
+    Reference parity: the reference has no joins at all (SURVEY §2.6
+    gap); this is the canonical event-attribution query a comments/
+    events corpus needs at scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        payload=["click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: lineitems shipped inside the 3 busiest
+    order weeks. The interval side is tiny and derived, so the right
+    plan is a **broadcast** nested-loop on the range predicate — the
+    fact side streams through unshuffled. For a large interval table
+    the bucketed variant (`interval_bucket_join` below) applies.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    weeks = (
+        orders.groupBy(F.date_trunc("week", "o_orderdate").alias("wk_start"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "wk_start")
+        .limit(3)
+        .select(
+            "wk_start",
+            (F.col("wk_start") + F.expr("INTERVAL 7 DAYS")).alias("wk_end"),
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(weeks),
+            (li.l_shipdate >= weeks.wk_start) & (li.l_shipdate < weeks.wk_end),
+        )
+        .groupBy(F.col("wk_start").cast("date").alias("wk_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .orderBy("wk_start")
+    )
+
+
+def interval_bucket_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Large-×-large interval join without a nested loop: explode each
+    interval into the fixed-width buckets it overlaps, bucket the fact
+    timestamp, equi-join on the bucket, then re-check the exact range.
+
+    Each fact row joins only intervals sharing a bucket — the cross
+    product collapses from |facts|×|intervals| to per-bucket locality,
+    and the equi-join shuffles/broadcasts like any other. Bucket width
+    should approximate the median interval length: wider buckets mean
+    fewer replicated interval rows but more false candidates.
+    """
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col(start_col)),
+                F.date_trunc("day", F.col(end_col)),
+                F.expr(f"INTERVAL {bucket}"),
+            )
+        ),
+    )
+    fx = facts.withColumn("__bucket", F.date_trunc("day", F.col(ts_col)))
+    out = fx.join(iv, "__bucket").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return out.drop("__bucket")
 
 
 def j1_broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,6 +355,8 @@ QUERIES = {
     "j3_anti_join": j3_anti_join,
     "j4_fact_fact_join": j4_fact_fact_join,
     "j5_left_outer_join": j5_left_outer_join,
+    "j6_asof_join": j6_asof_join,
+    "j7_range_join": j7_range_join,
     "u1_union_base_delta": u1_union_base_delta,
     "u2_intersect": u2_intersect,
     "u3_except": u3_except,
@@ -251,6 +400,30 @@ ORACLE = {
         LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) li
                ON p_partkey = li.l_partkey
         GROUP BY p_brand ORDER BY p_brand
+    """,
+    "j6_asof_join": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts AS click_ts FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.click_ts,
+               epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    "j7_range_join": """
+        WITH weeks AS (
+            SELECT date_trunc('week', o_orderdate) AS wk_start,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+            ORDER BY n_orders DESC, wk_start LIMIT 3
+        )
+        SELECT wk_start, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem JOIN weeks
+          ON l_shipdate >= wk_start
+         AND l_shipdate < wk_start + INTERVAL 7 DAY
+        GROUP BY wk_start ORDER BY wk_start
     """,
     "u1_union_base_delta": """
         SELECT o_orderstatus, COUNT(*) AS cnt,
