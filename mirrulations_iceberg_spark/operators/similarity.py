@@ -265,8 +265,14 @@ def x4_embedding_neardup_pairs(
     embedding column). Same sub-quadratic shape: SRP-LSH buckets →
     in-bucket pair generation (capped) → exact cosine verify ≥
     threshold. Rows-only check (seeded engine-native bucketing).
+
+    Pair dedup happens AFTER the cosine filter: a pair colliding in
+    several tables is verified once per collision (a few % extra fold
+    work) instead of paying a full-width shuffle of every candidate
+    pair before the verify — the post-filter distinct shuffles only
+    the (tiny) accepted set.
     """
-    emb = _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols())
+    emb = _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols()).cache()
     bands = emb.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
     buckets = (
         bands.groupBy("t", "bucket")
@@ -282,21 +288,20 @@ def x4_embedding_neardup_pairs(
             ),
         )
     )
-    cand = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.vec_a", "p.vec_b")
-        .distinct()
+    cand = buckets.select(F.explode(pair_arr).alias("p")).select(
+        "p.vec_a", "p.vec_b"
     )
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("qe"), F.col("norm").alias("qnorm")
     )
     b = emb.select(F.col("vec_id").alias("vec_b"), "e", "norm")
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
+        cand.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
         .withColumn("cos_sim", _cosine_sim())
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
+        .distinct()
     )
 
 
@@ -319,9 +324,14 @@ def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     emb = _embeddings(spark, sf_dir).withColumn("vec", array_to_vector("e")).cache()
+    # The coarse quantizer never needs the full corpus: fit on a seeded
+    # sample with few iterations (cell boundaries only steer candidate
+    # routing; recall@k is measured in-plan below, so quantizer quality
+    # is observable). At 100 TB this is the only viable fit strategy —
+    # full-corpus KMeans would dominate the whole query.
     model = KMeans(
-        k=IVF_CLUSTERS, seed=42, featuresCol="vec", predictionCol="cell"
-    ).fit(emb)
+        k=IVF_CLUSTERS, seed=42, maxIter=8, featuresCol="vec", predictionCol="cell"
+    ).fit(emb.sample(0.25, seed=7))
     assigned = model.transform(emb).select("vec_id", "e", "norm", "cell")
     centers = spark.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
