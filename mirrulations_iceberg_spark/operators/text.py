@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -188,6 +188,46 @@ def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def t7_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-:data:`TFIDF_TOP_K` distinguishing terms per document.
+
+    Shuffle-minimal shape: term frequency is one groupBy on
+    (doc_id, token); document frequency comes from a **window over the
+    tf rows** (count over partitionBy(token)) instead of a separate
+    aggregate + self-join — one token-hash shuffle serves both df and
+    the scoring join. The corpus size N joins in as a broadcast 1-row
+    aggregate, never a driver-side collect. Final per-doc ranking is
+    row_number ≤ k, which plans as WindowGroupLimit (map-side partial
+    top-k), so the doc_id shuffle carries ≤ k rows per doc per
+    partition.
+
+    Scores are rounded to 4 decimals BEFORE ranking and tie-broken by
+    token so Spark and the DuckDB oracle rank identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("df", dfreq)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "rnk", "tfidf")
+    )
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 QUERIES = {
@@ -197,6 +237,7 @@ QUERIES = {
     "t4_token_index_lookup": t4_token_index_lookup,
     "t5_lang_profile": t5_lang_profile,
     "t6_winnow_fingerprints": t6_winnow_fingerprints,
+    "t7_tfidf_top_terms": t7_tfidf_top_terms,
 }
 
 ORACLE = {
@@ -242,6 +283,28 @@ ORACLE = {
         )
         SELECT token, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         FROM postings WHERE token = 'hash' GROUP BY token
+    """,
+    "t7_tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, token,
+                   ROUND(tf * ln(n_docs / COUNT(*) OVER (PARTITION BY token)), 4)
+                       AS tfidf
+            FROM tf CROSS JOIN n
+        ), ranked AS (
+            SELECT doc_id, token, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, token, rnk, tfidf FROM ranked WHERE rnk <= {TFIDF_TOP_K}
     """,
     "t5_lang_profile": f"""
         WITH scored AS (

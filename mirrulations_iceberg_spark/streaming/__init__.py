@@ -7,6 +7,7 @@ sink, plus watermarked event-time aggregation over the events table.
 """
 
 from .incremental import stream_comments
+from .joins import attributed_purchases
 from .windows import windowed_event_counts
 
-__all__ = ["stream_comments", "windowed_event_counts"]
+__all__ = ["attributed_purchases", "stream_comments", "windowed_event_counts"]
