@@ -14,8 +14,15 @@ from .conftest import SF_DIR
 QUERIES, _ = collect_queries()
 
 #: Queries that intentionally cross-join a broadcast side (similarity
-#: brute-force / probe ranking): BroadcastNestedLoopJoin is the point.
-CROSS_JOIN_OK = {"x1_cosine_topk", "x2_ann_lsh_topk", "x5_ann_ivf_topk"}
+#: brute-force / probe ranking; j7's broadcast range join):
+#: BroadcastNestedLoopJoin is the point.
+CROSS_JOIN_OK = {
+    "x1_cosine_topk",
+    "x2_ann_lsh_topk",
+    "x5_ann_ivf_topk",
+    "j7_range_join",
+    "t7_tfidf_top_terms",  # broadcast 1-row corpus count
+}
 
 #: Queries that run their own jobs / driver-side work during
 #: construction (writers, ML fit) — plan string still checked, but they
@@ -75,6 +82,15 @@ def test_projection_queries_have_no_exchange(spark):
 
 def test_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in _plan(spark, "x1_cosine_topk")
+    assert "WindowGroupLimit" in _plan(spark, "t7_tfidf_top_terms")
+
+
+def test_range_join_broadcasts_interval_side(spark):
+    """j7's interval side is 3 derived rows: it must broadcast (the
+    fact side streams through unshuffled), never sort-merge."""
+    plan = _plan(spark, "j7_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_limits_plan_take_ordered(spark):
