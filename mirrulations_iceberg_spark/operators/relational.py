@@ -23,7 +23,7 @@ Scale notes (100 TB design stance):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -322,6 +322,49 @@ def o6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: stratified systematic sample — every 10th document per
+    language stratum (row_number over a per-stratum order, keep
+    rn % 10 == 1). Unlike ``sampleBy`` this is reproducible across
+    engines and guarantees per-stratum coverage; the per-stratum
+    window is one shuffle on the stratum key, and WindowGroupLimit
+    does not apply but the filter keeps only 1/10 before the final
+    tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    sample = docs.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") - 1) % 10 == 0
+    )
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("sample_rows"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum(F.col("n_chars").cast("long")).alias("sample_chars"),
+    ).orderBy("lang")
+
+
+def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: deterministic train/holdout assignment — the stable split a
+    training pipeline needs (membership must not change when the corpus
+    grows or reshuffles). Keyed on md5(doc_id), which both engines
+    compute identically, so the oracle checks the exact assignment;
+    first hex nibble < 'd' ⇒ train (13/16 ≈ 81%). Pure projection +
+    tiny aggregate: no shuffle of the corpus, no sampling state."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d", "train"
+    ).otherwise("holdout")
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 def c9_ts_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9/C10: timestamp min/max + span per event type over the events
     table (epoch-second floor on both engines — Spark timestamps are
@@ -360,6 +403,8 @@ QUERIES = {
     "a12_rollup": a12_rollup,
     "c11_from_json_typed": c11_from_json_typed,
     "o6_systematic_sample": o6_systematic_sample,
+    "o7_stratified_sample": o7_stratified_sample,
+    "o8_hash_split": o8_hash_split,
     "c9_ts_minmax": c9_ts_minmax,
     "f1_like_substring": f1_like_substring,
     "f2_is_not_null": f2_is_not_null,
@@ -404,6 +449,26 @@ ORACLE = {
                MIN(o_orderkey) AS min_key,
                MAX(o_orderkey) AS max_key
         FROM orders WHERE o_orderkey % 20 = 7
+    """,
+    "o7_stratified_sample": """
+        WITH ranked AS (
+            SELECT lang, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS sample_rows,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+               SUM(CAST(n_chars AS BIGINT)) AS sample_chars
+        FROM ranked WHERE (rn - 1) % 10 = 0
+        GROUP BY lang ORDER BY lang
+    """,
+    "o8_hash_split": """
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                    THEN 'train' ELSE 'holdout' END AS split,
+               COUNT(*) AS n_docs,
+               SUM(CAST(n_chars AS BIGINT)) AS total_chars
+        FROM documents
+        GROUP BY 1 ORDER BY split
     """,
     "c9_ts_minmax": """
         SELECT event_type,
