@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..etl.flatten import flatten_comments
@@ -32,12 +33,20 @@ def stream_comments(
     tree_root: str,
     out_dir: str,
     checkpoint_dir: str,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Drain all pending comment files into ``out_dir`` exactly once.
+
+    Corrupt records (F7 in streaming form) are routed to
+    ``quarantine_dir`` (default ``<out_dir>_quarantine``) with their
+    source path and raw text, same contract as the batch
+    ``etl.ingest.split_corrupt`` — the stream never drops input
+    silently, and a fixed upstream file replays from quarantine.
 
     Returns the started query (already triggered AvailableNow); callers
     ``awaitTermination()``.
     """
+    quarantine_dir = quarantine_dir or f"{out_dir}_quarantine"
     raw = (
         spark.readStream.schema(ENVELOPE_SCHEMA)
         .option("multiLine", "true")
@@ -46,11 +55,23 @@ def stream_comments(
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.json")
         .json(f"{tree_root}/*/raw-data/comments")
+        .withColumn("_src", F.input_file_name())
     )
-    flat = flatten_comments(raw.filter(raw["_corrupt_record"].isNull()))
 
     def upsert(batch_df, _batch_id: int) -> None:
-        new = batch_df.dropDuplicates(["id"])
+        bad = batch_df.filter(batch_df["_corrupt_record"].isNotNull()).select(
+            F.col("data.id").alias("id"),
+            F.col("_src").alias("source_file"),
+            F.col("_corrupt_record").alias("raw"),
+        )
+        # Quarantine first: if the job dies between the two writes the
+        # checkpoint replays the batch and the id anti-join below keeps
+        # the main table exactly-once; quarantine rows may duplicate on
+        # replay, which is the right failure mode for a triage table.
+        bad.write.mode("append").parquet(quarantine_dir)
+        new = flatten_comments(
+            batch_df.filter(batch_df["_corrupt_record"].isNull())
+        ).dropDuplicates(["id"])
         if os.path.isdir(out_dir) and any(
             f.endswith(".parquet")
             for _r, _d, fs in os.walk(out_dir)
@@ -61,7 +82,7 @@ def stream_comments(
         new.write.mode("append").parquet(out_dir)
 
     return (
-        flat.writeStream.foreachBatch(upsert)
+        raw.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -68,6 +68,21 @@ def test_incremental_exactly_once(spark, tree, tmp_path):
     assert spark.read.parquet(out).count() == expected["comments"] + 1
 
 
+def test_stream_quarantines_corrupt(spark, tree, tmp_path):
+    """F7 in streaming form: the fixture tree's corrupt files must land
+    in the quarantine table with their source path, not vanish."""
+    root, expected = tree
+    out = str(tmp_path / "out")
+
+    q = stream_comments(spark, root, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    quarantined = spark.read.parquet(f"{out}_quarantine")
+    # The fixture plants corrupt files across record kinds; the comment
+    # stream sees only the comments subtree.
+    assert 0 < quarantined.count() <= expected["corrupt"]
+    assert quarantined.filter("source_file IS NULL OR raw IS NULL").count() == 0
+
+
 def test_windowed_counts_match_batch(spark, tmp_path):
     from pyspark.sql import functions as F
 
