@@ -40,6 +40,18 @@ def test_reference_workload(name, comments_env):
     assert compare(sdf.columns, srows, ocols, res.fetchall()) is None
 
 
+@pytest.mark.parametrize("name", sorted(WORKLOAD))
+def test_workload_sql_runs_on_spark(name, comments_env, spark):
+    """The same SQL strings the reference ran on DuckDB run UNCHANGED
+    through spark.sql over a registered view and agree with the
+    DataFrame formulation — the switch-and-keep-your-SQL surface."""
+    comments, _ = comments_env
+    comments.createOrReplaceTempView("comments")
+    via_sql = {tuple(r) for r in spark.sql(WORKLOAD_SQL[name]).collect()}
+    via_df = {tuple(r) for r in WORKLOAD[name](comments).collect()}
+    assert via_sql == via_df
+
+
 @pytest.fixture(scope="module")
 def all_tables_env(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("tree2"))
