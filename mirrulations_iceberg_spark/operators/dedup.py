@@ -466,6 +466,77 @@ def d7_dedup_apply_lsh(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Connected components by min-label propagation: every node's
+    label converges to the minimum node id in its component.
+
+    Iterative DataFrame algorithm (the idiomatic Spark shape for graph
+    fixpoints, cf. GraphFrames/GraphX): per round, each node takes
+    ``min(own label, min neighbor label)`` — one join + one groupBy per
+    round, O(graph diameter) rounds, early-stopped on a zero-change
+    round. ``localCheckpoint`` truncates lineage so round N's plan does
+    not replay rounds 1..N-1 (and the input's own pipeline is
+    materialized once up front). Near-dup graphs have tiny diameters —
+    clusters are quasi-cliques — so this converges in 2-3 rounds.
+
+    Returns (node, label) for every node with at least one edge.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = sym.join(labels, sym.b == labels.node).groupBy("a").agg(
+            F.min("label").alias("nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.label <> o.label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def d8_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the d2
+    pair graph — the closure d6/d7 deliberately skip (A~B, B~C ⇒
+    {A,B,C} one cluster even when A≁C directly). Output is one row per
+    cluster (component = min doc_id, member count); a pipeline keeps
+    exactly the component representative. Oracle: DuckDB recursive CTE
+    transitive closure over the same pair SQL.
+    """
+    pairs = d2_ngram_jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        cc.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("label").alias("component"), "n_members")
+        .orderBy("component")
+    )
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_pairs": d2_ngram_jaccard_pairs,
@@ -474,6 +545,7 @@ QUERIES = {
     "d5_simhash_pairs": d5_simhash_pairs,
     "d6_dedup_apply": d6_dedup_apply,
     "d7_dedup_apply_lsh": d7_dedup_apply_lsh,
+    "d8_dedup_components": d8_dedup_components,
 }
 
 ORACLE = {
@@ -533,6 +605,40 @@ ORACLE = {
                MIN(doc_id) AS min_kept_id,
                MAX(doc_id) AS max_kept_id
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    "d8_dedup_components": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), postings AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+            FROM postings a JOIN postings b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ), fp AS (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM fp
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM fp
+        ), reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), lab AS (
+            SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a
+        )
+        SELECT label AS component, COUNT(*) AS n_members
+        FROM lab GROUP BY label ORDER BY component
     """,
     # d3/d4: engine-native hash functions — no ANSI-SQL oracle (driver
     # records rows-only checks; d2 is the oracle-checked exact twin).

@@ -1,0 +1,31 @@
+"""connected_components must reach the true fixpoint, not a one-hop
+approximation — exercised on a long path (worst-case diameter), a
+triangle, and a disjoint pair in one graph."""
+
+from __future__ import annotations
+
+from mirrulations_iceberg_spark.operators.dedup import connected_components
+
+
+def test_connected_components_fixpoint(spark):
+    edges = (
+        [(i, i + 1) for i in range(9)]  # path 0-…-9: needs ~9 rounds
+        + [(20, 21), (21, 22), (20, 22)]  # triangle
+        + [(31, 30)]  # pair, reversed order
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert {n for n in got} == set(range(10)) | {20, 21, 22, 30, 31}
+    assert all(got[i] == 0 for i in range(10))
+    assert got[20] == got[21] == got[22] == 20
+    assert got[30] == got[31] == 30
+
+
+def test_connected_components_early_stop(spark):
+    """A clique converges in one round; the loop must early-stop, not
+    burn max_iter rounds (observable via wall-clock-free proxy: the
+    returned labels are still correct with max_iter=2)."""
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(clique, "src long, dst long")
+    got = {r.node: r.label for r in connected_components(df, max_iter=2).collect()}
+    assert set(got.values()) == {0}
