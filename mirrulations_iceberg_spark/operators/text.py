@@ -228,6 +228,32 @@ def t7_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t8_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of token bigrams that are
+    duplicates (1 - distinct/total) — the Gopher-style rep-ngram
+    quality gate. Pure per-row projection (zero shuffle at any scale);
+    the bigram arrays exist only inside the row pipeline, never
+    materialized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    docs = docs.withColumn("__t", toks)  # named column: evaluate tokenize once
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__t") - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at("__t", i), F.element_at("__t", i + 1)),
+    )
+    docs = docs.withColumn("__bi", bigrams)
+    n_bi = F.size("__bi")
+    n_uniq = F.size(F.array_distinct("__bi"))
+    return docs.select(
+        "doc_id",
+        n_bi.alias("n_bigrams"),
+        F.round(
+            F.when(n_bi > 0, 1.0 - n_uniq / n_bi.cast("double")).otherwise(0.0), 4
+        ).alias("rep_ratio"),
+    )
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 QUERIES = {
@@ -238,6 +264,7 @@ QUERIES = {
     "t5_lang_profile": t5_lang_profile,
     "t6_winnow_fingerprints": t6_winnow_fingerprints,
     "t7_tfidf_top_terms": t7_tfidf_top_terms,
+    "t8_repetition_ratio": t8_repetition_ratio,
 }
 
 ORACLE = {
@@ -305,6 +332,22 @@ ORACLE = {
             FROM scored
         )
         SELECT doc_id, token, rnk, tfidf FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+    """,
+    "t8_repetition_ratio": f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                                  i -> toks[i] || ' ' || toks[i+1]) AS bi
+            FROM t
+        )
+        SELECT doc_id, len(bi) AS n_bigrams,
+               ROUND(CASE WHEN len(bi) > 0
+                          THEN 1.0 - len(list_distinct(bi)) / CAST(len(bi) AS DOUBLE)
+                          ELSE 0.0 END, 4) AS rep_ratio
+        FROM b ORDER BY doc_id
     """,
     "t5_lang_profile": f"""
         WITH scored AS (
