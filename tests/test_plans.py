@@ -75,8 +75,8 @@ def test_sessionize_plans_single_exchange(spark):
 
 
 def test_projection_queries_have_no_exchange(spark):
-    """t2/t3 are pure per-row projections — any Exchange is a bug."""
-    for name in ("t2_quality_score", "t3_fingerprint"):
+    """t2/t3/t8 are pure per-row projections — any Exchange is a bug."""
+    for name in ("t2_quality_score", "t3_fingerprint", "t8_repetition_ratio"):
         assert "Exchange" not in _plan(spark, name), name
 
 
