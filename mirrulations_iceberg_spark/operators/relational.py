@@ -322,6 +322,38 @@ def o6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a12b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (cube half): full cube over (status, priority) — all four
+    grouping sets in ONE pass (Expand + single aggregate), vs four
+    scans if written naively."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def a13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user-cohort event counts, one column per event type.
+    The value list is declared explicitly — with it Spark plans a
+    single-pass pivot aggregate; without it a separate distinct-values
+    job must run first (never do that at 100 TB)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("cohort", (F.col("user_id") % 10).alias("cohort"))
+        .groupBy("cohort")
+        .pivot("event_type", list(PIVOT_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_EVENT_TYPES))  # absent combo = 0, as in SQL
+        .orderBy("cohort")
+    )
+
+
 def o7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7: stratified systematic sample — every 10th document per
     language stratum (row_number over a per-stratum order, keep
@@ -401,6 +433,8 @@ def c11_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "a12_rollup": a12_rollup,
+    "a12b_cube": a12b_cube,
+    "a13_pivot": a13_pivot,
     "c11_from_json_typed": c11_from_json_typed,
     "o6_systematic_sample": o6_systematic_sample,
     "o7_stratified_sample": o7_stratified_sample,
@@ -442,6 +476,20 @@ ORACLE = {
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "a12b_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "a13_pivot": """
+        SELECT user_id % 10 AS cohort,
+               COUNT(*) FILTER (event_type = 'click') AS "click",
+               COUNT(*) FILTER (event_type = 'error') AS "error",
+               COUNT(*) FILTER (event_type = 'purchase') AS "purchase",
+               COUNT(*) FILTER (event_type = 'signup') AS "signup",
+               COUNT(*) FILTER (event_type = 'view') AS "view"
+        FROM events GROUP BY cohort ORDER BY cohort
     """,
     "o6_systematic_sample": """
         SELECT COUNT(*) AS sample_rows,

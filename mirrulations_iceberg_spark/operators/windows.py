@@ -126,6 +126,30 @@ def w6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w7_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(): decile assignment by order value — the spend-band
+    bucketing a pipeline uses for stratified reporting. One global-order
+    window (single-partition sort: fine for ranking aggregates whose
+    OUTPUT is 10 rows; for per-row decile labels at 100 TB use
+    approx_percentile cutoffs + a broadcast range join instead — see
+    a5b) then a tiny aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("band_total"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
     "w2_running_sum": w2_running_sum,
@@ -133,6 +157,7 @@ QUERIES = {
     "w4_rank_in_partition": w4_rank_in_partition,
     "w5_sessionize": w5_sessionize,
     "w6_session_window": w6_session_window,
+    "w7_ntile_deciles": w7_ntile_deciles,
 }
 
 ORACLE = {
@@ -216,5 +241,18 @@ ORACLE = {
                ROUND(SUM(value), 4) AS session_value
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """,
+    "w7_ntile_deciles": """
+        WITH d AS (
+            SELECT o_totalprice,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+            FROM orders
+        )
+        SELECT decile, COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 4) AS lo,
+               ROUND(MAX(o_totalprice), 4) AS hi,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS band_total
+        FROM d GROUP BY decile ORDER BY decile
     """,
 }
