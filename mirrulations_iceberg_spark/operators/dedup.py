@@ -206,8 +206,15 @@ def d3_minhash_lsh_pairs(
     docs sharing any band hash become candidates (explode bands →
     groupBy band-bucket → pairs), then exact Jaccard over the candidate
     pairs only. Sub-quadratic: the all-pairs join is replaced by
-    same-bucket joins. Rows-only correctness check (hash functions are
-    engine-native); the exact twin d2 is the oracle-checked path.
+    same-bucket joins.
+
+    Oracle: the exact-Jaccard pair set (d2's SQL). Valid because the
+    exact verify step makes the output equal to the exact algorithm
+    whenever LSH candidate recall is 1 — and here it deterministically
+    is: every true pair in the fixtures has Jaccard ≥ 0.8 (miss
+    probability at 16 bands × 4 rows: (1-0.8^4)^16 ≈ 2e-4 per pair,
+    and the seeded xxhash64 banding is deterministic, so the outcome
+    is fixed, not per-run). Checked equal to d2 at sf0.01 AND sf0.1.
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs).cache()
@@ -548,14 +555,10 @@ QUERIES = {
     "d8_dedup_components": d8_dedup_components,
 }
 
-ORACLE = {
-    "d1_exact_dedup": f"""
-        SELECT md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' '))
-                   AS fingerprint,
-               MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies
-        FROM documents GROUP BY fingerprint ORDER BY keep_doc_id
-    """,
-    "d2_ngram_jaccard_pairs": f"""
+# Shared by d2 (exact algorithm) and d3 (LSH + exact verify): with
+# candidate recall 1 — deterministically true on the fixtures, see the
+# d3 docstring — both produce exactly this pair set.
+_EXACT_PAIRS_SQL = f"""
         WITH toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
             FROM documents
@@ -578,7 +581,17 @@ ORACLE = {
         FROM pairs
         WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
         ORDER BY doc_a, doc_b
+    """
+
+ORACLE = {
+    "d1_exact_dedup": f"""
+        SELECT md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' '))
+                   AS fingerprint,
+               MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies
+        FROM documents GROUP BY fingerprint ORDER BY keep_doc_id
     """,
+    "d2_ngram_jaccard_pairs": _EXACT_PAIRS_SQL,
+    "d3_minhash_lsh_pairs": _EXACT_PAIRS_SQL,
     "d6_dedup_apply": f"""
         WITH toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t

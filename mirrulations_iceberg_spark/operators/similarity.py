@@ -264,7 +264,14 @@ def x4_embedding_neardup_pairs(
     dedup family (d2/d3/d5 operate on token shingles; this one on the
     embedding column). Same sub-quadratic shape: SRP-LSH buckets →
     in-bucket pair generation (capped) → exact cosine verify ≥
-    threshold. Rows-only check (seeded engine-native bucketing).
+    threshold.
+
+    Oracle: exact all-pairs cosine ≥ threshold. Valid because the
+    exact verify makes the output equal to the exact algorithm
+    whenever LSH candidate recall is 1 — here trivially so: the
+    fixture embeddings are near-uniform (best pair cos ≈ 0.37, far
+    below 0.8), so both sides are the same (empty) set, and the
+    seeded-literal hyperplanes make the bucketing deterministic.
 
     Pair dedup happens AFTER the cosine filter: a pair colliding in
     several tables is verified once per collision (a few % extra fold
@@ -456,5 +463,26 @@ ORACLE = {
         SELECT label, COUNT(*) AS n_vecs,
                ROUND(AVG(cos_sim), 4) AS avg_centroid_sim
         FROM scored GROUP BY label
+    """,
+    # Exact all-pairs twin of the LSH+verify path (see the x4
+    # docstring for why equality holds).
+    "x4_embedding_neardup_pairs": f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM e
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CASE WHEN a.norm * b.norm > 0 THEN
+                       ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                                     i -> a.e[i] * b.e[i]))
+                             / (a.norm * b.norm), 4)
+                   ELSE 0.0 END AS cos_sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.8
     """,
 }
