@@ -417,7 +417,11 @@ def d7_dedup_apply_lsh(
     against the bucket MINIMUM only — candidates are linear in bucket
     size — and drop docs that match their bucket min. Greedy (keeps
     the per-bucket canonical, not a transitive-closure canonical),
-    which is the standard large-corpus trade. Rows-only check.
+    which is the standard large-corpus trade. Oracle: the exact
+    drop-rule SQL — valid here because the fixture clusters are
+    quasi-cliques whose bucket min is the cluster min, making the
+    greedy survivor set equal the exact one (deterministic; checked
+    at sf0.01 and sf0.1).
 
     Measured on a 20×-replicated corpus (100k docs, every doc in a
     20-copy near-dup cluster): d2 scaled 36× (pair output), d7 scaled
@@ -617,6 +621,35 @@ ORACLE = {
                SUM(n_chars) AS kept_chars,
                MIN(doc_id) AS min_kept_id,
                MAX(doc_id) AS max_kept_id
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    # d7's greedy verify-against-bucket-min keeps exactly the exact
+    # apply's survivor set whenever near-dup clusters are quasi-cliques
+    # whose bucket min is the cluster min — deterministically true on
+    # the fixtures (fixed hashes; checked equal to d6 at sf0.01 and
+    # sf0.1), so the exact drop-rule SQL is a valid oracle.
+    "d7_dedup_apply_lsh": f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), postings AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+            FROM postings a JOIN postings b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ), drops AS (
+            SELECT DISTINCT doc_b AS doc_id FROM pairs
+            WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
+        )
+        SELECT COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """,
     "d8_dedup_components": f"""
