@@ -149,6 +149,12 @@ def build_token_index(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
 WINNOW_K = 8  # char k-gram size
 WINNOW_W = 4  # winnowing window (hashes per window)
+#: Karp-Rabin polynomial base — > any ASCII code, so the (no-modulus)
+#: base-131 polynomial is injective on 8-char ASCII grams and still
+#: fits int64 (max ≈ 6.7e17). Precomputed powers keep both engines'
+#: arithmetic literal-for-literal identical.
+WINNOW_BASE = 131
+_WINNOW_POWS = tuple(WINNOW_BASE ** (WINNOW_K - 1 - j) for j in range(WINNOW_K))
 
 
 def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,18 +164,37 @@ def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     set whose size is ~1/w of the k-gram count, guaranteed to share
     fingerprints with any document that shares a (k+w-1)-char run.
 
-    Pure column expressions: substring windows + xxhash64 + per-window
-    array_min — no UDF, no shuffle until the final summary aggregate.
-    Rows-only check (engine-native hash).
+    Pure column expressions: substring windows + a Karp-Rabin base-131
+    polynomial gram hash + per-window array_min — no UDF, no shuffle
+    until the final summary aggregate. The polynomial (the paper's own
+    hash family) is exact integer arithmetic both engines share, so the
+    whole fingerprint pipeline is oracle-checked; swap in ``xxhash64``
+    when gram hashing itself is the CPU bottleneck.
     """
     from .dedup import parallelize_scan
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     norm = F.concat_ws(" ", tokens_col(F.col("text")))
-    docs = docs.withColumn("__norm", norm)
+    # Pad so every gram window is fully materialized even when the
+    # normalized text is shorter than K (space = 32 in both engines).
+    docs = docs.withColumn("__norm", norm).withColumn(
+        "__pad", F.concat(F.col("__norm"), F.lit(" " * WINNOW_K))
+    )
+
+    def gram_hash(i):
+        terms = [
+            F.ascii(F.substring(F.col("__pad"), i + F.lit(j), 1)).cast("long")
+            * F.lit(p)
+            for j, p in enumerate(_WINNOW_POWS)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("__norm") - WINNOW_K + 1, F.lit(1))),
-        lambda i: F.xxhash64(F.substring(F.col("__norm"), i, WINNOW_K)),
+        gram_hash,
     )
     docs = docs.withColumn("__hashes", grams)
     winnowed = F.array_distinct(
@@ -267,6 +292,13 @@ QUERIES = {
     "t8_repetition_ratio": t8_repetition_ratio,
 }
 
+# DuckDB twin of t6's gram hash: same base-131 powers, same padded
+# 1-based positions — literal-for-literal identical integer arithmetic.
+_WINNOW_HASH_SQL = " + ".join(
+    f"CAST(ord(substr(pad, CAST(i + {j} AS INT), 1)) AS BIGINT) * {p}"
+    for j, p in enumerate(_WINNOW_POWS)
+)
+
 ORACLE = {
     "t1_token_stats": f"""
         WITH toks AS (
@@ -310,6 +342,30 @@ ORACLE = {
         )
         SELECT token, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         FROM postings WHERE token = 'hash' GROUP BY token
+    """,
+    "t6_winnow_fingerprints": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' ')
+                       AS norm
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   norm || repeat(' ', {WINNOW_K}) AS pad,
+                   GREATEST(len(norm) - {WINNOW_K - 1}, 1) AS n_grams
+            FROM toks
+        ), h AS (
+            SELECT doc_id, n_grams,
+                   list_transform(range(1, n_grams + 1),
+                                  i -> {_WINNOW_HASH_SQL}) AS hashes
+            FROM p
+        )
+        SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+               CAST(len(list_distinct(list_transform(
+                   range(1, GREATEST(n_grams - {WINNOW_W - 1}, 1) + 1),
+                   i -> list_min(list_slice(hashes, i, i + {WINNOW_W - 1})))))
+                   AS INT) AS n_fingerprints
+        FROM h
     """,
     "t7_tfidf_top_terms": f"""
         WITH toks AS (
