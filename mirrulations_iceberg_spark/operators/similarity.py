@@ -118,6 +118,15 @@ def _hyperplanes() -> list[list[list[float]]]:
     ]
 
 
+def _planes_sql() -> str:
+    """The hyperplane matrix as ONE flat DuckDB list literal
+    ([t*B*DIM + b*DIM + d], table-major — the same order
+    ``_bucket_cols`` slices), so the oracle runs the identical
+    projection arithmetic."""
+    flat = [v for table in _hyperplanes() for bits in table for v in bits]
+    return "[" + ", ".join(f"{v:.1f}" for v in flat) + "]"
+
+
 def _bucket_cols():
     """One int bucket per LSH table: bit b = sign(e · plane[t][b]).
 
@@ -162,7 +171,9 @@ def x2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are (query, vec) sharing a bucket in ANY table; exact
     cosine re-ranks the candidates. Output: one row per query with the
     candidate count and recall@k — the measurement a pipeline uses to
-    tune L/B. Rows-only check: the bucketing is seeded-engine-native.
+    tune L/B. Oracle: the full pipeline re-expressed in DuckDB with the
+    same seeded hyperplane literal — buckets, candidates, top-k and
+    recall all differentially checked.
 
     Scale shape: the corpus side is ONE scan producing L bucket ints per
     vector; the join against the (tiny, broadcast) query buckets prunes
@@ -463,6 +474,78 @@ ORACLE = {
         SELECT label, COUNT(*) AS n_vecs,
                ROUND(AVG(cos_sim), 4) AS avg_centroid_sim
         FROM scored GROUP BY label
+    """,
+    # Full DuckDB twin of x2's SRP-LSH pipeline: the same seeded ±1
+    # hyperplane matrix (one flat [L*B*DIM] literal, table-major) drives
+    # the same sign-bit bucketing, candidate join, rounded-cosine top-k
+    # and recall arithmetic. Signs can only diverge across engines if a
+    # dot product lands within float-noise of 0 — never the case for
+    # these 64-term ±e_i sums.
+    "x2_ann_lsh_topk": f"""
+        WITH planes AS (
+            SELECT {_planes_sql()} AS m
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM e
+        ), b AS (
+            SELECT vec_id, e, norm,
+                   list_transform(range(0, {LSH_TABLES}), t ->
+                       list_sum(list_transform(range(0, {LSH_BITS}), bb ->
+                           CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                    i -> e[CAST(i AS INT)]
+                                         * m[CAST(t * {LSH_BITS * EMB_DIM}
+                                                  + bb * {EMB_DIM} + i AS INT)])) > 0
+                                THEN (1 << CAST(bb AS INT)) ELSE 0 END))) AS buckets
+            FROM n CROSS JOIN planes
+        ), qb AS (
+            SELECT vec_id AS query_id, e AS qe, norm AS qnorm, buckets AS qbuckets
+            FROM b WHERE vec_id < {N_QUERIES}
+        ), cand AS (
+            SELECT DISTINCT q.query_id, c.vec_id
+            FROM qb q, b c, range(0, {LSH_TABLES}) t(ti)
+            WHERE c.vec_id <> q.query_id
+              AND c.buckets[CAST(ti + 1 AS INT)] = q.qbuckets[CAST(ti + 1 AS INT)]
+        ), scored_lsh AS (
+            SELECT cand.query_id, cand.vec_id,
+                   CASE WHEN n.norm * q.qnorm > 0 THEN {_COS}
+                   ELSE 0.0 END AS cos_sim
+            FROM cand
+            JOIN n ON n.vec_id = cand.vec_id
+            JOIN qb q ON q.query_id = cand.query_id
+        ), lsh_topk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+                FROM scored_lsh
+            ) WHERE rnk <= {TOP_K}
+        ), exact_scored AS (
+            SELECT q.query_id, n.vec_id,
+                   CASE WHEN n.norm * q.qnorm > 0 THEN {_COS}
+                   ELSE 0.0 END AS cos_sim
+            FROM n CROSS JOIN qb q WHERE n.vec_id <> q.query_id
+        ), exact_topk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+                FROM exact_scored
+            ) WHERE rnk <= {TOP_K}
+        ), n_cand AS (
+            SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+        ), n_hit AS (
+            SELECT l.query_id, COUNT(*) AS n_hits
+            FROM lsh_topk l JOIN exact_topk x
+              ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+            GROUP BY l.query_id
+        )
+        SELECT n_cand.query_id, n_candidates,
+               ROUND(COALESCE(n_hits, 0) / {float(TOP_K)}, 4) AS recall_at_k
+        FROM n_cand LEFT JOIN n_hit ON n_cand.query_id = n_hit.query_id
     """,
     # Exact all-pairs twin of the LSH+verify path (see the x4
     # docstring for why equality holds).
