@@ -281,26 +281,43 @@ def d3_minhash_lsh_pairs(
     return verified
 
 
-def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document, as pure array expressions.
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed int64
+SIMHASH_BANDS = 4
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+_BAND_MASK = (1 << _BAND_BITS) - 1
 
-    For each bit b: sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1).
+
+def token_hash60(t):
+    """60-bit token hash both engines compute bit-identically: the
+    first 15 hex chars of md5, parsed as an integer. SimHash needs
+    uniform bit marginals, so the hash must be well mixed — md5 is,
+    and unlike ``xxhash64`` it has a DuckDB twin, which is what makes
+    d4/d5 oracle-checkable. Swap ``xxhash64`` back in when token
+    hashing itself is the CPU bottleneck."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document, as pure array expressions.
+
+    For each bit b: sign of Σ_tokens (bit_b(hash(token)) ? +1 : -1).
     Computed with a transform over bit positions and an aggregate over
-    token hashes — single projection, zero shuffle. Rows-only check.
+    token hashes — single projection, zero shuffle. Oracle: the same
+    polynomial of md5 bits evaluated in DuckDB.
     """
     docs = load_table(spark, sf_dir, "documents")
     # Project token hashes into a named column: the bit-sum transform
     # references them once per bit position, and an inline expression
-    # would be re-tokenized + re-hashed 64× per row (see
+    # would be re-tokenized + re-hashed 60× per row (see
     # shingles_from_tokens for the same Catalyst inlining trap).
     docs = (
         parallelize_scan(docs)
         .withColumn("__toks", tokens_col(F.col("text")))
-        .withColumn("__th", F.transform(F.col("__toks"), lambda t: F.xxhash64(t)))
+        .withColumn("__th", F.transform(F.col("__toks"), token_hash60))
     )
     tok_hashes = F.col("__th")
     bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
         # F.shiftright's numBits wrapper only takes a Python int; the SQL
         # function itself accepts a column — call it by name.
         lambda b: F.aggregate(
@@ -315,7 +332,7 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = F.aggregate(
         F.zip_with(
             bit_sums,
-            F.sequence(F.lit(0), F.lit(63)),
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
             lambda s, b: F.when(
                 s > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
             ).otherwise(F.lit(0).cast("long")),
@@ -323,18 +340,19 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    # Hamming-LSH key: docs within Hamming distance 3 share at least one
-    # of the four 16-bit bands (pigeonhole) — `bands` is the join/bucket
-    # key a near-dup pass groups on, same pattern as d3's band buckets.
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
-        lambda i: F.call_function("shiftright", F.col("simhash"), i * 16)
-        .bitwiseAND(F.lit(0xFFFF))
-        .cast("int"),
-    )
-    return docs.select("doc_id", simhash.alias("simhash")).withColumn(
-        "band_keys", bands
-    )
+    # Hamming-LSH keys: docs within Hamming distance 3 share at least
+    # one of the four 15-bit bands (pigeonhole) — the join/bucket keys
+    # a near-dup pass groups on, same pattern as d3's band buckets.
+    # Emitted as scalar columns (engine-portable compare).
+    keyed = docs.select("doc_id", simhash.alias("simhash"))
+    for i in range(SIMHASH_BANDS):
+        keyed = keyed.withColumn(
+            f"band_{i}",
+            F.call_function("shiftright", F.col("simhash"), F.lit(i * _BAND_BITS))
+            .bitwiseAND(F.lit(_BAND_MASK))
+            .cast("int"),
+        )
+    return keyed
 
 
 def d5_simhash_pairs(
@@ -346,10 +364,17 @@ def d5_simhash_pairs(
     at least one of the four 16-bit bands, so candidates come from ONE
     shuffle on (band_idx, band_key) with in-group pair generation (the
     d2/d3 shape + the same degenerate-bucket cap) and are verified with
-    ``bit_count(a XOR b) <= 3`` — no all-pairs stage anywhere."""
+    ``bit_count(a XOR b) <= 3`` — no all-pairs stage anywhere. Oracle:
+    all-pairs Hamming SQL — pigeonhole makes the banded candidate set
+    EXACTLY complete (not probabilistically), so the outputs are equal
+    whenever no bucket exceeds the degenerate-bucket cap (true here)."""
     keyed = d4_simhash(spark, sf_dir)
     bands = keyed.select(
-        "doc_id", "simhash", F.posexplode("band_keys").alias("band", "key")
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[f"band_{i}" for i in range(SIMHASH_BANDS)])
+        ).alias("band", "key"),
     )
     buckets = (
         bands.groupBy("band", "key")
@@ -559,6 +584,28 @@ QUERIES = {
     "d8_dedup_components": d8_dedup_components,
 }
 
+# DuckDB twin of d4's SimHash: identical md5-derived 60-bit token
+# hashes, identical sign-of-bit-sum arithmetic.
+_SIMHASH_SQL = f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)
+                       AS th
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+                   CASE WHEN COALESCE(list_sum(list_transform(th, h ->
+                            CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                                 THEN 1 ELSE -1 END)), 0) > 0
+                        THEN (1::BIGINT << CAST(b AS INT)) ELSE 0::BIGINT END))
+                   AS BIGINT) AS simhash
+        FROM th
+"""
+
 # Shared by d2 (exact algorithm) and d3 (LSH + exact verify): with
 # candidate recall 1 — deterministically true on the fixtures, see the
 # d3 docstring — both produce exactly this pair set.
@@ -596,6 +643,25 @@ ORACLE = {
     """,
     "d2_ngram_jaccard_pairs": _EXACT_PAIRS_SQL,
     "d3_minhash_lsh_pairs": _EXACT_PAIRS_SQL,
+    "d4_simhash": f"""
+        WITH sh AS ({_SIMHASH_SQL})
+        SELECT doc_id, simhash,
+               {", ".join(
+                   f"CAST((simhash >> {i * _BAND_BITS}) & {_BAND_MASK} AS INT)"
+                   f" AS band_{i}"
+                   for i in range(SIMHASH_BANDS)
+               )}
+        FROM sh
+    """,
+    # All-pairs Hamming twin of the banded path (exact by pigeonhole;
+    # see the d5 docstring).
+    "d5_simhash_pairs": f"""
+        WITH sh AS ({_SIMHASH_SQL})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     "d6_dedup_apply": f"""
         WITH toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t

@@ -45,11 +45,11 @@ def test_simhash_band_keys(spark):
     rows = df.collect()
     assert len(rows) > 0
     for r in rows[:20]:
-        # 4 bands of 16 bits reassemble into the full 64-bit key.
+        # 4 bands of 15 bits reassemble into the full 60-bit key.
         reassembled = 0
-        for i, b in enumerate(r.band_keys):
-            reassembled |= (b & 0xFFFF) << (16 * i)
-        assert reassembled == r.simhash & 0xFFFFFFFFFFFFFFFF
+        for i in range(4):
+            reassembled |= (r[f"band_{i}"] & 0x7FFF) << (15 * i)
+        assert reassembled == r.simhash
 
 
 def test_exact_duplicates_share_simhash(spark):
