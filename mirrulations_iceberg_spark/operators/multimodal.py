@@ -131,7 +131,8 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 def mm2_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode (stub) every payload via mapInPandas, aggregate per kind.
-    Rows-only check (byte entropy is Python-side float math)."""
+    Oracle: a pure-SQL DuckDB twin of the byte statistics — the
+    Python/Arrow path is differentially checked, not just smoke-run."""
     feats = decode_features(media_table(spark, sf_dir))
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -239,7 +240,33 @@ ORACLE = {
                COUNT(DISTINCT md5(text)) AS n_distinct_payloads
         FROM media GROUP BY kind
     """,
-    # mm2: stub decoder output is Python-side → rows-only.
+    # mm2: the stub decoder's features are deterministic byte stats
+    # over the (ASCII) payload, so a pure-SQL twin reproduces the whole
+    # Arrow/mapInPandas path — the strongest check available for a
+    # Python-side operator.
+    "mm2_feature_stats": f"""
+        WITH d AS (
+            SELECT doc_id, {_KIND} AS kind, LENGTH(text) AS n,
+                   list_transform(range(1, LENGTH(text) + 1),
+                                  i -> ord(substr(text, CAST(i AS INT), 1))) AS bs
+            FROM documents
+        ), f AS (
+            SELECT kind,
+                   CASE WHEN n > 0
+                        THEN CAST(list_sum(bs) AS DOUBLE) / n
+                        ELSE 0.0 END AS mean_byte,
+                   CASE WHEN n > 0
+                        THEN -list_sum(list_transform(list_distinct(bs), v ->
+                            (CAST(len(list_filter(bs, x -> x = v)) AS DOUBLE) / n)
+                            * log2(CAST(len(list_filter(bs, x -> x = v)) AS DOUBLE) / n)))
+                        ELSE 0.0 END AS entropy
+            FROM d
+        )
+        SELECT kind, COUNT(*) AS n_items,
+               ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
+               ROUND(AVG(entropy), 4) AS avg_entropy
+        FROM f GROUP BY kind
+    """,
     # mm3: frame fingerprints need byte slicing DuckDB's substring does
     # on TEXT; with 1-byte UTF-8 fixture text the byte/char strides
     # agree, so the frame sample IS oracle-checkable:
