@@ -37,6 +37,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         relational,
         similarity,
+        streamq,
         text,
         windows,
     )
@@ -53,6 +54,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         maintenance,
         etl,
         multimodal,
+        streamq,
     ):
         q = getattr(mod, "QUERIES", {})
         o = getattr(mod, "ORACLE", {})
