@@ -101,17 +101,12 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def d2_ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.18, max_shingle_freq: int = 10_000
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.18, max_shingle_freq: int = 10_000
 ) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs ≥ threshold.
-
-    Plan shape: docs → distinct shingles (projection) → explode postings
-    → (optional hot-shingle cutoff) → self-join on shingle → pair-count
-    agg → jaccard = |∩| / (|A|+|B|-|∩|). All counts are integers, the
-    final division is one double op — bit-identical to the SQL oracle.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+    """Exact 3-gram Jaccard near-dup pairs ≥ threshold over ANY
+    document DataFrame with (doc_id, text) — the reusable core of d2,
+    also composed into e2's training pipeline."""
     sh = with_shingles(docs).withColumn("n_sh", F.size("shingles"))
     postings = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
     # Group-and-pair instead of a postings self-join: ONE shuffle on
@@ -157,6 +152,23 @@ def d2_ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "common", "jaccard")
     )
     return pairs
+
+
+def d2_ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.18,
+    max_shingle_freq: int = 10_000,
+) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs ≥ threshold.
+
+    Plan shape: docs → distinct shingles (projection) → explode postings
+    → (optional hot-shingle cutoff) → group-and-pair on shingle →
+    pair-count agg → jaccard = |∩| / (|A|+|B|-|∩|). All counts are
+    integers, the final division is one double op — bit-identical to
+    the SQL oracle.
+    """
+    return jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold, max_shingle_freq
+    )
 
 
 NUM_HASHES = 64
