@@ -1,0 +1,57 @@
+"""Stream/batch parity and composite-pipeline invariants for the
+driver-surface queries added in operators/streamq.py and etl.py:e2."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mirrulations_iceberg_spark.operators.etl import (
+    E2_MIN_TOKENS,
+    e2_training_pipeline,
+)
+from mirrulations_iceberg_spark.operators.streamq import (
+    s1_stream_windowed_counts,
+)
+from mirrulations_iceberg_spark.tables import load_table
+from mirrulations_iceberg_spark.operators.text import tokens_col
+
+from .conftest import SF_DIR
+
+
+def test_stream_equals_batch(spark):
+    """The streaming engine's windowed aggregate must equal the same
+    aggregation run as a plain batch query — Dataset parity, checked
+    in-process (the DuckDB oracle checks it cross-engine)."""
+    got = {tuple(r) for r in s1_stream_windowed_counts(spark, SF_DIR).collect()}
+    events = load_table(spark, SF_DIR, "events")
+    batch = (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+
+
+def test_e2_stages_monotone(spark):
+    """Each pipeline stage only removes documents; the summary's totals
+    must be consistent with the gate."""
+    out = e2_training_pipeline(spark, SF_DIR).collect()
+    assert out, "pipeline selected no documents"
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    n_quality = docs.filter(
+        F.size(tokens_col(F.col("text"))) >= E2_MIN_TOKENS
+    ).count()
+    n_selected = sum(r.n_docs for r in out)
+    assert 0 < n_selected <= n_quality <= n_docs
+    for r in out:
+        # sampled set obeys the quality gate
+        assert r.avg_tokens >= E2_MIN_TOKENS
+        assert r.total_tokens >= r.n_docs * E2_MIN_TOKENS
