@@ -35,6 +35,7 @@ SKIP_SWEEP = {
     "s13_schema_evolution",
     "e1_docket_pipeline",
     "x5_ann_ivf_topk",
+    "s1_stream_windowed_counts",  # runs a streaming job at construction
 }
 
 
@@ -98,6 +99,31 @@ def test_limits_plan_take_ordered(spark):
     global sort."""
     plan = _plan(spark, "o2_top_dates")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cube_plans_single_scan_expand(spark):
+    """a12b's four grouping sets must come from ONE scan + Expand, not
+    a union of four aggregates."""
+    plan = _plan(spark, "a12b_cube")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_pivot_is_single_pass(spark):
+    """a13's explicit value list means no separate distinct-values job:
+    one scan feeding the (cohort,type) pre-agg + cohort pivotfirst
+    exchanges — never a second pass over the input."""
+    plan = _plan(spark, "a13_pivot")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_e2_pipeline_no_sort_merge_self_join(spark):
+    """The composite pipeline keeps d2's group-and-pair shape for its
+    near-dup stage: anti-joins broadcast, no SMJ self-join."""
+    plan = _plan(spark, "e2_training_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 @pytest.mark.parametrize("name", ["d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs", "d5_simhash_pairs"])
