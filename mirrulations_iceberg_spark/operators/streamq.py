@@ -90,11 +90,101 @@ def s1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(agg, "s1_sink")
 
 
+def s2_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's conversion-resume loop as checkpointed streaming
+    ingest, run through its full lifecycle ON the driver gate:
+
+    1. drain the (seeded) docket tree — every valid comment lands,
+       corrupt files quarantine;
+    2. a late file arrives; a second AvailableNow run picks up ONLY the
+       new file (the checkpoint is the reference's progress file, done
+       right) and the id anti-join keeps the table exactly-once;
+    3. a third run with nothing new is a no-op.
+
+    The returned phase table is fully determined by the fixture, so the
+    oracle is the ground truth itself — a hash match proves discovery,
+    quarantine, incremental pickup, and idempotence in one row set.
+    ``sf_dir`` is unused (the input is the synthesized JSON tree).
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..etl.fixtures import write_docket_tree
+    from ..streaming.incremental import stream_comments
+
+    base = tempfile.mkdtemp(prefix="miis_s2_")
+    try:
+        root, out, ckpt = f"{base}/tree", f"{base}/out", f"{base}/ckpt"
+        write_docket_tree(root)
+        stream_comments(spark, root, out, ckpt).awaitTermination()
+        n_initial = spark.read.parquet(out).count()
+
+        docket = sorted(os.listdir(root))[0]
+        late_id = f"{docket}-9999"
+        late = {
+            "data": {
+                "id": late_id,
+                "type": "comments",
+                "links": {"self": f"https://example.invalid/comments/{late_id}"},
+                "attributes": {
+                    "docketId": docket,
+                    "agencyId": docket.split("-")[0],
+                    "comment": "late arrival",
+                    "postedDate": "2025-03-01T00:00:00Z",
+                    "withdrawn": False,
+                },
+            }
+        }
+        late_path = os.path.join(
+            root, docket, "raw-data", "comments", f"{late_id}.json"
+        )
+        with open(late_path, "w") as f:
+            json.dump(late, f)
+        stream_comments(spark, root, out, ckpt).awaitTermination()
+        n_late = spark.read.parquet(out).count()
+
+        stream_comments(spark, root, out, ckpt).awaitTermination()
+        landed = spark.read.parquet(out)
+        n_rerun = landed.count()
+        n_ids = landed.select("id").distinct().count()
+        n_quarantined = spark.read.parquet(f"{out}_quarantine").count()
+        rows = [
+            ("initial_drain", n_initial),
+            ("after_late_arrival", n_late),
+            ("idempotent_rerun", n_rerun),
+            ("distinct_ids", n_ids),
+            ("quarantined", n_quarantined),
+        ]
+        return spark.createDataFrame(rows, "phase string, n_rows long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _s2_oracle() -> str:
+    from ..etl.fixtures import expected_counts
+
+    c = expected_counts()["comments"]
+    rows = [
+        ("initial_drain", c),
+        ("after_late_arrival", c + 1),
+        ("idempotent_rerun", c + 1),
+        ("distinct_ids", c + 1),
+        ("quarantined", expected_counts()["corrupt"]),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{p}' AS phase, {n} AS n_rows" for p, n in rows
+    )
+
+
 QUERIES = {
     "s1_stream_windowed_counts": s1_stream_windowed_counts,
+    "s2_incremental_ingest": s2_incremental_ingest,
 }
 
 ORACLE = {
+    "s2_incremental_ingest": _s2_oracle(),
     "s1_stream_windowed_counts": """
         -- epoch_ns, not epoch(): epoch() returns DOUBLE seconds, which
         -- cannot hold nanosecond timestamps exactly and rounds

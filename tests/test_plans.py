@@ -36,6 +36,7 @@ SKIP_SWEEP = {
     "e1_docket_pipeline",
     "x5_ann_ivf_topk",
     "s1_stream_windowed_counts",  # runs a streaming job at construction
+    "s2_incremental_ingest",  # runs the full ingest lifecycle
 }
 
 
