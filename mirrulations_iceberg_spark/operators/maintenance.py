@@ -234,6 +234,59 @@ def m6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M7_STATUS_DOMAIN = ("F", "O", "P")
+_M7_RULES = (
+    "null_orderkey",
+    "dup_orderkey",
+    "status_out_of_domain",
+    "nonpositive_price",
+    "price_above_400k",
+    "date_before_1995",
+)
+
+
+def m7_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 reframed for the engine: the reference's pre-flight checks S3
+    credentials before an 8–20 h conversion run; the Spark-world
+    pre-flight validates the DATA CONTRACT the run assumes — key
+    integrity, value domains, ranges — so a violation surfaces before
+    hour one, not in a failed job at hour nine. (The credential half
+    stays ⛔: no cloud creds in this container.)
+
+    ONE aggregate pass computes every rule (map-side partials; the
+    uniqueness rule's countDistinct is the only Expand — swap
+    approx_count_distinct at petabyte scale), unpivoted with ``stack``
+    into a (rule, n_violations) report. The deliberately tight price
+    rule has real violations, so the oracle confirms exact counting,
+    not just zeros.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def viol(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    agg = orders.agg(
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("null_orderkey"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkey"
+        ),
+        viol(
+            ~F.col("o_orderstatus").isin(*_M7_STATUS_DOMAIN),
+            "status_out_of_domain",
+        ),
+        viol(F.col("o_totalprice") <= 0, "nonpositive_price"),
+        viol(F.col("o_totalprice") > 400_000, "price_above_400k"),
+        viol(
+            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"),
+            "date_before_1995",
+        ),
+    )
+    stack_args = ", ".join(f"'{r}', `{r}`" for r in _M7_RULES)
+    return agg.selectExpr(
+        f"stack({len(_M7_RULES)}, {stack_args}) AS (rule, n_violations)"
+    )
+
+
 def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on a plain-parquet table (the Iceberg behavior
     S12/S13 would give; no Iceberg jar in this container): write a base
@@ -278,7 +331,29 @@ QUERIES = {
     "m3_delta_append": m3_delta_append,
     "m4_compaction": m4_compaction,
     "m6_profile": m6_profile,
+    "m7_contract_check": m7_contract_check,
 }
+
+_M7_ORACLE = (
+    """
+    WITH a AS (
+        SELECT COUNT(*) - COUNT(o_orderkey) AS null_orderkey,
+               COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+               SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END) AS status_out_of_domain,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS nonpositive_price,
+               SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+                   AS price_above_400k,
+               SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                        THEN 1 ELSE 0 END) AS date_before_1995
+        FROM orders
+    )
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, {r} AS n_violations FROM a" for r in _M7_RULES
+    )
+)
 
 _M6_UNION = "\n        UNION ALL\n".join(
     f"""
@@ -292,6 +367,7 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    "m7_contract_check": _M7_ORACLE,
     "s13_schema_evolution": """
         SELECT COUNT(*) AS n_rows,
                SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
