@@ -27,12 +27,14 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    The flagship is the broadcast star join (SURVEY.md §2.6): dimensions
-    broadcast, single shuffle on the fact key — the canonical plan shape
-    this engine is built around.
+    The flagship is ``e2_training_pipeline`` — the engine's purpose in
+    one query: quality gate → exact dedup → near-dup drop → stratified
+    sample → per-language corpus summary, every stage in its 100 TB
+    shape (projection gates, group-and-pair near-dup with hot-key caps,
+    per-stratum windows) and the whole composition oracle-checked.
     """
     queries, _ = collect_queries()
-    return queries["j1_broadcast_star_join"](spark, _SMOKE_SF_DIR)
+    return queries["e2_training_pipeline"](spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
