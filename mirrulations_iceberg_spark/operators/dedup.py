@@ -82,11 +82,15 @@ def shingles_col(text_col):
 
 def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingles) projection with the tokenize step materialized as
-    its own named column so it is evaluated once per row."""
-    return (
-        parallelize_scan(docs)
-        .withColumn("__toks", tokens_col(F.col(text_col)))
-        .select(id_col, shingles_from_tokens(F.col("__toks")).alias("shingles"))
+    its own named column so it is evaluated once per row. A caller that
+    already carries a ``__toks`` column (e2's pipeline caches one) is
+    trusted — tokenization is not repeated."""
+    if "__toks" not in docs.columns:
+        docs = parallelize_scan(docs).withColumn(
+            "__toks", tokens_col(F.col(text_col))
+        )
+    return docs.select(
+        id_col, shingles_from_tokens(F.col("__toks")).alias("shingles")
     )
 
 

@@ -69,13 +69,21 @@ def e2_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     docs = docs.withColumn("__toks", tokens_col(F.col("text")))
+    # The gate gets pushed into the scan (tokenize evaluated there too):
+    # deliberate — pruning before the fingerprint exchange beats the
+    # extra tokenize of survivors, and on a production multi-row-group
+    # layout the scan-side evaluation is fully parallel.
     quality = docs.filter(F.size("__toks") >= E2_MIN_TOKENS)
     fp = quality.withColumn("__fp", F.md5(F.concat_ws(" ", F.col("__toks"))))
     w_fp = Window.partitionBy("__fp")
+    # cache(): exact_kept feeds BOTH the survivor side and the near-dup
+    # pair pipeline — without it the whole scan→gate→fingerprint-window
+    # lineage executes twice (the self-join recompute trap).
     exact_kept = (
         fp.withColumn("__min_id", F.min("doc_id").over(w_fp))
         .filter(F.col("doc_id") == F.col("__min_id"))
-        .drop("__min_id")
+        .select("doc_id", "lang", "__toks")
+        .cache()
     )
     drops = (
         jaccard_pairs(exact_kept)
