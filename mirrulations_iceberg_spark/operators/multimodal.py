@@ -216,10 +216,58 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm4_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (stub decode): treat each 'audio'
+    payload as an 8-bit PCM waveform and compute per-64-byte-frame RMS
+    energy — the frame-level feature a real pipeline derives after
+    decoding. Arrow-batched ``mapInPandas`` with vectorized numpy
+    (reshape + row sums), parallelism = the scan's.
+
+    Oracle-checkable Python path: all accumulation is INTEGER (sums of
+    squared byte values — exact in both engines), and the only float
+    steps (one division, one sqrt, one round) are bit-identical, so a
+    pure-SQL DuckDB twin reproduces every value. With audio libs
+    installed the stub is where the real decoder goes; the plumbing
+    (schema, batching, truncate-to-frames) is the production shape.
+    """
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "n_frames": [], "rms": [], "peak_frame_rms": []
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                n = (len(arr) // FRAME_BYTES) * FRAME_BYTES
+                frames = arr[:n].reshape(-1, FRAME_BYTES)
+                frame_sq_sums = (frames * frames).sum(axis=1)
+                out["media_id"].append(mid)
+                out["n_frames"].append(frames.shape[0])
+                out["rms"].append(
+                    round(float((int(frame_sq_sums.sum()) / n) ** 0.5), 4)
+                    if n else 0.0
+                )
+                out["peak_frame_rms"].append(
+                    round(
+                        float((int(frame_sq_sums.max()) / FRAME_BYTES) ** 0.5), 4
+                    )
+                    if frames.shape[0] else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, n_frames int, rms double, peak_frame_rms double"
+    )
+
+
 QUERIES = {
     "mm1_media_manifest": mm1_media_manifest,
     "mm2_feature_stats": mm2_feature_stats,
     "mm3_frame_sample": mm3_frame_sample,
+    "mm4_audio_rms": mm4_audio_rms,
 }
 
 _KIND = """
@@ -239,6 +287,36 @@ ORACLE = {
                MAX(octet_length(payload)) AS max_bytes,
                COUNT(DISTINCT md5(text)) AS n_distinct_payloads
         FROM media GROUP BY kind
+    """,
+    # mm4: integer square-sums + one division/sqrt/round — every value
+    # bit-identical across engines (see the mm4 docstring).
+    "mm4_audio_rms": f"""
+        WITH a AS (
+            SELECT doc_id AS media_id, text,
+                   CAST(FLOOR(LENGTH(text) / {FRAME_BYTES}) AS INT) AS n_frames
+            FROM documents
+            WHERE {_KIND} = 'audio'
+        ), f AS (
+            SELECT media_id, n_frames,
+                   list_transform(range(0, n_frames), fr ->
+                       list_sum(list_transform(range(1, {FRAME_BYTES + 1}), j ->
+                           CAST(ord(substr(text,
+                               CAST(fr * {FRAME_BYTES} + j AS INT), 1)) AS BIGINT)
+                           * ord(substr(text,
+                               CAST(fr * {FRAME_BYTES} + j AS INT), 1))
+                       ))) AS frame_sq_sums
+            FROM a
+        )
+        SELECT media_id, n_frames,
+               CASE WHEN n_frames > 0
+                    THEN ROUND(SQRT(CAST(list_sum(frame_sq_sums) AS DOUBLE)
+                                    / (n_frames * {FRAME_BYTES})), 4)
+                    ELSE 0.0 END AS rms,
+               CASE WHEN n_frames > 0
+                    THEN ROUND(SQRT(CAST(list_max(frame_sq_sums) AS DOUBLE)
+                                    / {FRAME_BYTES}), 4)
+                    ELSE 0.0 END AS peak_frame_rms
+        FROM f
     """,
     # mm2: the stub decoder's features are deterministic byte stats
     # over the (ASCII) payload, so a pure-SQL twin reproduces the whole
