@@ -279,6 +279,44 @@ def t8_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, SINGLE digits (as GPT-style
+#: vocabularies split numbers), punctuation runs. The alternation uses
+#: only syntax Java regex and RE2 share, so Spark and DuckDB tokenize
+#: identically.
+BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]+"
+WS_PATTERN = r"\S+"
+
+
+def t9_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the three tokenizers a data pipeline
+    actually budgets with: whitespace splits (the cheap estimate),
+    word tokens (the filter/stats unit), and a BPE-ish pre-tokenization
+    (the LLM-cost proxy — letter runs, single digits, punctuation
+    runs). One projection, one tiny aggregate; the per-document ratio
+    between word and BPE counts is the fertility estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    counted = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(WS_PATTERN), F.lit(0)))
+        .alias("ws_tokens"),
+        F.size(tokens_col(F.col("text"))).alias("word_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), F.lit(0)))
+        .alias("bpe_tokens"),
+    )
+    return counted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ws_tokens").cast("long")).alias("total_ws"),
+        F.sum(F.col("word_tokens").cast("long")).alias("total_word"),
+        F.sum(F.col("bpe_tokens").cast("long")).alias("total_bpe"),
+        F.round(
+            F.sum(F.col("bpe_tokens").cast("long"))
+            / F.sum(F.col("word_tokens").cast("long")).cast("double"),
+            4,
+        ).alias("fertility"),
+    )
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 QUERIES = {
@@ -289,6 +327,7 @@ QUERIES = {
     "t5_lang_profile": t5_lang_profile,
     "t6_winnow_fingerprints": t6_winnow_fingerprints,
     "t7_tfidf_top_terms": t7_tfidf_top_terms,
+    "t9_token_counts": t9_token_counts,
     "t8_repetition_ratio": t8_repetition_ratio,
 }
 
@@ -342,6 +381,25 @@ ORACLE = {
         )
         SELECT token, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         FROM postings WHERE token = 'hash' GROUP BY token
+    """,
+    "t9_token_counts": f"""
+        WITH c AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{WS_PATTERN}')) AS ws_tokens,
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                       AS word_tokens,
+                   len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+                       AS bpe_tokens
+            FROM documents
+        )
+        SELECT COUNT(*) AS n_docs,
+               SUM(CAST(ws_tokens AS BIGINT)) AS total_ws,
+               SUM(CAST(word_tokens AS BIGINT)) AS total_word,
+               SUM(CAST(bpe_tokens AS BIGINT)) AS total_bpe,
+               ROUND(SUM(CAST(bpe_tokens AS BIGINT))
+                     / CAST(SUM(CAST(word_tokens AS BIGINT)) AS DOUBLE), 4)
+                   AS fertility
+        FROM c
     """,
     "t6_winnow_fingerprints": f"""
         WITH toks AS (
