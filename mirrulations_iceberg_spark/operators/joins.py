@@ -301,6 +301,33 @@ def j5_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j8_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the reconciliation shape: customers vs. order
+    activity with BOTH unmatched sides preserved (customers who never
+    ordered, orders whose customer filter dropped them). Completes the
+    join-type matrix (inner/broadcast j1, semi j2, anti j3, fact-fact
+    j4, left j5, as-of j6, range j7). Full outer cannot broadcast
+    (both sides must surface unmatched rows) — Spark correctly plans a
+    shuffle join on the key, one exchange per side."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9_000
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400_000
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "full")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("matched")
+    )
+    return joined.groupBy(side.alias("side")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.count(F.col("c_custkey")).alias("n_customers"),
+    )
+
+
 def u1_union_base_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op (SURVEY §2.8): base + delta UNION ALL read — the Spark
     equivalent of the reference's side-by-side base/delta parquet files
@@ -357,12 +384,28 @@ QUERIES = {
     "j5_left_outer_join": j5_left_outer_join,
     "j6_asof_join": j6_asof_join,
     "j7_range_join": j7_range_join,
+    "j8_full_outer_join": j8_full_outer_join,
     "u1_union_base_delta": u1_union_base_delta,
     "u2_intersect": u2_intersect,
     "u3_except": u3_except,
 }
 
 ORACLE = {
+    "j8_full_outer_join": """
+        WITH c AS (SELECT * FROM customer WHERE c_acctbal > 9000),
+             o AS (SELECT * FROM orders WHERE o_totalprice > 400000),
+             j AS (
+                 SELECT c.c_custkey, o.o_orderkey
+                 FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+             )
+        SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                    WHEN o_orderkey IS NULL THEN 'customer_only'
+                    ELSE 'matched' END AS side,
+               COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS n_orders,
+               COUNT(c_custkey) AS n_customers
+        FROM j GROUP BY side
+    """,
     "j1_broadcast_star_join": """
         SELECT r_name, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

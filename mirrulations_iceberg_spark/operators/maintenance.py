@@ -234,6 +234,52 @@ def m6_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m9_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite on plain parquet — the
+    overwrite-by-filter maintenance Iceberg's `overwritePartitions`
+    gives (S12/S13 family; no Iceberg jar in this container): write
+    orders hive-partitioned by status, rewrite JUST the 'P' partition
+    with corrected prices (`partitionOverwriteMode=dynamic` on the
+    writer — only partitions present in the incoming data are
+    replaced), re-read, and report per-status totals. The oracle
+    confirms the 'P' rows carry the correction while 'O'/'F' partitions
+    are byte-for-byte the original data.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = _tmpdir()
+    try:
+        path = os.path.join(base, "t")
+        orders.repartition(4).write.partitionBy("o_orderstatus").parquet(path)
+        fixed = orders.filter(F.col("o_orderstatus") == "P").withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        (
+            fixed.repartition(2)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+        out = (
+            spark.read.parquet(path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "o_orderstatus string, n_rows long, total double"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _M7_STATUS_DOMAIN = ("F", "O", "P")
 _M7_RULES = (
     "null_orderkey",
@@ -332,6 +378,7 @@ QUERIES = {
     "m4_compaction": m4_compaction,
     "m6_profile": m6_profile,
     "m7_contract_check": m7_contract_check,
+    "m9_partition_overwrite": m9_partition_overwrite,
 }
 
 _M7_ORACLE = (
@@ -367,6 +414,14 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    "m9_partition_overwrite": """
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P'
+                                  THEN ROUND(o_totalprice * 1.1, 2)
+                                  ELSE o_totalprice END
+                             AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus
+    """,
     "m7_contract_check": _M7_ORACLE,
     "s13_schema_evolution": """
         SELECT COUNT(*) AS n_rows,

@@ -37,6 +37,7 @@ SKIP_SWEEP = {
     "x5_ann_ivf_topk",
     "s1_stream_windowed_counts",  # runs a streaming job at construction
     "s2_incremental_ingest",  # runs the full ingest lifecycle
+    "m9_partition_overwrite",  # runs write jobs at construction
 }
 
 
