@@ -95,7 +95,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # local[N] puts driver + all executor threads in ONE JVM: size the
+    # heap for the whole workload (83-query bench sessions GC-thrashed
+    # at 8g — multi-second pauses on the tail queries; the container has
+    # 128 GiB). On a cluster this is overridden by spark-submit.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
