@@ -178,13 +178,93 @@ def _s2_oracle() -> str:
     )
 
 
+def s3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (gap sessionization via
+    ``applyInPandasWithState`` — the pattern for operators Spark lacks)
+    on the driver gate: run the stream over the events fixture and
+    oracle-check the closed sessions against gap-sessionization SQL.
+
+    Determinism: the fixture is one file → one data micro-batch
+    (closing every session split by an in-batch gap), then availableNow
+    runs a final timeout batch where the event-time timeout fires for
+    any still-open session whose deadline (last event + gap, in ms)
+    fell behind the final watermark (global max event time − 30 min).
+    The oracle reproduces BOTH rules — a sharper check than it looks,
+    because it verifies the state lifecycle (what closed, through which
+    path, and what stayed open), not just the aggregation. Gap
+    arithmetic is microsecond (the operator compares µs;
+    second-truncated SQL would misplace gaps inside (1800 s, 1801 s)).
+    """
+    from ..streaming.sessions import sessionize_stream
+
+    events = _events_stream(spark, sf_dir)
+    sess = sessionize_stream(events.select("user_id", "ts", "value"))
+    name = f"s3_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "n_events",
+        "session_value",
+    )
+
+
 QUERIES = {
     "s1_stream_windowed_counts": s1_stream_windowed_counts,
     "s2_incremental_ingest": s2_incremental_ingest,
+    "s3_stream_sessions": s3_stream_sessions,
 }
 
 ORACLE = {
     "s2_incremental_ingest": _s2_oracle(),
+    # Gap sessionization in SQL with MICROSECOND arithmetic, minus each
+    # user's final (still-open) session — see the s3 docstring.
+    "s3_stream_sessions": """
+        WITH e AS (
+            SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+            FROM events
+        ), gaps AS (
+            SELECT user_id, us, value,
+                   us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                       AS gap_us
+            FROM e
+        ), flagged AS (
+            SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                           THEN 1 ELSE 0 END AS new_session
+            FROM gaps
+        ), sessions AS (
+            SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_id
+            FROM flagged
+        ), agg AS (
+            SELECT user_id, session_id,
+                   MIN(us) // 1000000 AS start_epoch,
+                   MAX(us) // 1000000 AS end_epoch,
+                   MAX(us) AS end_us,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS session_value
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id, start_epoch, end_epoch, n_events, session_value
+        FROM agg
+        WHERE session_id < (SELECT MAX(a2.session_id) FROM agg a2
+                            WHERE a2.user_id = agg.user_id)
+           -- …or the final session's event-time timeout fired: its
+           -- deadline (end + gap, ms) fell behind the final watermark
+           -- (global max event time - 30 min, ms).
+           OR (end_us // 1000 + 1800000)
+              <= (SELECT MAX(us) FROM e) // 1000 - 1800000
+    """,
     "s1_stream_windowed_counts": """
         -- epoch_ns, not epoch(): epoch() returns DOUBLE seconds, which
         -- cannot hold nanosecond timestamps exactly and rounds

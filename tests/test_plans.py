@@ -38,6 +38,7 @@ SKIP_SWEEP = {
     "s1_stream_windowed_counts",  # runs a streaming job at construction
     "s2_incremental_ingest",  # runs the full ingest lifecycle
     "m9_partition_overwrite",  # runs write jobs at construction
+    "s3_stream_sessions",  # runs a streaming job at construction
 }
 
 
