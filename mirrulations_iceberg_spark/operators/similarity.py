@@ -323,6 +323,120 @@ def x4_embedding_neardup_pairs(
     )
 
 
+#: Fine bucketing for the dedup APPLY: 24 sign bits ⇒ buckets are
+#: (w.h.p.) pure duplicate clusters, which is what verify-against-
+#: bucket-min requires — x2/x4's coarse 6-bit buckets put many
+#: unrelated vectors in one bucket, so the bucket min usually belongs
+#: to a DIFFERENT cluster and the greedy drop misses. Bits trade
+#: borderline-pair recall for selectivity: identical/near-identical
+#: clusters always collide; pairs barely over the threshold are the
+#: pair path's (x4) job.
+APPLY_TABLES = 4
+APPLY_BITS = 24
+
+
+def _apply_hyperplanes() -> list:
+    rng = random.Random(0xDEC0DE)
+    return [
+        [
+            [float(rng.choice((-1, 1))) for _ in range(EMB_DIM)]
+            for _ in range(APPLY_BITS)
+        ]
+        for _ in range(APPLY_TABLES)
+    ]
+
+
+def _apply_bucket_cols():
+    planes = _apply_hyperplanes()
+    flat = [[v for bits in table for v in bits] for table in planes]
+    m = F.lit(flat)
+    dim = F.lit(EMB_DIM)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(APPLY_TABLES - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(APPLY_BITS - 1)),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.slice(m[t], b * dim + 1, dim),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda p, q: p + q,
+                )
+                > 0,
+                F.call_function("shiftleft", F.lit(1), b),
+            ).otherwise(0),
+        ).cast("int"),
+    )
+
+
+def x6_embedding_dedup_apply(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8,
+    max_bucket_size: int = 1_000,
+) -> DataFrame:
+    """The LINEAR embedding-dedup apply — d7's verify-against-bucket-min
+    trick in vector space. x4 materializes near-dup PAIRS, which is
+    inherently quadratic per duplicate cluster (k copies ⇒ k(k-1)/2
+    pairs); a pipeline that only needs the deduplicated table verifies
+    each vector against its fine SRP bucket's minimum instead —
+    candidates are linear in bucket size — and drops vectors whose
+    exact cosine to the bucket min clears the threshold. Greedy
+    per-bucket canonical, the standard large-corpus trade (same as d7
+    for token shingles); see ``APPLY_BITS`` for why the apply uses its
+    own finer bucketing than x4's pair search.
+
+    Oracle: the exact all-pairs drop rule — valid whenever near-dup
+    clusters are cliques of (near-)identical vectors, which always
+    share every fine bucket (trivially so on the fixture, where no
+    pair clears 0.8 and both sides drop nothing; the non-trivial
+    clustered case is pinned by the 20×-replicated-corpus test in
+    tests/test_operators.py, where x6 must collapse every 20-copy
+    cluster to its minimum id).
+    """
+    emb = (
+        _embeddings(spark, sf_dir)
+        .withColumn("buckets", _apply_bucket_cols())
+        .cache()
+    )
+    bands = emb.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+    buckets = (
+        bands.groupBy("t", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+    )
+    cand = (
+        buckets.select(
+            F.col("ids")[0].alias("vec_a"),
+            F.explode(F.slice("ids", 2, F.size("ids"))).alias("vec_b"),
+        )
+        .distinct()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    b = emb.select(F.col("vec_id").alias("vec_b"), "e", "norm")
+    drop = (
+        cand.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
+        .withColumn("cos_sim", _cosine_sim())
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_b")
+        .distinct()
+    )
+    kept = emb.join(drop, emb.vec_id == drop.vec_b, "left_anti")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("label").alias("n_labels"),
+        F.sum("vec_id").alias("id_checksum"),
+    )
+
+
 IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 
@@ -409,6 +523,7 @@ QUERIES = {
     "x3_label_centroid_sim": x3_label_centroid_sim,
     "x4_embedding_neardup_pairs": x4_embedding_neardup_pairs,
     "x5_ann_ivf_topk": x5_ann_ivf_topk,
+    "x6_embedding_dedup_apply": x6_embedding_dedup_apply,
 }
 
 _COS = f"""
@@ -546,6 +661,32 @@ ORACLE = {
         SELECT n_cand.query_id, n_candidates,
                ROUND(COALESCE(n_hits, 0) / {float(TOP_K)}, 4) AS recall_at_k
         FROM n_cand LEFT JOIN n_hit ON n_cand.query_id = n_hit.query_id
+    """,
+    # Exact drop-rule twin of the linear apply (see the x6 docstring).
+    "x6_embedding_dedup_apply": f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, label, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM e
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CASE WHEN a.norm * b.norm > 0 THEN
+                       ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                                     i -> a.e[i] * b.e[i]))
+                             / (a.norm * b.norm), 4)
+                   ELSE 0.0 END AS cos_sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        ), drops AS (
+            SELECT DISTINCT vec_b FROM pairs WHERE cos_sim >= 0.8
+        )
+        SELECT COUNT(*) AS n_kept,
+               COUNT(DISTINCT label) AS n_labels,
+               SUM(vec_id) AS id_checksum
+        FROM n WHERE vec_id NOT IN (SELECT vec_b FROM drops)
     """,
     # Exact all-pairs twin of the LSH+verify path (see the x4
     # docstring for why equality holds).

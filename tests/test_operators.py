@@ -88,3 +88,31 @@ def test_lsh_recall_bounded(spark):
     for r in rows:
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_candidates >= 0
+
+
+def test_x6_collapses_duplicate_clusters(spark, tmp_path):
+    """The linear apply's non-trivial case: on a 20x-replicated
+    embeddings table (every vector in a 20-copy identical cluster,
+    cos = 1.0 within the cluster), x6 must keep exactly the original
+    corpus — one minimum-id canonical per cluster — while candidate
+    generation stays linear in bucket size."""
+    from pyspark.sql import functions as F
+
+    from mirrulations_iceberg_spark.operators.similarity import (
+        x6_embedding_dedup_apply,
+    )
+    from mirrulations_iceberg_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_orig = emb.count()
+    big = emb
+    for k in range(1, 20):
+        big = big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + k * 1_000_000)
+        )
+    big.write.parquet(str(tmp_path / "embeddings.parquet"))
+    row = x6_embedding_dedup_apply(spark, str(tmp_path)).collect()[0]
+    assert row.n_kept == n_orig
+    # every survivor is an original id (the cluster minimum)
+    orig_sum = emb.agg(F.sum("vec_id")).collect()[0][0]
+    assert row.id_checksum == orig_sum
