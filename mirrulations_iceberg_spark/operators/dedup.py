@@ -589,6 +589,62 @@ def d8_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic "held-out benchmark" selector for d9 (≈1% of docs).
+DECON_MOD = 97
+
+
+def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination — the overlap check every serious
+    pretraining pipeline runs (the GPT-3/Pile recipe): flag corpus
+    documents sharing any token n-gram with a held-out benchmark set.
+    Here the benchmark is the deterministic ~1% slice
+    ``doc_id % {mod} == 0`` and the n-grams are the package's 3-word
+    shingles.
+
+    Scale shape — this is NOT a dedup self-join: the benchmark side is
+    tiny by construction, so its distinct shingle set BROADCASTS and
+    the corpus side streams through a broadcast LEFT SEMI join with no
+    corpus shuffle before the final per-language count. At 100 TB the
+    benchmark-shingle set is still only benchmark-sized.
+
+    Oracle: the identical overlap in SQL (exact — no hashing anywhere).
+    """
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    docs = docs.withColumn("__toks", tokens_col(F.col("text")))
+    docs = docs.withColumn(
+        "shingles", shingles_from_tokens(F.col("__toks"))
+    ).select("doc_id", "lang", "shingles")
+    bench_shingles = (
+        docs.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    contaminated = (
+        corpus.select("doc_id", "lang", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    totals = corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = contaminated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return totals.join(flagged, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            / F.col("n_docs").cast("double"),
+            4,
+        ).alias("contamination_rate"),
+    )
+
+
+d9_decontaminate.__doc__ = d9_decontaminate.__doc__.format(mod=DECON_MOD)
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_pairs": d2_ngram_jaccard_pairs,
@@ -598,6 +654,7 @@ QUERIES = {
     "d6_dedup_apply": d6_dedup_apply,
     "d7_dedup_apply_lsh": d7_dedup_apply_lsh,
     "d8_dedup_components": d8_dedup_components,
+    "d9_decontaminate": d9_decontaminate,
 }
 
 # DuckDB twin of d4's SimHash: identical md5-derived 60-bit token
@@ -733,6 +790,38 @@ ORACLE = {
         )
         SELECT COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+    "d9_decontaminate": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+            WHERE doc_id % {DECON_MOD} = 0
+        ), corpus AS (
+            SELECT * FROM sh WHERE doc_id % {DECON_MOD} <> 0
+        ), contaminated AS (
+            SELECT DISTINCT doc_id, lang
+            FROM (SELECT doc_id, lang, unnest(shingles) AS shingle FROM corpus) p
+            WHERE shingle IN (SELECT shingle FROM bench)
+        ), totals AS (
+            SELECT lang, COUNT(*) AS n_docs FROM corpus GROUP BY lang
+        ), flagged AS (
+            SELECT lang, COUNT(*) AS n_contaminated
+            FROM contaminated GROUP BY lang
+        )
+        SELECT t.lang, t.n_docs,
+               COALESCE(f.n_contaminated, 0) AS n_contaminated,
+               ROUND(COALESCE(f.n_contaminated, 0)
+                     / CAST(t.n_docs AS DOUBLE), 4) AS contamination_rate
+        FROM totals t LEFT JOIN flagged f ON t.lang = f.lang
     """,
     "d8_dedup_components": f"""
         WITH RECURSIVE toks AS (

@@ -129,6 +129,15 @@ def test_e2_pipeline_no_sort_merge_self_join(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """d9's benchmark-shingle side is tiny by construction: it must
+    broadcast (corpus streams through a BroadcastHashJoin LeftSemi),
+    never sort-merge."""
+    plan = _plan(spark, "d9_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 @pytest.mark.parametrize("name", ["d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs", "d5_simhash_pairs"])
 def test_dedup_has_no_self_join(spark, name):
     """Group-and-pair formulation: near-dup pair generation must not
