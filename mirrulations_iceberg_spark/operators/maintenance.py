@@ -280,6 +280,33 @@ def m9_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def m10_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: before shuffling 100 TB on a key,
+    measure how skewed it is. One aggregation pass per key column
+    builds the per-key frequency table; the report gives row count,
+    distinct keys, the heaviest key's share, and the skew ratio
+    (max/avg rows per key) — the number that decides between a plain
+    shuffle join, AQE skew splitting, and explicit salting
+    (``operators/joins.py:salted_join``). Runs here over the two fact
+    join keys the workload actually shuffles on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def report(df: DataFrame, table: str, key: str) -> DataFrame:
+        freq = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return freq.agg(
+            F.lit(table).alias("table"),
+            F.lit(key).alias("key"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+            F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+        )
+    return report(li, "lineitem", "l_orderkey").unionByName(
+        report(ev, "events", "user_id")
+    )
+
+
 _M7_STATUS_DOMAIN = ("F", "O", "P")
 _M7_RULES = (
     "null_orderkey",
@@ -379,6 +406,7 @@ QUERIES = {
     "m6_profile": m6_profile,
     "m7_contract_check": m7_contract_check,
     "m9_partition_overwrite": m9_partition_overwrite,
+    "m10_skew_report": m10_skew_report,
 }
 
 _M7_ORACLE = (
@@ -414,6 +442,22 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    "m10_skew_report": """
+        WITH lf AS (
+            SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+        ), ef AS (
+            SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1
+        )
+        SELECT 'lineitem' AS "table", 'l_orderkey' AS key,
+               SUM(c) AS n_rows, COUNT(*) AS n_keys,
+               MAX(c) AS max_key_rows,
+               ROUND(MAX(c) / AVG(c), 4) AS skew_ratio
+        FROM lf
+        UNION ALL
+        SELECT 'events', 'user_id', SUM(c), COUNT(*), MAX(c),
+               ROUND(MAX(c) / AVG(c), 4)
+        FROM ef
+    """,
     "m9_partition_overwrite": """
         SELECT o_orderstatus, COUNT(*) AS n_rows,
                CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P'

@@ -291,6 +291,30 @@ def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_WIDTH = 10_000  # fixed-bound bins: floor(price / width)
+
+
+def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width numeric histogram with FIXED bounds — one pass, one
+    tiny aggregate (bin = floor(x / width)). Fixed bounds are the
+    100 TB form: data-driven bounds need a min/max pass first (or
+    a5b's single-pass sketch); empty bins are absent on both engines
+    by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / HIST_WIDTH)
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("bin")
+    )
+
+
 def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 (gap row): ROLLUP over (status, priority) — subtotal rows and
     the grand total in ONE aggregation pass (Spark expands the grouping
@@ -433,6 +457,7 @@ def c11_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "a12_rollup": a12_rollup,
+    "a14_histogram": a14_histogram,
     "a12b_cube": a12b_cube,
     "a13_pivot": a13_pivot,
     "c11_from_json_typed": c11_from_json_typed,
@@ -476,6 +501,12 @@ ORACLE = {
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "a14_histogram": f"""
+        SELECT CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT) AS bin,
+               COUNT(*) AS n_orders,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY bin ORDER BY bin
     """,
     "a12b_cube": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
