@@ -437,6 +437,54 @@ def x6_embedding_dedup_apply(
     )
 
 
+def x7_ann_partitioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN index: the corpus written ONCE hive-partitioned by
+    its SRP bucket (table 0 of the x2 hyperplanes), queried by joining
+    the (broadcast) query buckets against the partition column — Spark
+    plans DYNAMIC PARTITION PRUNING, so each search reads only the
+    probed partitions of the index, not the corpus (plan-asserted in
+    tests/test_plans.py). x2 buckets in-query; this is the indexed
+    form a pipeline actually deploys: build cost paid once, every
+    query scans ~nprobe/2^B of the data. Exact cosine re-ranks within
+    the probed bucket; results materialize before the scratch index is
+    removed.
+
+    Oracle: same seeded hyperplane literal, same single-table
+    bucketing, same in-bucket rounded-cosine top-k in DuckDB.
+    """
+    import shutil
+    import tempfile
+
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "bucket", _bucket_cols()[0]
+    )
+    base = tempfile.mkdtemp(prefix="miis_x7_")
+    try:
+        path = f"{base}/index"
+        emb.select("vec_id", "e", "norm", "bucket").write.partitionBy(
+            "bucket"
+        ).parquet(path)
+        idx = spark.read.parquet(path)
+        qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("norm").alias("qnorm"),
+            "bucket",
+        )
+        scored = (
+            idx.join(F.broadcast(qside), "bucket")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cos_sim", _cosine_sim())
+        )
+        topk = _rank_topk(scored)
+        rows = [tuple(r) for r in topk.collect()]
+        return spark.createDataFrame(
+            rows, "query_id long, vec_id long, rnk int, cos_sim double"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 
@@ -524,6 +572,7 @@ QUERIES = {
     "x4_embedding_neardup_pairs": x4_embedding_neardup_pairs,
     "x5_ann_ivf_topk": x5_ann_ivf_topk,
     "x6_embedding_dedup_apply": x6_embedding_dedup_apply,
+    "x7_ann_partitioned_index": x7_ann_partitioned_index,
 }
 
 _COS = f"""
@@ -661,6 +710,43 @@ ORACLE = {
         SELECT n_cand.query_id, n_candidates,
                ROUND(COALESCE(n_hits, 0) / {float(TOP_K)}, 4) AS recall_at_k
         FROM n_cand LEFT JOIN n_hit ON n_cand.query_id = n_hit.query_id
+    """,
+    # Single-table twin of the partitioned index: same planes (table 0),
+    # same bucket ints, same in-bucket rounded-cosine top-k.
+    "x7_ann_partitioned_index": f"""
+        WITH planes AS (
+            SELECT {_planes_sql()} AS m
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), nn AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM e
+        ), b AS (
+            SELECT vec_id, e, norm,
+                   list_sum(list_transform(range(0, {LSH_BITS}), bb ->
+                       CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                i -> e[CAST(i AS INT)]
+                                     * m[CAST(bb * {EMB_DIM} + i AS INT)])) > 0
+                            THEN (1 << CAST(bb AS INT)) ELSE 0 END)) AS bucket
+            FROM nn CROSS JOIN planes
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe, norm AS qnorm, bucket
+            FROM b WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, n.vec_id,
+                   CASE WHEN n.norm * q.qnorm > 0 THEN {_COS}
+                   ELSE 0.0 END AS cos_sim
+            FROM b n JOIN q ON n.bucket = q.bucket
+            WHERE n.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk, cos_sim FROM (
+            SELECT query_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= {TOP_K}
     """,
     # Exact drop-rule twin of the linear apply (see the x6 docstring).
     "x6_embedding_dedup_apply": f"""

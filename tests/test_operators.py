@@ -116,3 +116,34 @@ def test_x6_collapses_duplicate_clusters(spark, tmp_path):
     # every survivor is an original id (the cluster minimum)
     orig_sum = emb.agg(F.sum("vec_id")).collect()[0][0]
     assert row.id_checksum == orig_sum
+
+
+def test_x7_index_scan_is_partition_pruned(spark, tmp_path):
+    """The persisted ANN index must be read with dynamic partition
+    pruning: the query-bucket join prunes the scan to probed
+    partitions (dynamicpruningexpression in PartitionFilters), so a
+    search never reads the whole index."""
+    from pyspark.sql import functions as F
+
+    from mirrulations_iceberg_spark.operators.similarity import (
+        N_QUERIES,
+        _bucket_cols,
+        _embeddings,
+    )
+
+    emb = _embeddings(spark, SF_DIR).withColumn("bucket", _bucket_cols()[0])
+    path = str(tmp_path / "index")
+    emb.select("vec_id", "e", "norm", "bucket").write.partitionBy(
+        "bucket"
+    ).parquet(path)
+    idx = spark.read.parquet(path)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    plan = (
+        idx.join(F.broadcast(q), "bucket")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruningexpression" in plan

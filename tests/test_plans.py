@@ -39,6 +39,7 @@ SKIP_SWEEP = {
     "s2_incremental_ingest",  # runs the full ingest lifecycle
     "m9_partition_overwrite",  # runs write jobs at construction
     "s3_stream_sessions",  # runs a streaming job at construction
+    "x7_ann_partitioned_index",  # writes + reads a scratch index
 }
 
 
