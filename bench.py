@@ -53,8 +53,15 @@ def main() -> None:
     # degrades (ContextCleaner is GC-driven, so shuffle/broadcast state
     # outlives its usefulness) and the numbers measure session age, not
     # the queries.
+    # Per-query isolation: drop leftover caches after each query and
+    # periodically force a JVM GC. Spark's ContextCleaner frees shuffle
+    # files / broadcasts only when the JVM collects their references —
+    # on a big heap that can be never, and ~90 queries of accumulated
+    # state measurably degrades the tail (mm2 measured 2.5 s early in a
+    # session vs 14 s late). Each query's own time still includes all
+    # of its work; this only stops query N from paying for 1..N-1.
     timings: dict[str, float] = {}
-    for name, fn in sorted(queries.items()):
+    for i, (name, fn) in enumerate(sorted(queries.items())):
         t0 = time.time()
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -62,6 +69,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        spark.catalog.clearCache()
+        if i % 10 == 9:
+            spark.sparkContext._jvm.System.gc()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
