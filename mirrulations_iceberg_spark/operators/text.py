@@ -157,24 +157,11 @@ WINNOW_BASE = 131
 _WINNOW_POWS = tuple(WINNOW_BASE ** (WINNOW_K - 1 - j) for j in range(WINNOW_K))
 
 
-def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints via winnowing (Schleimer et
-    al., SIGMOD'03): hash every character k-gram, keep the minimum of
-    each w-window of consecutive hashes — a position-robust fingerprint
-    set whose size is ~1/w of the k-gram count, guaranteed to share
-    fingerprints with any document that shares a (k+w-1)-char run.
-
-    Pure column expressions: substring windows + a Karp-Rabin base-131
-    polynomial gram hash + per-window array_min — no UDF, no shuffle
-    until the final summary aggregate. The polynomial (the paper's own
-    hash family) is exact integer arithmetic both engines share, so the
-    whole fingerprint pipeline is oracle-checked; swap in ``xxhash64``
-    when gram hashing itself is the CPU bottleneck.
-    """
-    from .dedup import parallelize_scan
-
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    norm = F.concat_ws(" ", tokens_col(F.col("text")))
+def winnow_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_grams, fingerprints bigint[]) — the winnowed fingerprint
+    SET per document; t6 reports its sizes, and the guarantee test in
+    tests/test_properties.py checks the sets directly."""
+    norm = F.concat_ws(" ", tokens_col(F.col(text_col)))
     # Pad so every gram window is fully materialized even when the
     # normalized text is shorter than K (space = 32 in both engines).
     docs = docs.withColumn("__norm", norm).withColumn(
@@ -207,9 +194,35 @@ def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select(
-        "doc_id",
+        F.col(id_col),
         F.size("__hashes").alias("n_grams"),
-        F.size(winnowed).alias("n_fingerprints"),
+        winnowed.alias("fingerprints"),
+    )
+
+
+def t6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et
+    al., SIGMOD'03): hash every character k-gram, keep the minimum of
+    each w-window of consecutive hashes — a position-robust fingerprint
+    set whose size is ~1/w of the k-gram count, guaranteed to share
+    fingerprints with any document that shares a (k+w-1)-char run (the
+    guarantee itself is pinned by a randomized test over
+    ``winnow_sets``).
+
+    Pure column expressions: substring windows + a Karp-Rabin base-131
+    polynomial gram hash + per-window array_min — no UDF, no shuffle
+    until the final summary aggregate. The polynomial (the paper's own
+    hash family) is exact integer arithmetic both engines share, so the
+    whole fingerprint pipeline is oracle-checked; swap in ``xxhash64``
+    when gram hashing itself is the CPU bottleneck.
+    """
+    from .dedup import parallelize_scan
+
+    sets = winnow_sets(parallelize_scan(load_table(spark, sf_dir, "documents")))
+    return sets.select(
+        "doc_id",
+        "n_grams",
+        F.size("fingerprints").alias("n_fingerprints"),
     )
 
 

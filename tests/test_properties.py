@@ -81,3 +81,41 @@ def test_dot_product_matches_python(spark, vectors):
         for x, y in zip(v, a):
             expected = expected + x * y  # same left-to-right fold
         assert abs(g - expected) < 1e-9
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al.'s theorem: any two documents sharing a
+    substring of at least k+w-1 characters (of the NORMALIZED text)
+    share at least one winnowed fingerprint. Randomized pairs with an
+    injected common run; one Spark job checks every pair."""
+    import random
+
+    from mirrulations_iceberg_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_sets,
+    )
+
+    rng = random.Random(20260813)
+    run_len = WINNOW_K + WINNOW_W - 1  # 11 chars incl. a space is fine
+
+    def rand_norm(n):
+        # already-normalized text: lowercase alnum words, single spaces
+        return " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                    for _ in range(rng.randint(1, 8)))
+            for _ in range(n)
+        )
+
+    rows = []
+    for pair in range(30):
+        shared = rand_norm(6)
+        assert len(shared) >= run_len
+        a = f"{rand_norm(rng.randint(0, 10))} {shared} {rand_norm(rng.randint(0, 10))}".strip()
+        b = f"{rand_norm(rng.randint(0, 10))} {shared} {rand_norm(rng.randint(0, 10))}".strip()
+        rows.append((2 * pair, a))
+        rows.append((2 * pair + 1, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {r.doc_id: set(r.fingerprints) for r in winnow_sets(df).collect()}
+    for pair in range(30):
+        assert sets[2 * pair] & sets[2 * pair + 1], f"pair {pair} shares no fingerprint"
