@@ -757,7 +757,7 @@ ORACLE = {
             WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
         )
         SELECT COUNT(*) AS n_kept,
-               SUM(n_chars) AS kept_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
                MIN(doc_id) AS min_kept_id,
                MAX(doc_id) AS max_kept_id
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
@@ -788,7 +788,7 @@ ORACLE = {
             SELECT DISTINCT doc_b AS doc_id FROM pairs
             WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
         )
-        SELECT COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
+        SELECT COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """,
     "d9_decontaminate": f"""

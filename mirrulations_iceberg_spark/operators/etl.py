@@ -149,7 +149,7 @@ def _e2_oracle() -> str:
             ) WHERE (rn - 1) % {E2_SAMPLE_EVERY} = 0
         )
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(CAST(len(t) AS BIGINT)) AS total_tokens,
+               CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
                ROUND(AVG(len(t)), 4) AS avg_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM selected GROUP BY lang

@@ -426,7 +426,8 @@ _M7_ORACLE = (
     )
     """
     + "\nUNION ALL\n".join(
-        f"SELECT '{r}' AS rule, {r} AS n_violations FROM a" for r in _M7_RULES
+        f"SELECT '{r}' AS rule, CAST({r} AS BIGINT) AS n_violations FROM a"
+        for r in _M7_RULES
     )
 )
 
@@ -449,12 +450,12 @@ ORACLE = {
             SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1
         )
         SELECT 'lineitem' AS "table", 'l_orderkey' AS key,
-               SUM(c) AS n_rows, COUNT(*) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
                MAX(c) AS max_key_rows,
                ROUND(MAX(c) / AVG(c), 4) AS skew_ratio
         FROM lf
         UNION ALL
-        SELECT 'events', 'user_id', SUM(c), COUNT(*), MAX(c),
+        SELECT 'events', 'user_id', CAST(SUM(c) AS BIGINT), COUNT(*), MAX(c),
                ROUND(MAX(c) / AVG(c), 4)
         FROM ef
     """,
@@ -469,10 +470,10 @@ ORACLE = {
     "m7_contract_check": _M7_ORACLE,
     "s13_schema_evolution": """
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
-                   AS n_with_new_col,
-               SUM(CASE WHEN o_orderkey % 2 = 1 AND o_totalprice > 100000
-                        THEN 1 ELSE 0 END) AS n_large
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_new_col,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 1 AND o_totalprice > 100000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_large
         FROM orders
     """,
     # m1/m2: byte counts depend on writer version → rows-only.

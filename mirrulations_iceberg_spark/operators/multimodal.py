@@ -283,7 +283,7 @@ ORACLE = {
             FROM documents
         )
         SELECT kind, COUNT(*) AS n_items,
-               SUM(octet_length(payload)) AS total_bytes,
+               CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
                MAX(octet_length(payload)) AS max_bytes,
                COUNT(DISTINCT md5(text)) AS n_distinct_payloads
         FROM media GROUP BY kind

@@ -537,7 +537,7 @@ ORACLE = {
         )
         SELECT lang, COUNT(*) AS sample_rows,
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
-               SUM(CAST(n_chars AS BIGINT)) AS sample_chars
+               CAST(SUM(n_chars) AS BIGINT) AS sample_chars
         FROM ranked WHERE (rn - 1) % 10 = 0
         GROUP BY lang ORDER BY lang
     """,
@@ -545,7 +545,7 @@ ORACLE = {
         SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
                     THEN 'train' ELSE 'holdout' END AS split,
                COUNT(*) AS n_docs,
-               SUM(CAST(n_chars AS BIGINT)) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY 1 ORDER BY split
     """,
@@ -603,16 +603,16 @@ ORACLE = {
         FROM orders
     """,
     "a7_boolean_sum": """
-        SELECT SUM(CAST(l_discount > 0.05 AS BIGINT)) AS n_discounted,
-               SUM(CAST(l_tax = 0 AS BIGINT)) AS n_taxfree
+        SELECT CAST(SUM(CAST(l_discount > 0.05 AS BIGINT)) AS BIGINT) AS n_discounted,
+               CAST(SUM(CAST(l_tax = 0 AS BIGINT)) AS BIGINT) AS n_taxfree
         FROM lineitem
     """,
     "a8_null_profile": """
-        SELECT SUM(CAST(doc_id IS NULL AS BIGINT)) AS nulls_doc_id,
-               SUM(CAST(text IS NULL AS BIGINT)) AS nulls_text,
-               SUM(CAST(lang IS NULL AS BIGINT)) AS nulls_lang,
-               SUM(CAST(source IS NULL AS BIGINT)) AS nulls_source,
-               SUM(CAST(n_chars IS NULL AS BIGINT)) AS nulls_n_chars
+        SELECT CAST(SUM(CAST(doc_id IS NULL AS BIGINT)) AS BIGINT) AS nulls_doc_id,
+               CAST(SUM(CAST(text IS NULL AS BIGINT)) AS BIGINT) AS nulls_text,
+               CAST(SUM(CAST(lang IS NULL AS BIGINT)) AS BIGINT) AS nulls_lang,
+               CAST(SUM(CAST(source IS NULL AS BIGINT)) AS BIGINT) AS nulls_source,
+               CAST(SUM(CAST(n_chars IS NULL AS BIGINT)) AS BIGINT) AS nulls_n_chars
         FROM documents
     """,
     "a9_value_counts": """

@@ -771,7 +771,7 @@ ORACLE = {
         )
         SELECT COUNT(*) AS n_kept,
                COUNT(DISTINCT label) AS n_labels,
-               SUM(vec_id) AS id_checksum
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum
         FROM n WHERE vec_id NOT IN (SELECT vec_b FROM drops)
     """,
     # Exact all-pairs twin of the LSH+verify path (see the x4

@@ -358,7 +358,7 @@ ORACLE = {
             FROM documents
         )
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                ROUND(AVG(n_tokens), 4) AS avg_tokens,
                MAX(n_tokens) AS max_tokens
         FROM toks GROUP BY lang ORDER BY lang
@@ -406,9 +406,9 @@ ORACLE = {
             FROM documents
         )
         SELECT COUNT(*) AS n_docs,
-               SUM(CAST(ws_tokens AS BIGINT)) AS total_ws,
-               SUM(CAST(word_tokens AS BIGINT)) AS total_word,
-               SUM(CAST(bpe_tokens AS BIGINT)) AS total_bpe,
+               CAST(SUM(ws_tokens) AS BIGINT) AS total_ws,
+               CAST(SUM(word_tokens) AS BIGINT) AS total_word,
+               CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe,
                ROUND(SUM(CAST(bpe_tokens AS BIGINT))
                      / CAST(SUM(CAST(word_tokens AS BIGINT)) AS DOUBLE), 4)
                    AS fertility

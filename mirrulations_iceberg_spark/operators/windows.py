@@ -237,7 +237,8 @@ ORACLE = {
                         AS session_id
             FROM flagged
         )
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
                ROUND(SUM(value), 4) AS session_value
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_id

@@ -39,6 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); a session without this
+        # conf fails footer-schema conversion (PARQUET_TYPE_ILLEGAL). It is
+        # a runtime-settable SQL conf, so set it here rather than relying on
+        # session.py — callers may hand us any SparkSession (harnesses,
+        # notebooks) and the reader must be self-sufficient.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong=true (session.py) surfaces the fixture's
