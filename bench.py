@@ -73,13 +73,46 @@ def main() -> None:
         if i % 10 == 9:
             spark.sparkContext._jvm.System.gc()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Per-query timings go on their own lines (and to BENCH_DETAIL.json)
+    # BEFORE the summary: the round driver keeps only a ~2 KB tail of
+    # stdout and parses the LAST line, so that line must stay small —
+    # round 2's single ~2.1 KB line was truncated and recorded as
+    # "parsed": null. The summary's "queries" dict therefore carries
+    # per-family subtotals (14 keys) instead of all ~90 queries.
+    for name in sorted(timings):
+        print(f"bench.query {name} {timings[name]}")
+    detail = {
+        "metric": "per-query wall-clock (noop sink)",
+        "unit": "sec",
+        "sf": _sf_label(SF_DIR),
+        "queries": timings,
+        "failed": sorted(n for n, t in timings.items() if t < 0),
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
+
+    def _family(name: str) -> str:
+        return "mm" if name.startswith("mm") else name[0]
+
+    families: dict[str, float] = {}
+    for name, t in timings.items():
+        if t >= 0:
+            families[_family(name)] = round(families.get(_family(name), 0.0) + t, 3)
     print(
         json.dumps(
             {
                 "metric": "total wall-clock of SURVEY §2 query inventory (noop sink)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": families,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
                 "sf": _sf_label(SF_DIR),
             }
         )

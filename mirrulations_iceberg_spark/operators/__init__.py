@@ -26,9 +26,87 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: The round driver correctness-checks only the first 50 entries of
+#: ``queries()`` in insertion order. Curate that window so it spans
+#: every operator family — one representative per SURVEY §2 row plus
+#: the LLM-pipeline operators (dedup, similarity, text, multimodal,
+#: maintenance, streaming, and the flagship e2 pipeline). Everything
+#: past the window stays pytest/replica-verified (tests/test_oracle_parity.py
+#: sweeps all entries, not just these).
+DRIVER_WINDOW = (
+    # filters (F1-F4)
+    "f1_like_substring",
+    "f2_is_not_null",
+    "f3_boolean_filter",
+    "f4_conjunctive_filter",
+    # aggregations (A1-A10, A12; a12b/a13/a14 are same-§2-row variants)
+    "a1_count_star",
+    "a2_groupby_count",
+    "a3_multikey_groupby",
+    "a4_avg_length",
+    "a5_numeric_stats",
+    "a6_count_distinct",
+    "a7_boolean_sum",
+    "a8_null_profile",
+    "a9_value_counts",
+    "a10_date_histogram",
+    "a12_rollup",
+    # ordering / sampling (O2, O4, O6; o7/o8 are O6 extensions)
+    "o2_top_dates",
+    "o4_peak_day",
+    "o6_systematic_sample",
+    # scalar / JSON functions (C1-C8, C9/C10, C11, C15)
+    "c_scalar_suite",
+    "c9_ts_minmax",
+    "c11_from_json_typed",
+    "c_json_extract",
+    # joins (broadcast star, as-of, range; j2-j5/j8 same §2 row)
+    "j1_broadcast_star_join",
+    "j6_asof_join",
+    "j7_range_join",
+    # set ops (U row representative)
+    "u1_union_base_delta",
+    # windows (running sum, sessionize, deciles; w1/w3/w4/w6 same row)
+    "w2_running_sum",
+    "w5_sessionize",
+    "w7_ntile_deciles",
+    # text analysis
+    "t1_token_stats",
+    "t2_quality_score",
+    "t5_lang_profile",
+    "t6_winnow_fingerprints",
+    # deduplication (exact, MinHash-LSH, linear apply, components, decontaminate)
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "d7_dedup_apply_lsh",
+    "d8_dedup_components",
+    "d9_decontaminate",
+    # similarity search (ANN LSH, linear embedding dedup, persisted index)
+    "x2_ann_lsh_topk",
+    "x6_embedding_dedup_apply",
+    "x7_ann_partitioned_index",
+    # multimodal
+    "mm1_media_manifest",
+    "mm2_feature_stats",
+    # maintenance (compaction, contract check, skew report)
+    "m4_compaction",
+    "m7_contract_check",
+    "m10_skew_report",
+    # streaming (windowed counts, stateful sessions)
+    "s1_stream_windowed_counts",
+    "s3_stream_sessions",
+    # ETL pipelines (flagship last-but-inside)
+    "e1_docket_pipeline",
+    "e2_training_pipeline",
+)
+
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    """Merge QUERIES/ORACLE from every operator module."""
+    """Merge QUERIES/ORACLE from every operator module.
+
+    Entries named in :data:`DRIVER_WINDOW` come first (in that order);
+    the rest follow in module order.
+    """
     from . import (
         dedup,
         etl,
@@ -63,4 +141,9 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
             raise ValueError(f"duplicate query names: {dup}")
         queries.update(q)
         oracle.update(o)
-    return queries, oracle
+    missing = [n for n in DRIVER_WINDOW if n not in queries]
+    if missing:
+        raise ValueError(f"DRIVER_WINDOW names unknown queries: {missing}")
+    ordered = {n: queries[n] for n in DRIVER_WINDOW}
+    ordered.update((n, f) for n, f in queries.items() if n not in ordered)
+    return ordered, oracle

@@ -1,0 +1,29 @@
+"""The round driver checks only ``list(queries())[:50]`` — lock the
+curated window: exactly 50 entries, every family represented, every
+entry oracle-backed, flagship included."""
+
+from __future__ import annotations
+
+import re
+
+from mirrulations_iceberg_spark.operators import DRIVER_WINDOW, collect_queries
+
+
+def test_window_is_first_50():
+    queries, oracle = collect_queries()
+    names = list(queries)
+    assert len(DRIVER_WINDOW) == 50
+    assert names[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
+    missing_oracle = [n for n in DRIVER_WINDOW if n not in oracle]
+    assert not missing_oracle, f"window entries without oracle: {missing_oracle}"
+
+
+def test_window_spans_all_families():
+    families = {re.match(r"[a-z]+|", n).group(0) for n in DRIVER_WINDOW}
+    expected = {"f", "a", "o", "c", "j", "u", "w", "t", "d", "x", "mm", "m", "s", "e"}
+    assert expected <= families, f"missing families: {expected - families}"
+    assert "e2_training_pipeline" in DRIVER_WINDOW
+
+
+def test_window_names_unique():
+    assert len(set(DRIVER_WINDOW)) == len(DRIVER_WINDOW)
