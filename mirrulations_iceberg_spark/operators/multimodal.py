@@ -144,38 +144,60 @@ def mm2_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_TARGET = (8, 8)
 
 
-def resize_images(media: DataFrame) -> DataFrame:
-    """Image resize via mapInPandas. The real decoder is gated: with
-    PIL installed, payloads decode → resize → re-encode; without it, a
-    deterministic fake "thumbnail" (strided byte sample of the payload,
-    same output schema) keeps the Spark plumbing testable. Either way
-    the operator contract is identical: binary in, fixed-size binary
-    thumbnail + dims out.
+def _strided_thumbnail(p: bytes, n_out: int) -> bytes:
+    """Deterministic stand-in thumbnail: a strided byte sample of the
+    payload, always exactly ``n_out`` bytes."""
+    import numpy as np
+
+    arr = np.frombuffer(p, dtype=np.uint8)
+    if len(arr) == 0:
+        return bytes(n_out)
+    idx = (np.arange(n_out) * len(arr)) // n_out
+    return arr[idx].tobytes()
+
+
+def _thumb_batch(payloads) -> list[bytes]:
+    """One Arrow batch of payloads → fixed-size thumbnails.
+
+    With PIL installed, decodable payloads decode → grayscale →
+    resize → raw bytes (exactly ``h*w``); payloads PIL cannot parse
+    (including this repo's UTF-8 fixture bytes) and PIL-less
+    environments both take the deterministic strided sample, so output
+    — and the DuckDB oracle — is identical with or without the
+    library. Module-level so workers resolve it by import (fresh
+    ``HAVE_IMAGE_LIBS`` probe per worker) and tests can drive both
+    branches in-process.
     """
     h, w = RESIZE_TARGET
     n_out = h * w
+    out = []
+    if HAVE_IMAGE_LIBS:
+        import io
+
+        import PIL.Image
+    for p in payloads:
+        if HAVE_IMAGE_LIBS:
+            try:
+                img = PIL.Image.open(io.BytesIO(p))
+                out.append(img.convert("L").resize((w, h)).tobytes())
+                continue
+            except Exception:  # noqa: BLE001 — not a decodable image
+                pass
+        out.append(_strided_thumbnail(p, n_out))
+    return out
+
+
+def resize_images(media: DataFrame) -> DataFrame:
+    """Image resize via mapInPandas: binary in, fixed-size binary
+    thumbnail + dims out (decode semantics in :func:`_thumb_batch`)."""
+    h, w = RESIZE_TARGET
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            thumbs = []
-            for p in pdf["payload"]:
-                if HAVE_IMAGE_LIBS:
-                    raise NotImplementedError(
-                        "real decode path: PIL.Image.open(io.BytesIO(p))"
-                        ".resize(RESIZE_TARGET).tobytes()"
-                    )
-                arr = np.frombuffer(p, dtype=np.uint8)
-                if len(arr) == 0:
-                    thumbs.append(bytes(n_out))
-                    continue
-                idx = (np.arange(n_out) * len(arr)) // n_out
-                thumbs.append(arr[idx].tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "thumb": thumbs,
+                    "thumb": _thumb_batch(pdf["payload"]),
                     "thumb_h": h,
                     "thumb_w": w,
                 }

@@ -128,16 +128,68 @@ def w6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def w7_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(): decile assignment by order value — the spend-band
-    bucketing a pipeline uses for stratified reporting. One global-order
-    window (single-partition sort: fine for ranking aggregates whose
-    OUTPUT is 10 rows; for per-row decile labels at 100 TB use
-    approx_percentile cutoffs + a broadcast range join instead — see
-    a5b) then a tiny aggregate."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        orders.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+    bucketing a pipeline uses for stratified reporting.
+
+    A bare ``NTILE(10) OVER (ORDER BY ...)`` forces every row through
+    ONE task (Exchange SinglePartition) — the one shape that simply
+    stops at 100 TB. This computes the identical result with a
+    distributed two-phase global rank (the ``zipWithIndex`` pattern):
+
+    1. ``repartitionByRange`` on the ordering key — a range shuffle,
+       every partition sorted *between* partitions;
+    2. per-partition ``row_number`` (window partitioned by
+       ``spark_partition_id`` — parallel, no global sort) plus a
+       broadcast prefix-sum of partition counts gives the exact global
+       rank;
+    3. NTILE's bucket is then closed-form in (rank, N): the first
+       ``N % 10`` tiles take ``N // 10 + 1`` rows, the rest ``N // 10``.
+
+    The per-partition counts collect is bounded (one long per shuffle
+    partition). The ordering key (o_totalprice, o_orderkey) is unique,
+    so ranks — and the tie-free decile boundaries — are deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ranged = (
+        orders.repartitionByRange(n_part, "o_totalprice", "o_orderkey")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("__pid").count().collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    n_total = acc
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy("o_totalprice", "o_orderkey")
+    base, rem = divmod(n_total, 10)
+    head = rem * (base + 1)  # rows covered by the base+1-sized tiles
+    ranked = (
+        ranged.withColumn("__rn", F.row_number().over(w))
+        .join(offset_df, "__pid")
+        .withColumn("__rank", F.col("__offset") + F.col("__rn"))
+        .withColumn(
+            # Integer DIV keeps the bucket math exact at any N (no
+            # double rounding near tile boundaries).
+            "decile",
+            F.when(
+                F.col("__rank") <= F.lit(head),
+                F.expr(f"(__rank - 1) DIV {base + 1}"),
+            ).otherwise(
+                F.expr(f"{rem} + (__rank - {head} - 1) DIV {max(base, 1)}")
+            )
+            + F.lit(1).cast("long"),
+        )
+    )
+    out = (
+        ranked.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.min("o_totalprice"), 4).alias("lo"),
@@ -148,6 +200,7 @@ def w7_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+    return out
 
 
 QUERIES = {

@@ -98,6 +98,14 @@ def test_range_join_broadcasts_interval_side(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ntile_has_no_global_window(spark):
+    """w7's decile ranking must never force Exchange SinglePartition:
+    the distributed two-phase rank keeps every window partitioned."""
+    plan = _plan(spark, "w7_ntile_deciles")
+    assert "SinglePartition" not in plan
+    assert "ntile" not in plan  # closed-form bucket math, not the fn
+
+
 def test_limits_plan_take_ordered(spark):
     """Tie-broken orderBy+limit must plan TakeOrderedAndProject, not a
     global sort."""
