@@ -7,7 +7,18 @@ Replays what the round driver does to ``__spark_entry__``: run every
 compare row count + order-insensitive value hash (columns sorted by
 name, every cell stringified, rows sorted). Exit 0 iff all green.
 
-Usage: python scripts/drivercheck.py [sf_dir] [query_name ...]
+Two round-2 lessons are baked in so this replica can't green-light
+what the real driver would fail:
+
+* ``--plain-session`` runs the sweep on a default ``SparkSession``
+  (no ``_SCALE_SAFE_CONF``) — the driver builds its own plain session,
+  so every query must be self-sufficient under one.
+* Oracle results are type-checked: any HUGEINT output column is a
+  FAIL even when values match, because the driver's pandas fetch
+  renders HUGEINT as float ("123.0" vs Spark's "123") while this
+  replica's ``fetchall()`` yields plain ints.
+
+Usage: python scripts/drivercheck.py [--plain-session] [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -28,11 +39,22 @@ from mirrulations_iceberg_spark.testing import value_hash  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain-session"]
+    plain = "--plain-session" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    spark = get_spark(shuffle_partitions=8)
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("drivercheck-plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(shuffle_partitions=8)
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -61,12 +83,21 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(sql)
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR  {name}: duckdb: {type(exc).__name__}: {exc}"[:300])
             n_err += 1
+            continue
+        hug = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t.upper()]
+        if hug:
+            print(
+                f"FAIL   {name}: oracle HUGEINT columns {hug} — the driver's "
+                "pandas fetch renders these as floats; CAST(... AS BIGINT)"
+            )
+            n_fail += 1
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL   {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
