@@ -156,11 +156,63 @@ def _e2_oracle() -> str:
     """
 
 
+N_SHARDS = 16
+
+
+def e3_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment — the export step after
+    curation: every document lands in one of ``N_SHARDS`` shards keyed
+    by a content-independent stable hash (first hex digit of
+    md5(doc_id), identical in any engine), and the query reports the
+    shard manifest a writer would emit. Pure projection + one hash
+    agg; at 100 TB the same expression is the ``partitionBy`` column
+    of the actual shard write, so balance here is balance on disk.
+    """
+    from ..tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ).cast("int")
+    return (
+        docs.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 QUERIES = {
     "e1_docket_pipeline": e1_docket_pipeline,
     "e2_training_pipeline": e2_training_pipeline,
+    "e3_shard_assign": e3_shard_assign,
 }
 ORACLE = {
     "e1_docket_pipeline": _oracle(),
+    "e3_shard_assign": """
+        WITH s AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(strpos('0123456789abcdef',
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                        AS INT) AS shard
+            FROM documents
+        )
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               COUNT(DISTINCT lang) AS n_langs,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM s GROUP BY shard ORDER BY shard
+    """,
     "e2_training_pipeline": _e2_oracle(),
 }

@@ -330,6 +330,70 @@ def t9_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns shared by the Spark query and the DuckDB oracle —
+#: restricted to syntax Java regex and RE2 interpret identically.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\d{3}-\d{3}-\d{4}"
+
+
+def t10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub step every training-data
+    pipeline runs before tokenization. The fixture corpus is synthetic
+    word-salad with no natural PII, so the query first plants
+    deterministic emails/phone numbers into a derived column (same
+    projection in the oracle — both engines scrub identical input),
+    then counts matches and measures the redacted output.
+
+    Pure JVM regex projections (regexp_count / regexp_replace) + one
+    aggregate: no shuffle beyond the per-lang hash agg, scan-parallel
+    at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" call 555-123-4567")),
+        )
+        .otherwise(F.col("text")),
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("text2"), F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(F.col("text2"), F.lit(PHONE_PATTERN)).alias("n_phones"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text2"), EMAIL_PATTERN, "[EMAIL]"),
+                PHONE_PATTERN,
+                "[PHONE]",
+            )
+        ).alias("redacted_len"),
+    )
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_emails") + F.col("n_phones") > 0).cast("long")).alias(
+                "docs_with_pii"
+            ),
+            F.sum(F.col("n_emails").cast("long")).alias("total_emails"),
+            F.sum(F.col("n_phones").cast("long")).alias("total_phones"),
+            F.sum(F.col("redacted_len").cast("long")).alias("redacted_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 _STOP_SQL = "', '".join(STOPWORDS)
 
 QUERIES = {
@@ -342,6 +406,7 @@ QUERIES = {
     "t7_tfidf_top_terms": t7_tfidf_top_terms,
     "t9_token_counts": t9_token_counts,
     "t8_repetition_ratio": t8_repetition_ratio,
+    "t10_pii_redact": t10_pii_redact,
 }
 
 # DuckDB twin of t6's gram hash: same base-131 powers, same padded
@@ -492,5 +557,32 @@ ORACLE = {
                ROUND(AVG(score_query), 4) AS avg_score_query,
                ROUND(AVG(score_data), 4) AS avg_score_data
         FROM scored GROUP BY lang ORDER BY lang
+    """,
+    "t10_pii_redact": f"""
+        WITH planted AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com now'
+                        WHEN doc_id % 11 = 0
+                        THEN text || ' call 555-123-4567'
+                        ELSE text END AS text2
+            FROM documents
+        ), scrubbed AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text2, '{EMAIL_PATTERN}')) AS n_emails,
+                   len(regexp_extract_all(text2, '{PHONE_PATTERN}')) AS n_phones,
+                   LENGTH(regexp_replace(
+                       regexp_replace(text2, '{EMAIL_PATTERN}', '[EMAIL]', 'g'),
+                       '{PHONE_PATTERN}', '[PHONE]', 'g')) AS redacted_len
+            FROM planted
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_with_pii,
+               CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+               CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+               CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
+        FROM scrubbed GROUP BY lang ORDER BY lang
     """,
 }
