@@ -461,9 +461,14 @@ def x7_ann_partitioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="miis_x7_")
     try:
         path = f"{base}/index"
-        emb.select("vec_id", "e", "norm", "bucket").write.partitionBy(
+        # repartition on the partition column first: partitionBy writes
+        # one file per (task, bucket) pair, so without this the index is
+        # n_tasks × n_buckets tiny files — repartitioned it is one file
+        # per bucket, the layout a 100 TB index build wants (bucket-
+        # pruned scans read whole files, not shards of every task).
+        emb.select("vec_id", "e", "norm", "bucket").repartition(
             "bucket"
-        ).parquet(path)
+        ).write.partitionBy("bucket").parquet(path)
         idx = spark.read.parquet(path)
         qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -509,8 +514,17 @@ def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # routing; recall@k is measured in-plan below, so quantizer quality
     # is observable). At 100 TB this is the only viable fit strategy —
     # full-corpus KMeans would dominate the whole query.
+    # initMode="random": kmeans|| init costs several full passes of its
+    # own; for a coarse quantizer whose only job is candidate routing
+    # (recall measured in-plan below) seeded random init + a few Lloyd
+    # iterations is the right cost point.
     model = KMeans(
-        k=IVF_CLUSTERS, seed=42, maxIter=8, featuresCol="vec", predictionCol="cell"
+        k=IVF_CLUSTERS,
+        seed=42,
+        maxIter=8,
+        initMode="random",
+        featuresCol="vec",
+        predictionCol="cell",
     ).fit(emb.sample(0.25, seed=7))
     assigned = model.transform(emb).select("vec_id", "e", "norm", "cell")
     centers = spark.createDataFrame(
