@@ -60,10 +60,9 @@ DRIVER_WINDOW = (
     "c9_ts_minmax",
     "c11_from_json_typed",
     "c_json_extract",
-    # joins (broadcast star, as-of, range; j2-j5/j8 same §2 row)
+    # joins (broadcast star, as-of; j2-j5/j7/j8 same §2 row)
     "j1_broadcast_star_join",
     "j6_asof_join",
-    "j7_range_join",
     # set ops (U row representative)
     "u1_union_base_delta",
     # windows (running sum, sessionize, deciles; w1/w3/w4/w6 same row)
@@ -73,7 +72,6 @@ DRIVER_WINDOW = (
     # text analysis
     "t1_token_stats",
     "t2_quality_score",
-    "t5_lang_profile",
     "t6_winnow_fingerprints",
     # deduplication (exact, MinHash-LSH, linear apply, components, decontaminate)
     "d1_exact_dedup",
@@ -95,9 +93,11 @@ DRIVER_WINDOW = (
     # streaming (windowed counts, stateful sessions)
     "s1_stream_windowed_counts",
     "s3_stream_sessions",
-    # ETL pipelines (flagship last-but-inside)
+    # ETL pipelines (flagship + packing + mixture, last-but-inside)
     "e1_docket_pipeline",
     "e2_training_pipeline",
+    "e4_pack_sequences",
+    "e5_mixture_sample",
 )
 
 

@@ -192,10 +192,203 @@ def e3_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 200  # tokens per packed training sequence
+PACK_SHARDS = 16  # independent packing groups (hex nibble of md5)
+
+
+def e4_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing — the step between curation and the
+    trainer: greedily fill fixed token-budget sequences ("bins") with
+    whole documents, never splitting one. Packing is inherently
+    sequential *within* a stream, so the scale shape is
+    shard-then-pack: a deterministic hash shards the corpus, each
+    shard packs independently in one Arrow-batched ``applyInPandas``
+    pass (linear, no quadratic anything), and shards pack in parallel.
+    At 100 TB the shard count is the parallelism knob — thousands of
+    shards, each a single partition-local linear scan; the only
+    shuffle is the hash partitioning the trainer wants anyway.
+
+    A doc larger than the budget gets its own (overflowing) bin —
+    standard "don't split, don't drop" packing semantics. The oracle
+    replays the exact greedy recurrence as a DuckDB recursive CTE, so
+    the hash check pins every bin boundary, not just totals.
+    """
+    import pandas as pd
+
+    from ..tables import load_table
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ).cast("int")
+    with_toks = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        rows = []
+        bin_id, fill, ndocs = 0, 0, 0
+        for t in pdf["n_toks"]:
+            if ndocs > 0 and fill + t > PACK_BUDGET:
+                rows.append((bin_id, fill, ndocs))
+                bin_id, fill, ndocs = bin_id + 1, 0, 0
+            fill += int(t)
+            ndocs += 1
+        if ndocs:
+            rows.append((bin_id, fill, ndocs))
+        s = int(pdf["shard"].iloc[0])
+        return pd.DataFrame(
+            [(s, b, t, n) for b, t, n in rows],
+            columns=["shard", "bin_id", "bin_tokens", "n_docs"],
+        )
+
+    bins = with_toks.groupBy("shard").applyInPandas(
+        pack, "shard int, bin_id long, bin_tokens long, n_docs long"
+    )
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bin_tokens").alias("total_tokens"),
+            # ratio-of-sums (not avg-of-ratios): integer sums are
+            # order-independent, so the rounded double matches DuckDB
+            # exactly.
+            F.round(
+                F.sum("bin_tokens") / (F.count(F.lit(1)) * F.lit(float(PACK_BUDGET))),
+                4,
+            ).alias("avg_fill"),
+            F.max("n_docs").alias("max_docs_bin"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _e4_oracle() -> str:
+    from .text import TOKEN_PATTERN
+
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT CAST(strpos('0123456789abcdef',
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                        AS INT) AS shard,
+                   doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_toks
+            FROM documents
+        ), ord AS (
+            SELECT shard, n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM base
+        ), pack AS (
+            SELECT shard, rn, n_toks, CAST(0 AS BIGINT) AS bin_id, n_toks AS fill
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.rn, o.n_toks,
+                   CASE WHEN p.fill + o.n_toks <= {PACK_BUDGET}
+                        THEN p.bin_id ELSE p.bin_id + 1 END,
+                   CASE WHEN p.fill + o.n_toks <= {PACK_BUDGET}
+                        THEN p.fill + o.n_toks ELSE o.n_toks END
+            FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+        ), bins AS (
+            SELECT shard, bin_id, SUM(n_toks) AS bin_tokens, COUNT(*) AS n_docs
+            FROM pack GROUP BY shard, bin_id
+        )
+        SELECT shard, COUNT(*) AS n_bins,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+               ROUND(SUM(bin_tokens) / (COUNT(*) * CAST({PACK_BUDGET} AS DOUBLE)),
+                     4) AS avg_fill,
+               CAST(MAX(n_docs) AS BIGINT) AS max_docs_bin
+        FROM bins GROUP BY shard ORDER BY shard
+    """
+
+
+#: Per-source sampling thresholds for the training mixture, as an
+#: upper bound on the first byte of md5(doc_id): keep iff
+#: substring(md5, 1, 2) < hex(thr). thr/256 IS the exact target rate
+#: (granularity 1/256), and membership is stable under corpus growth —
+#: the property a reproducible mixture needs. Spread 38..228 so every
+#: source gets a distinct rate.
+MIX_THRESHOLDS = {f"src{i}": 38 + 10 * i for i in range(20)}
+
+
+def e5_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted mixture sampling — build a training mix by
+    downsampling each source to its target rate. The rate table is a
+    20-row dim broadcast to every executor (zero shuffle of the
+    corpus); membership is a pure projection on md5(doc_id), so the
+    same doc is kept or dropped identically on every run, engine, and
+    corpus size. The single shuffle is the final per-source rollup.
+    At 100 TB this is the exact plan you want: scan → broadcast-hash
+    join → project → partial agg → 20-row exchange.
+    """
+    from ..tables import load_table
+
+    rates = spark.createDataFrame(
+        [(s, t, round(t / 256.0, 4)) for s, t in sorted(MIX_THRESHOLDS.items())],
+        "source string, thr int, target_rate double",
+    ).withColumn("thr_hex", F.lpad(F.conv(F.col("thr"), 10, 16), 2, "0"))
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < F.lower(
+        F.col("thr_hex")
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("kept", kept)
+        .groupBy("source", "target_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.round(
+                F.sum(F.col("kept").cast("long")) / F.count(F.lit(1)), 4
+            ).alias("achieved_rate"),
+            F.sum(
+                F.when(F.col("kept"), F.col("n_chars")).otherwise(0).cast("long")
+            ).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _e5_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', '{t:02x}', {round(t / 256.0, 4)})"
+        for s, t in sorted(MIX_THRESHOLDS.items())
+    )
+    return f"""
+        WITH rates(source, thr_hex, target_rate) AS (VALUES {values}),
+        flagged AS (
+            SELECT d.source, r.target_rate, d.n_chars,
+                   substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < r.thr_hex
+                       AS kept
+            FROM documents d JOIN rates r USING (source)
+        )
+        SELECT source, CAST(target_rate AS DOUBLE) AS target_rate,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) /
+                     CAST(COUNT(*) AS DOUBLE), 4) AS achieved_rate,
+               CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS kept_chars
+        FROM flagged GROUP BY source, target_rate ORDER BY source
+    """
+
+
 QUERIES = {
     "e1_docket_pipeline": e1_docket_pipeline,
     "e2_training_pipeline": e2_training_pipeline,
     "e3_shard_assign": e3_shard_assign,
+    "e4_pack_sequences": e4_pack_sequences,
+    "e5_mixture_sample": e5_mixture_sample,
 }
 ORACLE = {
     "e1_docket_pipeline": _oracle(),
@@ -215,4 +408,6 @@ ORACLE = {
         FROM s GROUP BY shard ORDER BY shard
     """,
     "e2_training_pipeline": _e2_oracle(),
+    "e4_pack_sequences": _e4_oracle(),
+    "e5_mixture_sample": _e5_oracle(),
 }
