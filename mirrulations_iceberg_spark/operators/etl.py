@@ -234,42 +234,51 @@ def e4_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        rows = []
-        bin_id, fill, ndocs = 0, 0, 0
+        bins = []  # (bin_tokens, n_docs) per closed bin
+        fill, ndocs = 0, 0
         for t in pdf["n_toks"]:
             if ndocs > 0 and fill + t > PACK_BUDGET:
-                rows.append((bin_id, fill, ndocs))
-                bin_id, fill, ndocs = bin_id + 1, 0, 0
+                bins.append((fill, ndocs))
+                fill, ndocs = 0, 0
             fill += int(t)
             ndocs += 1
         if ndocs:
-            rows.append((bin_id, fill, ndocs))
-        s = int(pdf["shard"].iloc[0])
+            bins.append((fill, ndocs))
+        # Emit the shard summary here: the group already holds the whole
+        # shard, so aggregating Spark-side would round-trip one row per
+        # bin through a second shuffle for nothing (bins ≈ docs/5 — a
+        # real exchange at corpus scale).
         return pd.DataFrame(
-            [(s, b, t, n) for b, t, n in rows],
-            columns=["shard", "bin_id", "bin_tokens", "n_docs"],
+            [
+                (
+                    int(pdf["shard"].iloc[0]),
+                    len(bins),
+                    int(pdf["n_toks"].count()),
+                    sum(t for t, _ in bins),
+                    max(n for _, n in bins),
+                )
+            ],
+            columns=["shard", "n_bins", "n_docs", "total_tokens", "max_docs_bin"],
         )
 
-    bins = with_toks.groupBy("shard").applyInPandas(
-        pack, "shard int, bin_id long, bin_tokens long, n_docs long"
+    packed = with_toks.groupBy("shard").applyInPandas(
+        pack,
+        "shard int, n_bins long, n_docs long, total_tokens long, max_docs_bin long",
     )
-    return (
-        bins.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_bins"),
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("bin_tokens").alias("total_tokens"),
-            # ratio-of-sums (not avg-of-ratios): integer sums are
-            # order-independent, so the rounded double matches DuckDB
-            # exactly.
-            F.round(
-                F.sum("bin_tokens") / (F.count(F.lit(1)) * F.lit(float(PACK_BUDGET))),
-                4,
-            ).alias("avg_fill"),
-            F.max("n_docs").alias("max_docs_bin"),
-        )
-        .orderBy("shard")
-    )
+    # avg_fill is a ratio of the emitted integer sums, rounded with
+    # F.round (HALF_UP on the decimal repr — what the DuckDB oracle's
+    # ROUND does; Python's banker's round on the raw double disagrees
+    # on values like 1286/1600).
+    return packed.select(
+        "shard",
+        "n_bins",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens") / (F.col("n_bins") * F.lit(float(PACK_BUDGET))), 4
+        ).alias("avg_fill"),
+        "max_docs_bin",
+    ).orderBy("shard")
 
 
 def _e4_oracle() -> str:
