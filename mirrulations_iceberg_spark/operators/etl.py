@@ -193,7 +193,12 @@ def e3_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 200  # tokens per packed training sequence
-PACK_SHARDS = 16  # independent packing groups (hex nibble of md5)
+#: Independent packing groups — THE parallelism knob: each shard packs
+#: sequentially in one task, shards pack in parallel, so set this ≈ the
+#: cluster's task slots (or the trainer's shard count). Derived from the
+#: first md5 byte (256 distinct values) mod this, so any divisor of 256
+#: works without touching the hash.
+PACK_SHARDS = 32
 
 
 def e4_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,13 +224,12 @@ def e4_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    shard = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    ).cast("int")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    nib = "0123456789abcdef"
+    first_byte = (F.instr(F.lit(nib), F.substring(md5, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(nib), F.substring(md5, 2, 1)) - 1
+    )
+    shard = (first_byte % PACK_SHARDS).cast("int")
     with_toks = docs.select(
         "doc_id",
         shard.alias("shard"),
@@ -286,9 +290,13 @@ def _e4_oracle() -> str:
 
     return f"""
         WITH RECURSIVE base AS (
-            SELECT CAST(strpos('0123456789abcdef',
-                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
-                        AS INT) AS shard,
+            SELECT CAST((
+                       (strpos('0123456789abcdef',
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                       * 16 +
+                       (strpos('0123456789abcdef',
+                               substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                   ) % {PACK_SHARDS} AS INT) AS shard,
                    doc_id,
                    CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
                         AS BIGINT) AS n_toks
