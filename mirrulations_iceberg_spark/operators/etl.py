@@ -269,18 +269,19 @@ def e4_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         "shard int, n_bins long, n_docs long, total_tokens long, max_docs_bin long",
     )
-    # avg_fill is a ratio of the emitted integer sums, rounded with
-    # F.round (HALF_UP on the decimal repr — what the DuckDB oracle's
-    # ROUND does; Python's banker's round on the raw double disagrees
-    # on values like 1286/1600).
+    # Fill ratio in basis points via integer division — double ROUND is
+    # a cross-engine trap on exact halves (627/800 = 0.78375 rounds
+    # differently under Spark's HALF_UP-on-decimal-repr vs DuckDB's
+    # round(x·10⁴) double path); (10⁴·total) div (bins·budget) is exact
+    # everywhere.
     return packed.select(
         "shard",
         "n_bins",
         "n_docs",
         "total_tokens",
-        F.round(
-            F.col("total_tokens") / (F.col("n_bins") * F.lit(float(PACK_BUDGET))), 4
-        ).alias("avg_fill"),
+        F.expr(
+            f"CAST((10000 * total_tokens) DIV (n_bins * {PACK_BUDGET}) AS INT)"
+        ).alias("fill_bp"),
         "max_docs_bin",
     ).orderBy("shard")
 
@@ -322,8 +323,8 @@ def _e4_oracle() -> str:
         SELECT shard, COUNT(*) AS n_bins,
                CAST(SUM(n_docs) AS BIGINT) AS n_docs,
                CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
-               ROUND(SUM(bin_tokens) / (COUNT(*) * CAST({PACK_BUDGET} AS DOUBLE)),
-                     4) AS avg_fill,
+               CAST((10000 * SUM(bin_tokens)) // (COUNT(*) * {PACK_BUDGET})
+                    AS INT) AS fill_bp,
                CAST(MAX(n_docs) AS BIGINT) AS max_docs_bin
         FROM bins GROUP BY shard ORDER BY shard
     """
@@ -400,12 +401,127 @@ def _e5_oracle() -> str:
     """
 
 
+E6_TOKEN_BUDGET = 12_000  # global token budget for the selected corpus
+
+
+def e6_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked corpus selection under a global token budget —
+    "take the best documents until N tokens" — WITHOUT the global sort
+    that rule naively implies. The greedy order is (quality desc,
+    doc_id); the naive plan is a single-partition window cumsum over
+    the whole corpus (the exact scale-killer w7 once had). Instead:
+
+    1. score every doc with an integer quality score (pure integer
+       arithmetic — ``(10000·alpha_chars) div len`` — so both engines
+       agree bit-exactly and score buckets align with greedy order);
+    2. aggregate per-score token sums (≤ 10 001 rows — bounded), walk
+       them descending on the driver to find the cutoff score and the
+       residual budget (control flow over a dimension-sized result,
+       like d8's convergence counts and x5's centroid table);
+    3. keep every doc strictly above the cutoff (no sort, no window —
+       a filter), and run the window cumsum ONLY inside the cutoff
+       bucket (~1/n_distinct_scores of the corpus through one task).
+
+    The result is bit-identical to the global greedy prefix — the
+    oracle IS the naive global window in DuckDB — but no stage ever
+    sorts more than one score bucket on one task. At 100 TB with a
+    pathological one-score corpus the boundary bucket degenerates to
+    the naive plan; real quality scores spread over thousands of
+    distinct values.
+    """
+    from ..tables import load_table
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+        alpha.alias("__alpha"),
+        F.length("text").alias("__len"),
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "CAST((10000 * __alpha) DIV GREATEST(__len, 1) AS INT) AS iscore",
+    )
+    bsums = sorted(
+        (
+            (r["iscore"], r["btoks"])
+            for r in scored.groupBy("iscore")
+            .agg(F.sum("n_toks").alias("btoks"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    cum, cutoff, residual = 0, -1, 0
+    for iscore, btoks in bsums:
+        if cum + btoks <= E6_TOKEN_BUDGET:
+            cum += btoks
+        else:
+            cutoff, residual = iscore, E6_TOKEN_BUDGET - cum
+            break
+    kept_full = scored.filter(F.col("iscore") > cutoff)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("iscore").orderBy("doc_id")
+    boundary = (
+        scored.filter(F.col("iscore") == cutoff)
+        .withColumn("cumt", F.sum("n_toks").over(w))
+        .filter(F.col("cumt") <= residual)
+        .drop("cumt")
+    )
+    return (
+        kept_full.unionByName(boundary)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("kept_tokens"),
+            F.min("iscore").alias("min_score"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _e6_oracle() -> str:
+    from .text import TOKEN_PATTERN
+
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_toks,
+                   CAST((10000 * LENGTH(regexp_replace(lower(text),
+                                                       '[^a-z0-9]', '', 'g')))
+                        // GREATEST(LENGTH(text), 1) AS INT) AS iscore
+            FROM documents
+        ), ranked AS (
+            SELECT *, SUM(n_toks) OVER (
+                ORDER BY iscore DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM scored
+        ), kept AS (
+            SELECT * FROM ranked WHERE cum <= {E6_TOKEN_BUDGET}
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS kept_tokens,
+               MIN(iscore) AS min_score,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM kept GROUP BY lang ORDER BY lang
+    """
+
+
 QUERIES = {
     "e1_docket_pipeline": e1_docket_pipeline,
     "e2_training_pipeline": e2_training_pipeline,
     "e3_shard_assign": e3_shard_assign,
     "e4_pack_sequences": e4_pack_sequences,
     "e5_mixture_sample": e5_mixture_sample,
+    "e6_budget_select": e6_budget_select,
 }
 ORACLE = {
     "e1_docket_pipeline": _oracle(),
@@ -427,4 +543,5 @@ ORACLE = {
     "e2_training_pipeline": _e2_oracle(),
     "e4_pack_sequences": _e4_oracle(),
     "e5_mixture_sample": _e5_oracle(),
+    "e6_budget_select": _e6_oracle(),
 }

@@ -36,10 +36,10 @@ def test_pack_bins_respect_budget_unless_single_doc(spark):
     # could be 1, so check the aggregate bound per shard instead.
     rows = e4_pack_sequences(spark, SF_DIR).collect()
     for r in rows:
-        # average fill can never exceed 1 unless some bin is a single
+        # average fill can never exceed 100% unless some bin is a single
         # oversized doc; with the fixture's max doc ≈ budget/2 the
         # bound is strict.
-        assert r["avg_fill"] <= 1.0, r
+        assert r["fill_bp"] <= 10_000, r
         assert r["max_docs_bin"] >= 1
 
 
@@ -89,3 +89,78 @@ def test_mixture_plan_broadcasts_rate_table(spark):
 
 def test_pack_budget_sane():
     assert PACK_BUDGET > 0
+
+
+def test_budget_select_equals_naive_global_window(spark):
+    """The bucketed two-phase plan must be bit-identical to the naive
+    single-partition global cumsum it replaces (same equivalence the
+    DuckDB oracle checks, here pinned engine-internally so a refactor
+    of either side can't drift)."""
+    from pyspark.sql import Window
+
+    from mirrulations_iceberg_spark.operators.etl import (
+        E6_TOKEN_BUDGET,
+        e6_budget_select,
+    )
+    from mirrulations_iceberg_spark.operators.text import tokens_col
+
+    docs = load_table(spark, SF_DIR, "documents")
+    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+        alpha.alias("__alpha"),
+        F.length("text").alias("__len"),
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "CAST((10000 * __alpha) DIV GREATEST(__len, 1) AS INT) AS iscore",
+    )
+    w = Window.orderBy(F.desc("iscore"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        scored.withColumn("cum", F.sum("n_toks").over(w))
+        .filter(F.col("cum") <= E6_TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("kept_tokens"),
+            F.min("iscore").alias("min_score"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+    fast = e6_budget_select(spark, SF_DIR)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_budget_select_respects_budget(spark):
+    from mirrulations_iceberg_spark.operators.etl import (
+        E6_TOKEN_BUDGET,
+        e6_budget_select,
+    )
+
+    total = e6_budget_select(spark, SF_DIR).agg(
+        F.sum("kept_tokens").alias("t")
+    ).first()["t"]
+    assert 0 < total <= E6_TOKEN_BUDGET
+
+
+def test_budget_select_plan_has_no_global_window(spark):
+    """The point of e6: no Exchange SinglePartition feeding a Window
+    over the corpus (the boundary-bucket window is partitioned by
+    iscore)."""
+    from mirrulations_iceberg_spark.operators.etl import e6_budget_select
+
+    plan = (
+        e6_budget_select(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
