@@ -446,6 +446,10 @@ def e6_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         "CAST((10000 * __alpha) DIV GREATEST(__len, 1) AS INT) AS iscore",
     )
+    # cache(): scored feeds the bucket-sum action AND both branches of
+    # the final union — uncached, the scan+tokenize lineage runs three
+    # times. The cached projection is ~24 bytes/doc, tiny vs the corpus.
+    scored = scored.cache()
     bsums = sorted(
         (
             (r["iscore"], r["btoks"])
