@@ -313,9 +313,13 @@ def x4_embedding_neardup_pairs(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("qe"), F.col("norm").alias("qnorm")
     )
     b = emb.select(F.col("vec_id").alias("vec_b"), "e", "norm")
+    # No broadcast hint on a/b: they are the FULL embedding table — at
+    # corpus scale that must be a shuffle join; locally the optimizer
+    # auto-broadcasts anyway (the table is far under the 10 MB
+    # threshold), so the hint only removed the scale escape hatch.
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("cos_sim", _cosine_sim())
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
@@ -421,9 +425,11 @@ def x6_embedding_dedup_apply(
         F.col("norm").alias("qnorm"),
     )
     b = emb.select(F.col("vec_id").alias("vec_b"), "e", "norm")
+    # No broadcast hint on a/b (the full table): see x4 — the local
+    # plan still auto-broadcasts, the 100 TB plan must shuffle.
     drop = (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("cos_sim", _cosine_sim())
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_b")
