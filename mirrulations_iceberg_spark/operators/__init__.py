@@ -83,8 +83,7 @@ DRIVER_WINDOW = (
     "x2_ann_lsh_topk",
     "x6_embedding_dedup_apply",
     "x7_ann_partitioned_index",
-    # multimodal
-    "mm1_media_manifest",
+    # multimodal (mm1 manifest is the trivial cousin — kept past the window)
     "mm2_feature_stats",
     # maintenance (compaction, contract check, skew report)
     "m4_compaction",
@@ -98,6 +97,7 @@ DRIVER_WINDOW = (
     "e2_training_pipeline",
     "e4_pack_sequences",
     "e5_mixture_sample",
+    "e6_budget_select",
 )
 
 
