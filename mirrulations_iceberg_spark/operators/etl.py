@@ -201,6 +201,25 @@ PACK_BUDGET = 200  # tokens per packed training sequence
 PACK_SHARDS = 32
 
 
+def greedy_pack(token_counts, budget: int) -> list[tuple[int, int]]:
+    """Greedy fixed-budget sequence packing over an ordered stream:
+    a document joins the current bin unless that would overflow
+    ``budget``; a document alone may overflow (never split, never
+    drop). Returns ``(bin_tokens, n_docs)`` per closed bin, in order.
+    Property-tested in tests/test_packing.py (hypothesis)."""
+    bins: list[tuple[int, int]] = []
+    fill, ndocs = 0, 0
+    for t in token_counts:
+        if ndocs > 0 and fill + t > budget:
+            bins.append((fill, ndocs))
+            fill, ndocs = 0, 0
+        fill += int(t)
+        ndocs += 1
+    if ndocs:
+        bins.append((fill, ndocs))
+    return bins
+
+
 def e4_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length packing — the step between curation and the
     trainer: greedily fill fixed token-budget sequences ("bins") with
@@ -238,16 +257,7 @@ def e4_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        bins = []  # (bin_tokens, n_docs) per closed bin
-        fill, ndocs = 0, 0
-        for t in pdf["n_toks"]:
-            if ndocs > 0 and fill + t > PACK_BUDGET:
-                bins.append((fill, ndocs))
-                fill, ndocs = 0, 0
-            fill += int(t)
-            ndocs += 1
-        if ndocs:
-            bins.append((fill, ndocs))
+        bins = greedy_pack(pdf["n_toks"], PACK_BUDGET)
         # Emit the shard summary here: the group already holds the whole
         # shard, so aggregating Spark-side would round-trip one row per
         # bin through a second shuffle for nothing (bins ≈ docs/5 — a

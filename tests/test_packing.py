@@ -91,6 +91,38 @@ def test_pack_budget_sane():
     assert PACK_BUDGET > 0
 
 
+try:
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from mirrulations_iceberg_spark.operators.etl import greedy_pack
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=500), max_size=200),
+        st.integers(min_value=1, max_value=300),
+    )
+    def test_greedy_pack_properties(toks, budget):
+        bins = greedy_pack(toks, budget)
+        # conservation: every doc in exactly one bin, every token kept
+        assert sum(n for _, n in bins) == len(toks)
+        assert sum(t for t, _ in bins) == sum(toks)
+        # budget: a bin over budget must be a single oversized doc
+        for t, n in bins:
+            assert t <= budget or n == 1
+    def test_greedy_pack_examples():
+        assert greedy_pack([100, 100, 50, 200, 1], 200) == [
+            (200, 2),  # 100+100 fills the bin exactly
+            (50, 1),  # 50 alone — the 200 after it would overflow
+            (200, 1),
+            (1, 1),
+        ]
+        assert greedy_pack([300], 200) == [(300, 1)]  # oversized doc kept whole
+        assert greedy_pack([], 200) == []
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
 def test_budget_select_equals_naive_global_window(spark):
     """The bucketed two-phase plan must be bit-identical to the naive
     single-partition global cumsum it replaces (same equivalence the
