@@ -396,6 +396,93 @@ def t10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SQL = "', '".join(STOPWORDS)
 
+T11_TOP_K = 50  # per-language model size (top-K bigrams by frequency)
+
+
+def t11_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-proxy quality scoring with a corpus-derived model — the
+    two-pass "train a tiny model on the corpus, score the corpus"
+    shape (the cheap stand-in for perplexity filtering): pass 1 builds
+    a per-language top-K bigram table; pass 2 scores every document by
+    what fraction of its bigram occurrences the model covers. Unlike
+    t2/t5 (static heuristics), the model here comes from the data.
+
+    Scale shape: the bigram count is the canonical word-count shuffle;
+    the per-language top-K ranks through ``WindowGroupLimit`` (each map
+    task pre-trims to K rows per language before the exchange — w1's
+    plan shape); the resulting model is K×n_langs rows and BROADCASTS
+    back onto the exploded corpus, so scoring adds no corpus shuffle
+    beyond the per-doc rollup. Coverage is integer basis points
+    (``DIV``) end-to-end — no cross-engine float anywhere. Documents
+    with fewer than two tokens carry no bigrams and drop out of both
+    engines identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    ex = (
+        docs.select("doc_id", "lang", toks.alias("__t"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(__t) - 1, 0)),"
+                    " i -> concat(element_at(__t, i), ' ',"
+                    " element_at(__t, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+        # cache(): the exploded bigram stream feeds BOTH the model build
+        # and the scoring join — uncached, scan+tokenize+explode runs
+        # twice.
+        .cache()
+    )
+    counts = ex.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("bigram"))
+    model = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= T11_TOP_K)
+        .select("lang", "bigram", F.lit(1).alias("__m"))
+    )
+    per_doc = (
+        ex.join(F.broadcast(model), ["lang", "bigram"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bi"),
+            F.sum(F.coalesce(F.col("__m"), F.lit(0)).cast("long")).alias(
+                "n_match"
+            ),
+        )
+        .withColumn(
+            "bp", F.expr("CAST((10000 * n_match) DIV n_bi AS INT)")
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bi").alias("total_bigrams"),
+            F.sum("n_match").alias("matched_bigrams"),
+            F.min("bp").alias("min_doc_bp"),
+            F.max("bp").alias("max_doc_bp"),
+        )
+        .withColumn(
+            "coverage_bp",
+            F.expr("CAST((10000 * matched_bigrams) DIV total_bigrams AS INT)"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_bigrams",
+            "matched_bigrams",
+            "coverage_bp",
+            "min_doc_bp",
+            "max_doc_bp",
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -407,6 +494,7 @@ QUERIES = {
     "t9_token_counts": t9_token_counts,
     "t8_repetition_ratio": t8_repetition_ratio,
     "t10_pii_redact": t10_pii_redact,
+    "t11_bigram_coverage": t11_bigram_coverage,
 }
 
 # DuckDB twin of t6's gram hash: same base-131 powers, same padded
@@ -585,4 +673,42 @@ ORACLE = {
                CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
         FROM scrubbed GROUP BY lang ORDER BY lang
     """,
+    "t11_bigram_coverage": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       range(1, GREATEST(len(t) - 1, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks
+        ), counts AS (
+            SELECT lang, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2
+        ), model AS (
+            SELECT lang, bigram FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY c DESC, bigram) AS rn
+                FROM counts
+            ) WHERE rn <= {{top_k}}
+        ), per_doc AS (
+            SELECT b.doc_id, b.lang, COUNT(*) AS n_bi,
+                   SUM(CASE WHEN m.bigram IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_match
+            FROM bi b LEFT JOIN model m
+              ON b.lang = m.lang AND b.bigram = m.bigram
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT *, CAST((10000 * n_match) // n_bi AS INT) AS bp
+            FROM per_doc
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_bi) AS BIGINT) AS total_bigrams,
+               CAST(SUM(n_match) AS BIGINT) AS matched_bigrams,
+               CAST((10000 * SUM(n_match)) // SUM(n_bi) AS INT)
+                   AS coverage_bp,
+               MIN(bp) AS min_doc_bp, MAX(bp) AS max_doc_bp
+        FROM scored GROUP BY lang ORDER BY lang
+    """.replace("{top_k}", str(T11_TOP_K)),
 }

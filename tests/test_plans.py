@@ -90,6 +90,16 @@ def test_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in _plan(spark, "t7_tfidf_top_terms")
 
 
+def test_t11_model_ranks_limited_and_broadcast(spark):
+    """t11's per-language top-K must pre-trim map-side
+    (WindowGroupLimit) and the resulting model must broadcast onto the
+    exploded corpus, never shuffle it."""
+    plan = _plan(spark, "t11_bigram_coverage")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_range_join_broadcasts_interval_side(spark):
     """j7's interval side is 3 derived rows: it must broadcast (the
     fact side streams through unshuffled), never sort-merge."""
