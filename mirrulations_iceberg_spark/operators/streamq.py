@@ -37,6 +37,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file-source stream, with the same
     TIMESTAMP(NANOS) → timestamp conversion as ``tables.load_table``
     so stream and batch arithmetic agree."""
+    from ..tables import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     return (
         spark.readStream.schema(batch_schema)

@@ -34,6 +34,9 @@ def attributed_purchases(
     one row per qualifying click within ``max_gap`` before the
     purchase (inner join — unattributed purchases drop out).
     """
+    from ..tables import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     events = (
         spark.readStream.schema(batch_schema)

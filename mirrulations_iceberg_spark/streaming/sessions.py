@@ -94,6 +94,9 @@ def events_file_stream(
 ) -> DataFrame:
     """File-source events stream with the fixture's nanos→timestamp
     conversion (see streaming.windows)."""
+    from ..tables import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     batch_schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:

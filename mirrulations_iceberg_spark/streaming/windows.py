@@ -27,6 +27,9 @@ def windowed_event_counts(
     Returns an unstarted streaming DataFrame; callers pick sink +
     trigger.
     """
+    from ..tables import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source wants a DIRECTORY basePath; narrow to the
     # events file with a glob filter.

@@ -30,6 +30,17 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.parquet carries TIMESTAMP(NANOS); a session without this
+    conf fails footer-schema conversion (PARQUET_TYPE_ILLEGAL). It is a
+    runtime-settable SQL conf, so every reader that touches the file —
+    batch or streaming schema inference — calls this first rather than
+    relying on session.py defaults: callers may hand us any
+    SparkSession (the round driver builds a plain one) and each query
+    must be self-sufficient even when it runs first in the session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table.
 
@@ -40,12 +51,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); a session without this
-        # conf fails footer-schema conversion (PARQUET_TYPE_ILLEGAL). It is
-        # a runtime-settable SQL conf, so set it here rather than relying on
-        # session.py — callers may hand us any SparkSession (harnesses,
-        # notebooks) and the reader must be self-sufficient.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong=true (session.py) surfaces the fixture's
