@@ -181,6 +181,69 @@ def _s2_oracle() -> str:
     )
 
 
+def s4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup-on-ingest — the streaming half of the dedup
+    story: the same event file is delivered THREE times (three files,
+    ``maxFilesPerTrigger=1`` → three micro-batches — at-least-once
+    redelivery, the failure mode idempotent ingestion exists to
+    absorb), and ``dropDuplicatesWithinWatermark(event_id)`` must emit
+    every event exactly once. State stays bounded: the watermark
+    evicts ids older than the delay, and redelivered rows behind the
+    watermark drop as late data — both paths land on "emitted once".
+
+    The oracle is simply the original events table aggregated — if ANY
+    duplicate leaks through (or any event is lost to eviction racing),
+    counts and checksums diverge. n_events vs n_unique inside the
+    result additionally pins output-level uniqueness.
+    """
+    import shutil
+    import tempfile
+
+    from ..tables import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    base = tempfile.mkdtemp(prefix="miis_s4_")
+    try:
+        src = f"{sf_dir}/events.parquet"
+        for i in range(3):
+            shutil.copyfile(src, f"{base}/delivery{i}.parquet")
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(base)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        name = f"s4_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # The memory sink has materialized — the scratch files can go.
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("event_id").alias("n_unique"),
+                F.sum("event_id").alias("id_checksum"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def s3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful operator (gap sessionization via
     ``applyInPandasWithState`` — the pattern for operators Spark lacks)
@@ -224,9 +287,17 @@ QUERIES = {
     "s1_stream_windowed_counts": s1_stream_windowed_counts,
     "s2_incremental_ingest": s2_incremental_ingest,
     "s3_stream_sessions": s3_stream_sessions,
+    "s4_stream_dedup": s4_stream_dedup,
 }
 
 ORACLE = {
+    "s4_stream_dedup": """
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT event_id) AS n_unique,
+               CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "s2_incremental_ingest": _s2_oracle(),
     # Gap sessionization in SQL with MICROSECOND arithmetic, minus each
     # user's final (still-open) session — see the s3 docstring.
