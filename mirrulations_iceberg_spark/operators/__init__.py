@@ -15,7 +15,12 @@ Conventions that keep the DuckDB differential check meaningful:
 * floating-point **sums** go through ``DECIMAL(18,2)`` (exact,
   order-independent) and are cast back to double; floating-point
   **means/ratios** are ``ROUND``-ed (division by n makes the error
-  negligible); min/max/median/count are exact and left untouched.
+  negligible); min/max/median/count are exact and left untouched;
+* **ratios of small integers** avoid double ``ROUND`` entirely — on an
+  exact half (627/800) Spark's HALF_UP-on-decimal-repr, DuckDB's
+  round(x·10⁴)-in-binary, and Python's banker's round give three
+  different answers — and use integer basis points instead:
+  ``(10000 * a) DIV b`` (Spark) == ``(10000 * a) // b`` (DuckDB).
 """
 
 from __future__ import annotations
