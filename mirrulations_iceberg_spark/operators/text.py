@@ -417,25 +417,31 @@ def t11_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with fewer than two tokens carry no bigrams and drop out of both
     engines identically.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    ex = (
-        docs.select("doc_id", "lang", toks.alias("__t"))
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(__t) - 1, 0)),"
-                    " i -> concat(element_at(__t, i), ' ',"
-                    " element_at(__t, i + 1)))"
-                )
-            ).alias("bigram"),
-        )
-        # cache(): the exploded bigram stream feeds BOTH the model build
-        # and the scoring join — uncached, scan+tokenize+explode runs
-        # twice.
-        .cache()
+    from .dedup import parallelize_scan
+
+    # parallelize_scan (single-row-group fixture would run the
+    # interpreted transform on one task) + the NAMED-column ladder
+    # tokens → bigrams → explode(name): inlining the transform into the
+    # generator lets CollapseProject re-evaluate the tokenizer per
+    # element (measured 36 s → ~3 s at sf0.1; the d2/d9 shingle trap).
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents")).withColumn(
+        "__t", tokens_col(F.col("text"))
+    )
+    t = F.col("__t")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", t[i], t[i + 1]),
+    )
+    bigrams = F.when(F.size(t) >= 2, windows).otherwise(
+        F.array().cast("array<string>")
+    )
+    # NOT cached, deliberately: the exploded stream feeds the model
+    # build and the scoring join, but recomputing it is one cheap
+    # codegen'd pass — while caching corpus×(tokens−1) exploded rows is
+    # exactly the thing that cannot fit at 100 TB (and measured slower
+    # locally than the recompute).
+    ex = docs.withColumn("__bi", bigrams).select(
+        "doc_id", "lang", F.explode("__bi").alias("bigram")
     )
     counts = ex.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("bigram"))
