@@ -95,13 +95,17 @@ def e2_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = near_kept.withColumn("rn", F.row_number().over(w_lang)).filter(
         (F.col("rn") - 1) % E2_SAMPLE_EVERY == 0
     )
-    return selected.groupBy("lang").agg(
+    out = selected.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("__toks").cast("long")).alias("total_tokens"),
         F.round(F.avg(F.size("__toks")), 4).alias("avg_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+    # Per-lang rows out; release the survivor cache with them.
+    from .util import materialize_release
+
+    return materialize_release(spark, out, exact_kept)
 
 
 def _e2_oracle() -> str:
@@ -376,12 +380,15 @@ def e5_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum(F.col("kept").cast("long")).alias("n_kept"),
-            F.round(
-                F.sum(F.col("kept").cast("long")) / F.count(F.lit(1)), 4
-            ).alias("achieved_rate"),
             F.sum(
                 F.when(F.col("kept"), F.col("n_chars")).otherwise(0).cast("long")
             ).alias("kept_chars"),
+        )
+        # Achieved rate in integer basis points — a ratio of small
+        # integers hits the cross-engine double-ROUND half-value trap
+        # (see operators/__init__ conventions); DIV is exact everywhere.
+        .withColumn(
+            "achieved_bp", F.expr("CAST((10000 * n_kept) DIV n_total AS INT)")
         )
         .orderBy("source")
     )
@@ -403,10 +410,10 @@ def _e5_oracle() -> str:
         SELECT source, CAST(target_rate AS DOUBLE) AS target_rate,
                COUNT(*) AS n_total,
                CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) /
-                     CAST(COUNT(*) AS DOUBLE), 4) AS achieved_rate,
                CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
-                   AS kept_chars
+                   AS kept_chars,
+               CAST((10000 * SUM(CASE WHEN kept THEN 1 ELSE 0 END))
+                    // COUNT(*) AS INT) AS achieved_bp
         FROM flagged GROUP BY source, target_rate ORDER BY source
     """
 
@@ -454,7 +461,10 @@ def e6_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_toks",
-        "CAST((10000 * __alpha) DIV GREATEST(__len, 1) AS INT) AS iscore",
+        # BIGINT intermediate: 10000 * an INT length wraps (non-ANSI)
+        # past ~214k chars; DuckDB's LENGTH is already BIGINT.
+        "CAST((10000 * CAST(__alpha AS BIGINT)) DIV GREATEST(__len, 1) AS INT)"
+        " AS iscore",
     )
     # cache(): scored feeds the bucket-sum action AND both branches of
     # the final union — uncached, the scan+tokenize lineage runs three
@@ -486,7 +496,7 @@ def e6_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cumt") <= residual)
         .drop("cumt")
     )
-    return (
+    out = (
         kept_full.unionByName(boundary)
         .groupBy("lang")
         .agg(
@@ -498,6 +508,10 @@ def e6_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    # Per-lang rows out; release the scored cache with them.
+    from .util import materialize_release
+
+    return materialize_release(spark, out, scored)
 
 
 def _e6_oracle() -> str:

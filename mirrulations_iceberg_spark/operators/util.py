@@ -1,0 +1,34 @@
+"""Cache-lifecycle helper for operators that persist an intermediate.
+
+A query function that ``cache()``/``persist()``-es an intermediate must
+not leak the cached blocks past its own return: a long-lived session
+composing many operators would otherwise accumulate orphaned executor
+storage (bench's per-query ``clearCache()`` hides the leak there, a
+shared session does not). For operators whose *result* is
+dimension-bounded — top-k rows, per-language summaries, decile tables,
+never corpus-sized — the fix is free: materialize the bounded result,
+release the caches, and hand back a driver-local DataFrame with the
+identical schema. The collect is the same one the caller was about to
+do anyway.
+
+Operators whose output scales with the corpus (pair enumerations d3/x4)
+keep their caches attached to the returned lazy plan instead: there the
+cache serves multiple *references inside one action*, and releasing it
+before the caller's action would re-run the lineage per reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def materialize_release(
+    spark: SparkSession, result: DataFrame, *cached: DataFrame
+) -> DataFrame:
+    """Collect a dimension-bounded ``result``, unpersist every
+    DataFrame in ``cached``, and return the rows as a driver-local
+    DataFrame carrying ``result``'s exact schema."""
+    rows = result.collect()
+    for df in cached:
+        df.unpersist(blocking=False)
+    return spark.createDataFrame(rows, result.schema)

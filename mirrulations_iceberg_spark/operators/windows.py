@@ -200,7 +200,10 @@ def w7_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
-    return out
+    # 10 bounded rows out; release the range-shuffled cache with them.
+    from .util import materialize_release
+
+    return materialize_release(spark, out, ranged)
 
 
 QUERIES = {

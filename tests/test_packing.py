@@ -148,7 +148,8 @@ def test_budget_select_equals_naive_global_window(spark):
         "doc_id",
         "lang",
         "n_toks",
-        "CAST((10000 * __alpha) DIV GREATEST(__len, 1) AS INT) AS iscore",
+        "CAST((10000 * CAST(__alpha AS BIGINT)) DIV GREATEST(__len, 1) AS INT)"
+        " AS iscore",
     )
     w = Window.orderBy(F.desc("iscore"), "doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
