@@ -4,6 +4,11 @@ Small, seeded, and intentionally messy: records with absent optional
 keys, ~1%-style sparse fields, per-docket comment-volume skew, and a
 corrupt file — the failure modes the reference's try/except walk
 handles one file at a time (``convert_to_iceberg.py:237-270``).
+
+``build_records`` is the single source of truth: ``write_docket_tree``
+serializes it to JSON files, and the workload oracle replays it in
+plain Python — both sides of every differential check derive from the
+same in-memory records, so the fixture can never drift between them.
 """
 
 from __future__ import annotations
@@ -36,61 +41,65 @@ def expected_counts() -> dict[str, int]:
     }
 
 
-def write_docket_tree(root: str, seed: int = 42) -> dict[str, int]:
-    """Materialize the tree under ``root``; returns expected_counts()."""
+def build_records(seed: int = 42) -> dict[str, list[dict]]:
+    """The whole tree as in-memory JSON:API records:
+    ``{"dockets": [...], "documents": [...], "comments": [...]}``.
+    Deterministic in ``seed`` — one ``random.Random`` drives every
+    sparse-field draw in a fixed order."""
     rng = random.Random(seed)
+    dockets: list[dict] = []
+    documents: list[dict] = []
+    comments: list[dict] = []
     for d_idx, docket_id in enumerate(_docket_ids()):
         agency = docket_id.split("-")[0]
-        base = os.path.join(root, docket_id, "raw-data")
-        os.makedirs(os.path.join(base, "docket"), exist_ok=True)
-        os.makedirs(os.path.join(base, "documents"), exist_ok=True)
-        os.makedirs(os.path.join(base, "comments"), exist_ok=True)
-
-        docket = {
-            "data": {
-                "id": docket_id,
-                "type": "dockets",
-                "links": {"self": f"https://example.invalid/dockets/{docket_id}"},
-                "attributes": {
-                    "title": f"Synthetic docket {docket_id}",
-                    "agencyId": agency,
-                },
-                "relationships": {
-                    "comments": {
-                        "data": [
-                            {"id": f"{docket_id}-{c:04d}"}
-                            for c in range(COMMENT_COUNTS[d_idx])
-                        ]
-                    },
-                    "documents": {
-                        "data": [
-                            {"id": f"{docket_id}-doc-{n}"} for n in range(N_DOCUMENTS)
-                        ]
-                    },
-                },
-            }
-        }
-        with open(os.path.join(base, "docket", f"{docket_id}.json"), "w") as f:
-            json.dump(docket, f, indent=2)
-
-        for n in range(N_DOCUMENTS):
-            doc_id = f"{docket_id}-doc-{n}"
-            doc = {
+        dockets.append(
+            {
                 "data": {
-                    "id": doc_id,
-                    "type": "documents",
-                    "links": {"self": f"https://example.invalid/documents/{doc_id}"},
+                    "id": docket_id,
+                    "type": "dockets",
+                    "links": {"self": f"https://example.invalid/dockets/{docket_id}"},
                     "attributes": {
-                        "docketId": docket_id,
+                        "title": f"Synthetic docket {docket_id}",
                         "agencyId": agency,
-                        "title": f"Rule document {n}",
-                        "documentType": "Rule" if n == 0 else "Notice",
-                        "postedDate": f"2025-01-{n + 1:02d}T00:00:00Z",
+                    },
+                    "relationships": {
+                        "comments": {
+                            "data": [
+                                {"id": f"{docket_id}-{c:04d}"}
+                                for c in range(COMMENT_COUNTS[d_idx])
+                            ]
+                        },
+                        "documents": {
+                            "data": [
+                                {"id": f"{docket_id}-doc-{n}"}
+                                for n in range(N_DOCUMENTS)
+                            ]
+                        },
                     },
                 }
             }
-            with open(os.path.join(base, "documents", f"{doc_id}.json"), "w") as f:
-                json.dump(doc, f, indent=2)
+        )
+
+        for n in range(N_DOCUMENTS):
+            doc_id = f"{docket_id}-doc-{n}"
+            documents.append(
+                {
+                    "data": {
+                        "id": doc_id,
+                        "type": "documents",
+                        "links": {
+                            "self": f"https://example.invalid/documents/{doc_id}"
+                        },
+                        "attributes": {
+                            "docketId": docket_id,
+                            "agencyId": agency,
+                            "title": f"Rule document {n}",
+                            "documentType": "Rule" if n == 0 else "Notice",
+                            "postedDate": f"2025-01-{n + 1:02d}T00:00:00Z",
+                        },
+                    }
+                }
+            )
 
         for c in range(COMMENT_COUNTS[d_idx]):
             comment_id = f"{docket_id}-{c:04d}"
@@ -135,8 +144,35 @@ def write_docket_tree(root: str, seed: int = 42) -> dict[str, int]:
                     {"id": f"{comment_id}-att-{k}", "type": "attachments"}
                     for k in range(n_att)
                 ]
-            with open(os.path.join(base, "comments", f"{comment_id}.json"), "w") as f:
-                json.dump(record, f, indent=2)
+            comments.append(record)
+    return {"dockets": dockets, "documents": documents, "comments": comments}
+
+
+def write_docket_tree(root: str, seed: int = 42) -> dict[str, int]:
+    """Materialize the tree under ``root``; returns expected_counts()."""
+    recs = build_records(seed)
+    for docket in recs["dockets"]:
+        docket_id = docket["data"]["id"]
+        base = os.path.join(root, docket_id, "raw-data")
+        os.makedirs(os.path.join(base, "docket"), exist_ok=True)
+        os.makedirs(os.path.join(base, "documents"), exist_ok=True)
+        os.makedirs(os.path.join(base, "comments"), exist_ok=True)
+        with open(os.path.join(base, "docket", f"{docket_id}.json"), "w") as f:
+            json.dump(docket, f, indent=2)
+    for doc in recs["documents"]:
+        docket_id = doc["data"]["attributes"]["docketId"]
+        base = os.path.join(root, docket_id, "raw-data")
+        with open(
+            os.path.join(base, "documents", f"{doc['data']['id']}.json"), "w"
+        ) as f:
+            json.dump(doc, f, indent=2)
+    for rec in recs["comments"]:
+        docket_id = rec["data"]["attributes"]["docketId"]
+        base = os.path.join(root, docket_id, "raw-data")
+        with open(
+            os.path.join(base, "comments", f"{rec['data']['id']}.json"), "w"
+        ) as f:
+            json.dump(rec, f, indent=2)
 
     # Corrupt files (F7): truncated JSON in the first docket's comments.
     first = os.path.join(root, _docket_ids()[0], "raw-data", "comments")

@@ -38,6 +38,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: maintenance, streaming, and the flagship e2 pipeline). Everything
 #: past the window stays pytest/replica-verified (tests/test_oracle_parity.py
 #: sweeps all entries, not just these).
+#:
+#: Round-5 rotation: the never-driver-checked §2.12/§2.1/§2.10 rows
+#: (m1→M1+S8, m2→M2, m3→M3, m6→M6+A11, s13→S13, s4, t11) replace
+#: seven slots whose §2 rows carry driver-green rows from rounds 3–4
+#: (d9, t2, t6, o4, o6, c9, w2 — each family keeps ≥1 representative:
+#: dedup keeps d1/d3/d7/d8, text keeps t1, ordering keeps o2,
+#: scalars keep c_scalar_suite/c11/c_json_extract, windows keep w5/w7).
 DRIVER_WINDOW = (
     # filters (F1-F4)
     "f1_like_substring",
@@ -56,13 +63,10 @@ DRIVER_WINDOW = (
     "a9_value_counts",
     "a10_date_histogram",
     "a12_rollup",
-    # ordering / sampling (O2, O4, O6; o7/o8 are O6 extensions)
+    # ordering / sampling (O2; o4/o6/o7/o8 proven rounds 3-4)
     "o2_top_dates",
-    "o4_peak_day",
-    "o6_systematic_sample",
-    # scalar / JSON functions (C1-C8, C9/C10, C11, C15)
+    # scalar / JSON functions (C1-C8, C11, C15; c9 proven rounds 3-4)
     "c_scalar_suite",
-    "c9_ts_minmax",
     "c11_from_json_typed",
     "c_json_extract",
     # joins (broadcast star, as-of; j2-j5/j7/j8 same §2 row)
@@ -70,33 +74,38 @@ DRIVER_WINDOW = (
     "j6_asof_join",
     # set ops (U row representative)
     "u1_union_base_delta",
-    # windows (running sum, sessionize, deciles; w1/w3/w4/w6 same row)
-    "w2_running_sum",
+    # windows (sessionize, deciles; w1-w4/w6 proven/same row)
     "w5_sessionize",
     "w7_ntile_deciles",
-    # text analysis
+    # text analysis (t1 core stats; t11 bigram-model coverage NEW-to-window)
     "t1_token_stats",
-    "t2_quality_score",
-    "t6_winnow_fingerprints",
-    # deduplication (exact, MinHash-LSH, linear apply, components, decontaminate)
+    "t11_bigram_coverage",
+    # deduplication (exact, MinHash-LSH, linear apply, components)
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
     "d7_dedup_apply_lsh",
     "d8_dedup_components",
-    "d9_decontaminate",
     # similarity search (ANN LSH, linear embedding dedup, persisted index)
     "x2_ann_lsh_topk",
     "x6_embedding_dedup_apply",
     "x7_ann_partitioned_index",
     # multimodal (mm1 manifest is the trivial cousin — kept past the window)
     "mm2_feature_stats",
-    # maintenance (compaction, contract check, skew report)
+    # maintenance — full §2.12 coverage this round (m1 rows-only: writer
+    # byte sizes; m2 rows-only: filesystem footprint; both by design)
+    "m1_codec_benchmark",
+    "m2_storage_efficiency",
+    "m3_delta_append",
     "m4_compaction",
+    "m6_profile",
     "m7_contract_check",
     "m10_skew_report",
-    # streaming (windowed counts, stateful sessions)
+    # source/sink (S13 schema evolution on the parquet stand-in)
+    "s13_schema_evolution",
+    # streaming (windowed counts, stateful sessions, exactly-once dedup)
     "s1_stream_windowed_counts",
     "s3_stream_sessions",
+    "s4_stream_dedup",
     # ETL pipelines (flagship + packing + mixture, last-but-inside)
     "e1_docket_pipeline",
     "e2_training_pipeline",

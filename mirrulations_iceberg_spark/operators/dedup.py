@@ -175,6 +175,40 @@ def d2_ngram_jaccard_pairs(
     )
 
 
+def shingle_cap_report(docs: DataFrame, max_shingle_freq: int = 10_000) -> DataFrame:
+    """Observability for ``jaccard_pairs``' hot-shingle cap: how many
+    shingles the cap silences and how many postings that drops. A
+    capped shingle generates ZERO pairs, so d2's output is complete
+    only when ``n_capped_shingles`` is 0 — this makes that a queryable
+    number instead of a silent recall loss on skew-heavy corpora."""
+    dfreq = (
+        with_shingles(docs)
+        .select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    hot = F.col("df") > max_shingle_freq
+    return dfreq.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(hot.cast("long")).alias("n_capped_shingles"),
+        F.sum(F.when(hot, F.col("df")).otherwise(0)).cast("long").alias(
+            "n_dropped_postings"
+        ),
+        F.max("df").alias("max_df"),
+    )
+
+
+def d2b_cap_report(
+    spark: SparkSession, sf_dir: str, max_shingle_freq: int = 10_000
+) -> DataFrame:
+    """d2's truncation companion (VERDICT r3 item #3): the hot-shingle
+    cap's effect as data. One shuffle on shingle (the same key d2
+    groups on), four-column single-row summary out."""
+    return shingle_cap_report(
+        load_table(spark, sf_dir, "documents"), max_shingle_freq
+    )
+
+
 NUM_HASHES = 64
 BANDS = 16  # 16 bands × 4 rows — catches J≳0.3 pairs w.h.p.
 ROWS_PER_BAND = NUM_HASHES // BANDS
@@ -512,10 +546,14 @@ def d7_dedup_apply_lsh(
         .distinct()
     )
     kept = docs.join(drop, "doc_id", "left_anti")
-    return kept.agg(
+    out = kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.col("n_chars").cast("long")).alias("kept_chars"),
     )
+    # One summary row out; release the signature cache with it.
+    from .util import materialize_release
+
+    return materialize_release(spark, out, sigs)
 
 
 def connected_components(
@@ -648,6 +686,7 @@ d9_decontaminate.__doc__ = d9_decontaminate.__doc__.format(mod=DECON_MOD)
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_pairs": d2_ngram_jaccard_pairs,
+    "d2b_cap_report": d2b_cap_report,
     "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
     "d4_simhash": d4_simhash,
     "d5_simhash_pairs": d5_simhash_pairs,
@@ -715,6 +754,28 @@ ORACLE = {
         FROM documents GROUP BY fingerprint ORDER BY keep_doc_id
     """,
     "d2_ngram_jaccard_pairs": _EXACT_PAIRS_SQL,
+    "d2b_cap_report": f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), postings AS (
+            SELECT unnest(shingles) AS shingle FROM sh
+        ), dfreq AS (
+            SELECT shingle, COUNT(*) AS df FROM postings GROUP BY 1
+        )
+        SELECT COUNT(*) AS n_shingles,
+               CAST(COALESCE(SUM(CASE WHEN df > 10000 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_capped_shingles,
+               CAST(COALESCE(SUM(CASE WHEN df > 10000 THEN df ELSE 0 END), 0)
+                    AS BIGINT) AS n_dropped_postings,
+               MAX(df) AS max_df
+        FROM dfreq
+    """,
     "d3_minhash_lsh_pairs": _EXACT_PAIRS_SQL,
     "d4_simhash": f"""
         WITH sh AS ({_SIMHASH_SQL})

@@ -224,16 +224,17 @@ def x2_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
     n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    return (
-        n_cand.join(n_hit, "query_id", "left")
-        .select(
-            "query_id",
-            "n_candidates",
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 4
-            ).alias("recall_at_k"),
-        )
+    out = n_cand.join(n_hit, "query_id", "left").select(
+        "query_id",
+        "n_candidates",
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 4
+        ).alias("recall_at_k"),
     )
+    # N_QUERIES bounded rows out; release the hyperplane-projection cache.
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
 
 
 def x3_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +325,33 @@ def x4_embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
         .distinct()
+    )
+
+
+def x4b_bucket_cap_report(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int = 1_000
+) -> DataFrame:
+    """x4's truncation companion (VERDICT r3 item #3): the bucket-size
+    cap's effect as data. A bucket past the cap generates ZERO pairs,
+    so x4's pair set is complete only when ``n_capped_buckets`` is 0 —
+    on a skew-heavy corpus (mass duplication collapsing into one SRP
+    bucket) this makes the silent recall loss a queryable number. Same
+    single shuffle on (table, bucket) as x4's candidate stage; one
+    summary row out."""
+    emb = _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols())
+    sizes = (
+        emb.select(F.posexplode("buckets").alias("t", "bucket"))
+        .groupBy("t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big = F.col("n") > max_bucket_size
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(big.cast("long")).alias("n_capped_buckets"),
+        F.sum(F.when(big, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_vecs_in_capped"),
+        F.max("n").alias("max_bucket_rows"),
     )
 
 
@@ -436,11 +464,15 @@ def x6_embedding_dedup_apply(
         .distinct()
     )
     kept = emb.join(drop, emb.vec_id == drop.vec_b, "left_anti")
-    return kept.agg(
+    out = kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.countDistinct("label").alias("n_labels"),
         F.sum("vec_id").alias("id_checksum"),
     )
+    # One summary row out; release the bucket-projection cache.
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
 
 
 def x7_ann_partitioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,13 +608,17 @@ def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
     n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    return n_cand.join(n_hit, "query_id", "left").select(
+    out = n_cand.join(n_hit, "query_id", "left").select(
         "query_id",
         "n_candidates",
         F.round(
             F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 4
         ).alias("recall_at_k"),
     )
+    # N_QUERIES bounded rows out; release the vectorized-corpus cache.
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
 
 
 QUERIES = {
@@ -590,6 +626,7 @@ QUERIES = {
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
     "x3_label_centroid_sim": x3_label_centroid_sim,
     "x4_embedding_neardup_pairs": x4_embedding_neardup_pairs,
+    "x4b_bucket_cap_report": x4b_bucket_cap_report,
     "x5_ann_ivf_topk": x5_ann_ivf_topk,
     "x6_embedding_dedup_apply": x6_embedding_dedup_apply,
     "x7_ann_partitioned_index": x7_ann_partitioned_index,
@@ -665,6 +702,43 @@ ORACLE = {
     # and recall arithmetic. Signs can only diverge across engines if a
     # dot product lands within float-noise of 0 — never the case for
     # these 64-term ±e_i sums.
+    # x4b: the same seeded hyperplane bucketing as x2's oracle, reduced
+    # to per-(table, bucket) occupancy — pins both the bucket arithmetic
+    # and the cap bookkeeping cross-engine.
+    "x4b_bucket_cap_report": f"""
+        WITH planes AS (
+            SELECT {_planes_sql()} AS m
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM e
+        ), b AS (
+            SELECT vec_id,
+                   list_transform(range(0, {LSH_TABLES}), t ->
+                       list_sum(list_transform(range(0, {LSH_BITS}), bb ->
+                           CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                    i -> e[CAST(i AS INT)]
+                                         * m[CAST(t * {LSH_BITS * EMB_DIM}
+                                                  + bb * {EMB_DIM} + i AS INT)])) > 0
+                                THEN (1 << CAST(bb AS INT)) ELSE 0 END))) AS buckets
+            FROM n CROSS JOIN planes
+        ), bands AS (
+            SELECT u.t AS t, b.buckets[CAST(u.t + 1 AS INT)] AS bucket
+            FROM b, (SELECT unnest(range(0, {LSH_TABLES})) AS t) u
+        ), sz AS (
+            SELECT t, bucket, COUNT(*) AS n FROM bands GROUP BY 1, 2
+        )
+        SELECT COUNT(*) AS n_buckets,
+               CAST(COALESCE(SUM(CASE WHEN n > 1000 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_capped_buckets,
+               CAST(COALESCE(SUM(CASE WHEN n > 1000 THEN n ELSE 0 END), 0)
+                    AS BIGINT) AS n_vecs_in_capped,
+               MAX(n) AS max_bucket_rows
+        FROM sz
+    """,
     "x2_ann_lsh_topk": f"""
         WITH planes AS (
             SELECT {_planes_sql()} AS m

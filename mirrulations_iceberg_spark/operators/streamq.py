@@ -37,15 +37,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file-source stream, with the same
     TIMESTAMP(NANOS) → timestamp conversion as ``tables.load_table``
     so stream and batch arithmetic agree."""
-    from ..tables import ensure_nanos_conf
+    from ..tables import ensure_nanos_conf, normalize_event_ts
 
     ensure_nanos_conf(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    return normalize_event_ts(
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
 
 
@@ -199,7 +198,7 @@ def s4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..tables import ensure_nanos_conf
+    from ..tables import ensure_nanos_conf, normalize_event_ts
 
     ensure_nanos_conf(spark)
     base = tempfile.mkdtemp(prefix="miis_s4_")
@@ -208,11 +207,10 @@ def s4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3):
             shutil.copyfile(src, f"{base}/delivery{i}.parquet")
         schema = spark.read.parquet(src).schema
-        stream = (
+        stream = normalize_event_ts(
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(base)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         )
         deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
             ["event_id"]

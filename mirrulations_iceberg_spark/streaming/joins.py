@@ -34,15 +34,14 @@ def attributed_purchases(
     one row per qualifying click within ``max_gap`` before the
     purchase (inner join — unattributed purchases drop out).
     """
-    from ..tables import ensure_nanos_conf
+    from ..tables import ensure_nanos_conf, normalize_event_ts
 
     ensure_nanos_conf(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
+    events = normalize_event_ts(
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     clicks = (
         events.filter(F.col("event_type") == "click")

@@ -92,16 +92,13 @@ def sessionize_stream(
 def events_file_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source events stream with the fixture's nanos→timestamp
-    conversion (see streaming.windows)."""
-    from ..tables import ensure_nanos_conf
+    """File-source events stream with the fixture's ts normalization
+    (see tables.normalize_event_ts)."""
+    from ..tables import ensure_nanos_conf, normalize_event_ts
 
     ensure_nanos_conf(spark)
     batch_schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(events_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    return normalize_event_ts(reader.parquet(events_dir))

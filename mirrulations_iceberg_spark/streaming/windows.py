@@ -21,23 +21,21 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Streaming tumbling-window counts over the events fixture.
 
-    The fixture's parquet carries TIMESTAMP(NANOS) (read as long via
-    nanosAsLong — see session.py); the stream converts with the same
-    integer arithmetic as tables.load_table so batch and stream agree.
-    Returns an unstarted streaming DataFrame; callers pick sink +
-    trigger.
+    The stream normalizes ``ts`` with the same helper as
+    tables.load_table (nanos-as-long or plain micros, generation-
+    dependent) so batch and stream agree. Returns an unstarted
+    streaming DataFrame; callers pick sink + trigger.
     """
-    from ..tables import ensure_nanos_conf
+    from ..tables import ensure_nanos_conf, normalize_event_ts
 
     ensure_nanos_conf(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source wants a DIRECTORY basePath; narrow to the
     # events file with a glob filter.
-    events = (
+    events = normalize_event_ts(
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     return (
         events.withWatermark("ts", watermark)

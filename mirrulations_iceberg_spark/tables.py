@@ -31,14 +31,44 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.parquet carries TIMESTAMP(NANOS); a session without this
-    conf fails footer-schema conversion (PARQUET_TYPE_ILLEGAL). It is a
-    runtime-settable SQL conf, so every reader that touches the file —
-    batch or streaming schema inference — calls this first rather than
-    relying on session.py defaults: callers may hand us any
-    SparkSession (the round driver builds a plain one) and each query
-    must be self-sufficient even when it runs first in the session."""
+    """Early testdata generations wrote events.ts as TIMESTAMP(NANOS),
+    which a session without this conf fails to read (footer-schema
+    conversion, PARQUET_TYPE_ILLEGAL). Current generations write plain
+    micros, where the conf is a no-op — it is kept (it is runtime-
+    settable and harmless) so the readers survive either generation.
+    Every reader that touches the file — batch or streaming schema
+    inference — calls this first rather than relying on session.py
+    defaults: callers may hand us any SparkSession (the round driver
+    builds a plain one) and each query must be self-sufficient even
+    when it runs first in the session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone so the NTZ→LTZ cast in
+    # normalize_event_ts and epoch rendering are host-TZ-independent
+    # (identity on this UTC container; determinism elsewhere).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Bring ``events.ts`` to plain TimestampType regardless of how the
+    fixture generation encoded it:
+
+    * ``bigint`` — TIMESTAMP(NANOS) surfaced as epoch-nanos by
+      ``nanosAsLong``: integer-divide to micros (DIV, not ``/`` — no
+      precision detour through double) and reinterpret as a UTC epoch.
+    * ``timestamp_ntz`` — plain micros with ``isAdjustedToUTC=false``:
+      cast to TimestampType (identity under the UTC session timezone
+      every entry point pins) so downstream window/watermark/epoch
+      arithmetic sees one type across generations.
+    * ``timestamp`` — already the target type.
+
+    Works on batch and streaming DataFrames alike (pure projection).
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,12 +83,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong=true (session.py) surfaces the fixture's
-        # TIMESTAMP(NANOS) column as epoch-nanos. Convert via integer
-        # division (DIV, not /) so no precision is lost to a double;
-        # truncation to micros is Spark's maximum timestamp precision.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

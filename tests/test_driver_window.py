@@ -1,6 +1,7 @@
 """The round driver checks only ``list(queries())[:50]`` — lock the
 curated window: exactly 50 entries, every family represented, every
-entry oracle-backed, flagship included."""
+entry oracle-backed (save the two by-design rows-only maintenance
+reports), flagship included."""
 
 from __future__ import annotations
 
@@ -8,13 +9,21 @@ import re
 
 from mirrulations_iceberg_spark.operators import DRIVER_WINDOW, collect_queries
 
+#: Rows-only by design: their output is writer byte sizes / filesystem
+#: footprint, which no SQL over the input parquet can reproduce. The
+#: driver records the weaker rows-only check for these; everything else
+#: in the window must carry a DuckDB oracle twin.
+ROWS_ONLY_BY_DESIGN = {"m1_codec_benchmark", "m2_storage_efficiency"}
+
 
 def test_window_is_first_50():
     queries, oracle = collect_queries()
     names = list(queries)
     assert len(DRIVER_WINDOW) == 50
     assert names[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
-    missing_oracle = [n for n in DRIVER_WINDOW if n not in oracle]
+    missing_oracle = [
+        n for n in DRIVER_WINDOW if n not in oracle and n not in ROWS_ONLY_BY_DESIGN
+    ]
     assert not missing_oracle, f"window entries without oracle: {missing_oracle}"
 
 

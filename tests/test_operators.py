@@ -10,6 +10,8 @@ from mirrulations_iceberg_spark.operators.dedup import (
     d2_ngram_jaccard_pairs,
     d3_minhash_lsh_pairs,
     d4_simhash,
+    jaccard_pairs,
+    shingle_cap_report,
     shingles_col,
 )
 from mirrulations_iceberg_spark.operators.similarity import (
@@ -26,6 +28,29 @@ def test_shingles_short_doc_empty(spark):
     got = [r.s for r in df.select(shingles_col(F.col("text")).alias("s")).collect()]
     assert got[0] == []
     assert got[1] == ["one two three", "two three four"]
+
+
+def test_shingle_cap_fires_and_is_observable(spark):
+    """On a hot-key corpus the frequency cap must (a) actually suppress
+    pair generation and (b) report the suppression as data — the
+    cap's effect is a queryable number, never a silent recall loss."""
+    # 6 docs sharing one ubiquitous shingle; 2 of them also share a
+    # rare one. With the cap at 5 the hot shingle is silenced.
+    hot = "alpha beta gamma"
+    docs = spark.createDataFrame(
+        [(i, hot) for i in range(6)]
+        + [(10, hot + " delta epsilon"), (11, hot + " delta epsilon")],
+        ["doc_id", "text"],
+    )
+    capped = jaccard_pairs(docs, threshold=0.01, max_shingle_freq=5)
+    uncapped = jaccard_pairs(docs, threshold=0.01, max_shingle_freq=10_000)
+    assert capped.count() < uncapped.count()
+    rep = shingle_cap_report(docs, max_shingle_freq=5).collect()[0]
+    assert rep.n_capped_shingles == 1  # the hot shingle, and only it
+    assert rep.n_dropped_postings == 8  # all 8 docs carry it
+    assert rep.max_df == 8
+    clean = shingle_cap_report(docs, max_shingle_freq=10_000).collect()[0]
+    assert clean.n_capped_shingles == 0  # cap idle ⇒ d2 output complete
 
 
 def test_lsh_pairs_subset_of_exact(spark):
