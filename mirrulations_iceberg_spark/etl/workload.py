@@ -109,6 +109,54 @@ def q10_docket_rollup(comments: DataFrame, dockets: DataFrame) -> DataFrame:
     )
 
 
+_TABLES_MEMO: dict[int, tuple[object, dict]] = {}
+
+
+def pipeline_tables(spark) -> dict[str, DataFrame]:
+    """The demo pipeline's three output tables as driver-local
+    DataFrames, memoized per SparkSession: the tree is synthesized and
+    flattened ONCE per session no matter how many workload queries run
+    (bench runs all ten back-to-back). The tables are fixture-sized
+    (50 comments), so collecting them frees the scratch dir
+    immediately — this is demo plumbing, not the scale path (e1 is)."""
+    key = id(spark)
+    hit = _TABLES_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    import shutil
+    import tempfile
+
+    from .fixtures import write_docket_tree
+    from .pipeline import run_pipeline
+
+    base = tempfile.mkdtemp(prefix="miis_workload_")
+    try:
+        write_docket_tree(f"{base}/tree")
+        res = run_pipeline(spark, f"{base}/tree", f"{base}/out")
+        tables = {
+            name: spark.createDataFrame(df.collect(), df.schema)
+            for name, df in res.tables.items()
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    _TABLES_MEMO[key] = (spark, tables)
+    return tables
+
+
+def _driver_query(fn, needs=("comments",)):
+    """Adapt a comments-level workload function to the driver's
+    (spark, sf_dir) calling convention. sf_dir is unused — the demo
+    workload's input is the synthesized docket tree, like e1."""
+
+    def runner(spark, sf_dir):
+        tables = pipeline_tables(spark)
+        return fn(*(tables[n] for n in needs))
+
+    runner.__name__ = fn.__name__
+    runner.__doc__ = fn.__doc__
+    return runner
+
+
 WORKLOAD = {
     "q1_count_total": q1_count_total,
     "q2_count_by_agency": q2_count_by_agency,
@@ -159,3 +207,144 @@ WORKLOAD_SQL = {
           AND LENGTH(comment) > 100
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable registration (VERDICT r3 item #8): the ten workload
+# queries as (spark, sf_dir) callables with oracle twins. The driver's
+# DuckDB sees only the ten relational fixture views — never the
+# pipeline's scratch parquet — so the oracle is computed by replaying
+# the SAME in-memory records the tree is serialized from
+# (fixtures.build_records) through a plain-Python flatten, and emitted
+# as literal SELECTs. Differential value: Spark JSON-read + flatten +
+# query vs. an engine-free Python replay of the fixture's ground truth.
+# ---------------------------------------------------------------------------
+
+
+def _flat_comment_rows() -> list[dict]:
+    from .fixtures import build_records
+
+    rows = []
+    for rec in build_records()["comments"]:
+        a = rec["data"]["attributes"]
+        att = (
+            rec["data"]
+            .get("relationships", {})
+            .get("attachments", {})
+            .get("data", [])
+        )
+        rows.append(
+            {
+                "agencyId": a["agencyId"],
+                "docketId": a["docketId"],
+                "commentOn": a["commentOn"],
+                "comment": a["comment"],
+                "firstName": a.get("firstName"),
+                "lastName": a.get("lastName"),
+                "date": a["postedDate"][:10],
+                "withdrawn": a["withdrawn"],
+                "has_attachments": len(att) > 0,
+            }
+        )
+    return rows
+
+
+def _union_literal(cols: list[str], rows: list[tuple[str, ...]]) -> str:
+    return "\nUNION ALL\n".join(
+        "SELECT " + ", ".join(f"{v} AS {c}" for v, c in zip(r, cols))
+        for r in rows
+    )
+
+
+def _build_driver_oracle() -> dict[str, str]:
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .fixtures import COMMENT_COUNTS, _docket_ids, build_records
+
+    c = _flat_comment_rows()
+    n = len(c)
+
+    by_agency = Counter(r["agencyId"] for r in c)
+    n_att = sum(r["has_attachments"] for r in c)
+    # Spark's ROUND on double = BigDecimal.valueOf(d).setScale(4,
+    # HALF_UP): Decimal(repr(d)) reproduces valueOf's shortest-repr.
+    avg = sum(len(r["comment"]) for r in c) / n
+    avg_lit = str(Decimal(repr(avg)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+    n_named = sum(r["firstName"] is not None for r in c)
+    by_date = Counter(r["date"] for r in c)
+    top_dates = sorted(by_date.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    n_health = sum("health" in r["comment"] for r in c)
+    n_complex = sum(
+        r["has_attachments"] and not r["withdrawn"] and len(r["comment"]) > 100
+        for r in c
+    )
+    # q9: every comment's commentOn is its docket's doc-0, whose
+    # documentType is "Rule" — replay the join against the documents
+    # records to keep that derivation, not the shortcut, as the oracle.
+    doc_type = {
+        d["data"]["id"]: d["data"]["attributes"]["documentType"]
+        for d in build_records()["documents"]
+    }
+    by_doc_type = Counter(doc_type[r["commentOn"]] for r in c)
+    per_docket = Counter(r["docketId"] for r in c)
+
+    return {
+        "q1_count_total": f"SELECT CAST({n} AS BIGINT) AS n",
+        "q2_count_by_agency": _union_literal(
+            ["agencyId", "cnt"],
+            [
+                (f"'{a}'", f"CAST({k} AS BIGINT)")
+                for a, k in sorted(by_agency.items())
+            ],
+        ),
+        "q3_with_attachments": f"SELECT CAST({n_att} AS BIGINT) AS n",
+        "q4_avg_comment_length": (
+            f"SELECT CAST({avg_lit} AS DOUBLE) AS avg_len"
+        ),
+        "q5_top_commenters": (
+            "SELECT 'Anonymous' AS firstName, 'Anonymous' AS lastName, "
+            f"CAST({n_named} AS BIGINT) AS comment_count"
+        ),
+        "q6_comments_by_date": _union_literal(
+            ["\"date\"", "\"count\""],
+            [
+                (f"DATE '{d}'", f"CAST({k} AS BIGINT)")
+                for d, k in top_dates
+            ],
+        ),
+        "q7_text_search": f"SELECT CAST({n_health} AS BIGINT) AS n",
+        "q8_complex_filter": f"SELECT CAST({n_complex} AS BIGINT) AS n",
+        "q9_comments_per_document": _union_literal(
+            ["doc_type", "n_comments"],
+            [
+                (f"'{t}'", f"CAST({k} AS BIGINT)")
+                for t, k in sorted(by_doc_type.items())
+            ],
+        ),
+        "q10_docket_rollup": _union_literal(
+            ["docketId", "declared", "actual", "consistent"],
+            [
+                (
+                    f"'{d}'",
+                    f"CAST({COMMENT_COUNTS[i]} AS BIGINT)",
+                    f"CAST({per_docket[d]} AS BIGINT)",
+                    "TRUE" if per_docket[d] == COMMENT_COUNTS[i] else "FALSE",
+                )
+                for i, d in enumerate(_docket_ids())
+            ],
+        ),
+    }
+
+
+DRIVER_QUERIES = {
+    **{name: _driver_query(fn) for name, fn in WORKLOAD.items()},
+    "q9_comments_per_document": _driver_query(
+        q9_comments_per_document, ("comments", "documents")
+    ),
+    "q10_docket_rollup": _driver_query(
+        q10_docket_rollup, ("comments", "docket_info")
+    ),
+}
+
+DRIVER_ORACLE = _build_driver_oracle()

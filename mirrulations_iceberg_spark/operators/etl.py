@@ -543,6 +543,9 @@ def _e6_oracle() -> str:
     """
 
 
+from ..etl.workload import DRIVER_ORACLE as _WORKLOAD_ORACLE  # noqa: E402
+from ..etl.workload import DRIVER_QUERIES as _WORKLOAD_QUERIES  # noqa: E402
+
 QUERIES = {
     "e1_docket_pipeline": e1_docket_pipeline,
     "e2_training_pipeline": e2_training_pipeline,
@@ -550,6 +553,10 @@ QUERIES = {
     "e4_pack_sequences": e4_pack_sequences,
     "e5_mixture_sample": e5_mixture_sample,
     "e6_budget_select": e6_budget_select,
+    # The reference's own demo workload (etl/workload.py q1–q10),
+    # driver-checkable: Spark runs tree→pipeline→query, the oracle is a
+    # pure-Python replay of the same seeded records as literal SELECTs.
+    **_WORKLOAD_QUERIES,
 }
 ORACLE = {
     "e1_docket_pipeline": _oracle(),
@@ -573,3 +580,4 @@ ORACLE = {
     "e5_mixture_sample": _e5_oracle(),
     "e6_budget_select": _e6_oracle(),
 }
+ORACLE.update(_WORKLOAD_ORACLE)
