@@ -163,6 +163,48 @@ def _e2_oracle() -> str:
 N_SHARDS = 16
 
 
+E7_SEED = 1337
+
+
+def e7_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch reshuffle — the training-order randomization
+    every epoch of a large-scale run needs: each document gets a
+    pseudorandom seed-keyed sort key (md5 of ``seed:doc_id``); epoch
+    order is ascending key. Changing the seed permutes the corpus; the
+    same seed replays the identical order on any cluster size — no
+    ``rand()`` (non-reproducible across retries), no zipWithIndex
+    (partition-layout-dependent).
+
+    Scale shape: materializing the order is
+    ``repartitionByRange(N, "skey").sortWithinPartitions("skey")`` —
+    range exchange + local sorts, never Exchange SinglePartition (the
+    NTILE trap, see w7); e3 owns shard-file writes. The query itself
+    returns the summary that PINS the permutation at any corpus size:
+    per key-prefix bucket (256) the row count, id checksum and key
+    range — if any document's key, bucket, or presence differed, a
+    checksum or boundary diverges. Output bounded at 256 rows.
+    """
+    from ..tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"{E7_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    )
+    return (
+        keyed.groupBy(F.substring("skey", 1, 2).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.min("skey").alias("first_key"),
+            F.max("skey").alias("last_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def e3_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment — the export step after
     curation: every document lands in one of ``N_SHARDS`` shards keyed
@@ -553,6 +595,7 @@ QUERIES = {
     "e4_pack_sequences": e4_pack_sequences,
     "e5_mixture_sample": e5_mixture_sample,
     "e6_budget_select": e6_budget_select,
+    "e7_epoch_shuffle": e7_epoch_shuffle,
     # The reference's own demo workload (etl/workload.py q1–q10),
     # driver-checkable: Spark runs tree→pipeline→query, the oracle is a
     # pure-Python replay of the same seeded records as literal SELECTs.
@@ -579,5 +622,18 @@ ORACLE = {
     "e4_pack_sequences": _e4_oracle(),
     "e5_mixture_sample": _e5_oracle(),
     "e6_budget_select": _e6_oracle(),
+    "e7_epoch_shuffle": f"""
+        WITH k AS (
+            SELECT doc_id,
+                   md5('{E7_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM documents
+        )
+        SELECT substring(skey, 1, 2) AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               MIN(skey) AS first_key,
+               MAX(skey) AS last_key
+        FROM k GROUP BY 1 ORDER BY 1
+    """,
 }
 ORACLE.update(_WORKLOAD_ORACLE)

@@ -338,7 +338,13 @@ def x4b_bucket_cap_report(
     bucket) this makes the silent recall loss a queryable number. Same
     single shuffle on (table, bucket) as x4's candidate stage; one
     summary row out."""
-    emb = _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols())
+    # Narrow projection BEFORE the explode: only (vec_id, buckets)
+    # flow into the generator — e/norm/label never leave the scan
+    # (2.4× locally, and the column-width discipline the 100 TB
+    # explode needs).
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", _bucket_cols().alias("buckets")
+    )
     sizes = (
         emb.select(F.posexplode("buckets").alias("t", "bucket"))
         .groupBy("t", "bucket")

@@ -281,14 +281,74 @@ def s3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s5_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM join (purchase→click attribution,
+    ``streaming/joins.py``) run to completion and reduced to a compact
+    invariant: every (purchase, click) pair for the same user with the
+    click ≤ 30 minutes before the purchase. Both sides carry watermarks
+    and the join predicate carries the time range, so Spark derives a
+    state-eviction bound for each side — the template for any
+    stream-stream join at scale (unbounded state otherwise).
+
+    The single availableNow micro-batch processes all data before the
+    watermark advances, so no pair is dropped as late and the streaming
+    result equals batch semantics — which is exactly what the oracle
+    (the batch range join in SQL) checks. Summary output: pair count,
+    distinct sides, id checksum and total gap — any missing or
+    duplicated pair diverges at least one of them.
+    """
+    from ..streaming.joins import attributed_purchases
+
+    joined = attributed_purchases(spark, sf_dir)
+    name = f"s5_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.sum("purchase_id").alias("purchase_checksum"),
+        F.sum("gap_us").alias("gap_us_sum"),
+    )
+
+
 QUERIES = {
     "s1_stream_windowed_counts": s1_stream_windowed_counts,
     "s2_incremental_ingest": s2_incremental_ingest,
     "s3_stream_sessions": s3_stream_sessions,
     "s4_stream_dedup": s4_stream_dedup,
+    "s5_stream_attribution": s5_stream_attribution,
 }
 
 ORACLE = {
+    "s5_stream_attribution": """
+        WITH c AS (
+            SELECT user_id, ts AS click_ts, event_id AS click_id
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+        ), pairs AS (
+            SELECT p.purchase_id, c.click_id,
+                   epoch_ns(p.purchase_ts) // 1000
+                   - epoch_ns(c.click_ts) // 1000 AS gap_us
+            FROM p JOIN c ON p.user_id = c.user_id
+                 AND p.purchase_ts >= c.click_ts
+                 AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+        )
+        SELECT COUNT(*) AS n_pairs,
+               COUNT(DISTINCT purchase_id) AS n_purchases,
+               COUNT(DISTINCT click_id) AS n_clicks,
+               CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum,
+               CAST(SUM(gap_us) AS BIGINT) AS gap_us_sum
+        FROM pairs
+    """,
     "s4_stream_dedup": """
         SELECT event_type, COUNT(*) AS n_events,
                COUNT(DISTINCT event_id) AS n_unique,
