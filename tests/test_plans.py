@@ -116,6 +116,15 @@ def test_ntile_has_no_global_window(spark):
     assert "ntile" not in plan  # closed-form bucket math, not the fn
 
 
+def test_epoch_shuffle_no_global_sort(spark):
+    """e7's permutation summary must stay fully partitioned (the
+    ordering is pinned by key arithmetic, never a global sort) and
+    read ONLY doc_id — the key column is derived, not stored."""
+    plan = _plan(spark, "e7_epoch_shuffle")
+    assert "SinglePartition" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
 def test_limits_plan_take_ordered(spark):
     """Tie-broken orderBy+limit must plan TakeOrderedAndProject, not a
     global sort."""
