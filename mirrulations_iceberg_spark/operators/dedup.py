@@ -683,6 +683,45 @@ def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 d9_decontaminate.__doc__ = d9_decontaminate.__doc__.format(mod=DECON_MOD)
 
 
+D10_DELTA_MOD = 5  # doc_id % 5 == 0 → the incoming delta batch
+
+
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus building — dedup a DELTA batch against the
+    existing BASE corpus, the shape every continuously-ingesting
+    training pipeline runs on each arrival: (1) collapse exact dups
+    WITHIN the delta (keep min doc_id per fingerprint, d1's rule),
+    (2) anti-join the survivors against the base's fingerprint set —
+    only genuinely novel content is admitted.
+
+    Scale shape: both sides reduce to (fingerprint[, min id]) BEFORE
+    the join, so the shuffle carries 32-byte keys, never text; at
+    100 TB the base fingerprint table is stored bucketed on
+    fingerprint so each delta ingest co-locates instead of reshuffling
+    the corpus. Per-lang summary out (bounded by |langs|).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("fingerprint")
+    is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
+    base_fps = docs.filter(~is_delta).select(fp).distinct()
+    delta = (
+        docs.filter(is_delta)
+        .select("doc_id", "lang", fp)
+        .groupBy("fingerprint", "lang")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    novel = delta.join(base_fps, "fingerprint", "left_anti")
+    return (
+        novel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_novel"),
+            F.sum("n_copies").alias("n_delta_rows_represented"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_pairs": d2_ngram_jaccard_pairs,
@@ -694,6 +733,7 @@ QUERIES = {
     "d7_dedup_apply_lsh": d7_dedup_apply_lsh,
     "d8_dedup_components": d8_dedup_components,
     "d9_decontaminate": d9_decontaminate,
+    "d10_incremental_dedup": d10_incremental_dedup,
 }
 
 # DuckDB twin of d4's SimHash: identical md5-derived 60-bit token
@@ -754,6 +794,30 @@ ORACLE = {
         FROM documents GROUP BY fingerprint ORDER BY keep_doc_id
     """,
     "d2_ngram_jaccard_pairs": _EXACT_PAIRS_SQL,
+    "d10_incremental_dedup": f"""
+        WITH f AS (
+            SELECT doc_id, lang,
+                   md5(array_to_string(
+                       regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                       ' ')) AS fingerprint
+            FROM documents
+        ), base AS (
+            SELECT DISTINCT fingerprint FROM f WHERE doc_id % 5 <> 0
+        ), delta AS (
+            SELECT fingerprint, lang, MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies
+            FROM f WHERE doc_id % 5 = 0
+            GROUP BY fingerprint, lang
+        ), novel AS (
+            SELECT d.* FROM delta d
+            LEFT JOIN base b USING (fingerprint)
+            WHERE b.fingerprint IS NULL
+        )
+        SELECT lang, COUNT(*) AS n_novel,
+               CAST(SUM(n_copies) AS BIGINT) AS n_delta_rows_represented,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM novel GROUP BY lang ORDER BY lang
+    """,
     "d2b_cap_report": f"""
         WITH toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
