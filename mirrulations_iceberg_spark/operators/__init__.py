@@ -39,79 +39,88 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: past the window stays pytest/replica-verified (tests/test_oracle_parity.py
 #: sweeps all entries, not just these).
 #:
-#: Round-5 rotation: the never-driver-checked §2.12/§2.1/§2.10 rows
-#: (m1→M1+S8, m2→M2, m3→M3, m6→M6+A11, s13→S13, s4, t11) replace
-#: seven slots whose §2 rows carry driver-green rows from rounds 3–4
-#: (d9, t2, t6, o4, o6, c9, w2 — each family keeps ≥1 representative:
-#: dedup keeps d1/d3/d7/d8, text keeps t1, ordering keeps o2,
-#: scalars keep c_scalar_suite/c11/c_json_extract, windows keep w5/w7).
+#: Round-6 rotation (VERDICT r5 items #1/#2): the reference's own
+#: 10-query demo workload q1–q10 — the most reference-facing claim the
+#: repo makes — plus the round-5 newcomers (d10 incremental dedup, e7
+#: epoch reshuffle, s5 stream-stream attribution, s2 checkpointed
+#: ingest) enter the window. Fourteen slots leave, each with a green
+#: driver row from rounds 3–5 on the same §2 row: a6/a7/a9/a10 (a1–a5
+#: + a8 stay as family cores), f2/f3 (f1/f4 stay), o2, c11
+#: (c_scalar_suite/c_json_extract stay), m4 (m6/m7/m10 stay), u1,
+#: t11 (t1 stays), m3, and m1/m2 — the two by-design no-oracle
+#: rows-only entries, moved past the window per ADVICE r5 so every
+#: correctness-gate slot carries a hash-checked oracle. All 14
+#: entrants verified green via scripts/drivercheck.py --plain-session
+#: before this rotation.
 DRIVER_WINDOW = (
-    # filters (F1-F4)
+    # filters (F1-F4; f2/f3 green r3-r5)
     "f1_like_substring",
-    "f2_is_not_null",
-    "f3_boolean_filter",
     "f4_conjunctive_filter",
-    # aggregations (A1-A10, A12; a12b/a13/a14 are same-§2-row variants)
+    # aggregations (A1-A10, A12 family cores; rest green r3-r5)
     "a1_count_star",
     "a2_groupby_count",
     "a3_multikey_groupby",
     "a4_avg_length",
     "a5_numeric_stats",
-    "a6_count_distinct",
-    "a7_boolean_sum",
     "a8_null_profile",
-    "a9_value_counts",
-    "a10_date_histogram",
     "a12_rollup",
-    # ordering / sampling (O2; o4/o6/o7/o8 proven rounds 3-4)
-    "o2_top_dates",
-    # scalar / JSON functions (C1-C8, C11, C15; c9 proven rounds 3-4)
+    # scalar / JSON functions (C1-C8, C15; c9/c11 proven rounds 3-5)
     "c_scalar_suite",
-    "c11_from_json_typed",
     "c_json_extract",
     # joins (broadcast star, as-of; j2-j5/j7/j8 same §2 row)
     "j1_broadcast_star_join",
     "j6_asof_join",
-    # set ops (U row representative)
-    "u1_union_base_delta",
     # windows (sessionize, deciles; w1-w4/w6 proven/same row)
     "w5_sessionize",
     "w7_ntile_deciles",
-    # text analysis (t1 core stats; t11 bigram-model coverage NEW-to-window)
+    # text analysis (t1 core stats; t2-t11 proven/pytest)
     "t1_token_stats",
-    "t11_bigram_coverage",
-    # deduplication (exact, MinHash-LSH, linear apply, components)
+    # deduplication (exact, MinHash-LSH, linear apply, components,
+    # NEW incremental delta-vs-base)
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
     "d7_dedup_apply_lsh",
     "d8_dedup_components",
+    "d10_incremental_dedup",
     # similarity search (ANN LSH, linear embedding dedup, persisted index)
     "x2_ann_lsh_topk",
     "x6_embedding_dedup_apply",
     "x7_ann_partitioned_index",
     # multimodal (mm1 manifest is the trivial cousin — kept past the window)
     "mm2_feature_stats",
-    # maintenance — full §2.12 coverage this round (m1 rows-only: writer
-    # byte sizes; m2 rows-only: filesystem footprint; both by design)
-    "m1_codec_benchmark",
-    "m2_storage_efficiency",
-    "m3_delta_append",
-    "m4_compaction",
+    # maintenance (m1/m2 rows-only by design — past the window per
+    # ADVICE r5; m3/m4 green r5)
     "m6_profile",
     "m7_contract_check",
     "m10_skew_report",
     # source/sink (S13 schema evolution on the parquet stand-in)
     "s13_schema_evolution",
-    # streaming (windowed counts, stateful sessions, exactly-once dedup)
+    # streaming (windowed counts, NEW checkpointed ingest, stateful
+    # sessions, exactly-once dedup, NEW watermarked stream-stream join)
     "s1_stream_windowed_counts",
+    "s2_incremental_ingest",
     "s3_stream_sessions",
     "s4_stream_dedup",
-    # ETL pipelines (flagship + packing + mixture, last-but-inside)
+    "s5_stream_attribution",
+    # ETL pipelines (flagship + packing + mixture + NEW epoch reshuffle)
     "e1_docket_pipeline",
     "e2_training_pipeline",
     "e4_pack_sequences",
     "e5_mixture_sample",
     "e6_budget_select",
+    "e7_epoch_shuffle",
+    # the reference's own demo workload (demo_optimized_data.py:92-119
+    # + two join extensions) — switch-and-keep-your-queries, driver-checked
+    "q1_count_total",
+    "q2_count_by_agency",
+    "q3_with_attachments",
+    "q4_avg_comment_length",
+    "q5_top_commenters",
+    "q6_comments_by_date",
+    "q7_text_search",
+    "q8_complex_filter",
+    "q9_comments_per_document",
+    "q10_docket_rollup",
 )
 
 

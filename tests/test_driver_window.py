@@ -1,7 +1,8 @@
 """The round driver checks only ``list(queries())[:50]`` — lock the
-curated window: exactly 50 entries, every family represented, every
-entry oracle-backed (save the two by-design rows-only maintenance
-reports), flagship included."""
+curated window: exactly 50 entries, every entry oracle-backed (the two
+by-design rows-only maintenance reports m1/m2 sit PAST the window as
+of round 6, per ADVICE r5), flagship included, and the reference's own
+q1–q10 demo workload inside."""
 
 from __future__ import annotations
 
@@ -9,29 +10,30 @@ import re
 
 from mirrulations_iceberg_spark.operators import DRIVER_WINDOW, collect_queries
 
-#: Rows-only by design: their output is writer byte sizes / filesystem
-#: footprint, which no SQL over the input parquet can reproduce. The
-#: driver records the weaker rows-only check for these; everything else
-#: in the window must carry a DuckDB oracle twin.
-ROWS_ONLY_BY_DESIGN = {"m1_codec_benchmark", "m2_storage_efficiency"}
-
 
 def test_window_is_first_50():
     queries, oracle = collect_queries()
     names = list(queries)
     assert len(DRIVER_WINDOW) == 50
     assert names[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
-    missing_oracle = [
-        n for n in DRIVER_WINDOW if n not in oracle and n not in ROWS_ONLY_BY_DESIGN
-    ]
+    # Round 6: every correctness-gate slot carries a hash-checked
+    # oracle; the no-oracle m1/m2 reports live past the window.
+    missing_oracle = [n for n in DRIVER_WINDOW if n not in oracle]
     assert not missing_oracle, f"window entries without oracle: {missing_oracle}"
+    for name in ("m1_codec_benchmark", "m2_storage_efficiency"):
+        assert name in queries and name not in DRIVER_WINDOW
 
 
 def test_window_spans_all_families():
+    # o (ordering) and u (set ops) rotated out in round 6 — their §2
+    # rows carry driver-green hash rows from rounds 3-5 and stay
+    # pytest-oracle-swept; the q family (reference demo workload) is in.
     families = {re.match(r"[a-z]+|", n).group(0) for n in DRIVER_WINDOW}
-    expected = {"f", "a", "o", "c", "j", "u", "w", "t", "d", "x", "mm", "m", "s", "e"}
+    expected = {"f", "a", "c", "j", "w", "t", "d", "x", "mm", "m", "s", "e", "q"}
     assert expected <= families, f"missing families: {expected - families}"
     assert "e2_training_pipeline" in DRIVER_WINDOW
+    for i in range(1, 11):
+        assert any(n.startswith(f"q{i}_") for n in DRIVER_WINDOW)
 
 
 def test_window_names_unique():
