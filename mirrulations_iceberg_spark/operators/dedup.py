@@ -164,6 +164,13 @@ def d2_ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs ≥ threshold.
 
+    **Diagnostic surface** (registered as ``d2_ngram_jaccard_pairs_diag``):
+    pair materialization is quadratic per duplicate cluster by
+    definition, and the hot-shingle cap bounds cost at the price of
+    recall (``d2b_cap_report`` quantifies the loss). The scale path for
+    actually deduplicating a corpus is ``d7_dedup_apply_lsh`` (linear);
+    use d2 to audit/calibrate thresholds on samples, not on full data.
+
     Plan shape: docs → distinct shingles (projection) → explode postings
     → (optional hot-shingle cutoff) → group-and-pair on shingle →
     pair-count agg → jaccard = |∩| / (|A|+|B|-|∩|). All counts are
@@ -724,7 +731,7 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
-    "d2_ngram_jaccard_pairs": d2_ngram_jaccard_pairs,
+    "d2_ngram_jaccard_pairs_diag": d2_ngram_jaccard_pairs,
     "d2b_cap_report": d2b_cap_report,
     "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
     "d4_simhash": d4_simhash,
@@ -793,7 +800,7 @@ ORACLE = {
                MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies
         FROM documents GROUP BY fingerprint ORDER BY keep_doc_id
     """,
-    "d2_ngram_jaccard_pairs": _EXACT_PAIRS_SQL,
+    "d2_ngram_jaccard_pairs_diag": _EXACT_PAIRS_SQL,
     "d10_incremental_dedup": f"""
         WITH f AS (
             SELECT doc_id, lang,

@@ -278,6 +278,14 @@ def x4_embedding_neardup_pairs(
     in-bucket pair generation (capped) → exact cosine verify ≥
     threshold.
 
+    **Diagnostic surface** (registered as
+    ``x4_embedding_neardup_pairs_diag``): in-bucket pair generation is
+    quadratic within each (capped) bucket, and the cap trades recall
+    for cost (``x4b_bucket_cap_report`` quantifies it — x4 measured DNF
+    at 20× data in PLANS.md). The scale path for embedding dedup is
+    ``x6_embedding_dedup_apply`` (linear); use x4 to audit thresholds
+    on samples.
+
     Oracle: exact all-pairs cosine ≥ threshold. Valid because the
     exact verify makes the output equal to the exact algorithm
     whenever LSH candidate recall is 1 — here trivially so: the
@@ -631,7 +639,7 @@ QUERIES = {
     "x1_cosine_topk": x1_cosine_topk,
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
     "x3_label_centroid_sim": x3_label_centroid_sim,
-    "x4_embedding_neardup_pairs": x4_embedding_neardup_pairs,
+    "x4_embedding_neardup_pairs_diag": x4_embedding_neardup_pairs,
     "x4b_bucket_cap_report": x4b_bucket_cap_report,
     "x5_ann_ivf_topk": x5_ann_ivf_topk,
     "x6_embedding_dedup_apply": x6_embedding_dedup_apply,
@@ -876,7 +884,7 @@ ORACLE = {
     """,
     # Exact all-pairs twin of the LSH+verify path (see the x4
     # docstring for why equality holds).
-    "x4_embedding_neardup_pairs": f"""
+    "x4_embedding_neardup_pairs_diag": f"""
         WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings

@@ -166,7 +166,7 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in plan
 
 
-@pytest.mark.parametrize("name", ["d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs", "d5_simhash_pairs"])
+@pytest.mark.parametrize("name", ["d2_ngram_jaccard_pairs_diag", "d3_minhash_lsh_pairs", "d5_simhash_pairs"])
 def test_dedup_has_no_self_join(spark, name):
     """Group-and-pair formulation: near-dup pair generation must not
     plan a join at all before the verify stage (d3's verify joins the
