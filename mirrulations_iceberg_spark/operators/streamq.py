@@ -37,9 +37,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file-source stream, with the same
     TIMESTAMP(NANOS) → timestamp conversion as ``tables.load_table``
     so stream and batch arithmetic agree."""
-    from ..tables import ensure_nanos_conf, normalize_event_ts
+    from ..tables import ensure_events_read_conf, normalize_event_ts
 
-    ensure_nanos_conf(spark)
+    ensure_events_read_conf(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     return normalize_event_ts(
         spark.readStream.schema(batch_schema)
@@ -198,9 +198,9 @@ def s4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..tables import ensure_nanos_conf, normalize_event_ts
+    from ..tables import ensure_events_read_conf, normalize_event_ts
 
-    ensure_nanos_conf(spark)
+    ensure_events_read_conf(spark)
     base = tempfile.mkdtemp(prefix="miis_s4_")
     try:
         src = f"{sf_dir}/events.parquet"

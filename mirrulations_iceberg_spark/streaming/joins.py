@@ -34,9 +34,9 @@ def attributed_purchases(
     one row per qualifying click within ``max_gap`` before the
     purchase (inner join — unattributed purchases drop out).
     """
-    from ..tables import ensure_nanos_conf, normalize_event_ts
+    from ..tables import ensure_events_read_conf, normalize_event_ts
 
-    ensure_nanos_conf(spark)
+    ensure_events_read_conf(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     events = normalize_event_ts(
         spark.readStream.schema(batch_schema)

@@ -94,9 +94,9 @@ def events_file_stream(
 ) -> DataFrame:
     """File-source events stream with the fixture's ts normalization
     (see tables.normalize_event_ts)."""
-    from ..tables import ensure_nanos_conf, normalize_event_ts
+    from ..tables import ensure_events_read_conf, normalize_event_ts
 
-    ensure_nanos_conf(spark)
+    ensure_events_read_conf(spark)
     batch_schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:

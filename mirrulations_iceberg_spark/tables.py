@@ -30,12 +30,25 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Early testdata generations wrote events.ts as TIMESTAMP(NANOS),
-    which a session without this conf fails to read (footer-schema
-    conversion, PARQUET_TYPE_ILLEGAL). Current generations write plain
-    micros, where the conf is a no-op — it is kept (it is runtime-
-    settable and harmless) so the readers survive either generation.
+def ensure_events_read_conf(spark: SparkSession) -> None:
+    """Session confs required to read ``events.parquet`` across fixture
+    generations — NOTE: mutates two session-wide confs (ADVICE r5: the
+    name now says "events read conf", not "nanos", because the TZ pin
+    below is not nanos-specific).
+
+    * ``nanosAsLong``: early testdata generations wrote events.ts as
+      TIMESTAMP(NANOS), which a session without this conf fails to read
+      (footer-schema conversion, PARQUET_TYPE_ILLEGAL). Current
+      generations write plain micros, where the conf is a no-op — kept
+      (runtime-settable, harmless) so the readers survive either
+      generation.
+    * ``session.timeZone = UTC``: pins the NTZ→LTZ cast in
+      ``normalize_event_ts`` and epoch rendering host-TZ-independent.
+      This changes timestamp/cast semantics for the WHOLE session, not
+      just events reads — identity on this UTC container, deliberate
+      determinism anywhere else; callers handing us a session they also
+      use for non-UTC timestamp work should set the conf back.
+
     Every reader that touches the file — batch or streaming schema
     inference — calls this first rather than relying on session.py
     defaults: callers may hand us any SparkSession (the round driver
@@ -81,7 +94,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        ensure_nanos_conf(spark)
+        ensure_events_read_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)

@@ -93,3 +93,22 @@ def test_docket_rollup_consistency(all_tables_env):
     # the fixture's corrupt files were quarantined, not counted — every
     # docket's landed count matches its declared relationship count
     assert all(r.consistent for r in rows)
+
+
+def test_pipeline_tables_memo_single_slot(spark):
+    """ADVICE r5: the memo must hold only the CURRENT session's tables
+    (single slot, old sessions evicted) so long-lived processes that
+    recreate sessions don't leak collected fixtures."""
+    from mirrulations_iceberg_spark.etl import workload
+
+    t1 = workload.pipeline_tables(spark)
+    assert workload.pipeline_tables(spark) is t1  # memo hit
+    assert len(workload._TABLES_MEMO) == 1
+    # simulate a dead session's stale slot: inserting for the live
+    # session must evict it rather than accumulate
+    workload._TABLES_MEMO.clear()
+    workload._TABLES_MEMO[-1] = (object(), {})
+    t2 = workload.pipeline_tables(spark)
+    assert len(workload._TABLES_MEMO) == 1
+    assert -1 not in workload._TABLES_MEMO
+    assert set(t2) == set(t1)
