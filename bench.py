@@ -6,6 +6,13 @@ Each query executes end-to-end into the `noop` sink — the full physical
 plan runs (scan → shuffle → agg), nothing collects to the driver, and
 Catalyst cannot short-circuit projections the way `count()` allows.
 
+The run defends itself against host contention (VERDICT r5 item #3):
+a fixed-cost probe job and the 1-min load average are recorded at
+start and end, any query >50% slower than its prior BENCH_DETAIL value
+is re-run once (better time recorded, pair annotated environment vs
+confirmed), and the summary carries a `contaminated` flag so a noisy
+run is visible instead of committed as clean.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32 → master local[32]).
 """
@@ -23,6 +30,7 @@ from mirrulations_iceberg_spark.operators import collect_queries  # noqa: E402
 from mirrulations_iceberg_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _sf_label(sf_dir: str) -> float | str:
@@ -35,6 +43,46 @@ def _sf_label(sf_dir: str) -> float | str:
     return tail
 
 
+def _probe(spark) -> float:
+    """Fixed-cost machine probe (VERDICT r5 item #3): one tiny
+    constant-work job, best-of-3 so a single scheduler hiccup doesn't
+    fake contention. If this number doubles between the start and end
+    of the run, the HOST was busy — the run is flagged contaminated
+    instead of silently committed as clean (round 5's bench recorded
+    d-family +80-140% that isolated re-runs could not reproduce)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1_000_000).selectExpr("sum(id) AS s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _load_avg() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
+def _prior_timings() -> dict[str, float]:
+    """Previous run's per-query numbers (same sf only) — the reference
+    for the >50%-regression re-run rule."""
+    try:
+        with open(os.path.join(_REPO, "BENCH_DETAIL.json")) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if prior.get("sf") != _sf_label(SF_DIR):
+        return {}
+    return {
+        n: t for n, t in prior.get("queries", {}).items()
+        if isinstance(t, (int, float)) and t >= 0
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     queries, _ = collect_queries()
@@ -43,6 +91,10 @@ def main() -> None:
     queries["a1_count_star"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    load_start = _load_avg()
+    probe_start = _probe(spark)
+    prior = _prior_timings()
 
     # Single pass, one fresh session — the driver's own protocol. Each
     # per-query number includes ~0.5-1 s of one-time Catalyst/codegen
@@ -60,19 +112,51 @@ def main() -> None:
     # state measurably degrades the tail (mm2 measured 2.5 s early in a
     # session vs 14 s late). Each query's own time still includes all
     # of its work; this only stops query N from paying for 1..N-1.
+    # Contention defense (VERDICT r5 item #3): a query >50% slower than
+    # its prior BENCH_DETAIL value (with a 0.5 s absolute floor so toy
+    # queries' jitter doesn't trigger) is re-run once; the better time
+    # is recorded and the pair is annotated "environment" (re-run back
+    # at prior level — transient host noise) or "confirmed" (re-run
+    # still slow — a real plan/code change worth reading).
     timings: dict[str, float] = {}
-    for i, (name, fn) in enumerate(sorted(queries.items())):
+    reruns: dict[str, dict] = {}
+
+    def _run_once(name: str, fn) -> float:
         t0 = time.time()
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            return round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-        spark.catalog.clearCache()
+            return -1.0
+        finally:
+            spark.catalog.clearCache()
+
+    for i, (name, fn) in enumerate(sorted(queries.items())):
+        t = _run_once(name, fn)
+        p = prior.get(name)
+        if t >= 0 and p is not None and t > 1.5 * p and t - p > 0.5:
+            t2 = _run_once(name, fn)
+            best = min(t, t2) if t2 >= 0 else t
+            reruns[name] = {
+                "first": t,
+                "rerun": t2,
+                "prior": p,
+                "verdict": (
+                    "environment" if 0 <= t2 <= 1.5 * p else "confirmed"
+                ),
+            }
+            t = best
+        timings[name] = t
         if i % 10 == 9:
             spark.sparkContext._jvm.System.gc()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    probe_end = _probe(spark)
+    load_end = _load_avg()
+    contaminated = probe_end > 2 * probe_start or any(
+        r["verdict"] == "environment" for r in reruns.values()
+    )
     # Per-query timings go on their own lines (and to BENCH_DETAIL.json)
     # BEFORE the summary: the round driver keeps only a ~2 KB tail of
     # stdout and parses the LAST line, so that line must stay small —
@@ -87,12 +171,13 @@ def main() -> None:
         "sf": _sf_label(SF_DIR),
         "queries": timings,
         "failed": sorted(n for n, t in timings.items() if t < 0),
+        "probe": {"start": probe_start, "end": probe_end},
+        "load_avg_1min": {"start": load_start, "end": load_end},
+        "reruns": reruns,
+        "contaminated": contaminated,
     }
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as fh:
+        with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
@@ -114,6 +199,13 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
                 "sf": _sf_label(SF_DIR),
+                "probe_sec": {"start": probe_start, "end": probe_end},
+                "load_avg_1min": {"start": load_start, "end": load_end},
+                "n_reruns": len(reruns),
+                "n_env_reruns": sum(
+                    1 for r in reruns.values() if r["verdict"] == "environment"
+                ),
+                "contaminated": contaminated,
             }
         )
     )
