@@ -27,8 +27,12 @@ N_DOCUMENTS = 2  # per docket
 N_CORRUPT = 2  # malformed files dropped into the comments subtree
 
 
-def _docket_ids() -> list[str]:
-    return [f"{a}-2025-{i:04d}" for i, a in enumerate(AGENCIES)]
+def _docket_ids(replica: int = 0) -> list[str]:
+    """Docket ids for one fixture replica. ``replica`` shifts the year
+    so multiple replicas can coexist under one tree root with disjoint
+    ids — the knob the 20× ingest scale measurement uses (PLANS.md);
+    replica 0 is the canonical fixture every oracle replays."""
+    return [f"{a}-{2025 + replica}-{i:04d}" for i, a in enumerate(AGENCIES)]
 
 
 def expected_counts() -> dict[str, int]:
@@ -41,7 +45,7 @@ def expected_counts() -> dict[str, int]:
     }
 
 
-def build_records(seed: int = 42) -> dict[str, list[dict]]:
+def build_records(seed: int = 42, replica: int = 0) -> dict[str, list[dict]]:
     """The whole tree as in-memory JSON:API records:
     ``{"dockets": [...], "documents": [...], "comments": [...]}``.
     Deterministic in ``seed`` — one ``random.Random`` drives every
@@ -50,7 +54,7 @@ def build_records(seed: int = 42) -> dict[str, list[dict]]:
     dockets: list[dict] = []
     documents: list[dict] = []
     comments: list[dict] = []
-    for d_idx, docket_id in enumerate(_docket_ids()):
+    for d_idx, docket_id in enumerate(_docket_ids(replica)):
         agency = docket_id.split("-")[0]
         dockets.append(
             {
@@ -148,9 +152,14 @@ def build_records(seed: int = 42) -> dict[str, list[dict]]:
     return {"dockets": dockets, "documents": documents, "comments": comments}
 
 
-def write_docket_tree(root: str, seed: int = 42) -> dict[str, int]:
-    """Materialize the tree under ``root``; returns expected_counts()."""
-    recs = build_records(seed)
+def write_docket_tree(
+    root: str, seed: int = 42, replica: int = 0
+) -> dict[str, int]:
+    """Materialize the tree under ``root``; returns expected_counts().
+
+    ``replica`` writes a disjoint-id copy (see ``_docket_ids``) so N
+    calls on one root build an N× tree for ingest scale runs."""
+    recs = build_records(seed, replica)
     for docket in recs["dockets"]:
         docket_id = docket["data"]["id"]
         base = os.path.join(root, docket_id, "raw-data")
@@ -175,7 +184,7 @@ def write_docket_tree(root: str, seed: int = 42) -> dict[str, int]:
             json.dump(rec, f, indent=2)
 
     # Corrupt files (F7): truncated JSON in the first docket's comments.
-    first = os.path.join(root, _docket_ids()[0], "raw-data", "comments")
+    first = os.path.join(root, _docket_ids(replica)[0], "raw-data", "comments")
     for k in range(N_CORRUPT):
         with open(os.path.join(first, f"corrupt-{k}.json"), "w") as f:
             f.write('{"data": {"id": "broken", "attributes": {')
