@@ -157,14 +157,45 @@ def a5_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a5b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 at 100 TB: percentile_approx + approx_count_distinct — both
     single-pass mergeable sketches (no global sort, no distinct-expand
-    shuffle). Rows-only check: sketch internals are engine-specific."""
+    shuffle; partial sketches merge map-side like any other agg).
+
+    Sketch estimates are engine-specific, so they can't be
+    hash-compared raw — instead (round 6) the query audits them
+    IN-PLAN against exact ground truth and emits the verdicts as data:
+    ``median_ok`` (KLL/GK approx within 1% of the exact median) and
+    ``distinct_ok`` (HLL within 3× its configured 1% rsd). The oracle
+    reproduces the exact columns and expects both verdicts TRUE, which
+    turns the former rows-only row into a full hash-checked one. The
+    exact percentile/countDistinct exist only to judge the sketch —
+    production plans carry the sketch columns alone.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("median_approx"),
-        F.approx_count_distinct("l_partkey").alias("parts_approx"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__med_approx"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("__med_exact"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("__parts_approx"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )
+    return stats.select(
+        "n_rows",
+        "mean_price",
+        "min_price",
+        "max_price",
+        "n_parts_exact",
+        (
+            F.abs(F.col("__med_approx") - F.col("__med_exact"))
+            <= 0.01 * F.abs(F.col("__med_exact"))
+        ).alias("median_ok"),
+        (
+            F.abs(F.col("__parts_approx") - F.col("n_parts_exact"))
+            <= F.greatest(
+                0.03 * F.col("n_parts_exact").cast("double"), F.lit(1.0)
+            )
+        ).alias("distinct_ok"),
     )
 
 
@@ -595,6 +626,19 @@ ORACLE = {
                MEDIAN(l_extendedprice) AS median_price,
                MIN(l_extendedprice) AS min_price,
                MAX(l_extendedprice) AS max_price
+        FROM lineitem
+    """,
+    # a5b: exact columns reproduced; the sketch-vs-exact verdicts are
+    # asserted TRUE — a FALSE on either side hash-mismatches the row,
+    # making sketch accuracy itself a driver-checkable claim.
+    "a5b_approx_stats": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(AVG(l_extendedprice), 4) AS mean_price,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+               TRUE AS median_ok,
+               TRUE AS distinct_ok
         FROM lineitem
     """,
     "a6_count_distinct": """

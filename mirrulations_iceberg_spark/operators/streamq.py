@@ -318,15 +318,87 @@ def s5_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s6_stream_base_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup — the STREAMING twin of d10
+    (``dedup.d10_incremental_dedup``): new documents arrive as a
+    stream, the existing corpus is a static table, and each
+    micro-batch admits only content whose fingerprint the base does
+    not already hold (stream-static LEFT ANTI join).
+
+    Scale shape: stream-static joins are STATELESS — Spark keeps no
+    join state across batches and re-plans the static side per batch,
+    so the per-batch cost is the delta's own fingerprint projection
+    plus the probe, and nothing grows with stream history. The static
+    side reduces to a distinct 32-char fingerprint projection before
+    the join (at 100 TB: the bucketed fingerprint table each d10
+    ingest maintains), so text never crosses an exchange on either
+    side. The per-lang aggregation after the join is the only stateful
+    operator, bounded by |langs|.
+
+    availableNow processes the whole fixture in one batch, so the
+    streaming result equals d10's batch semantics — the oracle (the
+    same delta-vs-base SQL as d10) checks exactly that stream/batch
+    parity, not just row counts.
+    """
+    from .dedup import D10_DELTA_MOD, tokens_col
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    fp = F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("fingerprint")
+    is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
+
+    base_fps = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(~is_delta)
+        .select(fp)
+        .distinct()
+    )
+    delta = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(is_delta)
+        .select("doc_id", "lang", fp)
+    )
+    novel = delta.join(base_fps, "fingerprint", "left_anti")
+    # ONE stateful aggregation in-stream (chained streaming aggs are
+    # not supported); the |fingerprints|→|langs| rollup runs batch-side
+    # on the finished sink table — same result, and the stream's state
+    # is exactly the per-fingerprint partial d10 keeps.
+    agg = novel.groupBy("fingerprint", "lang").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        _run_to_table(agg, "s6_sink")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_novel"),
+            F.sum("n_copies").alias("n_delta_rows_represented"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "s1_stream_windowed_counts": s1_stream_windowed_counts,
     "s2_incremental_ingest": s2_incremental_ingest,
     "s3_stream_sessions": s3_stream_sessions,
     "s4_stream_dedup": s4_stream_dedup,
     "s5_stream_attribution": s5_stream_attribution,
+    "s6_stream_base_dedup": s6_stream_base_dedup,
 }
 
+def _s6_oracle() -> str:
+    """The SAME delta-vs-base SQL as d10's oracle — s6's claim is
+    stream/batch parity for the incremental-dedup shape, so the two
+    entries intentionally share one ground truth."""
+    from .dedup import ORACLE as DEDUP_ORACLE
+
+    return DEDUP_ORACLE["d10_incremental_dedup"]
+
+
 ORACLE = {
+    "s6_stream_base_dedup": _s6_oracle(),
     "s5_stream_attribution": """
         WITH c AS (
             SELECT user_id, ts AS click_ts, event_id AS click_id
