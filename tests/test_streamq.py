@@ -55,3 +55,15 @@ def test_e2_stages_monotone(spark):
         # sampled set obeys the quality gate
         assert r.avg_tokens >= E2_MIN_TOKENS
         assert r.total_tokens >= r.n_docs * E2_MIN_TOKENS
+
+
+def test_s6_equals_d10_batch(spark):
+    """s6's whole claim is stream/batch parity for the incremental
+    dedup shape: the streaming stream-static anti-join must produce
+    exactly d10's batch answer, row for row."""
+    from mirrulations_iceberg_spark.operators.dedup import d10_incremental_dedup
+    from mirrulations_iceberg_spark.operators.streamq import s6_stream_base_dedup
+
+    got = {tuple(r) for r in s6_stream_base_dedup(spark, SF_DIR).collect()}
+    want = {tuple(r) for r in d10_incremental_dedup(spark, SF_DIR).collect()}
+    assert got == want and got
