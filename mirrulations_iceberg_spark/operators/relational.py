@@ -161,37 +161,46 @@ def a5b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sketch estimates are engine-specific, so they can't be
     hash-compared raw — instead (round 6) the query audits them
-    IN-PLAN against exact ground truth and emits the verdicts as data:
-    ``median_ok`` (KLL/GK approx within 1% of the exact median) and
-    ``distinct_ok`` (HLL within 3× its configured 1% rsd). The oracle
-    reproduces the exact columns and expects both verdicts TRUE, which
-    turns the former rows-only row into a full hash-checked one. The
-    exact percentile/countDistinct exist only to judge the sketch —
-    production plans carry the sketch columns alone.
+    IN-PLAN and emits the verdicts as data: ``median_ok`` checks the
+    sketch median by its RANK (count of rows ≤ it must sit within 1%
+    of n/2 — percentile_approx at accuracy 10k guarantees rank error
+    ≤ n/10⁴, so TRUE is robust at any sf), and ``distinct_ok`` checks
+    HLL against the exact distinct count (within 3× its 1% rsd). The
+    oracle reproduces the exact columns and expects both verdicts
+    TRUE, turning the former rows-only row into a full hash-checked
+    one. The rank audit is deliberately NOT `percentile(…)` — Spark's
+    exact percentile buffers every value of the group in one
+    aggregator (the first version of this query did that and bench's
+    contention defense flagged it at 13.6 s vs 0.8 s prior); the rank
+    check is two scans and plain hash-aggs, shapes that survive 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    stats = li.agg(
+    sketch = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__med_approx"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("__parts_approx"),
+    )
+    audited = li.join(F.broadcast(sketch)).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__med_approx"),
-        F.expr("percentile(l_extendedprice, 0.5D)").alias("__med_exact"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("__parts_approx"),
         F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.sum((F.col("l_extendedprice") <= F.col("__med_approx")).cast("long"))
+        .alias("__rank_m"),
+        F.first("__parts_approx").alias("__pa"),
     )
-    return stats.select(
+    return audited.select(
         "n_rows",
         "mean_price",
         "min_price",
         "max_price",
         "n_parts_exact",
         (
-            F.abs(F.col("__med_approx") - F.col("__med_exact"))
-            <= 0.01 * F.abs(F.col("__med_exact"))
+            F.abs(F.col("__rank_m") - F.col("n_rows") / 2.0)
+            <= 0.01 * F.col("n_rows") + 1
         ).alias("median_ok"),
         (
-            F.abs(F.col("__parts_approx") - F.col("n_parts_exact"))
+            F.abs(F.col("__pa") - F.col("n_parts_exact"))
             <= F.greatest(
                 0.03 * F.col("n_parts_exact").cast("double"), F.lit(1.0)
             )
