@@ -22,6 +22,7 @@ CROSS_JOIN_OK = {
     "x5_ann_ivf_topk",
     "j7_range_join",
     "t7_tfidf_top_terms",  # broadcast 1-row corpus count
+    "a5b_approx_stats",  # broadcast 1-row sketch row for the rank audit
 }
 
 #: Queries that run their own jobs / driver-side work during
@@ -173,3 +174,19 @@ def test_dedup_has_no_self_join(spark, name):
     cached signatures — hash joins there are fine; d2/d5 have none)."""
     plan = _plan(spark, name)
     assert "SortMergeJoin" not in plan, name
+
+
+def test_d10_shuffles_carry_no_text(spark):
+    """d10's 100 TB claim (PLANS.md): both sides reduce to fingerprints
+    before the anti-join, so document text never crosses an exchange —
+    tokenize+md5 are evaluated scan-side and every Exchange row set is
+    fingerprint/lang/ids only."""
+    plan = _plan(spark, "d10_incremental_dedup")
+    exchange_lines = [
+        l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l
+    ]
+    assert exchange_lines, "expected at least one exchange in d10"
+    for line in exchange_lines:
+        assert "text" not in line, line
+    # the anti-join itself is on the 32-char fingerprint
+    assert "LeftAnti" in plan
