@@ -544,44 +544,137 @@ def x7_ann_partitioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_CLUSTERS = 16
 IVF_NPROBE = 4
+IVF_SAMPLE_MOD = 4  # deterministic 25% fit sample: vec_id % 4 == 0
+IVF_LLOYD_ITERS = 2
+
+
+def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic Lloyd coarse quantizer — (cell, center) DataFrame.
+
+    Round 6 replaced MLlib KMeans here: its centroids depend on
+    aggregation order inside the JVM, which no other engine can
+    reproduce, so x5 was the one algorithmic rows-only row on the
+    driver gate. This fit is engine-reproducible by construction,
+    which is what lets x5 carry a full DuckDB oracle:
+
+    * sample: ``vec_id % IVF_SAMPLE_MOD == 0`` (the fit never needs the
+      full corpus; a fixed-rate deterministic slice replaces
+      ``.sample(seed)``);
+    * init: the ``IVF_CLUSTERS`` sample vectors with the smallest
+      ``md5(vec_id)`` — a seeded shuffle both engines compute
+      identically; selected via orderBy+limit (TakeOrderedAndProject,
+      no single-partition sort);
+    * ``IVF_LLOYD_ITERS`` fixed Lloyd steps (no convergence test —
+      data-dependent stopping would be another source of divergence):
+      assign = argmin L2 with ties to the lowest cell, recompute =
+      per-dimension mean with the sum carried in DECIMAL(27,12) so it
+      is exact and aggregation-order-independent, then divided once in
+      double. Empty cells drop (deterministic on both engines).
+
+    Everything is DataFrame ops — the assign step is a 16-row
+    broadcast against the sample, the recompute a (cell, dim)
+    hash-agg; nothing iterates driver-side.
+    """
+    samp = emb.filter(F.col("vec_id") % IVF_SAMPLE_MOD == 0).select("vec_id", "e")
+    seeds = (
+        samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__seed", "vec_id")
+        .limit(IVF_CLUSTERS)
+    )
+    w0 = Window.orderBy("__seed", "vec_id")  # IVF_CLUSTERS rows only
+    centers = seeds.select(
+        (F.row_number().over(w0) - 1).alias("cell"), F.col("e").alias("center")
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wa = Window.partitionBy("vec_id").orderBy("dist2", "cell")
+    for _ in range(IVF_LLOYD_ITERS):
+        assigned = (
+            samp.crossJoin(F.broadcast(centers))
+            .withColumn("dist2", d2)
+            .withColumn("pr", F.row_number().over(wa))
+            .filter(F.col("pr") == 1)
+            .select("cell", "e")
+        )
+        centers = (
+            assigned.select("cell", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cv")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("center")
+            )
+        )
+    return centers
 
 
 def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer + n-probe search, with in-plan
+    """IVF ANN: Lloyd coarse quantizer + n-probe search, with in-plan
     recall@k against exact top-k (the x2 pattern, different index).
 
-    Index build: Spark ML KMeans (seeded) assigns every vector to a
-    cell — at 100 TB the assignment is one broadcast of k·dim centroid
-    floats over the corpus scan, and the fit itself runs on a sample.
+    Index build: deterministic sample-fit Lloyd (``_ivf_fit_centroids``)
+    — at 100 TB the corpus assignment is one broadcast of k·dim
+    centroid doubles folded over the corpus scan (a pure projection,
+    no join, no shuffle), and the fit itself runs on a bounded sample.
     Search: each query probes its IVF_NPROBE nearest cells (ranked via
     a broadcast centroid table — no driver-side math), candidates are
-    the union of those cells, exact cosine re-ranks. Rows-only check.
+    the union of those cells, exact cosine re-ranks. The DuckDB oracle
+    replays the ENTIRE pipeline — seeded init, both Lloyd steps,
+    assignment, probe ranking, re-rank — so index build and search are
+    hash-checked end-to-end (new in round 6; rows-only before).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    emb = _embeddings(spark, sf_dir).withColumn("vec", array_to_vector("e")).cache()
-    # The coarse quantizer never needs the full corpus: fit on a seeded
-    # sample with few iterations (cell boundaries only steer candidate
-    # routing; recall@k is measured in-plan below, so quantizer quality
-    # is observable). At 100 TB this is the only viable fit strategy —
-    # full-corpus KMeans would dominate the whole query.
-    # initMode="random": kmeans|| init costs several full passes of its
-    # own; for a coarse quantizer whose only job is candidate routing
-    # (recall measured in-plan below) seeded random init + a few Lloyd
-    # iterations is the right cost point.
-    model = KMeans(
-        k=IVF_CLUSTERS,
-        seed=42,
-        maxIter=8,
-        initMode="random",
-        featuresCol="vec",
-        predictionCol="cell",
-    ).fit(emb.sample(0.25, seed=7))
-    assigned = model.transform(emb).select("vec_id", "e", "norm", "cell")
+    emb = _embeddings(spark, sf_dir).cache()
+    # Fit executes once: IVF_CLUSTERS rows collect (bounded, like d8's
+    # dimension-sized control flow) and come back as both a literal
+    # (for the fold-based corpus assignment) and a small DataFrame
+    # (for probe ranking).
+    center_rows = sorted(
+        (r["cell"], list(r["center"]))
+        for r in _ivf_fit_centroids(emb).collect()
+    )
     centers = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        [(c, [float(v) for v in vec]) for c, vec in center_rows],
         "cell int, center array<double>",
+    )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
+            )
+            for c, vec in center_rows
+        ]
+    )
+    # argmin fold: first-wins on ties == lowest cell (cells ascend)
+    acc0 = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
+    )
+
+    def _step(acc, cs):
+        d = F.aggregate(
+            F.zip_with(F.col("e"), cs["center"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
+        )
+
+    assigned = emb.select(
+        "vec_id", "e", "norm", F.aggregate(cent_lit, acc0, _step)["c"].alias("cell")
     )
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -652,7 +745,120 @@ _COS = f"""
                   / (n.norm * q.qnorm), 4)
 """
 
+
+def _x5_d2(a: str, b: str) -> str:
+    """Squared L2 in DuckDB — the same left-to-right fold over dims as
+    the Spark side's aggregate(zip_with(...))."""
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _x5_lloyd_step(src_centers: str, assigned: str, means: str, out: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs (assign → decimal-
+    exact per-dim mean → rebuilt centroid list). Unrolled rather than a
+    recursive CTE because IVF_LLOYD_ITERS is a fixed constant — the
+    same reason the Spark fit has no convergence test."""
+    return f"""{assigned} AS (
+    SELECT cell, e FROM (
+        SELECT s.e, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {_x5_d2('s.e', 'c.center')}, c.cell) AS pr
+        FROM samp s CROSS JOIN {src_centers} c
+    ) WHERE pr = 1
+), {means} AS (
+    SELECT cell, t.i AS dim,
+           CAST(SUM(CAST(a.e[t.i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cv
+    FROM {assigned} a CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+    GROUP BY cell, t.i
+), {out} AS (
+    SELECT cell, list(cv ORDER BY dim) AS center FROM {means} GROUP BY cell
+)"""
+
+
+#: Full replay of x5's deterministic IVF pipeline: md5-seeded init,
+#: IVF_LLOYD_ITERS unrolled Lloyd steps, corpus assignment, n-probe
+#: ranking, candidate re-rank, and in-plan recall vs exact top-k. The
+#: decimal-exact centroid means are what make the two engines agree
+#: bit-for-bit through the iterations (see _ivf_fit_centroids).
+_X5_SQL = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), n AS (
+    SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+    FROM e
+), samp AS (
+    SELECT vec_id, e FROM e WHERE vec_id % {IVF_SAMPLE_MOD} = 0
+), seeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM samp ORDER BY s, vec_id LIMIT {IVF_CLUSTERS}
+), c0 AS (
+    SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell, e AS center
+    FROM seeds
+), {_x5_lloyd_step('c0', 'a1', 'm1', 'c1')},
+{_x5_lloyd_step('c1', 'a2', 'm2', 'c2')}, assign AS (
+    SELECT vec_id, e, norm, cell FROM (
+        SELECT n.vec_id, n.e, n.norm, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_x5_d2('n.e', 'c.center')}, c.cell) AS pr
+        FROM n CROSS JOIN c2 c
+    ) WHERE pr = 1
+), q AS (
+    SELECT vec_id AS query_id, e AS qe, norm AS qnorm
+    FROM n WHERE vec_id < {N_QUERIES}
+), probes AS (
+    SELECT query_id, qe, qnorm, cell FROM (
+        SELECT q.query_id, q.qe, q.qnorm, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_x5_d2('q.qe', 'c.center')}, c.cell) AS pr
+        FROM q CROSS JOIN c2 c
+    ) WHERE pr <= {IVF_NPROBE}
+), cand AS (
+    SELECT a.vec_id, a.e, a.norm, p.query_id, p.qe, p.qnorm
+    FROM assign a JOIN probes p USING (cell)
+    WHERE a.vec_id <> p.query_id
+), scored AS (
+    SELECT query_id, vec_id,
+           CASE WHEN norm * qnorm > 0 THEN
+               ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                             i -> e[i] * qe[i]))
+                     / (norm * qnorm), 4)
+           ELSE 0.0 END AS cos_sim
+    FROM cand
+), ivf_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+), exact_scored AS (
+    SELECT q.query_id, n.vec_id, {_COS} AS cos_sim
+    FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
+), exact_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM exact_scored
+    ) WHERE rnk <= {TOP_K}
+), hits AS (
+    SELECT i.query_id, COUNT(*) AS n_hits
+    FROM ivf_topk i JOIN exact_topk x
+      ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+    GROUP BY i.query_id
+), ncand AS (
+    SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+)
+SELECT nc.query_id, CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+       ROUND(COALESCE(h.n_hits, 0) / {float(TOP_K)}, 4) AS recall_at_k
+FROM ncand nc LEFT JOIN hits h USING (query_id)
+"""
+
 ORACLE = {
+    "x5_ann_ivf_topk": _X5_SQL,
     "x1_cosine_topk": f"""
         WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
