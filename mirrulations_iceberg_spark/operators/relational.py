@@ -99,6 +99,25 @@ def f4_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g1_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (§2.1): glob-pattern read — a path PATTERN instead of a
+    concrete file (the reference's ``glob.glob`` walks,
+    ``convert_to_iceberg.py:512-553``; Spark's file index expands the
+    pattern at listing time, so pruning happens before any task
+    launches). The aggregate fingerprints the matched set: row count,
+    id checksum and language span only come out right if the glob
+    matched exactly the documents file — making S5 a driver-checkable
+    row rather than a pytest-only claim (VERDICT r5)."""
+    import os
+
+    df = spark.read.parquet(os.path.join(sf_dir, "docum*.parquet"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A — aggregations (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -509,6 +528,7 @@ QUERIES = {
     "f2_is_not_null": f2_is_not_null,
     "f3_boolean_filter": f3_boolean_filter,
     "f4_conjunctive_filter": f4_conjunctive_filter,
+    "g1_glob_read": g1_glob_read,
     "a1_count_star": a1_count_star,
     "a2_groupby_count": a2_groupby_count,
     "a3_multikey_groupby": a3_multikey_groupby,
@@ -610,6 +630,12 @@ ORACLE = {
     """,
     "f3_boolean_filter": """
         SELECT COUNT(*) AS cnt FROM lineitem WHERE (l_discount > 0.05) = true
+    """,
+    "g1_glob_read": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
     """,
     "f4_conjunctive_filter": """
         SELECT COUNT(*) AS cnt,
