@@ -154,9 +154,12 @@ def main() -> None:
 
     probe_end = _probe(spark)
     load_end = _load_avg()
-    contaminated = probe_end > 2 * probe_start or any(
-        r["verdict"] == "environment" for r in reruns.values()
-    )
+    # contaminated = the fixed-cost probe itself degraded across the
+    # run: whole-run numbers are suspect and no per-query re-run can
+    # correct that. Transient per-query contention that a re-run DID
+    # correct is not contamination — it is visible (and already
+    # repaired) in the reruns dict / n_env_reruns.
+    contaminated = probe_end > 2 * probe_start
     # Per-query timings go on their own lines (and to BENCH_DETAIL.json)
     # BEFORE the summary: the round driver keeps only a ~2 KB tail of
     # stdout and parses the LAST line, so that line must stay small —
