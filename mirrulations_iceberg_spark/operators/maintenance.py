@@ -397,8 +397,70 @@ def s13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def m11_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11/S12 behavioral half: Iceberg snapshot semantics — append
+    commits, time travel, and rollback reads — on plain parquet via
+    manifest files (the mechanism Iceberg itself uses: a snapshot is a
+    manifest listing its file set; readers resolve the manifest, never
+    `ls`). No Iceberg jar ships in this container (SURVEY §6), so the
+    table format is stood in for while the BEHAVIOR is exercised for
+    real (reference ``iceberg_exploration.py:65-186``):
+
+    * commit 1 writes base files + ``manifest-1.json``;
+    * commit 2 appends delta files and writes ``manifest-2.json`` =
+      manifest-1's files ∪ the new ones — append never rewrites data;
+    * reading "as of" snapshot N loads manifest-N from disk and scans
+      exactly those paths — the time-travel / rollback read: snapshot 1
+      read AFTER commit 2 must not see commit 2's rows.
+
+    Deterministic splits (doc_id mod 3) make every snapshot's count and
+    id-checksum oracle-checkable. At 100 TB the manifest is metadata of
+    bounded size (file list, not row data) — driver-side manifest IO is
+    the design, not a shortcut.
+    """
+    import json as _json
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = _tmpdir()
+    try:
+        commits = [
+            ("1", docs.filter(F.col("doc_id") % 3 == 0)),
+            ("2", docs.filter(F.col("doc_id") % 3 == 1)),
+        ]
+        prev_files: list[str] = []
+        manifests: dict[str, list[str]] = {}
+        for snap, df in commits:
+            data_dir = os.path.join(base, f"commit-{snap}")
+            write_parquet(df, data_dir, n_files=2)
+            files = sorted(
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            )
+            prev_files = prev_files + files
+            manifests[snap] = prev_files
+            with open(os.path.join(base, f"manifest-{snap}.json"), "w") as fh:
+                _json.dump({"snapshot": snap, "files": prev_files}, fh)
+        rows = []
+        # Read back THROUGH the manifests (freshly loaded from disk),
+        # latest first, then the rollback read of snapshot 1.
+        for snap in ("2", "1"):
+            with open(os.path.join(base, f"manifest-{snap}.json")) as fh:
+                paths = _json.load(fh)["files"]
+            r = spark.read.parquet(*paths).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("ck")
+            ).collect()[0]
+            rows.append((int(snap), int(r["n"]), int(r["ck"])))
+        return spark.createDataFrame(
+            rows, "snapshot int, n_rows long, id_checksum long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
     "s13_schema_evolution": s13_schema_evolution,
+    "m11_time_travel": m11_time_travel,
     "m1_codec_benchmark": m1_codec_benchmark,
     "m2_storage_efficiency": m2_storage_efficiency,
     "m3_delta_append": m3_delta_append,
@@ -443,6 +505,20 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    # snapshot 2 = commits 1+2 (mod 0 and 1); the rollback read of
+    # snapshot 1 sees only mod 0 — divergence on either count or
+    # checksum means a reader escaped its manifest.
+    "m11_time_travel": """
+        SELECT 2 AS snapshot,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM documents WHERE doc_id % 3 IN (0, 1)
+        UNION ALL
+        SELECT 1,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(doc_id) AS BIGINT)
+        FROM documents WHERE doc_id % 3 = 0
+    """,
     "m10_skew_report": """
         WITH lf AS (
             SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1

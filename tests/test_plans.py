@@ -33,6 +33,7 @@ SKIP_SWEEP = {
     "m2_storage_efficiency",
     "m3_delta_append",
     "m4_compaction",
+    "m11_time_travel",  # writes snapshots + manifests at construction
     "s13_schema_evolution",
     "e1_docket_pipeline",
     "x5_ann_ivf_topk",
