@@ -108,6 +108,42 @@ def x1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(scored)
 
 
+RANGE_TAU = 0.2  # fixture pairs peak near cos 0.37; 0.2 yields real hits
+
+
+def x8_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — ALL neighbors with cosine ≥ τ per query (FAISS
+    ``range_search``; the primitive behind threshold-based dedup
+    candidate generation, where top-k is the wrong contract because
+    the neighbor count per query is data-dependent).
+
+    Exact one-pass shape: broadcast the bounded query set across the
+    corpus scan, filter on the similarity threshold inside the
+    projection, and reduce per query — no corpus shuffle, no top-k
+    cap. Output is a per-query summary (match count, id checksum,
+    similarity extrema) so the result stays bounded by |queries| even
+    when a query has many neighbors; the checksum pins the exact
+    neighbor SET against the oracle, not just its size.
+    """
+    emb = _embeddings(spark, sf_dir)
+    scored = (
+        emb.crossJoin(F.broadcast(_queries_side(emb)))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _cosine_sim())
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("vec_id").alias("id_checksum"),
+            F.max("cos_sim").alias("best_sim"),
+            F.min("cos_sim").alias("worst_sim"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _hyperplanes() -> list[list[list[float]]]:
     """Deterministic ±1 sign-random-projection matrix,
     [table][bit][dim]. Seeded so Spark and any re-run agree."""
@@ -736,6 +772,7 @@ QUERIES = {
     "x4b_bucket_cap_report": x4b_bucket_cap_report,
     "x5_ann_ivf_topk": x5_ann_ivf_topk,
     "x6_embedding_dedup_apply": x6_embedding_dedup_apply,
+    "x8_range_search": x8_range_search,
     "x7_ann_partitioned_index": x7_ann_partitioned_index,
 }
 
@@ -859,6 +896,28 @@ FROM ncand nc LEFT JOIN hits h USING (query_id)
 
 ORACLE = {
     "x5_ann_ivf_topk": _X5_SQL,
+    "x8_range_search": f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM e
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe, norm AS qnorm
+            FROM n WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, n.vec_id, {_COS} AS cos_sim
+            FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
+        )
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+               MAX(cos_sim) AS best_sim,
+               MIN(cos_sim) AS worst_sim
+        FROM scored WHERE cos_sim >= {RANGE_TAU}
+        GROUP BY query_id ORDER BY query_id
+    """,
     "x1_cosine_topk": f"""
         WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
