@@ -206,6 +206,51 @@ def w7_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, ranged)
 
 
+#: Shared decay constant — spelled as an exact double literal on BOTH
+#: engines so the weight arithmetic is identical expression-for-
+#: expression (see the w8 docstring for the cross-engine FP argument).
+LN2 = 0.6931471805599453
+W8_HALF_LIFE_S = 3600.0
+
+
+def w8_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decayed engagement per user — each event's
+    value weighted by exp(-ln2·Δt/half_life) where Δt is the gap to
+    the user's LAST event: the recency-weighted activity score feature
+    pipelines attach to entities (an EWMA whose closed form needs no
+    sequential recursion, so it distributes).
+
+    Scale shape: one hash shuffle on user_id serves both the
+    partition-max window (no ordering — whole-partition frame) and the
+    final aggregation; nothing is globally sorted and per-user state
+    is O(1).
+
+    Cross-engine exactness: Δt is exact integer micros on both
+    engines; the weight is double arithmetic with the same literal
+    constants (JVM vs libm exp may differ in the last ulp); each term
+    is then quantized to DECIMAL(20,10) — far above ulp noise, far
+    below the output rounding — so the SUM is order-independent and
+    the final ROUND(...,4) hash-matches.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    dt_s = (
+        F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")
+    ) / F.lit(1e6)
+    weight = F.exp(F.lit(-LN2) * dt_s / F.lit(W8_HALF_LIFE_S))
+    return (
+        events.select(
+            "user_id",
+            (F.col("value") * weight).cast("decimal(20,10)").alias("__term"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("__term").cast("double"), 4).alias("decayed_value"),
+        )
+    )
+
+
 QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
     "w2_running_sum": w2_running_sum,
@@ -214,9 +259,23 @@ QUERIES = {
     "w5_sessionize": w5_sessionize,
     "w6_session_window": w6_session_window,
     "w7_ntile_deciles": w7_ntile_deciles,
+    "w8_decayed_engagement": w8_decayed_engagement,
 }
 
 ORACLE = {
+    "w8_decayed_engagement": f"""
+        WITH t AS (
+            SELECT user_id,
+                   CAST(value * exp(-{LN2!r} *
+                        ((epoch_ns(MAX(ts) OVER (PARTITION BY user_id)) // 1000
+                          - epoch_ns(ts) // 1000) / 1e6) / {W8_HALF_LIFE_S!r})
+                        AS DECIMAL(20,10)) AS term
+            FROM events
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(term) AS DOUBLE), 4) AS decayed_value
+        FROM t GROUP BY user_id
+    """,
     "w1_topn_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
