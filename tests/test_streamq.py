@@ -67,3 +67,22 @@ def test_s6_equals_d10_batch(spark):
     got = {tuple(r) for r in s6_stream_base_dedup(spark, SF_DIR).collect()}
     want = {tuple(r) for r in d10_incremental_dedup(spark, SF_DIR).collect()}
     assert got == want and got
+
+
+def test_stream_state_conf_scoped_and_restored(spark):
+    """The state-parallelism override must apply only inside the
+    context and restore the caller's setting on exit AND on error."""
+    from mirrulations_iceberg_spark.operators.streamq import stream_state_conf
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    cores = str(spark.sparkContext.defaultParallelism)
+    with stream_state_conf(spark):
+        assert spark.conf.get(key) == cores
+    assert spark.conf.get(key) == prev
+    try:
+        with stream_state_conf(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == prev
