@@ -52,6 +52,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: correctness-gate slot carries a hash-checked oracle. All 14
 #: entrants verified green via scripts/drivercheck.py --plain-session
 #: before this rotation.
+#:
+#: Round-7 rotation queue (oracle-bearing r6 newcomers, all
+#: plain-session-replica green, none yet driver-checked): s6 stream-
+#: static dedup, x5 deterministic-Lloyd IVF (oracle NEW in r6), a5b
+#: sketch audit (oracle NEW in r6), m11 time travel, x8 range search,
+#: w8 decayed engagement, g1 glob read. Natural swap-outs: q1-q10
+#: once their r6 rows land (ten slots), plus d10/e7/s2/s5 after
+#: their rows.
 DRIVER_WINDOW = (
     # filters (F1-F4; f2/f3 green r3-r5)
     "f1_like_substring",
