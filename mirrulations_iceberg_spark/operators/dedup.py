@@ -729,6 +729,67 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEG_TOKENS = 4  # disjoint segment width (tokens)
+SEG_BOILERPLATE_DF = 3  # a segment in >= this many distinct docs is boilerplate
+
+
+def d12_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate removal — the C4/RefinedWeb step that
+    drops text SEGMENTS repeated across many documents (nav bars,
+    license footers, share buttons) while keeping the documents
+    themselves: finer-grained than d1 (whole-doc dedup), coarser than
+    token filters.
+
+    Segments are disjoint ``SEG_TOKENS``-token chunks (the fixture
+    text has no natural line breaks; on real corpora the splitter is
+    a line/sentence rule, every other shape identical). Pipeline:
+    explode segments → document-frequency count per segment → segments
+    with df ≥ ``SEG_BOILERPLATE_DF`` form the boilerplate set → anti-
+    join segments against it → per-document retention summary.
+
+    Scale shape: both the df-count and the anti-join shuffle on the
+    SAME key (segment), so the exchange is paid once and reused; the
+    boilerplate set is NOT broadcast by hint — its size is corpus-
+    dependent (bounded by n_segments/df), so the planner picks
+    broadcast vs shuffle from stats (AQE). Text crosses the shuffle
+    only as individual segments, never whole documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    n_chunks = F.ceil(F.size("__toks") / F.lit(SEG_TOKENS)).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("__toks", i * SEG_TOKENS + 1, SEG_TOKENS)
+                ),
+            )
+        ).alias("pos", "segment"),
+    )
+    hot = (
+        chunks.groupBy("segment")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= SEG_BOILERPLATE_DF)
+        .select("segment")
+    )
+    kept = chunks.join(hot, "segment", "left_anti")
+    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    kept_counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        per_doc.join(kept_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_pairs_diag": d2_ngram_jaccard_pairs,
@@ -741,6 +802,7 @@ QUERIES = {
     "d8_dedup_components": d8_dedup_components,
     "d9_decontaminate": d9_decontaminate,
     "d10_incremental_dedup": d10_incremental_dedup,
+    "d12_segment_boilerplate": d12_segment_boilerplate,
 }
 
 # DuckDB twin of d4's SimHash: identical md5-derived 60-bit token
@@ -801,6 +863,38 @@ ORACLE = {
         FROM documents GROUP BY fingerprint ORDER BY keep_doc_id
     """,
     "d2_ngram_jaccard_pairs_diag": _EXACT_PAIRS_SQL,
+    "d12_segment_boilerplate": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), chunks AS (
+            SELECT doc_id, r.i AS pos,
+                   array_to_string(
+                       t[(r.i * {SEG_TOKENS} + 1):(r.i * {SEG_TOKENS} + {SEG_TOKENS})],
+                       ' ') AS segment
+            FROM toks CROSS JOIN range(0, 4096) r(i)
+            WHERE r.i * {SEG_TOKENS} < len(t)
+        ), hot AS (
+            SELECT segment FROM (
+                SELECT segment, COUNT(DISTINCT doc_id) AS df
+                FROM chunks GROUP BY segment
+            ) WHERE df >= {SEG_BOILERPLATE_DF}
+        ), kept AS (
+            SELECT c.doc_id FROM chunks c
+            LEFT JOIN hot h USING (segment)
+            WHERE h.segment IS NULL
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_segments FROM chunks GROUP BY doc_id
+        ), kc AS (
+            SELECT doc_id, COUNT(*) AS n_kept FROM kept GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               CAST(p.n_segments AS BIGINT) AS n_segments,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(p.n_segments - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM per_doc p LEFT JOIN kc k USING (doc_id)
+    """,
     "d10_incremental_dedup": f"""
         WITH f AS (
             SELECT doc_id, lang,
