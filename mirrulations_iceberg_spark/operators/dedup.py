@@ -757,16 +757,21 @@ def d12_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
     n_chunks = F.ceil(F.size("__toks") / F.lit(SEG_TOKENS)).cast("int")
+    # Zero-token guard: sequence(0, -1) counts DOWN in Spark (the
+    # shingles_from_tokens lesson), which would fabricate two phantom
+    # empty segments per empty doc while the SQL oracle emits none —
+    # empty docs must contribute no segment rows on either engine.
+    seg_arr = F.when(
+        F.size("__toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("__toks", i * SEG_TOKENS + 1, SEG_TOKENS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     chunks = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice("__toks", i * SEG_TOKENS + 1, SEG_TOKENS)
-                ),
-            )
-        ).alias("pos", "segment"),
+        "doc_id", F.posexplode(seg_arr).alias("pos", "segment")
     )
     hot = (
         chunks.groupBy("segment")
