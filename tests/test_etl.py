@@ -116,3 +116,41 @@ def test_kind_pruning(spark, tree):
     root, expected = tree
     docket_only = read_docket_json(spark, root, "docket")
     assert docket_only.count() == expected["dockets"]
+
+
+def test_normalize_event_ts_generation_agnostic(spark, tmp_path):
+    """The events fixture has flipped between TIMESTAMP(NANOS) and
+    plain-micros across driver testdata regenerations (r5). Pin that
+    normalize_event_ts yields the SAME TimestampType values from both
+    encodings — the nanos branch must not rot while current testdata
+    happens to be micros."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mirrulations_iceberg_spark.tables import (
+        ensure_events_read_conf,
+        normalize_event_ts,
+    )
+
+    ts = [datetime.datetime(2025, 3, 1, 12, 0, i) for i in range(5)]
+    outs = {}
+    ensure_events_read_conf(spark)
+    for name, unit in (("nanos", "ns"), ("micros", "us")):
+        path = str(tmp_path / f"{name}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(5), pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp(unit)),
+                }
+            ),
+            path,
+            version="2.6",
+        )
+        df = normalize_event_ts(spark.read.parquet(path))
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        outs[name] = [(r.event_id, r.ts) for r in df.orderBy("event_id").collect()]
+    assert outs["nanos"] == outs["micros"]
+    assert outs["micros"][0][1] == ts[0]
