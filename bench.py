@@ -112,12 +112,22 @@ def main() -> None:
     # state measurably degrades the tail (mm2 measured 2.5 s early in a
     # session vs 14 s late). Each query's own time still includes all
     # of its work; this only stops query N from paying for 1..N-1.
-    # Contention defense (VERDICT r5 item #3): a query >50% slower than
-    # its prior BENCH_DETAIL value (with a 0.5 s absolute floor so toy
-    # queries' jitter doesn't trigger) is re-run once; the better time
-    # is recorded and the pair is annotated "environment" (re-run back
-    # at prior level — transient host noise) or "confirmed" (re-run
-    # still slow — a real plan/code change worth reading).
+    # Contention defense (VERDICT r5 item #3): a query slower than its
+    # prior BENCH_DETAIL value by >35% (with a 0.5 s absolute floor so
+    # toy queries' jitter doesn't trigger) is re-run once and the pair
+    # annotated "environment" (re-run back near prior level — transient
+    # host noise) or "confirmed" (re-run still slow — a real plan/code
+    # change worth reading).
+    #
+    # Threshold history (VERDICT r6 item #4): originally 50%; x6's r6
+    # +42% on unchanged code slipped under it and was recorded without
+    # annotation while PLANS cites 3.4 s isolated. 35% now catches that
+    # class; the 0.5 s floor keeps sub-second queries out. Recording
+    # rule (ADVICE r6): on "environment" the RERUN time is recorded —
+    # not min(first, rerun) — so flagged queries get the same one-clean-
+    # sample treatment as unflagged ones instead of a downward-biased
+    # best-of-2; on "confirmed" the slower first run is real cost and
+    # the rerun (also slow) is recorded for the same uniformity.
     timings: dict[str, float] = {}
     reruns: dict[str, dict] = {}
 
@@ -135,18 +145,18 @@ def main() -> None:
     for i, (name, fn) in enumerate(sorted(queries.items())):
         t = _run_once(name, fn)
         p = prior.get(name)
-        if t >= 0 and p is not None and t > 1.5 * p and t - p > 0.5:
+        if t >= 0 and p is not None and t > 1.35 * p and t - p > 0.5:
             t2 = _run_once(name, fn)
-            best = min(t, t2) if t2 >= 0 else t
             reruns[name] = {
                 "first": t,
                 "rerun": t2,
                 "prior": p,
                 "verdict": (
-                    "environment" if 0 <= t2 <= 1.5 * p else "confirmed"
+                    "environment" if 0 <= t2 <= 1.35 * p else "confirmed"
                 ),
             }
-            t = best
+            if t2 >= 0:
+                t = t2
         timings[name] = t
         if i % 10 == 9:
             spark.sparkContext._jvm.System.gc()
@@ -185,6 +195,16 @@ def main() -> None:
     except OSError as exc:
         print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
 
+    # Reading the s-family subtotal across rounds (VERDICT r6 item #8):
+    # the six streaming queries carry ~2-3 s EACH of fixed Structured
+    # Streaming machinery — checkpoint dir setup, per-micro-batch
+    # planning (AQE off in stateful workloads), state-store init, and
+    # availableNow drain — independent of data volume (BENCH_r06: the
+    # s-family was 23.6 s of the 151 s total at sf0.1, and s5 measured
+    # 1.04× wall for 20× data in PLANS.md). A flat-ish s subtotal
+    # across rounds is that fixed cost, not a regression; a real
+    # streaming regression shows up as one query moving, not the
+    # family floor.
     def _family(name: str) -> str:
         return "mm" if name.startswith("mm") else name[0]
 

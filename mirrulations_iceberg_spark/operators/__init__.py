@@ -39,96 +39,85 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: past the window stays pytest/replica-verified (tests/test_oracle_parity.py
 #: sweeps all entries, not just these).
 #:
-#: Round-6 rotation (VERDICT r5 items #1/#2): the reference's own
-#: 10-query demo workload q1–q10 — the most reference-facing claim the
-#: repo makes — plus the round-5 newcomers (d10 incremental dedup, e7
-#: epoch reshuffle, s5 stream-stream attribution, s2 checkpointed
-#: ingest) enter the window. Fourteen slots leave, each with a green
-#: driver row from rounds 3–5 on the same §2 row: a6/a7/a9/a10 (a1–a5
-#: + a8 stay as family cores), f2/f3 (f1/f4 stay), o2, c11
-#: (c_scalar_suite/c_json_extract stay), m4 (m6/m7/m10 stay), u1,
-#: t11 (t1 stays), m3, and m1/m2 — the two by-design no-oracle
-#: rows-only entries, moved past the window per ADVICE r5 so every
-#: correctness-gate slot carries a hash-checked oracle. All 14
-#: entrants verified green via scripts/drivercheck.py --plain-session
-#: before this rotation.
-#:
-#: Round-7 rotation queue (oracle-bearing r6 newcomers, all
-#: plain-session-replica green, none yet driver-checked): s6 stream-
-#: static dedup, x5 deterministic-Lloyd IVF (oracle NEW in r6), a5b
-#: sketch audit (oracle NEW in r6), m11 time travel, x8 range search,
-#: w8 decayed engagement, g1 glob read. Natural swap-outs: q1-q10
-#: once their r6 rows land (ten slots), plus d10/e7/s2/s5 after
-#: their rows.
+#: Round-7 rotation (VERDICT r6 items #1/#3): close the ENTIRE
+#: rotation queue in one window. In: all 32 oracle-bearing queries
+#: that have never had a green driver row per the mechanical ledger
+#: (``python scripts/ledger.py`` — derived from CORRECTNESS_r*.json,
+#: never hand-maintained) — the 8 r6 newcomers (s6, x5, a5b, m11, x8,
+#: w8, g1, d12), the trust-gap four the verdict named (o7/o8 whose
+#: only driver rows ever were r2 hash-fails, d4/d5 claimed green in
+#: r5's verdict but never checked), the r2 nanos-casualties now fixed
+#: (a13, w3, w6), and every never-checked tail (t5/t7–t10, mm1/mm3/
+#: mm4, x1/x3, d2/d2b/d6, x4/x4b, e3, m9, t9). Out: 32 slots, every
+#: one with a banked green row in LEDGER.md (q1–q10 and d10/e7/s2/s5
+#: green r6; f4/a1/a3/a5/a8/a12/c_json/w7/d7/d8/x6/x7/m7/m10/s3/e4/
+#: e5/e6 green r6 too). 18 green representatives stay so every
+#: operator family keeps a live driver row. All 32 entrants verified
+#: via scripts/drivercheck.py --plain-session at sf0.01 (32 pass, 0
+#: fail) before this rotation. After this window lands, the only
+#: never-green entries are m1/m2 — rows-only by design, kept past the
+#: window per ADVICE r5 so every gate slot carries a hashed oracle.
+#: tests/test_ledger.py keeps the queue mechanical from here on.
 DRIVER_WINDOW = (
-    # filters (F1-F4; f2/f3 green r3-r5)
+    # --- green family representatives (banked r6 rows; one+ per family)
     "f1_like_substring",
-    "f4_conjunctive_filter",
-    # aggregations (A1-A10, A12 family cores; rest green r3-r5)
-    "a1_count_star",
     "a2_groupby_count",
-    "a3_multikey_groupby",
     "a4_avg_length",
-    "a5_numeric_stats",
-    "a8_null_profile",
-    "a12_rollup",
-    # scalar / JSON functions (C1-C8, C15; c9/c11 proven rounds 3-5)
     "c_scalar_suite",
-    "c_json_extract",
-    # joins (broadcast star, as-of; j2-j5/j7/j8 same §2 row)
     "j1_broadcast_star_join",
     "j6_asof_join",
-    # windows (sessionize, deciles; w1-w4/w6 proven/same row)
     "w5_sessionize",
-    "w7_ntile_deciles",
-    # text analysis (t1 core stats; t2-t11 proven/pytest)
     "t1_token_stats",
-    # deduplication (exact, MinHash-LSH, linear apply, components,
-    # NEW incremental delta-vs-base)
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
-    "d7_dedup_apply_lsh",
-    "d8_dedup_components",
-    "d10_incremental_dedup",
-    # similarity search (ANN LSH, linear embedding dedup, persisted index)
     "x2_ann_lsh_topk",
-    "x6_embedding_dedup_apply",
-    "x7_ann_partitioned_index",
-    # multimodal (mm1 manifest is the trivial cousin — kept past the window)
     "mm2_feature_stats",
-    # maintenance (m1/m2 rows-only by design — past the window per
-    # ADVICE r5; m3/m4 green r5)
     "m6_profile",
-    "m7_contract_check",
-    "m10_skew_report",
-    # source/sink (S13 schema evolution on the parquet stand-in)
     "s13_schema_evolution",
-    # streaming (windowed counts, NEW checkpointed ingest, stateful
-    # sessions, exactly-once dedup, NEW watermarked stream-stream join)
     "s1_stream_windowed_counts",
-    "s2_incremental_ingest",
-    "s3_stream_sessions",
     "s4_stream_dedup",
-    "s5_stream_attribution",
-    # ETL pipelines (flagship + packing + mixture + NEW epoch reshuffle)
     "e1_docket_pipeline",
     "e2_training_pipeline",
-    "e4_pack_sequences",
-    "e5_mixture_sample",
-    "e6_budget_select",
-    "e7_epoch_shuffle",
-    # the reference's own demo workload (demo_optimized_data.py:92-119
-    # + two join extensions) — switch-and-keep-your-queries, driver-checked
-    "q1_count_total",
-    "q2_count_by_agency",
-    "q3_with_attachments",
-    "q4_avg_comment_length",
-    "q5_top_commenters",
-    "q6_comments_by_date",
-    "q7_text_search",
-    "q8_complex_filter",
-    "q9_comments_per_document",
-    "q10_docket_rollup",
+    # --- the full rotation queue: never driver-green until now
+    # aggregations / sampling
+    "a13_pivot",
+    "a5b_approx_stats",
+    "o7_stratified_sample",
+    "o8_hash_split",
+    "g1_glob_read",
+    # windows
+    "w3_lag_delta",
+    "w6_session_window",
+    "w8_decayed_engagement",
+    # text analysis
+    "t5_lang_profile",
+    "t7_tfidf_top_terms",
+    "t8_repetition_ratio",
+    "t9_token_counts",
+    "t10_pii_redact",
+    # deduplication (incl. the two _diag quadratic twins + cap report)
+    "d2_ngram_jaccard_pairs_diag",
+    "d2b_cap_report",
+    "d4_simhash",
+    "d5_simhash_pairs",
+    "d6_dedup_apply",
+    "d12_segment_boilerplate",
+    # similarity
+    "x1_cosine_topk",
+    "x3_label_centroid_sim",
+    "x4_embedding_neardup_pairs_diag",
+    "x4b_bucket_cap_report",
+    "x5_ann_ivf_topk",
+    "x8_range_search",
+    # maintenance
+    "m9_partition_overwrite",
+    "m11_time_travel",
+    # ETL / streaming / multimodal tails
+    "e3_shard_assign",
+    "mm1_media_manifest",
+    "mm3_frame_sample",
+    "mm4_audio_rms",
+    "s6_stream_base_dedup",
 )
 
 

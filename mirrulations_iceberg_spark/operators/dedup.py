@@ -874,12 +874,17 @@ ORACLE = {
                    regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
             FROM documents
         ), chunks AS (
-            SELECT doc_id, r.i AS pos,
+            -- lateral unnest of the scalar range(): per-document chunk
+            -- indices derived from len(t), so the oracle is unbounded
+            -- like the Spark side (ADVICE r6: the old CROSS JOIN
+            -- range(0, 4096) silently capped docs at 16384 tokens).
+            -- Zero-token docs yield range(0,0) = [] and drop out, the
+            -- same guard as the Spark side's ceil(size/SEG_TOKENS)=0.
+            SELECT doc_id, u.i AS pos,
                    array_to_string(
-                       t[(r.i * {SEG_TOKENS} + 1):(r.i * {SEG_TOKENS} + {SEG_TOKENS})],
+                       t[(u.i * {SEG_TOKENS} + 1):(u.i * {SEG_TOKENS} + {SEG_TOKENS})],
                        ' ') AS segment
-            FROM toks CROSS JOIN range(0, 4096) r(i)
-            WHERE r.i * {SEG_TOKENS} < len(t)
+            FROM toks, UNNEST(range(0, CAST(CEIL(len(t) / {SEG_TOKENS}.0) AS BIGINT))) u(i)
         ), hot AS (
             SELECT segment FROM (
                 SELECT segment, COUNT(DISTINCT doc_id) AS df

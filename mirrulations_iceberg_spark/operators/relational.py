@@ -192,6 +192,13 @@ def a5b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregator (the first version of this query did that and bench's
     contention defense flagged it at 13.6 s vs 0.8 s prior); the rank
     check is two scans and plain hash-aggs, shapes that survive 100 TB.
+
+    Flake budget (ADVICE r6): ``distinct_ok`` asserts HLL lands within
+    3σ of its 1% rsd — a ~0.3% a-priori miss probability *per fresh
+    fixture*, not per run: both engines are deterministic on fixed
+    data, so a fixture that passes once passes every round (current
+    fixtures verified). If a future fixture regeneration ever lands
+    outside 3σ, widen to 4σ rather than relaxing the audit's shape.
     """
     li = load_table(spark, sf_dir, "lineitem")
     sketch = li.agg(

@@ -27,11 +27,16 @@ is covered in ``tests/test_streaming_semantics.py``.
 
 from __future__ import annotations
 
+import threading
 import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+#: Serializes stream_state_conf entries (see its docstring).
+_STATE_CONF_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -52,14 +57,22 @@ def stream_state_conf(spark: SparkSession):
     Scoped: set for the duration of the streaming run (conf is read at
     plan time), restored afterwards so callers' batch work keeps its
     own setting.
+
+    Concurrency (ADVICE r6): the conf is session-global, so a batch
+    query planned concurrently in the same session would inherit the
+    reduced parallelism, and nested use would restore a stale prev
+    value. A module lock serializes entries — concurrent streaming
+    runners queue instead of clobbering each other — and the driver /
+    bench / pytest protocols are single-threaded per session anyway.
     """
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(cores))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _STATE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,9 +45,14 @@ def ensure_events_read_conf(spark: SparkSession) -> None:
     * ``session.timeZone = UTC``: pins the NTZ→LTZ cast in
       ``normalize_event_ts`` and epoch rendering host-TZ-independent.
       This changes timestamp/cast semantics for the WHOLE session, not
-      just events reads — identity on this UTC container, deliberate
-      determinism anywhere else; callers handing us a session they also
-      use for non-UTC timestamp work should set the conf back.
+      just events reads, and is deliberately NOT restored afterwards
+      (ADVICE r6): the DataFrame we return is lazy — the conf is read
+      at *execution* time, so a restore-after-read contextmanager would
+      silently undo the pin before the caller's action runs. Sessions
+      built by :func:`session.get_spark` already set UTC at creation
+      (``_SCALE_SAFE_CONF``), making this a no-op there; a caller
+      handing us a foreign session they also use for non-UTC timestamp
+      work must re-set the conf after their events actions complete.
 
     Every reader that touches the file — batch or streaming schema
     inference — calls this first rather than relying on session.py

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Mechanical driver-green ledger (VERDICT r6 item #2).
+
+Round 6's audit found the hand-maintained coverage claims had drifted:
+d4/d5/x1 were reported driver-green but no ``CORRECTNESS_r*.json``
+contains those keys, and o7/o8 were described as green when their only
+driver rows ever were round-2 hash FAILURES. This script makes that
+class of error impossible: the "green in some round" set is *derived*
+by parsing every ``CORRECTNESS_r*.json`` in the repo root — a query
+counts as driver-green iff some round recorded all three of
+``rows_match``/``schema_match``/``hash_match`` as true.
+
+Outputs (``--write`` regenerates both; a pytest asserts no drift):
+
+* ``LEDGER.md`` — one row per ``queries()`` entry: green rounds, last
+  driver status, oracle-bearing or rows-only, current-window membership.
+* the rotation queue — (oracle-bearing) ∧ (never driver-green) ∧ (not
+  in the current window), i.e. exactly the entries that still need a
+  window slot (VERDICT r6 item #3).
+
+Usage:
+    python scripts/ledger.py            # print summary + queue
+    python scripts/ledger.py --write    # regenerate LEDGER.md
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: Entries whose driver check is rows-only *by design* (no SQL oracle
+#: can exist: m1 writes files and reports codec sizes, m2 reports
+#: filesystem bytes). Kept out of the window per ADVICE r5 so every
+#: correctness-gate slot carries a hash-checked oracle.
+ROWS_ONLY_BY_DESIGN = frozenset({"m1_codec_benchmark", "m2_storage_efficiency"})
+
+
+def load_rounds() -> dict[str, dict]:
+    """Parse every CORRECTNESS_r*.json into {round: {query: record}}."""
+    rounds: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path).split("_r")[-1].split(".")[0]
+        with open(path) as fh:
+            rounds[rnd] = json.load(fh)
+    return rounds
+
+
+def is_green(rec: dict) -> bool:
+    return bool(
+        rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
+    )
+
+
+def build_ledger() -> dict:
+    """Return the derived ledger for every queries() entry."""
+    from mirrulations_iceberg_spark.operators import DRIVER_WINDOW, collect_queries
+
+    queries, oracle = collect_queries()
+    rounds = load_rounds()
+
+    ledger: dict[str, dict] = {}
+    for name in queries:
+        green_rounds = []
+        last = None  # (round, status)
+        for rnd, data in rounds.items():
+            rec = data.get(name)
+            if rec is None:
+                continue
+            if is_green(rec):
+                green_rounds.append(rnd)
+                last = (rnd, "green")
+            elif rec.get("err"):
+                status = "rows-only" if rec["err"] == "no_oracle" else "error"
+                last = (rnd, status)
+            else:
+                last = (rnd, "hash-fail")
+        ledger[name] = {
+            "oracle": name in oracle,
+            "green_rounds": green_rounds,
+            "last": last,
+            "in_window": name in DRIVER_WINDOW,
+        }
+    return ledger
+
+
+def rotation_queue(ledger: dict) -> list[str]:
+    """Oracle-bearing, never driver-green, not already in the window."""
+    return [
+        n
+        for n, rec in ledger.items()
+        if rec["oracle"] and not rec["green_rounds"] and not rec["in_window"]
+    ]
+
+
+def render(ledger: dict) -> str:
+    lines = [
+        "# Driver-green ledger (generated — do not hand-edit)",
+        "",
+        "Regenerate with `python scripts/ledger.py --write`; "
+        "`tests/test_ledger.py` fails on drift.",
+        "",
+        "A query is **driver-green** iff some round's `CORRECTNESS_r*.json` "
+        "recorded rows+schema+hash all true. `last` is the most recent driver "
+        "row of any kind. Claims about rotated-out queries cite this table, "
+        "never memory (VERDICT r6 item #2).",
+        "",
+        "| query | oracle | green rounds | last driver row | in window |",
+        "|---|---|---|---|---|",
+    ]
+    for name in sorted(ledger):
+        rec = ledger[name]
+        greens = " ".join(f"r{r}" for r in rec["green_rounds"]) or "—"
+        last = f"r{rec['last'][0]} {rec['last'][1]}" if rec["last"] else "never checked"
+        oracle = "yes" if rec["oracle"] else "rows-only (by design)"
+        lines.append(
+            f"| {name} | {oracle} | {greens} | {last} | "
+            f"{'yes' if rec['in_window'] else ''} |"
+        )
+    green_ever = [n for n, r in ledger.items() if r["green_rounds"]]
+    never = [n for n, r in ledger.items() if not r["green_rounds"]]
+    queue = rotation_queue(ledger)
+    lines += [
+        "",
+        f"**Totals:** {len(ledger)} queries; {len(green_ever)} driver-green ever; "
+        f"{len(never)} never green "
+        f"({sum(1 for n in never if n in ROWS_ONLY_BY_DESIGN)} rows-only by design).",
+        "",
+        "**Rotation queue** (oracle-bearing ∧ never green ∧ not in window): "
+        + (", ".join(sorted(queue)) if queue else "*empty*"),
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    ledger = build_ledger()
+    text = render(ledger)
+    out = os.path.join(REPO, "LEDGER.md")
+    if "--write" in sys.argv[1:]:
+        with open(out, "w") as fh:
+            fh.write(text)
+        print(f"wrote {out}")
+    else:
+        print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,14 +1,28 @@
 """The round driver checks only ``list(queries())[:50]`` — lock the
 curated window: exactly 50 entries, every entry oracle-backed (the two
-by-design rows-only maintenance reports m1/m2 sit PAST the window as
-of round 6, per ADVICE r5), flagship included, and the reference's own
-q1–q10 demo workload inside."""
+by-design rows-only maintenance reports m1/m2 sit PAST the window as of
+round 6, per ADVICE r5), flagship included.
+
+Round 7 closed the whole rotation queue: the window is now 18 green
+family representatives (banked rows in LEDGER.md) + all 32 queries that
+had never earned a green driver row. From round 8 on the queue is
+mechanical — ``scripts/ledger.py`` derives it from CORRECTNESS_r*.json
+and ``test_rotation_queue_is_window`` below fails if an oracle-bearing
+never-green query is left outside the window.
+"""
 
 from __future__ import annotations
 
+import os
 import re
+import sys
 
 from mirrulations_iceberg_spark.operators import DRIVER_WINDOW, collect_queries
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+)
 
 
 def test_window_is_first_50():
@@ -25,16 +39,33 @@ def test_window_is_first_50():
 
 
 def test_window_spans_all_families():
-    # o (ordering) and u (set ops) rotated out in round 6 — their §2
-    # rows carry driver-green hash rows from rounds 3-5 and stay
-    # pytest-oracle-swept; the q family (reference demo workload) is in.
+    # q1–q10 rotated out in round 7 with banked green r6 rows
+    # (LEDGER.md); every other family keeps a live representative.
     families = {re.match(r"[a-z]+|", n).group(0) for n in DRIVER_WINDOW}
-    expected = {"f", "a", "c", "j", "w", "t", "d", "x", "mm", "m", "s", "e", "q"}
+    expected = {"f", "a", "c", "j", "w", "t", "d", "x", "mm", "m", "s", "e", "o", "g"}
     assert expected <= families, f"missing families: {expected - families}"
     assert "e2_training_pipeline" in DRIVER_WINDOW
-    for i in range(1, 11):
-        assert any(n.startswith(f"q{i}_") for n in DRIVER_WINDOW)
 
 
 def test_window_names_unique():
     assert len(set(DRIVER_WINDOW)) == len(DRIVER_WINDOW)
+
+
+def test_rotation_queue_is_window():
+    """VERDICT r6 item #3: the rotation queue must be mechanical.
+
+    Every oracle-bearing query that has never been driver-green (per
+    the parsed CORRECTNESS files) must sit inside the current window —
+    no new operator can silently never get a driver row again. When a
+    future round adds operators and the window is full, this test is
+    the forcing function for the next rotation.
+    """
+    import ledger
+
+    led = ledger.build_ledger()
+    stranded = ledger.rotation_queue(led)
+    assert not stranded, (
+        f"oracle-bearing never-green queries outside the window: {stranded} "
+        "— rotate them in (swap out entries with banked green rows in "
+        "LEDGER.md)"
+    )
