@@ -58,26 +58,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: never-green entries are m1/m2 — rows-only by design, kept past the
 #: window per ADVICE r5 so every gate slot carries a hashed oracle.
 #: tests/test_ledger.py keeps the queue mechanical from here on.
+#:
+#: Round-7 additions: four NEW operators built this round (g2 CSV
+#: round trip, g3 JSONL round trip, w9 cumulative distinct users, mm5
+#: resize-thumbnail verification) are oracle-bearing and never-green,
+#: so the mechanical queue rule forces them in; four doubly-covered
+#: green representatives (a4, j6, d3, s4 — all r6 rows banked, each
+#: family keeps another live representative) make room.
 DRIVER_WINDOW = (
     # --- green family representatives (banked r6 rows; one+ per family)
     "f1_like_substring",
     "a2_groupby_count",
-    "a4_avg_length",
     "c_scalar_suite",
     "j1_broadcast_star_join",
-    "j6_asof_join",
     "w5_sessionize",
     "t1_token_stats",
     "d1_exact_dedup",
-    "d3_minhash_lsh_pairs",
     "x2_ann_lsh_topk",
     "mm2_feature_stats",
     "m6_profile",
     "s13_schema_evolution",
     "s1_stream_windowed_counts",
-    "s4_stream_dedup",
     "e1_docket_pipeline",
     "e2_training_pipeline",
+    # --- NEW round-7 operators (never checked by definition)
+    "g2_csv_roundtrip",
+    "g3_jsonl_roundtrip",
+    "w9_users_to_date",
+    "mm5_resize_thumbs",
     # --- the full rotation queue: never driver-green until now
     # aggregations / sampling
     "a13_pivot",

@@ -208,6 +208,36 @@ def resize_images(media: DataFrame) -> DataFrame:
     )
 
 
+def mm5_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as a driver-checked pipeline stage: every 'image'
+    payload through the mapInPandas resize (stub decode → fixed 8×8
+    thumbnail, :func:`_thumb_batch`), then the THUMBNAIL BYTES are
+    verified JVM-side — ``octet_length`` pins the exact h·w size
+    contract and a position-weighted byte checksum pins the content —
+    so the Arrow round trip of the produced binary itself is what the
+    oracle checks, not a Python-side summary of it.
+
+    Oracle: DuckDB reproduces the strided sample byte-for-byte via
+    ``ord(substr(...))`` (1-byte-UTF-8 fixture text, the mm3
+    assumption: byte and char indices agree). With PIL installed the
+    stub branch never fires for real images; fixture payloads are not
+    decodable images, so both environments take the deterministic
+    strided path and the oracle holds either way.
+    """
+    h, w = RESIZE_TARGET
+    n_out = h * w
+    thumbs = resize_images(media_table(spark, sf_dir))
+    checksum = F.expr(
+        f"aggregate(sequence(1, {n_out}), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + i * CAST(conv(hex(substring(thumb, i, 1)), 16, 10) AS BIGINT))"
+    )
+    return thumbs.select(
+        "media_id",
+        F.octet_length("thumb").alias("thumb_bytes"),
+        checksum.alias("thumb_checksum"),
+    )
+
+
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample every k-th fixed-stride frame from 'video' payloads with
     JVM byte slicing (substring on binary) — no Python, no decode.
@@ -290,6 +320,7 @@ QUERIES = {
     "mm2_feature_stats": mm2_feature_stats,
     "mm3_frame_sample": mm3_frame_sample,
     "mm4_audio_rms": mm4_audio_rms,
+    "mm5_resize_thumbs": mm5_resize_thumbs,
 }
 
 _KIND = """
@@ -298,6 +329,28 @@ _KIND = """
 """
 
 ORACLE = {
+    # mm5: the strided thumbnail reproduced byte-for-byte — thumb byte i
+    # (1-based) samples source byte ((i-1)·n)//64; empty payloads yield
+    # 64 zero bytes (checksum 0). Position weight i makes the checksum
+    # order-sensitive, so a shuffled-but-same-multiset thumb cannot pass.
+    "mm5_resize_thumbs": f"""
+        WITH media AS (
+            SELECT doc_id AS media_id, text, LENGTH(text) AS n
+            FROM documents
+            WHERE {_KIND} = 'image'
+        )
+        SELECT media_id,
+               {RESIZE_TARGET[0] * RESIZE_TARGET[1]} AS thumb_bytes,
+               CASE WHEN n > 0
+                    THEN CAST(list_sum(list_transform(
+                        range(1, {RESIZE_TARGET[0] * RESIZE_TARGET[1] + 1}), i ->
+                        i * ord(substr(text,
+                            CAST(((i - 1) * n) // {RESIZE_TARGET[0] * RESIZE_TARGET[1]}
+                                 AS INT) + 1, 1))
+                    )) AS BIGINT)
+                    ELSE 0 END AS thumb_checksum
+        FROM media
+    """,
     "mm1_media_manifest": f"""
         WITH media AS (
             SELECT doc_id AS media_id, {_KIND} AS kind, text,

@@ -118,6 +118,117 @@ def g1_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROUNDTRIP_SCHEMA = "doc_id long, text string, lang string, n_chars long"
+
+
+def _roundtrip_fingerprint(df: DataFrame) -> DataFrame:
+    """Content fingerprint that only comes out right if a sink→source
+    round trip preserved every row, every column, and every text byte:
+    row count, id/char sums, a 40-bit-md5 text checksum (the d4
+    cross-engine hash convention, 10 hex chars so a corpus-wide SUM
+    stays far inside BIGINT), and the language span."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_total"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10).cast("long")
+        ).alias("text_checksum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def _run_roundtrip(spark: SparkSession, sf_dir: str, write, read) -> DataFrame:
+    """Shared g2/g3 driver: sink documents to a temp dir with ``write``,
+    load it back with ``read``, fingerprint, clean up. The fingerprint
+    is collected (1 row) before the temp dir is removed — the m11
+    pattern for operators whose input is their own sink output."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="miis_roundtrip_")
+    try:
+        path = f"{base}/docs"
+        write(docs, path)
+        row = _roundtrip_fingerprint(read(spark, path)).collect()[0]
+        return spark.createDataFrame(
+            [row],
+            "n_rows long, id_checksum long, chars_total long, "
+            "text_checksum long, n_langs long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def g2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension: CSV sink → CSV source round trip (another source
+    format beyond the reference's JSON→Parquet pair).
+
+    Production stances exercised for real: the sink writes RFC-4180
+    quoting (``quoteAll`` + ``escape='"'`` — doubled quotes, so
+    embedded commas/quotes survive any reader); the source reads with
+    an EXPLICIT schema — ``inferSchema`` is a full extra pass over
+    100 TB and is never acceptable — plus ``multiLine`` for embedded
+    newlines. ``multiLine`` makes a CSV file non-splittable (one task
+    per file: the parser can't resync mid-quote), which is the
+    documented reason text interchange at scale uses JSONL (g3) —
+    here the sink writes 4 files, so parallelism survives as
+    one-task-per-file. Oracle: the same fingerprint computed from the
+    parquet table directly — it hash-matches iff the text format
+    round-tripped losslessly.
+    """
+    return _run_roundtrip(
+        spark,
+        sf_dir,
+        lambda df, p: (
+            df.repartition(4)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .option("escape", '"')
+            # CSV can't distinguish "" from NULL by itself: the reader
+            # maps a quoted empty to null. A null sentinel (matched on
+            # read) keeps both distinct, at CSV's inherent price: a
+            # document whose text IS the sentinel would read back null.
+            # JSONL (g3) has no such ambiguity — one more reason it is
+            # the at-scale interchange format.
+            .option("nullValue", "\\N")
+            .csv(p)
+        ),
+        lambda s, p: (
+            s.read.schema(_ROUNDTRIP_SCHEMA)
+            .option("header", True)
+            .option("multiLine", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("nullValue", "\\N")
+            .csv(p)
+        ),
+    )
+
+
+def g3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension: JSON-Lines sink → source round trip — the
+    interchange format LLM training corpora actually ship in (one JSON
+    object per line: newlines inside values are ``\\n``-escaped, so
+    files stay line-splittable and a 100 TB corpus scans with full
+    parallelism — the property CSV-with-multiLine (g2) gives up).
+    Source reads with an explicit schema: no sampling pass, and
+    documents the production contract that unknown fields are dropped
+    rather than silently widening the schema. Same lossless-round-trip
+    oracle as g2.
+    """
+    return _run_roundtrip(
+        spark,
+        sf_dir,
+        lambda df, p: df.repartition(4).write.mode("overwrite").json(p),
+        lambda s, p: s.read.schema(_ROUNDTRIP_SCHEMA).json(p),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A — aggregations (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -536,6 +647,8 @@ QUERIES = {
     "f3_boolean_filter": f3_boolean_filter,
     "f4_conjunctive_filter": f4_conjunctive_filter,
     "g1_glob_read": g1_glob_read,
+    "g2_csv_roundtrip": g2_csv_roundtrip,
+    "g3_jsonl_roundtrip": g3_jsonl_roundtrip,
     "a1_count_star": a1_count_star,
     "a2_groupby_count": a2_groupby_count,
     "a3_multikey_groupby": a3_multikey_groupby,
@@ -641,6 +754,27 @@ ORACLE = {
     "g1_glob_read": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+    """,
+    # g2/g3: the oracle fingerprints the ORIGINAL parquet table — the
+    # Spark side fingerprints what came back out of the text-format
+    # sink, so a hash match certifies the round trip byte-lossless.
+    "g2_csv_roundtrip": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT)
+                   AS text_checksum,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+    """,
+    "g3_jsonl_roundtrip": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT)
+                   AS text_checksum,
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         FROM documents
     """,

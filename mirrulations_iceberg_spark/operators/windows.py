@@ -251,6 +251,46 @@ def w8_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w9_users_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth metric every
+    dashboard wants, and the canonical trap query: a naive
+    ``COUNT(DISTINCT user) OVER (ORDER BY day)`` needs the full user
+    set as window state and re-counts it per row.
+
+    Distributed shape instead: distinct-to-date(d) = |{users whose
+    FIRST event day ≤ d}|. Two hash aggregations (per-day activity,
+    per-user min-day → new-user counts) and one running sum over the
+    day-level rollup. The only unpartitioned window runs on rows
+    bounded by DISTINCT DAYS (~3.6K rows for a decade — metadata-sized
+    at any corpus scale), never on events; both event-sized
+    aggregations are plain map-side-partial hash aggs on day/user_id.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    daily = events.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("users_active"),
+    )
+    new_users = (
+        events.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_users, "day", "left")
+        .select(
+            "day",
+            "n_events",
+            "users_active",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("users_to_date", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
     "w2_running_sum": w2_running_sum,
@@ -260,9 +300,29 @@ QUERIES = {
     "w6_session_window": w6_session_window,
     "w7_ntile_deciles": w7_ntile_deciles,
     "w8_decayed_engagement": w8_decayed_engagement,
+    "w9_users_to_date": w9_users_to_date,
 }
 
 ORACLE = {
+    "w9_users_to_date": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS users_active
+            FROM events GROUP BY 1
+        ), firsts AS (
+            SELECT MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+        ), nu AS (
+            SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day
+        )
+        SELECT d.day, CAST(d.n_events AS BIGINT) AS n_events,
+               CAST(d.users_active AS BIGINT) AS users_active,
+               CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+               CAST(SUM(COALESCE(nu.new_users, 0)) OVER (
+                   ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS users_to_date
+        FROM daily d LEFT JOIN nu USING (day)
+        ORDER BY d.day
+    """,
     "w8_decayed_engagement": f"""
         WITH t AS (
             SELECT user_id,
