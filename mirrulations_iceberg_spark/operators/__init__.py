@@ -79,13 +79,14 @@ DRIVER_WINDOW = (
     "m6_profile",
     "s13_schema_evolution",
     "s1_stream_windowed_counts",
-    "e1_docket_pipeline",
     "e2_training_pipeline",
-    # --- NEW round-7 operators (never checked by definition)
+    # --- NEW round-7 operators (never checked by definition; e1's
+    # slot freed — banked green r6, e2 keeps the family live)
     "g2_csv_roundtrip",
     "g3_jsonl_roundtrip",
     "w9_users_to_date",
     "mm5_resize_thumbs",
+    "x9_pq_adc_topk",
     # --- the full rotation queue: never driver-green until now
     # aggregations / sampling
     "a13_pivot",

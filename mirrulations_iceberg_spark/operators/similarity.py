@@ -764,6 +764,246 @@ def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, emb)
 
 
+PQ_M = 8  # subspaces → codes are PQ_M small ints per vector
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_SAMPLE_MOD = 4  # deterministic 25% fit sample, like IVF
+PQ_LLOYD_ITERS = 2
+
+
+def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
+    """Deterministic per-subspace Lloyd — (m, cell, center[PQ_SUBDIM]).
+
+    The x5 fit generalized with a subspace key: each vector splits into
+    ``PQ_M`` disjoint ``PQ_SUBDIM``-dim subvectors and every subspace
+    learns its own ``PQ_K``-centroid quantizer. Same engine-
+    reproducibility recipe as ``_ivf_fit_centroids`` (md5-seeded init
+    on the shared sample — one seed ranking serves all subspaces —
+    fixed iteration count, DECIMAL-exact means), so the whole PQ
+    pipeline carries a full DuckDB oracle. All DataFrame ops: the
+    assign step broadcasts M·K ≤ 128 tiny centroids, the recompute is
+    an (m, cell, dim) hash-agg.
+    """
+    samp = emb.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0).select("vec_id", "e")
+    sub_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM),
+    )
+    subs = samp.select("vec_id", F.posexplode(sub_arr).alias("m", "sub"))
+    seeds = (
+        samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__seed", "vec_id")
+        .limit(PQ_K)
+    )
+    w0 = Window.orderBy("__seed", "vec_id")  # PQ_K rows only
+    centers = seeds.select(
+        (F.row_number().over(w0) - 1).alias("cell"), "e"
+    ).select("cell", F.posexplode(sub_arr).alias("m", "center"))
+    d2 = F.aggregate(
+        F.zip_with("sub", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wa = Window.partitionBy("vec_id", "m").orderBy("dist2", "cell")
+    for _ in range(PQ_LLOYD_ITERS):
+        assigned = (
+            subs.join(F.broadcast(centers), "m")
+            .withColumn("dist2", d2)
+            .withColumn("pr", F.row_number().over(wa))
+            .filter(F.col("pr") == 1)
+            .select("m", "cell", "sub")
+        )
+        # recompute in ONE (m, cell) hash-agg: per-dim decimal-exact
+        # sums as PQ_SUBDIM agg columns (vs x5's posexplode + two
+        # groupBys — with PQ_SUBDIM fixed and small, column-wise sums
+        # save a shuffle per iteration)
+        centers = (
+            assigned.groupBy("m", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(
+                        F.element_at("sub", i + 1).cast("decimal(27,12)")
+                    ).alias(f"__s{i}")
+                    for i in range(PQ_SUBDIM)
+                ],
+            )
+            .select(
+                "m",
+                "cell",
+                F.array(
+                    *[
+                        F.col(f"__s{i}").cast("double") / F.col("__n")
+                        for i in range(PQ_SUBDIM)
+                    ]
+                ).alias("center"),
+            )
+        )
+    return centers
+
+
+def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the FAISS-PQ memory-bound scale path: the corpus is stored as
+    ``PQ_M`` 4-bit codes (4 bytes/vector vs 256 bytes of floats, 64×),
+    which is what makes RAM-resident ANN over a 100 TB embedding
+    corpus feasible at all.
+
+    Pipeline, all deterministic and oracle-replayed end-to-end:
+
+    * fit: per-subspace Lloyd codebooks (:func:`_pq_fit_codebooks`);
+    * encode: one pass over the corpus — per subspace, argmin-fold
+      against the ≤128-entry codebook literal (pure projection, no
+      join, no shuffle; codes store codebook POSITIONS so lookups are
+      array indexing);
+    * search (ADC): each query precomputes its distance table
+      d(q_m, centroid) — M·K doubles per query, broadcast — and every
+      corpus code scores as a table-lookup fold. The 8 per-subspace
+      terms are added in ascending-m order on both engines (Spark:
+      sequence fold; DuckDB: list_sum of list(term ORDER BY m)), so
+      the double sum is bit-identical without decimal quantization;
+    * recall: measured in-plan against exact L2 top-k (PQ approximates
+      L2, so the honest baseline is L2, not cosine).
+
+    Output is bounded: one row per query — the ADC top-k id-checksum
+    pins the retrieved SET, recall@k grades it.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    cb = sorted(
+        (r["m"], r["cell"], [float(v) for v in r["center"]])
+        for r in _pq_fit_codebooks(emb).collect()
+    )
+    by_m: dict[int, list[list[float]]] = {m: [] for m in range(PQ_M)}
+    for m, _cell, cen in cb:  # cells ascend within m; positions follow
+        by_m[m].append(cen)
+
+    # ONE nested codebook literal, indexed at runtime: cb_lit[m][pos] =
+    # struct(p, center). Both the encode argmin and the query distance
+    # table are a single lambda expression parameterized over m (the
+    # subspace slice start is a lambda-variable-derived Column), not
+    # PQ_M unrolled copies — the unrolled form multiplied plan size and
+    # codegen time by M, and a When-chain variant of the argmin embeds
+    # the accumulator 3× per centroid (≈3^16 nodes — OOMed the
+    # analyzer). A lambda fold is one node; acc is a named variable.
+    cb_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pos).alias("p"),
+                        F.array(*[F.lit(v) for v in cen]).alias("center"),
+                    )
+                    for pos, cen in enumerate(by_m[m])
+                ]
+            )
+            for m in range(PQ_M)
+        ]
+    )
+
+    def _d2(sub_col, cen_col):
+        return F.aggregate(
+            F.zip_with(sub_col, cen_col, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    def _sub(col, m):
+        return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("p"))
+
+    def _argmin(m):
+        # strict < keeps the first (lowest-position) winner on ties —
+        # matching the oracle's row_number ORDER BY d2, cell
+        def step(acc, cs):
+            d = _d2(_sub("e", m), cs["center"])
+            better = d < acc["d"]
+            return F.struct(
+                F.when(better, d).otherwise(acc["d"]).alias("d"),
+                F.when(better, cs["p"]).otherwise(acc["p"]).alias("p"),
+            )
+
+        return F.aggregate(F.element_at(cb_lit, m + 1), acc0, step)["p"]
+
+    codes = emb.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _argmin).alias("code"),
+    )
+    qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.transform(
+                F.element_at(cb_lit, m + 1),
+                lambda cs: _d2(_sub("qe", m), cs["center"]),
+            ),
+        ).alias("dtab"),
+    )
+    # ascending-m double fold; the oracle sums list(term ORDER BY m),
+    # so both engines add the 8 doubles in the same order → identical.
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.element_at("dtab", m + 1), F.element_at("code", m + 1) + 1
+            ),
+        ),
+        4,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qside))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    pq_topk = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    d2_full = F.round(
+        F.aggregate(
+            F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+        4,
+    )
+    exact_scored = (
+        emb.crossJoin(F.broadcast(qside.select("query_id", "qe")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("l2", d2_full)
+    )
+    wx = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+    exact_topk = (
+        exact_scored.withColumn("rnk", F.row_number().over(wx))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("exact_vec_id"))
+    )
+    # LEFT join + one aggregation: count(non-null) IS the hit count, so
+    # pq_topk (and the whole encode/ADC pipeline under it) is consumed
+    # exactly once — a second reference would re-run the corpus encode
+    # inside the same action.
+    flagged = pq_topk.join(
+        exact_topk,
+        (pq_topk.query_id == exact_topk.query_id)
+        & (pq_topk.vec_id == exact_topk.exact_vec_id),
+        "left",
+    ).select(pq_topk.query_id, pq_topk.vec_id, exact_topk.exact_vec_id)
+    out = flagged.groupBy("query_id").agg(
+        F.sum("vec_id").alias("id_checksum"),
+        F.round(F.count("exact_vec_id") / F.lit(float(TOP_K)), 4).alias(
+            "recall_at_k"
+        ),
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
+
+
 QUERIES = {
     "x1_cosine_topk": x1_cosine_topk,
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
@@ -774,6 +1014,7 @@ QUERIES = {
     "x6_embedding_dedup_apply": x6_embedding_dedup_apply,
     "x8_range_search": x8_range_search,
     "x7_ann_partitioned_index": x7_ann_partitioned_index,
+    "x9_pq_adc_topk": x9_pq_adc_topk,
 }
 
 _COS = f"""
@@ -894,7 +1135,121 @@ SELECT nc.query_id, CAST(nc.n_candidates AS BIGINT) AS n_candidates,
 FROM ncand nc LEFT JOIN hits h USING (query_id)
 """
 
+def _x9_sub_d2(sub: str, center: str) -> str:
+    """Squared L2 over one PQ subspace — same ascending-dim fold as the
+    Spark side's zip_with aggregate."""
+    return (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"i -> ({sub}[i] - {center}[i]) * ({sub}[i] - {center}[i])))"
+    )
+
+
+def _x9_lloyd_step(src: str, assigned: str, means: str, out: str) -> str:
+    """One unrolled per-subspace Lloyd iteration (the _x5_lloyd_step
+    shape with the m key threaded through assign/mean/rebuild)."""
+    return f"""{assigned} AS (
+    SELECT m, cell, sub FROM (
+        SELECT s.m, s.sub, s.vec_id, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_x9_sub_d2('s.sub', 'c.center')}, c.cell) AS pr
+        FROM subs s JOIN {src} c USING (m)
+    ) WHERE pr = 1
+), {means} AS (
+    SELECT m, cell, t.i AS dim,
+           CAST(SUM(CAST(a.sub[t.i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cv
+    FROM {assigned} a CROSS JOIN range(1, {PQ_SUBDIM + 1}) t(i)
+    GROUP BY m, cell, t.i
+), {out} AS (
+    SELECT m, cell, list(cv ORDER BY dim) AS center FROM {means} GROUP BY m, cell
+)"""
+
+
+#: Full replay of x9's PQ pipeline: shared md5-seeded sample init, per-
+#: subspace unrolled Lloyd, full-corpus encode, ADC scoring with
+#: DECIMAL-quantized per-subspace terms (addition-order-independent),
+#: and recall vs exact L2 top-k. Codes here carry cell ids and ADC
+#: terms come from a (m, cell) join, while Spark stores codebook
+#: positions and indexes a distance table — the same bijection, the
+#: same d² values, so ranking and recall agree exactly.
+_X9_SQL = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), samp AS (
+    SELECT vec_id, e FROM e WHERE vec_id % {PQ_SAMPLE_MOD} = 0
+), subs AS (
+    SELECT vec_id, t.m AS m,
+           e[(t.m * {PQ_SUBDIM} + 1):(t.m * {PQ_SUBDIM} + {PQ_SUBDIM})] AS sub
+    FROM samp CROSS JOIN range(0, {PQ_M}) t(m)
+), seeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM samp ORDER BY s, vec_id LIMIT {PQ_K}
+), c0 AS (
+    SELECT t.m AS m, r.cell,
+           r.e[(t.m * {PQ_SUBDIM} + 1):(t.m * {PQ_SUBDIM} + {PQ_SUBDIM})] AS center
+    FROM (SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell, e
+          FROM seeds) r
+    CROSS JOIN range(0, {PQ_M}) t(m)
+), {_x9_lloyd_step('c0', 'a1', 'm1', 'c1')},
+{_x9_lloyd_step('c1', 'a2', 'm2', 'c2')}, fullsubs AS (
+    SELECT vec_id, t.m AS m,
+           e[(t.m * {PQ_SUBDIM} + 1):(t.m * {PQ_SUBDIM} + {PQ_SUBDIM})] AS sub
+    FROM e CROSS JOIN range(0, {PQ_M}) t(m)
+), codes AS (
+    SELECT vec_id, m, cell FROM (
+        SELECT f.vec_id, f.m, c.cell,
+               row_number() OVER (PARTITION BY f.vec_id, f.m
+                                  ORDER BY {_x9_sub_d2('f.sub', 'c.center')}, c.cell) AS pr
+        FROM fullsubs f JOIN c2 c USING (m)
+    ) WHERE pr = 1
+), q AS (
+    SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < {N_QUERIES}
+), adc AS (
+    -- list(term ORDER BY m) + list_sum = ascending-m left-to-right
+    -- double adds, the exact order of the Spark side's fold
+    SELECT q.query_id, k.vec_id,
+           ROUND(list_sum(list(
+               list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), i ->
+                   (q.qe[k.m * {PQ_SUBDIM} + i] - c.center[i])
+                   * (q.qe[k.m * {PQ_SUBDIM} + i] - c.center[i])))
+               ORDER BY k.m)), 4) AS adc
+    FROM codes k JOIN c2 c USING (m, cell) CROSS JOIN q
+    WHERE k.vec_id <> q.query_id
+    GROUP BY q.query_id, k.vec_id
+), pq_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rnk
+        FROM adc
+    ) WHERE rnk <= {TOP_K}
+), exact AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}), i ->
+               (e.e[i] - q.qe[i]) * (e.e[i] - q.qe[i]))), 4) AS l2
+    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), exact_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY l2, vec_id) AS rnk
+        FROM exact
+    ) WHERE rnk <= {TOP_K}
+), hits AS (
+    SELECT p.query_id, COUNT(*) AS n_hits
+    FROM pq_topk p JOIN exact_topk x
+      ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+    GROUP BY p.query_id
+)
+SELECT p.query_id, CAST(SUM(p.vec_id) AS BIGINT) AS id_checksum,
+       ROUND(COALESCE(MAX(h.n_hits), 0) / {float(TOP_K)}, 4) AS recall_at_k
+FROM pq_topk p LEFT JOIN hits h USING (query_id)
+GROUP BY p.query_id
+"""
+
+
 ORACLE = {
+    "x9_pq_adc_topk": _X9_SQL,
     "x5_ann_ivf_topk": _X5_SQL,
     "x8_range_search": f"""
         WITH e AS (
