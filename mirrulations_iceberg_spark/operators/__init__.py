@@ -77,16 +77,17 @@ DRIVER_WINDOW = (
     "x2_ann_lsh_topk",
     "mm2_feature_stats",
     "m6_profile",
-    "s13_schema_evolution",
     "s1_stream_windowed_counts",
     "e2_training_pipeline",
-    # --- NEW round-7 operators (never checked by definition; e1's
-    # slot freed — banked green r6, e2 keeps the family live)
+    # --- NEW round-7 operators (never checked by definition; e1's and
+    # s13's slots freed — banked green r6, e2/s1 keep those families
+    # live)
     "g2_csv_roundtrip",
     "g3_jsonl_roundtrip",
     "w9_users_to_date",
     "mm5_resize_thumbs",
     "x9_pq_adc_topk",
+    "m12_vacuum_orphans",
     # --- the full rotation queue: never driver-green until now
     # aggregations / sampling
     "a13_pivot",

@@ -458,9 +458,92 @@ def m11_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def m12_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-extension: orphan-file cleanup — Iceberg's
+    ``remove_orphan_files`` / Delta ``VACUUM`` behavior on the m11
+    manifest mechanism (reference's snapshot model,
+    ``iceberg_exploration.py:65-186``). A failed or rolled-back write
+    leaves data files on disk that no manifest references; at 100 TB
+    those orphans are real money and a correctness trap (a naive
+    directory-listing reader would resurrect them — exactly why
+    manifest-resolved reads exist).
+
+    Fixture: two committed writes (doc_id%3 ∈ {{0,1}}, 2 files each)
+    tracked by a manifest, plus one UNCOMMITTED write (doc_id%3 == 2,
+    2 files) simulating a failed job — on disk, in no manifest.
+    Vacuum = on-disk file set MINUS live manifest set → delete; then
+    the post-vacuum manifest read proves the live data survived
+    intact. File ops are driver-side metadata work by design (the m11
+    stance: manifests list files, not rows). Every output value is
+    pinned by the deterministic splits, so the whole lifecycle —
+    orphan identification, deletion, read-after-delete — is
+    oracle-checked.
+    """
+    import json as _json
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = _tmpdir()
+    try:
+        live_files: list[str] = []
+        for snap, df in (
+            ("1", docs.filter(F.col("doc_id") % 3 == 0)),
+            ("2", docs.filter(F.col("doc_id") % 3 == 1)),
+        ):
+            data_dir = os.path.join(base, f"commit-{snap}")
+            write_parquet(df, data_dir, n_files=2)
+            live_files += sorted(
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            )
+        with open(os.path.join(base, "manifest-live.json"), "w") as fh:
+            _json.dump({"files": live_files}, fh)
+        # the failed write: files land, no manifest records them
+        write_parquet(
+            docs.filter(F.col("doc_id") % 3 == 2),
+            os.path.join(base, "commit-failed"),
+            n_files=2,
+        )
+        on_disk = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(base)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        with open(os.path.join(base, "manifest-live.json")) as fh:
+            live = set(_json.load(fh)["files"])
+        orphans = [p for p in on_disk if p not in live]
+        orow = spark.read.parquet(*orphans).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("ck")
+        ).collect()[0]
+        for p in orphans:
+            os.remove(p)
+        lrow = spark.read.parquet(*sorted(live)).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("ck")
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    len(live),
+                    len(orphans),
+                    int(orow["n"]),
+                    int(orow["ck"]),
+                    int(lrow["n"]),
+                    int(lrow["ck"]),
+                )
+            ],
+            "n_live_files int, n_orphan_files int, orphan_rows long, "
+            "orphan_checksum long, post_vacuum_rows long, "
+            "post_vacuum_checksum long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
     "s13_schema_evolution": s13_schema_evolution,
     "m11_time_travel": m11_time_travel,
+    "m12_vacuum_orphans": m12_vacuum_orphans,
     "m1_codec_benchmark": m1_codec_benchmark,
     "m2_storage_efficiency": m2_storage_efficiency,
     "m3_delta_append": m3_delta_append,
@@ -505,6 +588,21 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    # m12: file counts are write_parquet constants (2 files × 2 commits
+    # live, 2 orphan); rows/checksums derive from the mod-3 splits. A
+    # mismatch on post_vacuum_* means vacuum deleted live data; on
+    # orphan_* means it missed (or misread) the unreferenced files.
+    "m12_vacuum_orphans": """
+        SELECT 4 AS n_live_files, 2 AS n_orphan_files,
+               CAST(COUNT(*) FILTER (doc_id % 3 = 2) AS BIGINT) AS orphan_rows,
+               CAST(SUM(doc_id) FILTER (doc_id % 3 = 2) AS BIGINT)
+                   AS orphan_checksum,
+               CAST(COUNT(*) FILTER (doc_id % 3 IN (0, 1)) AS BIGINT)
+                   AS post_vacuum_rows,
+               CAST(SUM(doc_id) FILTER (doc_id % 3 IN (0, 1)) AS BIGINT)
+                   AS post_vacuum_checksum
+        FROM documents
+    """,
     # snapshot 2 = commits 1+2 (mod 0 and 1); the rollback read of
     # snapshot 1 sees only mod 0 — divergence on either count or
     # checksum means a reader escaped its manifest.
