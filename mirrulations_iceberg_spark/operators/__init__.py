@@ -66,9 +66,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: green representatives (a4, j6, d3, s4 — all r6 rows banked, each
 #: family keeps another live representative) make room.
 DRIVER_WINDOW = (
-    # --- green family representatives (banked r6 rows; one+ per family)
+    # --- green family representatives (banked r6 rows; one+ per
+    # family — where a family's slot was reclaimed for a round-7
+    # newcomer (a2, a4, j6, d3, s4, s13, e1), the family stays
+    # window-covered by its never-green entrants and keeps banked
+    # green rows in LEDGER.md)
     "f1_like_substring",
-    "a2_groupby_count",
     "c_scalar_suite",
     "j1_broadcast_star_join",
     "w5_sessionize",
@@ -84,6 +87,7 @@ DRIVER_WINDOW = (
     # live)
     "g2_csv_roundtrip",
     "g3_jsonl_roundtrip",
+    "g4_orc_roundtrip",
     "w9_users_to_date",
     "mm5_resize_thumbs",
     "x9_pq_adc_topk",

@@ -229,6 +229,24 @@ def g3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g4_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension: ORC sink → source round trip — the second columnar
+    format large Hive-lineage estates still carry alongside Parquet; a
+    "switch your engine, keep your files" claim needs both. Binary
+    columnar, so none of g2's text-format ambiguities exist (nulls,
+    empties and any byte sequence survive natively); stripes are
+    splittable and the vectorized ORC reader handles predicate
+    pushdown, so the 100 TB scan story matches Parquet's. Same
+    lossless-round-trip fingerprint oracle as g2/g3.
+    """
+    return _run_roundtrip(
+        spark,
+        sf_dir,
+        lambda df, p: df.repartition(4).write.mode("overwrite").orc(p),
+        lambda s, p: s.read.schema(_ROUNDTRIP_SCHEMA).orc(p),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A — aggregations (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -649,6 +667,7 @@ QUERIES = {
     "g1_glob_read": g1_glob_read,
     "g2_csv_roundtrip": g2_csv_roundtrip,
     "g3_jsonl_roundtrip": g3_jsonl_roundtrip,
+    "g4_orc_roundtrip": g4_orc_roundtrip,
     "a1_count_star": a1_count_star,
     "a2_groupby_count": a2_groupby_count,
     "a3_multikey_groupby": a3_multikey_groupby,
@@ -770,6 +789,15 @@ ORACLE = {
         FROM documents
     """,
     "g3_jsonl_roundtrip": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT)
+                   AS text_checksum,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+    """,
+    "g4_orc_roundtrip": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
                CAST(SUM(n_chars) AS BIGINT) AS chars_total,

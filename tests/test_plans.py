@@ -43,6 +43,11 @@ SKIP_SWEEP = {
     "m9_partition_overwrite",  # runs write jobs at construction
     "s3_stream_sessions",  # runs a streaming job at construction
     "x7_ann_partitioned_index",  # writes + reads a scratch index
+    "g2_csv_roundtrip",  # sink→source round trips run write jobs
+    "g3_jsonl_roundtrip",
+    "g4_orc_roundtrip",
+    "m12_vacuum_orphans",  # commit writes + vacuum at construction
+    "x9_pq_adc_topk",  # runs the codebook fit at construction
 }
 
 
@@ -176,6 +181,18 @@ def test_dedup_has_no_self_join(spark, name):
     cached signatures — hash joins there are fine; d2/d5 have none)."""
     plan = _plan(spark, name)
     assert "SortMergeJoin" not in plan, name
+
+
+def test_mm5_resize_is_pure_projection(spark):
+    """mm5's thumbnail pipeline (scan → filter → mapInPandas → checksum
+    projection) must introduce no data-dependent shuffle: no hash or
+    range exchange anywhere — the only allowed exchange is
+    parallelize_scan's round-robin fixture-spread, which a real
+    multi-file corpus scan wouldn't need."""
+    plan = _plan(spark, "mm5_resize_thumbs")
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "MapInPandas" in plan
 
 
 def test_d10_shuffles_carry_no_text(spark):

@@ -71,6 +71,16 @@ def test_jsonl_roundtrip_survives_hostile_text(spark, nasty_sf_dir):
     assert got.asDict() == want.asDict()
 
 
+def test_orc_roundtrip_survives_hostile_text(spark, nasty_sf_dir):
+    from mirrulations_iceberg_spark.operators.relational import (
+        g4_orc_roundtrip,
+    )
+
+    got = g4_orc_roundtrip(spark, nasty_sf_dir).collect()[0]
+    want = _fingerprint_direct(spark, nasty_sf_dir)
+    assert got.asDict() == want.asDict()
+
+
 def test_users_to_date_cumulative_semantics(spark, tmp_path):
     """Hand-checkable case: users A,B on day 1; B,C on day 2; C on day 3
     → to-date 2, 3, 3. Repeat events never re-count a user."""
