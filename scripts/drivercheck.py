@@ -18,7 +18,13 @@ what the real driver would fail:
   renders HUGEINT as float ("123.0" vs Spark's "123") while this
   replica's ``fetchall()`` yields plain ints.
 
-Usage: python scripts/drivercheck.py [--plain-session] [sf_dir] [query_name ...]
+``--window-order`` replays the gate even more exactly: only the first
+50 ``queries()`` entries (the DRIVER_WINDOW), in insertion order, one
+session — catching any order-dependent session state a sorted sweep
+would mask.
+
+Usage: python scripts/drivercheck.py [--plain-session] [--window-order]
+       [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -39,8 +45,10 @@ from mirrulations_iceberg_spark.testing import value_hash  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--plain-session"]
+    flags = {"--plain-session", "--window-order"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     plain = "--plain-session" in sys.argv[1:]
+    window_order = "--window-order" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     queries = entrymod.queries()
@@ -65,7 +73,10 @@ def main() -> int:
             )
 
     n_pass = n_rowsonly = n_fail = n_err = 0
-    for name, fn in sorted(queries.items()):
+    items = (
+        list(queries.items())[:50] if window_order else sorted(queries.items())
+    )
+    for name, fn in items:
         if only and name not in only:
             continue
         t0 = time.time()
