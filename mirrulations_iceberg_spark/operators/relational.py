@@ -189,6 +189,12 @@ def g2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("header", True)
             .option("quoteAll", True)
             .option("escape", '"')
+            # the WRITER trims whitespace by default (ignore*WhiteSpace
+            # default true on write, false on read — asymmetric!), which
+            # silently corrupts whitespace-significant text; found by
+            # the hypothesis round-trip property on texts=[" "]
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
             # CSV can't distinguish "" from NULL by itself: the reader
             # maps a quoted empty to null. A null sentinel (matched on
             # read) keeps both distinct, at CSV's inherent price: a
@@ -204,6 +210,8 @@ def g2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("multiLine", True)
             .option("quote", '"')
             .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
             .option("nullValue", "\\N")
             .csv(p)
         ),

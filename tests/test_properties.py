@@ -119,3 +119,95 @@ def test_winnowing_shared_run_guarantee(spark):
     sets = {r.doc_id: set(r.fingerprints) for r in winnow_sets(df).collect()}
     for pair in range(30):
         assert sets[2 * pair] & sets[2 * pair + 1], f"pair {pair} shares no fingerprint"
+
+
+ROUNDTRIP_TEXTS = st.text(
+    # hostile-for-text-formats alphabet: quotes, commas, newlines,
+    # backslash, unicode — but no uppercase N, so the g2 CSV null
+    # sentinel "\N" (a documented, inherent CSV collision) can't be
+    # generated as literal text
+    alphabet=st.sampled_from(list("ab c\"',\n\\é—日0")),
+    max_size=60,
+)
+
+
+@given(st.lists(ROUNDTRIP_TEXTS, min_size=1, max_size=6))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_roundtrip_fingerprint_lossless_all_formats(spark, texts):
+    """g2/g3/g4 property: for ANY document set over a hostile alphabet,
+    the sink→source fingerprint equals the direct fingerprint — i.e.
+    every format's round trip is lossless."""
+    import os
+    import shutil
+    import tempfile
+
+    from mirrulations_iceberg_spark.operators.relational import (
+        _roundtrip_fingerprint,
+        g2_csv_roundtrip,
+        g3_jsonl_roundtrip,
+        g4_orc_roundtrip,
+    )
+
+    base = tempfile.mkdtemp(prefix="miis_prop_rt_")
+    try:
+        rows = [(i, t, "xx", "src0", len(t)) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        want = _roundtrip_fingerprint(
+            df.select("doc_id", "text", "lang", "n_chars")
+        ).collect()[0]
+        for fn in (g2_csv_roundtrip, g3_jsonl_roundtrip, g4_orc_roundtrip):
+            got = fn(spark, base).collect()[0]
+            assert got.asDict() == want.asDict(), fn.__name__
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)),  # (user, day)
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_users_to_date_invariants(spark, events):
+    """w9 properties on arbitrary event sets: users_to_date is
+    non-decreasing, ≥ that day's active count, ends at the total
+    distinct-user count, and new_users sums to the same total."""
+    import os
+    import shutil
+    import tempfile
+
+    from mirrulations_iceberg_spark.operators.windows import w9_users_to_date
+
+    base = tempfile.mkdtemp(prefix="miis_prop_w9_")
+    try:
+        rows = [
+            (i, f"2024-03-{day + 1:02d} 12:00:00", user, "t", 1.0, "{}")
+            for i, (user, day) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(os.path.join(base, "events.parquet"))
+        out = w9_users_to_date(spark, base).collect()
+        total_users = len({u for u, _ in events})
+        running = 0
+        for r in out:
+            assert r["users_to_date"] >= running  # non-decreasing
+            running = r["users_to_date"]
+            assert r["users_active"] <= r["users_to_date"]
+        assert running == total_users
+        assert sum(r["new_users"] for r in out) == total_users
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
