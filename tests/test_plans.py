@@ -183,6 +183,20 @@ def test_dedup_has_no_self_join(spark, name):
     assert "SortMergeJoin" not in plan, name
 
 
+def test_w9_prunes_event_scan_to_two_columns(spark):
+    """w9 touches only ts/user_id of the 6-column events table — the
+    projection must reach both scans (ReadSchema), or a 100 TB run
+    reads props/value bytes it never uses."""
+    import re
+
+    plan = _plan(spark, "w9_users_to_date")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"ts", "user_id"}, s
+
+
 def test_mm5_resize_is_pure_projection(spark):
     """mm5's thumbnail pipeline (scan → filter → mapInPandas → checksum
     projection) must introduce no data-dependent shuffle: no hash or
