@@ -291,6 +291,41 @@ def w9_users_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+W10_WINDOW_S = 3600  # trailing time window (seconds)
+
+
+def w10_trailing_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing-hour event count and value sum per
+    user at every event — the time-windowed feature a ROWS frame can't
+    express (the frame is defined by timestamp VALUE, so simultaneous
+    events are peers regardless of position; w2's rows-frame is the
+    positional cousin).
+
+    Same shuffle shape as every partitioned window (one hash exchange
+    on user_id + per-partition sort); frame state is bounded by an
+    hour's events per user. Cross-engine exactness: the frame SET is
+    value-determined (identical in both engines — no tie ambiguity),
+    and the summed terms are quantized to DECIMAL(18,6) so the
+    sliding-frame arithmetic (add/retract order differs by engine) is
+    exact and order-free; one ROUND at the end.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-W10_WINDOW_S * 1_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"),
+            4,
+        ).alias("trailing_1h_value"),
+    )
+
+
 QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
     "w2_running_sum": w2_running_sum,
@@ -301,9 +336,20 @@ QUERIES = {
     "w7_ntile_deciles": w7_ntile_deciles,
     "w8_decayed_engagement": w8_decayed_engagement,
     "w9_users_to_date": w9_users_to_date,
+    "w10_trailing_window_value": w10_trailing_window_value,
 }
 
 ORACLE = {
+    "w10_trailing_window_value": f"""
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4)
+                   AS trailing_1h_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+                     RANGE BETWEEN {W10_WINDOW_S * 1_000_000} PRECEDING
+                           AND CURRENT ROW)
+    """,
     "w9_users_to_date": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
