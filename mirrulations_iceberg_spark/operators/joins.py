@@ -376,6 +376,27 @@ def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b.distinct())
 
 
+def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT ALL — MULTISET difference (SURVEY §2.8 completes
+    with the bag-semantics variants; u2/u3 are the distinct forms).
+    Multiplicity matters wherever copies are bookkeeping — dedup
+    accounting, delta reconciliation: here, per event_type, how many
+    even-user events exceed the odd-user count. Spark plans exceptAll
+    as a generate-over-counted-groups (sum of ±1 replicated), one
+    shuffle per side on the compared row — no join explosion. The
+    final aggregate bounds the output at |event_type|.
+    """
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("user_id") % 2 == 0).select("event_type")
+    b = events.filter(F.col("user_id") % 2 == 1).select("event_type")
+    return (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("surplus"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "j1_broadcast_star_join": j1_broadcast_star_join,
     "j2_semi_join": j2_semi_join,
@@ -388,6 +409,7 @@ QUERIES = {
     "u1_union_base_delta": u1_union_base_delta,
     "u2_intersect": u2_intersect,
     "u3_except": u3_except,
+    "u4_except_all": u4_except_all,
 }
 
 ORACLE = {
@@ -489,5 +511,14 @@ ORACLE = {
         EXCEPT
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey
+    """,
+    "u4_except_all": """
+        WITH d AS (
+            SELECT event_type FROM events WHERE user_id % 2 = 0
+            EXCEPT ALL
+            SELECT event_type FROM events WHERE user_id % 2 = 1
+        )
+        SELECT event_type, COUNT(*) AS surplus
+        FROM d GROUP BY event_type ORDER BY event_type
     """,
 }
