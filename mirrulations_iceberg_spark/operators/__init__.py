@@ -74,7 +74,6 @@ DRIVER_WINDOW = (
     "f1_like_substring",
     "c_scalar_suite",
     "j1_broadcast_star_join",
-    "d1_exact_dedup",
     "x2_ann_lsh_topk",
     "mm2_feature_stats",
     "m6_profile",
@@ -89,6 +88,7 @@ DRIVER_WINDOW = (
     "w9_users_to_date",
     "w10_trailing_window_value",
     "u4_except_all",
+    "u5_intersect_all",
     "mm5_resize_thumbs",
     "x9_pq_adc_topk",
     "m12_vacuum_orphans",

@@ -397,6 +397,23 @@ def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u5_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT ALL — the multiset companion to u4: per
+    event_type, min(even-user count, odd-user count) occurrences
+    survive. Same counted-groups physical shape as exceptAll (one
+    exchange per side, no join explosion); aggregated per type so
+    output is bounded at |event_type|."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("user_id") % 2 == 0).select("event_type")
+    b = events.filter(F.col("user_id") % 2 == 1).select("event_type")
+    return (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "j1_broadcast_star_join": j1_broadcast_star_join,
     "j2_semi_join": j2_semi_join,
@@ -410,6 +427,7 @@ QUERIES = {
     "u2_intersect": u2_intersect,
     "u3_except": u3_except,
     "u4_except_all": u4_except_all,
+    "u5_intersect_all": u5_intersect_all,
 }
 
 ORACLE = {
@@ -519,6 +537,15 @@ ORACLE = {
             SELECT event_type FROM events WHERE user_id % 2 = 1
         )
         SELECT event_type, COUNT(*) AS surplus
+        FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    "u5_intersect_all": """
+        WITH d AS (
+            SELECT event_type FROM events WHERE user_id % 2 = 0
+            INTERSECT ALL
+            SELECT event_type FROM events WHERE user_id % 2 = 1
+        )
+        SELECT event_type, COUNT(*) AS common
         FROM d GROUP BY event_type ORDER BY event_type
     """,
 }
