@@ -74,7 +74,6 @@ DRIVER_WINDOW = (
     "f1_like_substring",
     "c_scalar_suite",
     "j1_broadcast_star_join",
-    "x2_ann_lsh_topk",
     "mm2_feature_stats",
     "m6_profile",
     "s1_stream_windowed_counts",
@@ -89,6 +88,7 @@ DRIVER_WINDOW = (
     "w10_trailing_window_value",
     "u4_except_all",
     "u5_intersect_all",
+    "t12_vocab_growth",
     "mm5_resize_thumbs",
     "x9_pq_adc_topk",
     "m12_vacuum_orphans",

@@ -489,6 +489,69 @@ def t11_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T12_BUCKETS = 10
+
+
+def t12_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): distinct token types seen
+    so far, per corpus decile in doc_id order — the saturation
+    diagnostic a tokenizer-training pipeline reads before freezing a
+    vocab (flattening curve ⇒ more data adds few new types).
+
+    Distributed shape is the w9 first-seen rewrite lifted to tokens:
+    a cumulative-distinct-over-order query is NOT a giant stateful
+    window — each type's min(doc_id) is one hash-agg on token, new
+    types bucket by that first appearance, and the only running sum is
+    over T12_BUCKETS rows. Decile = doc_id·B DIV n_docs (dense ids);
+    n_docs rides in as a broadcast 1-row cross join (the a5b pattern),
+    never a driver-side collect.
+    """
+    from .dedup import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    n_docs = toks.agg(F.count(F.lit(1)).alias("__n"))
+    # integer DIV, not double-divide-then-cast: Spark's double→long cast
+    # truncates while DuckDB's rounds — DIV // is exact on both
+    bucket = F.least(
+        F.expr(f"(doc_id * {T12_BUCKETS}) DIV __n"),
+        F.lit(T12_BUCKETS - 1).cast("long"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "__toks",
+            F.size("__toks").alias("__n_toks"),
+            bucket.alias("bucket"),
+        )
+    )
+    doc_rollup = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__n_toks").cast("long")).alias("tokens_processed"),
+    )
+    firsts = (
+        per_doc.select("bucket", "doc_id", F.explode_outer("__toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doc_rollup.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "tokens_processed",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .withColumn("vocab_to_date", F.sum("new_types").over(w))
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -501,6 +564,7 @@ QUERIES = {
     "t8_repetition_ratio": t8_repetition_ratio,
     "t10_pii_redact": t10_pii_redact,
     "t11_bigram_coverage": t11_bigram_coverage,
+    "t12_vocab_growth": t12_vocab_growth,
 }
 
 # DuckDB twin of t6's gram hash: same base-131 powers, same padded
@@ -678,6 +742,35 @@ ORACLE = {
                CAST(SUM(n_phones) AS BIGINT) AS total_phones,
                CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
         FROM scrubbed GROUP BY lang ORDER BY lang
+    """,
+    "t12_vocab_growth": f"""
+        WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+        d AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t,
+                   LEAST((doc_id * {T12_BUCKETS}) // (SELECT n FROM nd),
+                         {T12_BUCKETS - 1}) AS bucket
+            FROM documents
+        ), roll AS (
+            SELECT bucket, COUNT(*) AS n_docs,
+                   CAST(SUM(len(t)) AS BIGINT) AS tokens_processed
+            FROM d GROUP BY bucket
+        ), firsts AS (
+            SELECT MIN(bucket) AS bucket
+            FROM (SELECT bucket, unnest(t) AS tok FROM d)
+            GROUP BY tok
+        ), nt AS (
+            SELECT bucket, COUNT(*) AS new_types FROM firsts GROUP BY bucket
+        )
+        SELECT r.bucket, CAST(r.n_docs AS BIGINT) AS n_docs,
+               r.tokens_processed,
+               CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+               CAST(SUM(COALESCE(nt.new_types, 0)) OVER (
+                   ORDER BY r.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS vocab_to_date
+        FROM roll r LEFT JOIN nt USING (bucket)
+        ORDER BY r.bucket
     """,
     "t11_bigram_coverage": f"""
         WITH toks AS (
