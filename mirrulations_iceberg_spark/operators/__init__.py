@@ -74,7 +74,6 @@ DRIVER_WINDOW = (
     "f1_like_substring",
     "c_scalar_suite",
     "j1_broadcast_star_join",
-    "mm2_feature_stats",
     "m6_profile",
     "s1_stream_windowed_counts",
     "e2_training_pipeline",
@@ -89,6 +88,7 @@ DRIVER_WINDOW = (
     "u4_except_all",
     "u5_intersect_all",
     "t12_vocab_growth",
+    "d3b_minhash_accuracy",
     "mm5_resize_thumbs",
     "x9_pq_adc_topk",
     "m12_vacuum_orphans",

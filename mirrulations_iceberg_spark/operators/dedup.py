@@ -221,6 +221,80 @@ BANDS = 16  # 16 bands × 4 rows — catches J≳0.3 pairs w.h.p.
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
+D3B_AUDIT_DOCS = 2000  # fixed calibration slice — constant-work audit
+
+
+def d3b_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration audit — the a5b pattern applied to d3's
+    estimator: over the exact near-dup pair set, compare the SIGNATURE
+    Jaccard estimate (fraction of agreeing minhash components) against
+    exact shingle Jaccard, and emit the statistical verdicts AS DATA.
+    "Measure, don't guess": NUM_HASHES/BANDS are the recall/cost dial,
+    and this query is the measured error that justifies the setting.
+
+    Oracle shape: xxhash64 has no DuckDB twin, so the estimates can't
+    be replayed — instead the audited pair set and its exact-side
+    stats ARE replayed (the d2 exact-pairs SQL, aggregated), and the
+    estimator's quality enters as hash-checked booleans the oracle
+    expects TRUE: ``bias_ok`` (|mean(est−J)| within 4σ of the
+    k-component estimator's mean-error bound — per-pair σ ≤
+    0.5/√k = 0.0625) and ``rmse_ok`` (RMSE ≤ 0.1, generous vs the
+    ≤0.0625 theoretical per-pair σ). A FALSE on either
+    hash-mismatches the row, making estimator quality itself a
+    driver-checkable claim on every fixture.
+
+    Scale shape: calibration does NOT need the corpus — the audit runs
+    on the fixed slice ``doc_id < D3B_AUDIT_DOCS``, so the (inherently
+    quadratic-per-cluster) exact-pair stage does CONSTANT work at any
+    corpus size; without the slice the 20×-replica measurement was
+    ~120-185 s (the d2 all-dups regime) vs ~1 s bounded. At 100 TB the
+    slice is a stratified sample instead of an id prefix; the bound is
+    the design either way.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < D3B_AUDIT_DOCS
+    )
+    pairs = jaccard_pairs(docs)
+    sigs = minhash_signatures(docs).select("doc_id", "signature")
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("signature").alias("__sa")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("signature").alias("__sb")
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda a, b: a + b,
+        )
+        / F.lit(float(NUM_HASHES))
+    )
+    audited = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("jaccard", (est - F.col("jaccard")).alias("__err"))
+    )
+    sigma = 0.5 / NUM_HASHES**0.5  # per-pair estimator std upper bound
+    n = F.count(F.lit(1))
+    # vacuously-true guard: on a fixture with zero near-dup pairs the
+    # averages are NULL and NULL-vs-TRUE would hash-mismatch — an empty
+    # audit passes by definition (current fixtures: 25-28 pairs).
+    return audited.agg(
+        n.alias("n_pairs"),
+        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.coalesce(
+            F.abs(F.avg("__err")) <= 4 * sigma / F.sqrt(n) + F.lit(0.005),
+            F.lit(True),
+        ).alias("bias_ok"),
+        F.coalesce(
+            F.sqrt(F.avg(F.col("__err") * F.col("__err"))) <= F.lit(0.1),
+            F.lit(True),
+        ).alias("rmse_ok"),
+    )
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """MinHash signatures as a single projection: base-hash each shingle
     string ONCE (xxhash64 over a ~20-char string), then derive the k
@@ -800,6 +874,7 @@ QUERIES = {
     "d2_ngram_jaccard_pairs_diag": d2_ngram_jaccard_pairs,
     "d2b_cap_report": d2b_cap_report,
     "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+    "d3b_minhash_accuracy": d3b_minhash_accuracy,
     "d4_simhash": d4_simhash,
     "d5_simhash_pairs": d5_simhash_pairs,
     "d6_dedup_apply": d6_dedup_apply,
@@ -868,6 +943,18 @@ ORACLE = {
         FROM documents GROUP BY fingerprint ORDER BY keep_doc_id
     """,
     "d2_ngram_jaccard_pairs_diag": _EXACT_PAIRS_SQL,
+    # d3b: exact-side stats replayed over the same pair set; the
+    # estimator verdicts are asserted TRUE (see the d3b docstring).
+    "d3b_minhash_accuracy": f"""
+        WITH p AS ({_EXACT_PAIRS_SQL.replace("FROM documents", f"FROM documents WHERE doc_id < {D3B_AUDIT_DOCS}")})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(jaccard), 4) AS avg_jaccard,
+               MIN(jaccard) AS min_jaccard,
+               MAX(jaccard) AS max_jaccard,
+               TRUE AS bias_ok,
+               TRUE AS rmse_ok
+        FROM p
+    """,
     "d12_segment_boilerplate": f"""
         WITH toks AS (
             SELECT doc_id,
