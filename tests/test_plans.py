@@ -24,6 +24,7 @@ CROSS_JOIN_OK = {
     "t7_tfidf_top_terms",  # broadcast 1-row corpus count
     "a5b_approx_stats",  # broadcast 1-row sketch row for the rank audit
     "x8_range_search",  # broadcast bounded query set over the corpus scan
+    "t12_vocab_growth",  # broadcast 1-row n_docs for decile bucketing
 }
 
 #: Queries that run their own jobs / driver-side work during
