@@ -64,19 +64,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: resize-thumbnail verification) are oracle-bearing and never-green,
 #: so the mechanical queue rule forces them in; four doubly-covered
 #: green representatives (a4, j6, d3, s4 — all r6 rows banked, each
-#: family keeps another live representative) make room.
+#: family keeps another live representative) make room. Late round-7
+#: additions d13/t13/a15 displace three more banked-green reps (m6,
+#: s1, f1 — m/s families stay window-live via m9/m11/m12 and s6; the
+#: f family's coverage claim rests on its five banked green rows in
+#: LEDGER.md, which test_window_spans_all_families now checks
+#: mechanically instead of requiring a window slot).
 DRIVER_WINDOW = (
     # --- green family representatives (banked r6 rows; one+ per
     # family — where a family's slot was reclaimed for a round-7
     # newcomer (a2, a4, j6, d3, s4, s13, e1), the family stays
     # window-covered by its never-green entrants and keeps banked
     # green rows in LEDGER.md)
-    "f1_like_substring",
     "c_scalar_suite",
     "j1_broadcast_star_join",
-    "m6_profile",
-    "s1_stream_windowed_counts",
     "e2_training_pipeline",
+    # --- NEW late-round-7 operators (oracle-bearing, never checked)
+    "d13_semdedup",
+    "t13_unigram_logprob",
+    "a15_exact_quantile_twopass",
     # --- NEW round-7 operators (never checked by definition; e1's and
     # s13's slots freed — banked green r6, e2/s1 keep those families
     # live)

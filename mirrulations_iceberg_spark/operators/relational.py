@@ -534,6 +534,79 @@ def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+A15_BUCKET_W = 64  # histogram bucket width over documents.n_chars
+A15_QS = ((50, "p50"), (90, "p90"), (99, "p99"))  # percent targets
+
+
+def a15_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles without a global sort — the two-pass histogram
+    trick that makes "median of 100 TB" tractable: pass 1 is an
+    equal-width bucket count (a14's shape) plus a running total over
+    the BOUNDED histogram to locate, for each target rank, the bucket
+    holding it and the offset inside; pass 2 sorts ONLY the selected
+    buckets (each ~bucket-sized, never corpus-sized) and picks the
+    element at the offset. a5b gives approximate percentiles in one
+    pass; this is the exact complement when the answer must be a real
+    corpus value (rank = ``floor(q·(n−1))``, the lower-value
+    convention — all-integer, no interpolation, no floats anywhere).
+
+    Scale shape: no global ``orderBy`` ever exists in the plan — the
+    only sorts are inside the ≤3 selected buckets. The running sum's
+    single-partition window runs over the histogram, whose row count is
+    value-range/width — a constant of the DOMAIN, not the data (t12's
+    bucket-rollup argument). Target ranks ride on a broadcast 1-row
+    count; bucket selection is a 3-row broadcast nested-loop against
+    the histogram; nothing about the corpus shuffles except the bucket
+    count hash-agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("n_chars").alias("v"),
+        F.expr(f"n_chars DIV {A15_BUCKET_W}").alias("bucket"),
+    )
+    hist = vals.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wc), F.lit(0))
+    )
+    n_df = vals.agg(F.count(F.lit(1)).alias("__n"))
+    targets = (
+        spark.createDataFrame(list(A15_QS), "q int, quantile string")
+        .join(F.broadcast(n_df))
+        .withColumn("k", F.expr("(q * (__n - 1)) DIV 100"))
+    )
+    sel = (
+        targets.join(
+            F.broadcast(hist),
+            (F.col("cum_before") <= F.col("k"))
+            & (F.col("k") < F.col("cum_before") + F.col("cnt")),
+        )
+        .select(
+            "quantile",
+            "__n",
+            "k",
+            "bucket",
+            (F.col("k") - F.col("cum_before")).alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("v")
+    return (
+        vals.join(F.broadcast(sel.select("bucket").distinct()), "bucket")
+        .withColumn("rn", F.row_number().over(w_in) - 1)
+        .join(F.broadcast(sel), "bucket")
+        .filter(F.col("rn") == F.col("off"))
+        .select(
+            "quantile",
+            F.col("__n").alias("n"),
+            F.col("k").alias("k_rank"),
+            F.col("v").alias("exact_value"),
+        )
+        .orderBy("quantile")
+    )
+
+
 def o6_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6: deterministic systematic row sample (key mod N) — unlike
     TABLESAMPLE it is reproducible across engines AND pushes to the
@@ -661,6 +734,7 @@ def c11_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "a12_rollup": a12_rollup,
     "a14_histogram": a14_histogram,
+    "a15_exact_quantile_twopass": a15_exact_quantile_twopass,
     "a12b_cube": a12b_cube,
     "a13_pivot": a13_pivot,
     "c11_from_json_typed": c11_from_json_typed,
@@ -694,6 +768,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a15_exact_quantile_twopass": """
+        WITH v AS (SELECT n_chars AS val FROM documents),
+        n AS (SELECT COUNT(*) AS n FROM v),
+        r AS (
+            SELECT val, row_number() OVER (ORDER BY val) - 1 AS rk FROM v
+        ),
+        t(q, quantile) AS (VALUES (50, 'p50'), (90, 'p90'), (99, 'p99'))
+        SELECT t.quantile, n.n AS n,
+               CAST((t.q * (n.n - 1)) // 100 AS BIGINT) AS k_rank,
+               r.val AS exact_value
+        FROM t CROSS JOIN n
+        JOIN r ON r.rk = (t.q * (n.n - 1)) // 100
+        ORDER BY t.quantile
+    """,
     "c11_from_json_typed": """
         WITH parsed AS (
             SELECT CAST(props->>'$.k' AS INT) AS k, value FROM events

@@ -764,6 +764,142 @@ def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, emb)
 
 
+#: SemDeDup removal threshold — a vector whose cosine to its cluster
+#: exemplar clears this is a semantic duplicate of the exemplar.
+SEMDEDUP_TAU = 0.8
+
+
+def d13_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    k-means-cluster the embedding space, then drop vectors that are
+    near-duplicates of their cluster's exemplar. Web-scale corpora are
+    full of *semantic* (not byte-level) duplicates — templated pages,
+    rephrasings — that d1/d3/d7 token hashing can't see; clustering
+    first bounds the comparison set so the dedup never goes quadratic
+    in the corpus.
+
+    Pipeline (all DataFrame ops):
+
+    * coarse clusters: the shared deterministic sample-Lloyd fit
+      (:func:`_ivf_fit_centroids` — engine-reproducible, which is what
+      buys the full SQL oracle);
+    * assignment: broadcast centroid fold over the corpus scan — a pure
+      projection capturing BOTH argmin cell and the distance-to-centroid
+      (no join, no shuffle; x5's fold, one extra field);
+    * exemplar per cluster: ``min(struct(cent_d2, vec_id))`` hash-agg —
+      the vector nearest its centroid, ties to the lowest id (the
+      paper keeps the low-centroid-distance example); exemplar vectors
+      come back via a broadcast semi of IVF_CLUSTERS ids;
+    * verify: one broadcast join (IVF_CLUSTERS exemplar rows) gives
+      every vector its exemplar cosine — LINEAR in the corpus, the
+      x6/d7 apply discipline. The quadratic all-pairs-within-cluster
+      variant is the d2/x4 ``_diag`` shape and deliberately not built
+      twice.
+
+    Threshold compare happens on the ROUND(...,4) similarity so both
+    engines bucket boundary cases identically; per-label means sum in
+    DECIMAL(6,4) (exact, aggregation-order-independent).
+
+    100 TB: clusters are k ≈ corpus/cluster-budget in production — the
+    fit stays sample-sized, assignment is still a scan-side fold over a
+    broadcast k·dim literal, and the verify join stays broadcast while
+    k·dim doubles fit an executor (10⁵ × 64 ≈ 50 MB). Nothing shuffles
+    the corpus until the final label-sized hash-agg.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    center_rows = sorted(
+        (r["cell"], list(r["center"]))
+        for r in _ivf_fit_centroids(emb).collect()
+    )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
+            )
+            for c, vec in center_rows
+        ]
+    )
+    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
+
+    def _step(acc, cs):
+        d = F.aggregate(
+            F.zip_with(F.col("e"), cs["center"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
+        )
+
+    folded = F.aggregate(cent_lit, acc0, _step)
+    assigned = emb.select(
+        "vec_id",
+        "label",
+        "e",
+        "norm",
+        folded["c"].alias("cell"),
+        folded["d"].alias("cent_d2"),
+    )
+    # Exemplar per cluster: two-stage hash-agg (no per-cell sort), then
+    # a broadcast of the IVF_CLUSTERS winning ids fetches their vectors.
+    ex_ids = (
+        assigned.groupBy("cell")
+        .agg(F.min(F.struct("cent_d2", "vec_id")).alias("m"))
+        .select("cell", F.col("m.vec_id").alias("ex_id"))
+    )
+    exemplars = assigned.join(
+        F.broadcast(ex_ids.select("ex_id")),
+        assigned.vec_id == F.col("ex_id"),
+    ).select(
+        F.col("cell").alias("xcell"),
+        F.col("ex_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(exemplars), assigned.cell == exemplars.xcell
+        )
+        .withColumn("ex_sim", _cosine_sim())
+        .withColumn(
+            "removed",
+            (F.col("vec_id") != F.col("ex_id"))
+            & (F.col("ex_sim") >= F.lit(SEMDEDUP_TAU)),
+        )
+    )
+    out = (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("removed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(~F.col("removed"), F.col("vec_id")))
+            .cast("long")
+            .alias("kept_checksum"),
+            (
+                F.sum(F.col("ex_sim").cast("decimal(6,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__avg"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_removed",
+            "kept_checksum",
+            F.round("__avg", 4).alias("avg_exemplar_sim"),
+        )
+        .orderBy("label")
+    )
+    # label-sized rows out; release the vectorized-corpus cache.
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
+
+
 PQ_M = 8  # subspaces → codes are PQ_M small ints per vector
 PQ_SUBDIM = EMB_DIM // PQ_M
 PQ_K = 16  # centroids per subspace (4-bit codes)
@@ -1011,6 +1147,7 @@ QUERIES = {
     "x4_embedding_neardup_pairs_diag": x4_embedding_neardup_pairs,
     "x4b_bucket_cap_report": x4b_bucket_cap_report,
     "x5_ann_ivf_topk": x5_ann_ivf_topk,
+    "d13_semdedup": d13_semdedup,
     "x6_embedding_dedup_apply": x6_embedding_dedup_apply,
     "x8_range_search": x8_range_search,
     "x7_ann_partitioned_index": x7_ann_partitioned_index,
@@ -1135,6 +1272,67 @@ SELECT nc.query_id, CAST(nc.n_candidates AS BIGINT) AS n_candidates,
 FROM ncand nc LEFT JOIN hits h USING (query_id)
 """
 
+
+#: Full replay of d13: the x5 Lloyd fit (shared CTE builders), fold
+#: assignment with distance capture, per-cluster exemplar, exemplar
+#: cosine, rounded-threshold removal, decimal-exact label means.
+_D13_SQL = f"""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), n AS (
+    SELECT vec_id, label, e,
+           sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+    FROM e
+), samp AS (
+    SELECT vec_id, e FROM e WHERE vec_id % {IVF_SAMPLE_MOD} = 0
+), seeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM samp ORDER BY s, vec_id LIMIT {IVF_CLUSTERS}
+), c0 AS (
+    SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell, e AS center
+    FROM seeds
+), {_x5_lloyd_step('c0', 'a1', 'm1', 'c1')},
+{_x5_lloyd_step('c1', 'a2', 'm2', 'c2')}, assign AS (
+    SELECT vec_id, label, e, norm, cell, d2 AS cent_d2 FROM (
+        SELECT n.vec_id, n.label, n.e, n.norm, c.cell,
+               {_x5_d2('n.e', 'c.center')} AS d2,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_x5_d2('n.e', 'c.center')}, c.cell) AS pr
+        FROM n CROSS JOIN c2 c
+    ) WHERE pr = 1
+), ex AS (
+    SELECT cell, vec_id AS ex_id FROM (
+        SELECT cell, vec_id,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY cent_d2, vec_id) AS r
+        FROM assign
+    ) WHERE r = 1
+), exv AS (
+    SELECT ex.cell, ex.ex_id, a.e AS qe, a.norm AS qnorm
+    FROM ex JOIN assign a ON a.vec_id = ex.ex_id
+), flagged AS (
+    SELECT a.label, a.vec_id, x.ex_id,
+           ROUND(CASE WHEN a.norm * x.qnorm > 0 THEN
+               list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                       i -> a.e[i] * x.qe[i]))
+               / (a.norm * x.qnorm) ELSE 0.0 END, 4) AS ex_sim
+    FROM assign a JOIN exv x ON a.cell = x.cell
+), marked AS (
+    SELECT label, vec_id, ex_sim,
+           (vec_id <> ex_id AND ex_sim >= {SEMDEDUP_TAU}) AS removed
+    FROM flagged
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN NOT removed THEN vec_id END) AS BIGINT)
+           AS kept_checksum,
+       ROUND(CAST(SUM(CAST(ex_sim AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*), 4)
+           AS avg_exemplar_sim
+FROM marked GROUP BY label ORDER BY label
+"""
+
 def _x9_sub_d2(sub: str, center: str) -> str:
     """Squared L2 over one PQ subspace — same ascending-dim fold as the
     Spark side's zip_with aggregate."""
@@ -1251,6 +1449,7 @@ GROUP BY p.query_id
 ORACLE = {
     "x9_pq_adc_topk": _X9_SQL,
     "x5_ann_ivf_topk": _X5_SQL,
+    "d13_semdedup": _D13_SQL,
     "x8_range_search": f"""
         WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -552,6 +552,72 @@ def t12_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T13_VOCAB = 512  # top-V unigram LM vocabulary (broadcast-sized forever)
+
+
+def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the CCNet/KenLM perplexity-filter
+    shape with the smallest model that still ranks documents: train a
+    top-``T13_VOCAB`` unigram LM on the corpus itself, then charge each
+    token ``-log2 p(token)`` bits, with out-of-vocabulary tokens at the
+    count-1 floor (``log2 T`` bits). High mean-bits documents are
+    rare-word soup / junk; low ones are templated boilerplate — the
+    two tails a perplexity filter trims. Unlike t11 (bigram coverage
+    ratio), the score is an actual code length in bits.
+
+    Scale shape: the vocab is the word-count shuffle trimmed to a FIXED
+    V through ``TakeOrderedAndProject`` (count desc, token asc — total
+    order, both engines pick the same V rows), so the model BROADCASTS
+    at any corpus size; the total-token count rides in as a broadcast
+    1-row cross join (the t12 pattern). Scoring is then a broadcast
+    left join on the exploded corpus — the only corpus-wide shuffle is
+    the final per-language rollup. OOV rate is integer basis points
+    (exact); mean bits is the one float, ROUND-ed once at the end
+    (sum-of-log2 doubles agree across engines to ~1e-12 relative —
+    same budget as the cosine family).
+    """
+    from .dedup import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("__t"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(T13_VOCAB)
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .join(F.broadcast(total))
+        .withColumn("oov", F.col("c").isNull())
+        .withColumn(
+            "bits", F.log2(F.col("__t")) - F.log2(F.coalesce(F.col("c"), F.lit(1)))
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("oov").cast("long")).alias("__oov"),
+            F.sum("bits").alias("__bits"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("(10000 * __oov) DIV n_tokens").alias("oov_bp"),
+            F.round(F.col("__bits") / F.col("n_tokens"), 4).alias(
+                "avg_bits_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -565,6 +631,7 @@ QUERIES = {
     "t10_pii_redact": t10_pii_redact,
     "t11_bigram_coverage": t11_bigram_coverage,
     "t12_vocab_growth": t12_vocab_growth,
+    "t13_unigram_logprob": t13_unigram_logprob,
 }
 
 # DuckDB twin of t6's gram hash: same base-131 powers, same padded
@@ -742,6 +809,30 @@ ORACLE = {
                CAST(SUM(n_phones) AS BIGINT) AS total_phones,
                CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
         FROM scrubbed GROUP BY lang ORDER BY lang
+    """,
+    "t13_unigram_logprob": f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                       AS token
+            FROM documents
+        ), tot AS (SELECT COUNT(*) AS t FROM tok),
+        vocab AS (
+            SELECT token, COUNT(*) AS c FROM tok
+            GROUP BY token ORDER BY c DESC, token LIMIT {T13_VOCAB}
+        ), scored AS (
+            SELECT tok.doc_id, tok.lang,
+                   v.c IS NULL AS oov,
+                   log2((SELECT t FROM tot)) - log2(COALESCE(v.c, 1)) AS bits
+            FROM tok LEFT JOIN vocab v USING (token)
+        )
+        SELECT lang,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST((10000 * SUM(CASE WHEN oov THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS oov_bp,
+               ROUND(SUM(bits) / COUNT(*), 4) AS avg_bits_per_token
+        FROM scored GROUP BY lang ORDER BY lang
     """,
     "t12_vocab_growth": f"""
         WITH nd AS (SELECT COUNT(*) AS n FROM documents),

@@ -39,11 +39,19 @@ def test_window_is_first_50():
 
 
 def test_window_spans_all_families():
-    # q1–q10 rotated out in round 7 with banked green r6 rows
-    # (LEDGER.md); every other family keeps a live representative.
-    families = {re.match(r"[a-z]+|", n).group(0) for n in DRIVER_WINDOW}
+    """Every operator family is either in the live window or has a
+    banked driver-green row in the mechanical ledger (late round 7:
+    f1/m6/s1 rotated out for d13/t13/a15 — their families' claims now
+    rest on LEDGER.md rows, which is exactly what the ledger is for)."""
+    import ledger
+
+    led = ledger.build_ledger()
+    green = {n for n, r in led.items() if r["green_rounds"]}
+    covered = {
+        re.match(r"[a-z]+|", n).group(0) for n in set(DRIVER_WINDOW) | green
+    }
     expected = {"f", "a", "c", "j", "w", "t", "d", "x", "mm", "m", "s", "e", "o", "g"}
-    assert expected <= families, f"missing families: {expected - families}"
+    assert expected <= covered, f"missing families: {expected - covered}"
     assert "e2_training_pipeline" in DRIVER_WINDOW
 
 

@@ -143,6 +143,42 @@ def test_x6_collapses_duplicate_clusters(spark, tmp_path):
     assert row.id_checksum == orig_sum
 
 
+def test_d13_semdedup_removes_exemplar_clones(spark, tmp_path):
+    """SemDeDup's removal rule fires on a 20x-replicated corpus: each
+    cluster exemplar's 19 identical clones (cos = 1.0) are removed,
+    while unrelated fixture vectors (exemplar sims far below tau) all
+    survive — so total removals are exactly 19 per non-empty cluster,
+    and the base fixture removes nothing."""
+    from pyspark.sql import functions as SF
+
+    from mirrulations_iceberg_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        d13_semdedup,
+    )
+    from mirrulations_iceberg_spark.tables import load_table
+
+    base = d13_semdedup(spark, SF_DIR).collect()
+    assert sum(r.n_removed for r in base) == 0  # random fixture: no near-dups
+    assert all(0.0 <= r.avg_exemplar_sim <= 1.0 for r in base)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_orig = emb.count()
+    big = emb
+    for k in range(1, 20):
+        big = big.unionByName(
+            emb.withColumn("vec_id", SF.col("vec_id") + k * 1_000_000)
+        )
+    big.write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = d13_semdedup(spark, str(tmp_path)).collect()
+    n_vecs = sum(r.n_vecs for r in rows)
+    n_removed = sum(r.n_removed for r in rows)
+    assert n_vecs == 20 * n_orig
+    # identical clones share their original's cell, so every non-empty
+    # cluster removes exactly its exemplar's 19 clones
+    assert n_removed % 19 == 0
+    assert 19 <= n_removed <= 19 * IVF_CLUSTERS
+
+
 def test_x7_index_scan_is_partition_pruned(spark, tmp_path):
     """The persisted ANN index must be read with dynamic partition
     pruning: the query-bucket join prunes the scan to probed

@@ -25,6 +25,8 @@ CROSS_JOIN_OK = {
     "a5b_approx_stats",  # broadcast 1-row sketch row for the rank audit
     "x8_range_search",  # broadcast bounded query set over the corpus scan
     "t12_vocab_growth",  # broadcast 1-row n_docs for decile bucketing
+    "t13_unigram_logprob",  # broadcast 1-row total-token count
+    "a15_exact_quantile_twopass",  # 3 target ranks × bounded histogram
 }
 
 #: Queries that run their own jobs / driver-side work during
@@ -49,6 +51,7 @@ SKIP_SWEEP = {
     "g4_orc_roundtrip",
     "m12_vacuum_orphans",  # commit writes + vacuum at construction
     "x9_pq_adc_topk",  # runs the codebook fit at construction
+    "d13_semdedup",  # runs the shared Lloyd fit at construction
 }
 
 
@@ -208,6 +211,24 @@ def test_mm5_resize_is_pure_projection(spark):
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_t13_model_join_is_broadcast(spark):
+    """t13's unigram model and total-token count must ride as
+    broadcasts onto the exploded corpus — a SortMergeJoin here would
+    shuffle every token row at 100 TB."""
+    plan = _plan(spark, "t13_unigram_logprob")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_a15_scan_prunes_to_value_column(spark):
+    """a15 reads exactly one column of documents; no global sort of the
+    corpus exists — the only rangepartitioning exchange is the terminal
+    3-row quantile ordering."""
+    plan = _plan(spark, "a15_exact_quantile_twopass")
+    assert "ReadSchema: struct<n_chars:bigint>" in plan
+    assert plan.count("Exchange rangepartitioning") <= 1
 
 
 def test_d10_shuffles_carry_no_text(spark):
