@@ -76,13 +76,16 @@ DRIVER_WINDOW = (
     # newcomer (a2, a4, j6, d3, s4, s13, e1), the family stays
     # window-covered by its never-green entrants and keeps banked
     # green rows in LEDGER.md)
-    "c_scalar_suite",
-    "j1_broadcast_star_join",
     "e2_training_pipeline",
-    # --- NEW late-round-7 operators (oracle-bearing, never checked)
+    # --- NEW late-round-7 operators (oracle-bearing, never checked;
+    # j9 took j1's slot and w11 took c_scalar's — both displaced reps
+    # have banked green rows, and the j/w families stay window-live
+    # through the newcomers themselves)
     "d13_semdedup",
     "t13_unigram_logprob",
     "a15_exact_quantile_twopass",
+    "j9_bloom_pruned_join",
+    "w11_funnel_steps",
     # --- NEW round-7 operators (never checked by definition; e1's and
     # s13's slots freed — banked green r6, e2/s1 keep those families
     # live)

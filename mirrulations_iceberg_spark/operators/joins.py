@@ -414,8 +414,51 @@ def u5_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j9_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-fact join — the runtime-bloom-filter shape: a
+    small filtered slice of one fact (urgent orders) joins the full
+    other fact (lineitem) on orderkey. At 100 TB this is where Spark's
+    runtime row-level bloom filter earns its keep: the optimizer
+    aggregates the filtered build side's join keys into a bloom filter
+    (``bloom_filter_agg``) and injects ``might_contain(...)`` into the
+    probe side's SCAN filter, so the ~80% of lineitem rows that can't
+    match drop BEFORE the shuffle instead of after it — the shuffle
+    shrinks by the build side's selectivity without any manual
+    pre-join or hint.
+
+    The query itself is declarative and hint-free: locally the
+    filtered side is small enough that AQE simply broadcasts it (also
+    eliminating the probe shuffle — the right local plan). The
+    at-scale regime — both sides too big to broadcast, bloom filter
+    injected — is forced and plan-asserted in
+    ``tests/test_plans.py::test_j9_runtime_bloom_filter_regime``,
+    including result equality between the two regimes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("urgent_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "j1_broadcast_star_join": j1_broadcast_star_join,
+    "j9_bloom_pruned_join": j9_bloom_pruned_join,
     "j2_semi_join": j2_semi_join,
     "j3_anti_join": j3_anti_join,
     "j4_fact_fact_join": j4_fact_fact_join,
@@ -431,6 +474,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "j9_bloom_pruned_join": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS urgent_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "j8_full_outer_join": """
         WITH c AS (SELECT * FROM customer WHERE c_acctbal > 9000),
              o AS (SELECT * FROM orders WHERE o_totalprice > 400000),

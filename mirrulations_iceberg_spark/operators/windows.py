@@ -326,8 +326,77 @@ def w10_trailing_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_HORIZON_HOURS = 6  # step k+1 must land within this window of step k
+
+
+def w11_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the MATCH_RECOGNIZE-shaped question
+    every product-analytics stack asks: how many users did A, then B
+    within H hours after A, then C within H hours after B? Implemented
+    as an iterated key-local sequential-min: step 1 is the earliest
+    'view' per user; step k+1 is the earliest step-(k+1) event
+    strictly after the user's step-k time and inside the horizon. A
+    user converts through the funnel iff all three sequential minima
+    exist — earliest-first is the standard (and deterministic)
+    attribution rule, and the horizon is what makes a funnel a funnel
+    rather than an existence test (on the fixture: 150 → 19 → 1 users
+    at 6 h, vs 100% conversion unbounded).
+
+    Scale shape: every join and aggregate keys on ``user_id`` — the
+    per-step event subsets each shuffle once (filter pushed to the
+    scan), then join co-partitioned against the previous step's
+    user-level row. No window over the raw event stream, no per-user
+    state beyond one timestamp per step; output is bounded at
+    |steps| rows. Conversion rates are integer basis points (DIV —
+    exact on both engines); the 3-row assembly's ordering window is
+    bounded by the step count, never by data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    steps = []
+    prev = None
+    for i, name in enumerate(FUNNEL_STEPS):
+        cur = ev.filter(F.col("event_type") == name).select("user_id", "ts")
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(
+                (F.col("ts") > F.col("t_prev"))
+                & (
+                    F.col("ts")
+                    <= F.col("t_prev")
+                    + F.expr(f"INTERVAL {FUNNEL_HORIZON_HOURS} HOURS")
+                )
+            )
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        steps.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("event_type"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    w = Window.orderBy("step")  # |FUNNEL_STEPS| rows — bounded
+    return (
+        out.withColumn("n_prev", F.lag("n_users").over(w))
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            F.expr(
+                "CAST(CASE WHEN n_prev IS NULL THEN 10000 "
+                "ELSE (10000 * n_users) DIV n_prev END AS BIGINT)"
+            ).alias("conv_from_prev_bp"),
+        )
+        .orderBy("step")
+    )
+
+
 QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
+    "w11_funnel_steps": w11_funnel_steps,
     "w2_running_sum": w2_running_sum,
     "w3_lag_delta": w3_lag_delta,
     "w4_rank_in_partition": w4_rank_in_partition,
@@ -340,6 +409,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w11_funnel_steps": f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL {FUNNEL_HORIZON_HOURS} HOUR
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              AND e.ts <= s2.t2 + INTERVAL {FUNNEL_HORIZON_HOURS} HOUR
+            GROUP BY e.user_id
+        ), counts AS (
+            SELECT 1 AS step, 'view' AS event_type,
+                   (SELECT COUNT(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        )
+        SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
+               CAST(CASE WHEN lag(n_users) OVER (ORDER BY step) IS NULL
+                         THEN 10000
+                         ELSE (10000 * n_users)
+                              // lag(n_users) OVER (ORDER BY step)
+                    END AS BIGINT) AS conv_from_prev_bp
+        FROM counts ORDER BY step
+    """,
     "w10_trailing_window_value": f"""
         SELECT user_id, event_id,
                CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_events,

@@ -143,6 +143,61 @@ def test_x6_collapses_duplicate_clusters(spark, tmp_path):
     assert row.id_checksum == orig_sum
 
 
+def test_w11_funnel_ordering_and_horizon(spark, tmp_path):
+    """Crafted funnel: in-order-in-horizon converts; click-before-view,
+    click-outside-horizon, and purchase-outside-horizon all stop at
+    the right step."""
+    import datetime as dt
+
+    from mirrulations_iceberg_spark.operators.windows import w11_funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, kind, hours):
+        return (i, t0 + dt.timedelta(hours=hours), user, kind, 1.0, "{}")
+
+    rows = [
+        # u1: full funnel inside the 6 h horizon
+        ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "purchase", 2),
+        # u2: click strictly BEFORE its view — not a conversion
+        ev(4, 2, "click", 0), ev(5, 2, "view", 1),
+        # u3: click 7 h after view — outside the horizon
+        ev(6, 3, "view", 0), ev(7, 3, "click", 7),
+        # u4: purchase 7 h after click — step 2 yes, step 3 no
+        ev(8, 4, "view", 0), ev(9, 4, "click", 1), ev(10, 4, "purchase", 8),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: (r.n_users, r.conv_from_prev_bp) for r in
+           w11_funnel_steps(spark, str(tmp_path)).collect()}
+    assert got == {
+        "view": (4, 10000),
+        "click": (2, 5000),
+        "purchase": (1, 5000),
+    }
+
+
+def test_a15_exact_quantiles_with_ties_and_boundaries(spark, tmp_path):
+    """a15 must return the true k-th smallest element even when values
+    duplicate across the histogram bucket boundary (width 64)."""
+    from mirrulations_iceberg_spark.operators.relational import (
+        A15_QS,
+        a15_exact_quantile_twopass,
+    )
+
+    vals = [63] * 40 + [64] * 30 + [65] * 20 + [200] * 11  # n=101, ties at 63/64
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    expected_sorted = sorted(vals)
+    got = {r.quantile: (r.n, r.k_rank, r.exact_value) for r in
+           a15_exact_quantile_twopass(spark, str(tmp_path)).collect()}
+    for q, label in A15_QS:
+        k = (q * (len(vals) - 1)) // 100
+        assert got[label] == (len(vals), k, expected_sorted[k]), label
+
+
 def test_d13_semdedup_removes_exemplar_clones(spark, tmp_path):
     """SemDeDup's removal rule fires on a 20x-replicated corpus: each
     cluster exemplar's 19 identical clones (cos = 1.0) are removed,

@@ -213,6 +213,36 @@ def test_mm5_resize_is_pure_projection(spark):
     assert "MapInPandas" in plan
 
 
+def test_j9_runtime_bloom_filter_regime(spark):
+    """j9's at-scale plan: with broadcast off and the bloom
+    application-side size gate lowered (the conditions a 100 TB
+    fact-fact join meets naturally), Spark must inject the runtime
+    bloom filter — bloom_filter_agg over the filtered build side,
+    might_contain pushed into the probe scan — and the result must
+    equal the natural (locally broadcast) plan's."""
+    natural = QUERIES["j9_bloom_pruned_join"](spark, SF_DIR).collect()
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = QUERIES["j9_bloom_pruned_join"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, natural))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_t13_model_join_is_broadcast(spark):
     """t13's unigram model and total-token count must ride as
     broadcasts onto the exploded corpus — a SortMergeJoin here would
