@@ -560,7 +560,9 @@ def a15_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     count hash-agg.
     """
     docs = load_table(spark, sf_dir, "documents")
-    vals = docs.select(
+    # quantiles are over non-null values (and NULL buckets would sort
+    # NULLS FIRST here vs DuckDB's NULLS LAST — exclude them explicitly)
+    vals = docs.filter(F.col("n_chars").isNotNull()).select(
         F.col("n_chars").alias("v"),
         F.expr(f"n_chars DIV {A15_BUCKET_W}").alias("bucket"),
     )
@@ -769,7 +771,9 @@ QUERIES = {
 
 ORACLE = {
     "a15_exact_quantile_twopass": """
-        WITH v AS (SELECT n_chars AS val FROM documents),
+        WITH v AS (
+            SELECT n_chars AS val FROM documents WHERE n_chars IS NOT NULL
+        ),
         n AS (SELECT COUNT(*) AS n FROM v),
         r AS (
             SELECT val, row_number() OVER (ORDER BY val) - 1 AS rk FROM v

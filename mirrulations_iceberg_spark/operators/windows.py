@@ -385,8 +385,11 @@ def w11_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step",
             "event_type",
             "n_users",
+            # n_prev = 0 guard: a dead step converts nobody (and ANSI
+            # DIV 0 would throw where DuckDB's // returns NULL)
             F.expr(
                 "CAST(CASE WHEN n_prev IS NULL THEN 10000 "
+                "WHEN n_prev = 0 THEN 0 "
                 "ELSE (10000 * n_users) DIV n_prev END AS BIGINT)"
             ).alias("conv_from_prev_bp"),
         )
@@ -436,6 +439,8 @@ ORACLE = {
         SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
                CAST(CASE WHEN lag(n_users) OVER (ORDER BY step) IS NULL
                          THEN 10000
+                         WHEN lag(n_users) OVER (ORDER BY step) = 0
+                         THEN 0
                          ELSE (10000 * n_users)
                               // lag(n_users) OVER (ORDER BY step)
                     END AS BIGINT) AS conv_from_prev_bp

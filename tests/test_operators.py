@@ -177,6 +177,21 @@ def test_w11_funnel_ordering_and_horizon(spark, tmp_path):
         "purchase": (1, 5000),
     }
 
+    # dead-step edge: every click is outside the horizon, so step 2
+    # has ZERO users — conversion must be 0 bp, not a DIV-0 error
+    # (ANSI mode throws on DIV 0; DuckDB's // would return NULL)
+    dead = [ev(1, 1, "view", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 11)]
+    spark.createDataFrame(
+        dead, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "dead" / "events.parquet"))
+    got = {r.event_type: (r.n_users, r.conv_from_prev_bp) for r in
+           w11_funnel_steps(spark, str(tmp_path / "dead")).collect()}
+    assert got == {
+        "view": (1, 10000),
+        "click": (0, 0),
+        "purchase": (0, 0),
+    }
+
 
 def test_a15_exact_quantiles_with_ties_and_boundaries(spark, tmp_path):
     """a15 must return the true k-th smallest element even when values
@@ -187,8 +202,10 @@ def test_a15_exact_quantiles_with_ties_and_boundaries(spark, tmp_path):
     )
 
     vals = [63] * 40 + [64] * 30 + [65] * 20 + [200] * 11  # n=101, ties at 63/64
+    rows = [(i, v) for i, v in enumerate(vals)]
+    rows.append((len(rows), None))  # NULL n_chars must be excluded, not ranked
     spark.createDataFrame(
-        [(i, v) for i, v in enumerate(vals)], "doc_id long, n_chars long"
+        rows, "doc_id long, n_chars long"
     ).write.parquet(str(tmp_path / "documents.parquet"))
     expected_sorted = sorted(vals)
     got = {r.quantile: (r.n, r.k_rank, r.exact_value) for r in
