@@ -40,42 +40,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: sweeps all entries, not just these).
 #:
 #: Round-7 rotation (VERDICT r6 items #1/#3): close the ENTIRE
-#: rotation queue in one window. In: all 32 oracle-bearing queries
-#: that have never had a green driver row per the mechanical ledger
+#: rotation queue in one window. Final composition — 1 banked-green
+#: representative (the flagship e2) + 49 oracle-bearing queries that
+#: have never had a green driver row per the mechanical ledger
 #: (``python scripts/ledger.py`` — derived from CORRECTNESS_r*.json,
-#: never hand-maintained) — the 8 r6 newcomers (s6, x5, a5b, m11, x8,
-#: w8, g1, d12), the trust-gap four the verdict named (o7/o8 whose
-#: only driver rows ever were r2 hash-fails, d4/d5 claimed green in
-#: r5's verdict but never checked), the r2 nanos-casualties now fixed
-#: (a13, w3, w6), and every never-checked tail (t5/t7–t10, mm1/mm3/
-#: mm4, x1/x3, d2/d2b/d6, x4/x4b, e3, m9, t9). Out: 32 slots, every
-#: one with a banked green row in LEDGER.md (q1–q10 and d10/e7/s2/s5
-#: green r6; f4/a1/a3/a5/a8/a12/c_json/w7/d7/d8/x6/x7/m7/m10/s3/e4/
-#: e5/e6 green r6 too). 18 green representatives stay so every
-#: operator family keeps a live driver row. All 32 entrants verified
-#: via scripts/drivercheck.py --plain-session at sf0.01 (32 pass, 0
-#: fail) before this rotation. After this window lands, the only
-#: never-green entries are m1/m2 — rows-only by design, kept past the
-#: window per ADVICE r5 so every gate slot carries a hashed oracle.
-#: tests/test_ledger.py keeps the queue mechanical from here on.
-#:
-#: Round-7 additions: four NEW operators built this round (g2 CSV
-#: round trip, g3 JSONL round trip, w9 cumulative distinct users, mm5
-#: resize-thumbnail verification) are oracle-bearing and never-green,
-#: so the mechanical queue rule forces them in; four doubly-covered
-#: green representatives (a4, j6, d3, s4 — all r6 rows banked, each
-#: family keeps another live representative) make room. Late round-7
-#: additions d13/t13/a15 displace three more banked-green reps (m6,
-#: s1, f1 — m/s families stay window-live via m9/m11/m12 and s6; the
-#: f family's coverage claim rests on its five banked green rows in
-#: LEDGER.md, which test_window_spans_all_families now checks
-#: mechanically instead of requiring a window slot).
+#: never hand-maintained): the 32-entry backlog the r6 verdict named
+#: (the 8 r6 newcomers s6/x5/a5b/m11/x8/w8/g1/d12; the trust-gap four
+#: o7/o8/d4/d5; the r2 nanos-casualties a13/w3/w6; every never-checked
+#: tail) plus all 17 operators built in round 7 (g2/g3/g4, w9/w10,
+#: u4/u5, t12, d3b, mm5, m12, x9, and the late five d13/t13/a15/j9/
+#: w11). Every displaced representative (q1-q10, f1, c_scalar, j1, m6,
+#: s1, a4, j6, d3, s4, s13, e1, ...) has banked green rows in
+#: LEDGER.md; family coverage is asserted against window ∪
+#: ledger-green by test_window_spans_all_families, and
+#: tests/test_ledger.py::test_rotation_queue_is_window keeps the queue
+#: mechanical: an oracle-bearing never-green query outside the window
+#: fails CI. After this window lands, the only never-green entries are
+#: m1/m2 — rows-only by design, kept past the window per ADVICE r5 so
+#: every gate slot carries a hashed oracle. Every entrant was verified
+#: via scripts/drivercheck.py (--plain-session sweeps and repeated
+#: --window-order gate replays, 50/50 green) before commit.
 DRIVER_WINDOW = (
-    # --- green family representatives (banked r6 rows; one+ per
-    # family — where a family's slot was reclaimed for a round-7
-    # newcomer (a2, a4, j6, d3, s4, s13, e1), the family stays
-    # window-covered by its never-green entrants and keeps banked
-    # green rows in LEDGER.md)
+    # --- the flagship (banked green r3–r6; smoke-checked via entry())
     "e2_training_pipeline",
     # --- NEW late-round-7 operators (oracle-bearing, never checked;
     # j9 took j1's slot and w11 took c_scalar's — both displaced reps

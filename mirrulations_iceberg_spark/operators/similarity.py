@@ -1089,8 +1089,12 @@ def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
+    # broadcast only what ADC reads — query_id + the M×K dtab — not the
+    # EMB_DIM-double qe riding in qside (qe is for the exact re-rank
+    # subtree only; trimming it cuts the per-task broadcast payload of
+    # the one corpus-proportional stage)
     scored = (
-        codes.crossJoin(F.broadcast(qside))
+        codes.crossJoin(F.broadcast(qside.select("query_id", "dtab")))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("adc", adc)
     )

@@ -35,8 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-#: Serializes stream_state_conf entries (see its docstring).
-_STATE_CONF_LOCK = threading.Lock()
+#: Serializes stream_state_conf entries (see its docstring). RLock,
+#: not Lock: a helper that composes two streaming runners re-enters on
+#: the same thread — with a plain Lock that would DEADLOCK; with RLock
+#: the nested entry saves the already-reduced value and the LIFO exits
+#: restore correctly (inner restores the reduced value, outer restores
+#: the caller's original).
+_STATE_CONF_LOCK = threading.RLock()
 
 
 @contextmanager

@@ -531,8 +531,7 @@ def t12_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("__n_toks").cast("long")).alias("tokens_processed"),
     )
     firsts = (
-        per_doc.select("bucket", "doc_id", F.explode_outer("__toks").alias("tok"))
-        .filter(F.col("tok").isNotNull())
+        per_doc.select("bucket", "doc_id", F.explode("__toks").alias("tok"))
         .groupBy("tok")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")

@@ -76,6 +76,14 @@ def main() -> int:
     items = (
         list(queries.items())[:50] if window_order else sorted(queries.items())
     )
+    if only:
+        # Requested names that the sweep will never reach (typos, or
+        # out-of-window under --window-order) must be a hard error, not
+        # a silent 0-query green exit.
+        missing = only - {n for n, _ in items}
+        if missing:
+            print(f"ERROR  requested queries not in this sweep: {sorted(missing)}")
+            return 2
     for name, fn in items:
         if only and name not in only:
             continue

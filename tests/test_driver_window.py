@@ -3,11 +3,12 @@ curated window: exactly 50 entries, every entry oracle-backed (the two
 by-design rows-only maintenance reports m1/m2 sit PAST the window as of
 round 6, per ADVICE r5), flagship included.
 
-Round 7 closed the whole rotation queue: the window is now 18 green
-family representatives (banked rows in LEDGER.md) + all 32 queries that
-had never earned a green driver row. From round 8 on the queue is
-mechanical — ``scripts/ledger.py`` derives it from CORRECTNESS_r*.json
-and ``test_rotation_queue_is_window`` below fails if an oracle-bearing
+Round 7 closed the whole rotation queue: the window is the flagship e2
+(banked green rows in LEDGER.md) + all 49 oracle-bearing queries that
+had never earned a green driver row — the 32-entry backlog plus the 17
+operators built this round. From round 8 on the queue is mechanical —
+``scripts/ledger.py`` derives it from CORRECTNESS_r*.json and
+``test_rotation_queue_is_window`` below fails if an oracle-bearing
 never-green query is left outside the window.
 """
 
