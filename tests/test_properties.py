@@ -171,6 +171,128 @@ def test_roundtrip_fingerprint_lossless_all_formats(spark, texts):
 
 @given(
     st.lists(
+        # (user, step-type index, hour) — hours tight enough that the
+        # 6 h horizon boundary (> t_prev, <= t_prev+6) gets exercised
+        st.tuples(st.integers(0, 3), st.integers(0, 2), st.integers(0, 20)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_funnel_matches_python_reference(spark, events):
+    """w11 vs an independent plain-Python funnel (not the same-logic SQL
+    oracle): per-step user counts and basis-point conversions must match
+    the sequential-min reference exactly on arbitrary event sets."""
+    import os
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from mirrulations_iceberg_spark.operators.windows import (
+        FUNNEL_HORIZON_HOURS,
+        FUNNEL_STEPS,
+        w11_funnel_steps,
+    )
+
+    by_user = defaultdict(list)
+    for u, ti, h in events:
+        by_user[u].append((FUNNEL_STEPS[ti], h))
+    want_n = [0] * len(FUNNEL_STEPS)
+    for evs in by_user.values():
+        t_prev = None
+        for i, step in enumerate(FUNNEL_STEPS):
+            if i == 0:
+                cand = [h for ty, h in evs if ty == step]
+            else:
+                cand = [
+                    h for ty, h in evs
+                    if ty == step
+                    and h > t_prev
+                    and h <= t_prev + FUNNEL_HORIZON_HOURS
+                ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            want_n[i] += 1
+    want = []
+    for i, n in enumerate(want_n):
+        prev = want_n[i - 1] if i else None
+        bp = 10000 if prev is None else (0 if prev == 0 else (10000 * n) // prev)
+        want.append((i + 1, FUNNEL_STEPS[i], n, bp))
+
+    base = tempfile.mkdtemp(prefix="miis_prop_w11_")
+    try:
+        rows = [
+            (i, f"2024-03-01 {h:02d}:00:00", u, FUNNEL_STEPS[ti], 1.0, "{}")
+            for i, (u, ti, h) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(os.path.join(base, "events.parquet"))
+        got = [tuple(r) for r in w11_funnel_steps(spark, base).collect()]
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.lists(  # documents as token-index lists; >512 possible tokens
+        st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_unigram_logprob_matches_python_reference(spark, docs):
+    """t13 vs an independent Python unigram model: vocab truncation
+    (count desc, token asc), OOV floor, and the per-language rollup
+    must match to integer exactness (counts, bp) and 4-decimal bits."""
+    import math
+    import os
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from mirrulations_iceberg_spark.operators.text import (
+        T13_VOCAB,
+        t13_unigram_logprob,
+    )
+
+    texts = [" ".join(f"w{n}" for n in toks) for toks in docs]
+    all_toks = [t for toks in docs for t in (f"w{n}" for n in toks)]
+    T = len(all_toks)
+    counts = Counter(all_toks)
+    vocab = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:T13_VOCAB]
+    )
+    n_docs = len(docs)
+    oov = sum(1 for t in all_toks if t not in vocab)
+    bits = sum(
+        math.log2(T) - math.log2(vocab.get(t, 1)) for t in all_toks
+    )
+    base = tempfile.mkdtemp(prefix="miis_prop_t13_")
+    try:
+        spark.createDataFrame(
+            [(i, txt, "xx", "src", len(txt)) for i, txt in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(base, "documents.parquet"))
+        rows = t13_unigram_logprob(spark, base).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.lang, r.n_docs, r.n_tokens) == ("xx", n_docs, T)
+        assert r.oov_bp == (10000 * oov) // T
+        assert abs(r.avg_bits_per_token - bits / T) < 2e-4
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.lists(
         st.tuples(st.integers(0, 5), st.integers(0, 9)),  # (user, day)
         min_size=1,
         max_size=30,
