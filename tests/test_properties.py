@@ -292,6 +292,50 @@ def test_unigram_logprob_matches_python_reference(spark, docs):
 
 
 @given(
+    # adversarial shapes for the two-pass rank location: heavy ties,
+    # empty buckets between clusters, everything-in-one-bucket, and
+    # single-element tables all arise from this range mix
+    st.lists(
+        st.one_of(st.integers(0, 63), st.integers(0, 5000)),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_exact_quantiles_match_python_reference(spark, values):
+    """a15 vs plain Python: for every target the returned element must
+    BE sorted(values)[floor(q*(n-1))] — the histogram pass, cumulative
+    offsets, and within-bucket ranking collapse to exact order
+    statistics on arbitrary distributions."""
+    import os
+    import shutil
+    import tempfile
+
+    from mirrulations_iceberg_spark.operators.relational import (
+        A15_QS,
+        a15_exact_quantile_twopass,
+    )
+
+    base = tempfile.mkdtemp(prefix="miis_prop_a15_")
+    try:
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "doc_id long, n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        got = {r.quantile: (r.n, r.k_rank, r.exact_value) for r in
+               a15_exact_quantile_twopass(spark, base).collect()}
+        ref = sorted(values)
+        n = len(values)
+        for q, label in A15_QS:
+            k = (q * (n - 1)) // 100
+            assert got[label] == (n, k, ref[k]), label
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
     st.lists(
         st.tuples(st.integers(0, 5), st.integers(0, 9)),  # (user, day)
         min_size=1,
