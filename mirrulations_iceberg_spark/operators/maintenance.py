@@ -244,6 +244,14 @@ def m9_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced), re-read, and report per-status totals. The oracle
     confirms the 'P' rows carry the correction while 'O'/'F' partitions
     are byte-for-byte the original data.
+
+    The x1.1 correction is computed in exact integer-cents space
+    (`(cents * 11 + 5) DIV 10`) on BOTH engines: ROUND(double, 2)
+    after a double multiply lands on half-cent boundaries where
+    Spark (HALF_UP on the decimal repr) and DuckDB (binary-scaled)
+    disagree — 3 of 5,088 'P' rows at sf0.01. All-integer until the
+    final /100.0 projection, per the module decimal convention
+    (operators/__init__.py).
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -253,7 +261,11 @@ def m9_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(base, "t")
         orders.repartition(4).write.partitionBy("o_orderstatus").parquet(path)
         fixed = orders.filter(F.col("o_orderstatus") == "P").withColumn(
-            "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+            "o_totalprice",
+            F.expr(
+                "CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5)"
+                " DIV 10 AS DOUBLE) / 100"
+            ),
         )
         (
             fixed.repartition(2)
@@ -636,7 +648,9 @@ ORACLE = {
     "m9_partition_overwrite": """
         SELECT o_orderstatus, COUNT(*) AS n_rows,
                CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P'
-                                  THEN ROUND(o_totalprice * 1.1, 2)
+                                  THEN ((CAST(ROUND(o_totalprice * 100)
+                                              AS BIGINT) * 11 + 5) // 10)
+                                       / 100.0
                                   ELSE o_totalprice END
                              AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY o_orderstatus
