@@ -39,97 +39,77 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: past the window stays pytest/replica-verified (tests/test_oracle_parity.py
 #: sweeps all entries, not just these).
 #:
-#: Round-7 rotation (VERDICT r6 items #1/#3): close the ENTIRE
-#: rotation queue in one window. Final composition — 1 banked-green
-#: representative (the flagship e2) + 49 oracle-bearing queries that
-#: have never had a green driver row per the mechanical ledger
-#: (``python scripts/ledger.py`` — derived from CORRECTNESS_r*.json,
-#: never hand-maintained): the 32-entry backlog the r6 verdict named
-#: (the 8 r6 newcomers s6/x5/a5b/m11/x8/w8/g1/d12; the trust-gap four
-#: o7/o8/d4/d5; the r2 nanos-casualties a13/w3/w6; every never-checked
-#: tail) plus all 17 operators built in round 7 (g2/g3/g4, w9/w10,
-#: u4/u5, t12, d3b, mm5, m12, x9, and the late five d13/t13/a15/j9/
-#: w11). Every displaced representative (q1-q10, f1, c_scalar, j1, m6,
-#: s1, a4, j6, d3, s4, s13, e1, ...) has banked green rows in
-#: LEDGER.md; family coverage is asserted against window ∪
-#: ledger-green by test_window_spans_all_families, and
-#: tests/test_ledger.py::test_rotation_queue_is_window keeps the queue
-#: mechanical: an oracle-bearing never-green query outside the window
-#: fails CI. After this window lands, the only never-green entries are
-#: m1/m2 — rows-only by design, kept past the window per ADVICE r5 so
-#: every gate slot carries a hashed oracle. Every entrant was verified
-#: via scripts/drivercheck.py (--plain-session sweeps and repeated
-#: --window-order gate replays, 50/50 green) before commit.
+#: Round-8 rotation (VERDICT r7 item #4): the rotation queue is
+#: empty — every oracle-bearing query has a banked green row — so the
+#: window becomes a RE-VERIFICATION window, filled oldest-green-first
+#: from the mechanical ledger (``python scripts/ledger.py``; claims
+#: derive from CORRECTNESS_r*.json, never memory). Composition: the
+#: flagship e2 + m9 (round 7's single red row, fixed this round via
+#: integer-cents arithmetic) + the 33 queries whose latest green row
+#: is r02/r04/r05 (three-plus rounds of code drift ago) + the 15
+#: oldest r06-latest representatives chosen for family spread (agg,
+#: scalar, filter, join, window, dedup, ETL). Every entrant was
+#: re-verified green at the driver's sf0.01 via scripts/drivercheck.py
+#: (--window-order gate replay) before commit; the sf0.01 sweep is now
+#: a documented pre-rotation gate (VERDICT r7 item #2 — sf0.001 hides
+#: value-boundary divergence, measured 0/493 vs 3/5,088 on m9).
 DRIVER_WINDOW = (
-    # --- the flagship (banked green r3–r6; smoke-checked via entry())
+    # --- the flagship + the r7 red row (fix re-greened this round)
     "e2_training_pipeline",
-    # --- NEW late-round-7 operators (oracle-bearing, never checked;
-    # j9 took j1's slot and w11 took c_scalar's — both displaced reps
-    # have banked green rows, and the j/w families stay window-live
-    # through the newcomers themselves)
-    "d13_semdedup",
-    "t13_unigram_logprob",
-    "a15_exact_quantile_twopass",
-    "j9_bloom_pruned_join",
-    "w11_funnel_steps",
-    # --- NEW round-7 operators (never checked by definition; e1's and
-    # s13's slots freed — banked green r6, e2/s1 keep those families
-    # live)
-    "g2_csv_roundtrip",
-    "g3_jsonl_roundtrip",
-    "g4_orc_roundtrip",
-    "w9_users_to_date",
-    "w10_trailing_window_value",
-    "u4_except_all",
-    "u5_intersect_all",
-    "t12_vocab_growth",
-    "d3b_minhash_accuracy",
-    "mm5_resize_thumbs",
-    "x9_pq_adc_topk",
-    "m12_vacuum_orphans",
-    # --- the full rotation queue: never driver-green until now
-    # aggregations / sampling
-    "a13_pivot",
-    "a5b_approx_stats",
-    "o7_stratified_sample",
-    "o8_hash_split",
-    "g1_glob_read",
-    # windows
-    "w3_lag_delta",
-    "w6_session_window",
-    "w8_decayed_engagement",
-    # text analysis
-    "t5_lang_profile",
-    "t7_tfidf_top_terms",
-    "t8_repetition_ratio",
-    "t9_token_counts",
-    "t10_pii_redact",
-    # deduplication (incl. the two _diag quadratic twins + cap report)
-    "d2_ngram_jaccard_pairs_diag",
-    "d2b_cap_report",
-    "d4_simhash",
-    "d5_simhash_pairs",
-    "d6_dedup_apply",
-    "d12_segment_boilerplate",
-    # similarity
-    "x1_cosine_topk",
-    "x3_label_centroid_sim",
-    "x4_embedding_neardup_pairs_diag",
-    "x4b_bucket_cap_report",
-    "x5_ann_ivf_topk",
-    "x8_range_search",
-    # maintenance
     "m9_partition_overwrite",
-    "m11_time_travel",
-    # ETL / streaming / multimodal tails
-    "e3_shard_assign",
-    "mm1_media_manifest",
-    "mm3_frame_sample",
-    "mm4_audio_rms",
-    "s6_stream_base_dedup",
+    # --- latest green r02: fourteen queries, six rounds of drift
+    "a12b_cube",
+    "a14_histogram",
+    "j2_semi_join",
+    "j3_anti_join",
+    "j4_fact_fact_join",
+    "j5_left_outer_join",
+    "j7_range_join",
+    "j8_full_outer_join",
+    "t3_fingerprint",
+    "t4_token_index_lookup",
+    "u2_intersect",
+    "u3_except",
+    "w1_topn_per_group",
+    "w4_rank_in_partition",
+    # --- latest green r04
+    "c9_ts_minmax",
+    "d9_decontaminate",
+    "o4_peak_day",
+    "o6_systematic_sample",
+    "t2_quality_score",
+    "t6_winnow_fingerprints",
+    "w2_running_sum",
+    # --- latest green r05
+    "a10_date_histogram",
+    "a6_count_distinct",
+    "a7_boolean_sum",
+    "a9_value_counts",
+    "c11_from_json_typed",
+    "f2_is_not_null",
+    "f3_boolean_filter",
+    "m3_delta_append",
+    "m4_compaction",
+    "o2_top_dates",
+    "t11_bigram_coverage",
+    "u1_union_base_delta",
+    # --- latest green r06, oldest first-green, family spread
+    "a1_count_star",
+    "a2_groupby_count",
+    "a3_multikey_groupby",
+    "a4_avg_length",
+    "a5_numeric_stats",
+    "a12_rollup",
+    "c_scalar_suite",
+    "f1_like_substring",
+    "f4_conjunctive_filter",
+    "j1_broadcast_star_join",
+    "w7_ntile_deciles",
+    "d1_exact_dedup",
+    "e1_docket_pipeline",
+    "j6_asof_join",
+    "w5_sessionize",
 )
-
-
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Merge QUERIES/ORACLE from every operator module.
 
