@@ -148,14 +148,23 @@ def main() -> None:
         finally:
             spark.catalog.clearCache()
 
+    def _regressed(t: float, p: float) -> bool:
+        # Absolute floor keeps sub-noise deltas from triggering reruns,
+        # but a 0.5s floor on a 0.1s prior hides a genuine 5x
+        # regression — so the floor scales down for sub-0.5s priors
+        # (ADVICE r7): 0.15s of jitter still doesn't count, a
+        # multiplicative blow-up does.
+        floor = 0.5 if p >= 0.5 else 0.15
+        return t > 1.35 * p and t - p > floor
+
     for i, (name, fn) in enumerate(sorted(queries.items())):
         t = _run_once(name, fn)
         p = prior.get(name)
-        if t >= 0 and p is not None and t > 1.35 * p and t - p > 0.5:
+        if t >= 0 and p is not None and _regressed(t, p):
             t2 = _run_once(name, fn)
             if t2 < 0:
                 verdict = "rerun_failed"
-            elif t2 <= 1.35 * p or t2 - p <= 0.5:
+            elif not _regressed(t2, p):
                 verdict = "environment"
             else:
                 verdict = "confirmed"

@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 
-#: Codecs shipped with Spark's default build.
+#: Codecs shipped with Spark's default build. zstd stands in for the
+#: reference's best-ratio codec brotli (simple_iceberg_exploration.py:
+#: 148-168; 19.37x avg per exploration_summary.md:21-28) — Spark ships
+#: no brotli parquet codec without an extra jar, and zstd is the
+#: closest ratio/speed point in the default build, so m1's zstd row is
+#: the one to compare against BASELINE.md's brotli row.
 CODECS = ("snappy", "gzip", "zstd", "lz4")
 
 

@@ -571,9 +571,13 @@ def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row cross join (the t12 pattern). Scoring is then a broadcast
     left join on the exploded corpus — the only corpus-wide shuffle is
     the final per-language rollup. OOV rate is integer basis points
-    (exact); mean bits is the one float, ROUND-ed once at the end
-    (sum-of-log2 doubles agree across engines to ~1e-12 relative —
-    same budget as the cosine family).
+    (exact); mean bits is computed order-independently: each token's
+    bits are ROUND-ed to 4 decimals (log2 doubles never sit on a
+    4-decimal half boundary — that needs a dyadic rational, ~2^-47
+    odds), summed as exact DECIMAL ten-thousandths, then divided with
+    integer half-up arithmetic — no float summation order anywhere,
+    unlike a raw SUM(double) whose accumulation order differs across
+    engines.
     """
     from .dedup import parallelize_scan
 
@@ -602,16 +606,21 @@ def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.col("oov").cast("long")).alias("__oov"),
-            F.sum("bits").alias("__bits"),
+            # exact integer ten-thousandths of a bit — order-independent
+            F.sum(F.round(F.col("bits"), 4).cast("decimal(20,4)")).alias(
+                "__bits"
+            ),
         )
         .select(
             "lang",
             "n_docs",
             "n_tokens",
             F.expr("(10000 * __oov) DIV n_tokens").alias("oov_bp"),
-            F.round(F.col("__bits") / F.col("n_tokens"), 4).alias(
-                "avg_bits_per_token"
-            ),
+            # half-up integer mean in 1e-4-bit units, floated once
+            F.expr(
+                "CAST((2 * CAST(__bits * 10000 AS BIGINT) + n_tokens)"
+                " DIV (2 * n_tokens) AS DOUBLE) / 10000"
+            ).alias("avg_bits_per_token"),
         )
         .orderBy("lang")
     )
@@ -830,7 +839,10 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
                CAST((10000 * SUM(CASE WHEN oov THEN 1 ELSE 0 END))
                     // COUNT(*) AS BIGINT) AS oov_bp,
-               ROUND(SUM(bits) / COUNT(*), 4) AS avg_bits_per_token
+               CAST((2 * CAST(SUM(CAST(ROUND(bits, 4) AS DECIMAL(20,4)))
+                              * 10000 AS BIGINT) + COUNT(*))
+                    // (2 * COUNT(*)) AS DOUBLE) / 10000
+                   AS avg_bits_per_token
         FROM scored GROUP BY lang ORDER BY lang
     """,
     "t12_vocab_growth": f"""

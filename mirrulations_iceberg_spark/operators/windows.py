@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from .util import materialize_release
 
 
 def w1_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,14 +347,18 @@ def w11_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: every join and aggregate keys on ``user_id`` — the
     per-step event subsets each shuffle once (filter pushed to the
     scan), then join co-partitioned against the previous step's
-    user-level row. No window over the raw event stream, no per-user
-    state beyond one timestamp per step; output is bounded at
-    |steps| rows. Conversion rates are integer basis points (DIV —
-    exact on both engines); the 3-row assembly's ordering window is
-    bounded by the step count, never by data.
+    user-level row. Each step's user/t_prev table is consumed TWICE
+    (its own count aggregate + the next step's join input), so it is
+    cached after its aggregate — without the cache the lazy union
+    replays earlier steps' scans/joins ~O(steps^2) times. The caches
+    are released before return via ``materialize_release`` (output is
+    bounded at |steps| rows). Conversion rates are integer basis
+    points (DIV — exact on both engines); the 3-row assembly's
+    ordering window is bounded by the step count, never by data.
     """
     ev = load_table(spark, sf_dir, "events")
     steps = []
+    cached = []
     prev = None
     for i, name in enumerate(FUNNEL_STEPS):
         cur = ev.filter(F.col("event_type") == name).select("user_id", "ts")
@@ -366,7 +371,8 @@ def w11_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"INTERVAL {FUNNEL_HORIZON_HOURS} HOURS")
                 )
             )
-        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev")).cache()
+        cached.append(cur)
         steps.append(
             cur.agg(F.count(F.lit(1)).alias("n_users")).select(
                 F.lit(i + 1).alias("step"),
@@ -379,7 +385,7 @@ def w11_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     w = Window.orderBy("step")  # |FUNNEL_STEPS| rows — bounded
-    return (
+    result = (
         out.withColumn("n_prev", F.lag("n_users").over(w))
         .select(
             "step",
@@ -395,6 +401,7 @@ def w11_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+    return materialize_release(spark, result, *cached)
 
 
 QUERIES = {

@@ -21,6 +21,7 @@ QUERIES, _ = collect_queries()
 #: list or document why their cache rides the returned plan.
 RELEASING = (
     "w7_ntile_deciles",
+    "w11_funnel_steps",
     "e2_training_pipeline",
     "e6_budget_select",
     "x2_ann_lsh_topk",
