@@ -34,14 +34,19 @@ def run_pipeline(
     tree_root: str,
     out_dir: str,
     codec: str = "zstd",
+    agency: str | None = None,
 ) -> PipelineResult:
     """Docket tree → {comments, documents, docket_info} parquet tables.
 
     Writes ``<out>/<table>/agencyId=<a>/*.parquet`` + a
     ``<out>/quarantine`` sink of corrupt raw rows (F7). Returns the
     written tables re-read from disk (so callers query exactly what
-    landed) plus row counts.
+    landed) plus row counts. ``agency`` narrows every table to one
+    agency (the reference's ``--agency`` filter,
+    ``convert_to_iceberg.py:1327-1329``) — applied post-flatten so it
+    rides the same agencyId column the partitioned sink uses.
     """
+    from pyspark.sql import functions as F
     flatteners = {
         "comments": ("comments", flatten_comments),
         "documents": ("documents", flatten_documents),
@@ -54,6 +59,8 @@ def run_pipeline(
         clean, bad = split_corrupt(raw)
         out = os.path.join(out_dir, table)
         df = flatten(clean)
+        if agency is not None and "agencyId" in df.columns:
+            df = df.filter(F.col("agencyId") == agency)
         partition = ["agencyId"] if "agencyId" in df.columns else None
         (
             df.write.mode("overwrite")
