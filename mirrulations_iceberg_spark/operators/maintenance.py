@@ -138,7 +138,15 @@ def m3_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet, ``simple_iceberg_exploration.py:188-247``). The split is
     deterministic (orderkey mod 50) so the per-part row counts are
     oracle-checkable; the union read is a multi-path parquet scan, which
-    at scale is exactly an Iceberg/Hive table with appended files."""
+    at scale is exactly an Iceberg/Hive table with appended files.
+
+    Dual-mode: when the runtime ships iceberg-spark-runtime
+    (``operators/iceberg.py`` probe), base+deltas go through the REAL
+    ``writeTo().create()/.append()`` commit path and the union read is
+    the table's current snapshot; otherwise the parquet stand-in.
+    Identical output rows either way — one oracle covers both modes."""
+    from .iceberg import ensure_catalog, iceberg_available
+
     orders = load_table(spark, sf_dir, "orders")
     base = _tmpdir()
     try:
@@ -149,12 +157,22 @@ def m3_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             parts.append(
                 (f"delta_{i}", orders.filter(F.col("o_orderkey") % 50 == 45 + i))
             )
-        paths = []
-        for name, df in parts:
-            path = os.path.join(base, name)
-            write_parquet(df, path, n_files=1)
-            paths.append(path)
-        union = spark.read.parquet(*paths)
+        if iceberg_available(spark):
+            cat = ensure_catalog(spark, base)
+            table = f"{cat}.db.m3_append"
+            for i, (_name, df) in enumerate(parts):
+                if i == 0:
+                    df.writeTo(table).using("iceberg").createOrReplace()
+                else:
+                    df.writeTo(table).append()
+            union = spark.table(table)
+        else:
+            paths = []
+            for name, df in parts:
+                path = os.path.join(base, name)
+                write_parquet(df, path, n_files=1)
+                paths.append(path)
+            union = spark.read.parquet(*paths)
         total = union.count()
         rows = [(name, df.count()) for name, df in parts]
         rows.append(("union_read", total))
@@ -257,14 +275,35 @@ def m9_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree — 3 of 5,088 'P' rows at sf0.01. All-integer until the
     final /100.0 projection, per the module decimal convention
     (operators/__init__.py).
+
+    Dual-mode: with iceberg-spark-runtime on the classpath
+    (``operators/iceberg.py`` probe) the rewrite is the REAL
+    ``writeTo().overwritePartitions()`` against a status-partitioned
+    Iceberg table; otherwise the parquet dynamic-overwrite stand-in.
+    Identical output rows either way.
     """
+    from .iceberg import ensure_catalog, iceberg_available
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     base = _tmpdir()
     try:
-        path = os.path.join(base, "t")
-        orders.repartition(4).write.partitionBy("o_orderstatus").parquet(path)
+        use_iceberg = iceberg_available(spark)
+        if use_iceberg:
+            cat = ensure_catalog(spark, base)
+            table = f"{cat}.db.m9_overwrite"
+            (
+                orders.writeTo(table)
+                .using("iceberg")
+                .partitionedBy(F.col("o_orderstatus"))
+                .createOrReplace()
+            )
+        else:
+            path = os.path.join(base, "t")
+            orders.repartition(4).write.partitionBy("o_orderstatus").parquet(
+                path
+            )
         fixed = orders.filter(F.col("o_orderstatus") == "P").withColumn(
             "o_totalprice",
             F.expr(
@@ -272,15 +311,20 @@ def m9_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV 10 AS DOUBLE) / 100"
             ),
         )
-        (
-            fixed.repartition(2)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("o_orderstatus")
-            .parquet(path)
-        )
+        if use_iceberg:
+            fixed.writeTo(table).overwritePartitions()
+            reread = spark.table(table)
+        else:
+            (
+                fixed.repartition(2)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("o_orderstatus")
+                .parquet(path)
+            )
+            reread = spark.read.parquet(path)
         out = (
-            spark.read.parquet(path)
+            reread
             .groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
