@@ -70,12 +70,31 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     from .etl.pipeline import run_pipeline
+    from .etl.preflight import fs_preflight
     from .session import get_spark
 
     kwargs = {"app_name": "mirrulations-convert", "master": args.master}
     if args.shuffle_partitions is not None:
         kwargs["shuffle_partitions"] = args.shuffle_partitions
     spark = get_spark(**kwargs)
+    # Pre-flight before any job starts (the reference's early-
+    # termination contract, convert_to_iceberg.py:1197-1242): a
+    # permission problem should cost seconds, not a failed hour-long
+    # conversion.
+    failed = [
+        c
+        for c in fs_preflight(spark, args.data_path, args.output_path)
+        if not c.ok
+    ]
+    if failed:
+        for c in failed:
+            print(f"Pre-flight check failed: {c.name}: {c.detail}", file=sys.stderr)
+        print(
+            "Please ensure you have read access to the data directory "
+            "and write access to the output directory.",
+            file=sys.stderr,
+        )
+        return 1
     try:
         result = run_pipeline(
             spark,
