@@ -53,10 +53,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (--window-order gate replay) before commit; the sf0.01 sweep is now
 #: a documented pre-rotation gate (VERDICT r7 item #2 — sf0.001 hides
 #: value-boundary divergence, measured 0/493 vs 3/5,088 on m9).
+#:
+#: Three NEW r8 operators (never green by definition) take the slots
+#: of a1/a2/a4 — the three re-verification fillers with the deepest
+#: green history (r02–r06, five rounds each).
 DRIVER_WINDOW = (
     # --- the flagship + the r7 red row (fix re-greened this round)
     "e2_training_pipeline",
     "m9_partition_overwrite",
+    # --- NEW round-8 operators (oracle-bearing, never checked)
+    "d14_contamination_grade",
+    "w12_retention_cohorts",
+    "x10_mmr_select",
     # --- latest green r02: fourteen queries, six rounds of drift
     "a12b_cube",
     "a14_histogram",
@@ -94,10 +102,7 @@ DRIVER_WINDOW = (
     "t11_bigram_coverage",
     "u1_union_base_delta",
     # --- latest green r06, oldest first-green, family spread
-    "a1_count_star",
-    "a2_groupby_count",
     "a3_multikey_groupby",
-    "a4_avg_length",
     "a5_numeric_stats",
     "a12_rollup",
     "c_scalar_suite",

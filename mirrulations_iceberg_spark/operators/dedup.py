@@ -764,6 +764,82 @@ def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 d9_decontaminate.__doc__ = d9_decontaminate.__doc__.format(mod=DECON_MOD)
 
 
+#: d14 grading: n-gram order and the flag threshold (basis points of a
+#: document's n-grams found in the benchmark set).
+CONTAM_N = 5
+CONTAM_FLAG_BP = 2000
+
+
+def d14_contamination_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark contamination — d9's binary any-overlap flag is
+    the Pile recipe; the GPT-3 appendix-C variant MEASURES each
+    document's overlap instead: what fraction of a doc's word
+    ``CONTAM_N``-grams appear in the held-out benchmark set. A doc
+    quoting one benchmark sentence scores a few hundred basis points; a
+    wholesale copy scores ~10000 — the number that decides drop vs
+    trim-the-span vs keep. Benchmark = the same deterministic ~1% slice
+    d9 uses (``doc_id % DECON_MOD == 0``).
+
+    Scale shape: identical to d9's — the benchmark's distinct n-gram
+    set is benchmark-sized and BROADCASTS; the corpus streams through
+    one broadcast left join, and the only corpus-wide shuffle is the
+    per-doc rollup (keyed on doc_id, then the bounded per-lang
+    summary). The n-gram constructor is the named-column ladder (t11's
+    CollapseProject trap: inlining the transform into the generator
+    re-evaluates the tokenizer per element). Contamination is integer
+    basis points end-to-end — no float anywhere.
+
+    Oracle: identical grams + arithmetic in DuckDB (``//`` == ``DIV``).
+    """
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents")).withColumn(
+        "__t", tokens_col(F.col("text"))
+    )
+    t = F.col("__t")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(t) - CONTAM_N),
+        lambda i: F.concat_ws(
+            " ", *[t[i + j] for j in range(CONTAM_N)]
+        ),
+    )
+    grams = F.when(F.size(t) >= CONTAM_N, windows).otherwise(
+        F.array().cast("array<string>")
+    )
+    ex = docs.withColumn("__g", grams).select(
+        "doc_id", "lang", F.explode("__g").alias("gram")
+    )
+    bench = (
+        ex.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+    per_doc = (
+        ex.filter(F.col("doc_id") % DECON_MOD != 0)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__m"), F.lit(0)).cast("long")).alias(
+                "n_hit"
+            ),
+        )
+        .withColumn("bp", F.expr("(10000 * n_hit) DIV n_grams"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("bp") >= CONTAM_FLAG_BP).cast("long")
+            ).alias("n_flagged"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_hit").alias("matched_grams"),
+            F.max("bp").alias("max_doc_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
 D10_DELTA_MOD = 5  # doc_id % 5 == 0 → the incoming delta batch
 
 
@@ -883,6 +959,7 @@ QUERIES = {
     "d9_decontaminate": d9_decontaminate,
     "d10_incremental_dedup": d10_incremental_dedup,
     "d12_segment_boilerplate": d12_segment_boilerplate,
+    "d14_contamination_grade": d14_contamination_grade,
 }
 
 # DuckDB twin of d4's SimHash: identical md5-derived 60-bit token
@@ -1145,6 +1222,38 @@ ORACLE = {
                ROUND(COALESCE(f.n_contaminated, 0)
                      / CAST(t.n_docs AS DOUBLE), 4) AS contamination_rate
         FROM totals t LEFT JOIN flagged f ON t.lang = f.lang
+    """,
+    "d14_contamination_grade": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), g AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       range(1, GREATEST(len(t) - {CONTAM_N - 1}, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                            || t[i+3] || ' ' || t[i+4])) AS gram
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0
+        ), per_doc AS (
+            SELECT g.doc_id, g.lang, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM g LEFT JOIN bench b USING (gram)
+            WHERE g.doc_id % {DECON_MOD} <> 0
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT *, (10000 * n_hit) // n_grams AS bp FROM per_doc
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN bp >= {CONTAM_FLAG_BP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+               CAST(SUM(n_hit) AS BIGINT) AS matched_grams,
+               CAST(MAX(bp) AS BIGINT) AS max_doc_bp
+        FROM scored GROUP BY lang ORDER BY lang
     """,
     "d8_dedup_components": f"""
         WITH RECURSIVE toks AS (

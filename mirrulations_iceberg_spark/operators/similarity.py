@@ -1144,6 +1144,85 @@ def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, emb)
 
 
+#: x10 MMR: query vector, shortlist size, and selections. λ = 0.5, so
+#: argmax(λ·rel − (1−λ)·max_sim) ≡ argmax(rel − max_sim) — no float λ.
+MMR_QUERY_ID = 0
+MMR_SHORTLIST = 50
+MMR_K = 5
+
+
+def x10_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection — the diversity-aware
+    re-ranker behind training-data curation and RAG context packing
+    (Carbonell & Goldstein 1998): greedily pick the candidate that
+    maximizes ``rel − max-sim-to-already-picked``, so the k results
+    are relevant AND non-redundant (plain top-k returns k near-copies
+    when the corpus has duplicate clusters).
+
+    Scale shape — the standard two-phase split: the corpus-wide work
+    is ONE exact top-``MMR_SHORTLIST`` relevance pass (broadcast query
+    over the scan, global TakeOrdered — no shuffle); the inherently
+    sequential greedy loop then runs on the M-row shortlist only,
+    each of its k steps a tiny Spark job over ≤M rows with the chosen
+    vectors inlined as literals (k·M·dim ops total). The two collects
+    are bounded by M and 1 by construction — MMR's sequential core
+    never touches corpus-sized data. All scores use the family's
+    ROUND(cos, 4) arithmetic; ties break on vec_id — a total order
+    both engines share.
+
+    Oracle: the same shortlist + k greedy steps unrolled as chained
+    CTEs (``_mmr_oracle``), literal-identical arithmetic.
+    """
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("e").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("rel", _cosine_sim())
+        .select("vec_id", "e", "norm", "rel")
+    )
+    short_rows = (
+        scored.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_SHORTLIST)
+        .collect()
+    )
+    shortlist = spark.createDataFrame(short_rows, scored.schema)
+    selected: list = []
+    out_rows: list[tuple] = []
+    pool = shortlist
+    for step in range(1, MMR_K + 1):
+        if not selected:
+            cur = pool.withColumn("max_sim", F.lit(0.0))
+        else:
+            sims = []
+            for r in selected:
+                se = F.array(*[F.lit(float(v)) for v in r["e"]])
+                sn = F.lit(float(r["norm"]))
+                sims.append(
+                    F.round(_dot(F.col("e"), se) / (F.col("norm") * sn), 4)
+                )
+            cur = pool.withColumn(
+                "max_sim", F.greatest(*sims) if len(sims) > 1 else sims[0]
+            )
+        pick = (
+            cur.withColumn("mmr", F.col("rel") - F.col("max_sim"))
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(pick)
+        out_rows.append(
+            (step, pick["vec_id"], pick["rel"], pick["max_sim"], pick["mmr"])
+        )
+        pool = pool.filter(F.col("vec_id") != pick["vec_id"])
+    return spark.createDataFrame(
+        out_rows,
+        "step int, vec_id long, rel double, max_sim double, mmr double",
+    )
+
+
 QUERIES = {
     "x1_cosine_topk": x1_cosine_topk,
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
@@ -1156,7 +1235,69 @@ QUERIES = {
     "x8_range_search": x8_range_search,
     "x7_ann_partitioned_index": x7_ann_partitioned_index,
     "x9_pq_adc_topk": x9_pq_adc_topk,
+    "x10_mmr_select": x10_mmr_select,
 }
+
+
+def _mmr_oracle() -> str:
+    """DuckDB twin of x10: shortlist + K greedy steps unrolled as
+    chained CTEs. Arithmetic mirrors the Spark side literal-for-
+    literal: left-to-right dot folds, ROUND(cos, 4), (mmr DESC,
+    vec_id) total order."""
+
+    def cos(p: str, c: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> {p}.e[i] * {c}.e[i])) / ({p}.norm * {c}.norm), 4)"
+        )
+
+    parts = [
+        f"""
+        WITH b AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM b
+        ), qv AS (
+            SELECT e AS qe, norm AS qnorm FROM n WHERE vec_id = {MMR_QUERY_ID}
+        ), shortlist AS (
+            SELECT n.vec_id, n.e, n.norm,
+                   ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                                 i -> n.e[i] * q.qe[i]))
+                         / (n.norm * q.qnorm), 4) AS rel
+            FROM n CROSS JOIN qv q WHERE n.vec_id <> {MMR_QUERY_ID}
+            ORDER BY rel DESC, vec_id LIMIT {MMR_SHORTLIST}
+        ), chosen1 AS (
+            SELECT vec_id, e, norm, rel, 0.0 AS max_sim, rel AS mmr
+            FROM shortlist ORDER BY rel DESC, vec_id LIMIT 1
+        )"""
+    ]
+    for j in range(2, MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id, e, norm FROM chosen{i}" for i in range(1, j)
+        )
+        parts.append(
+            f""", sel{j - 1} AS ({prev_sel})
+        , cand{j} AS (
+            SELECT p.vec_id, ANY_VALUE(p.e) AS e, ANY_VALUE(p.norm) AS norm,
+                   ANY_VALUE(p.rel) AS rel,
+                   MAX({cos('p', 'c')}) AS max_sim
+            FROM shortlist p CROSS JOIN sel{j - 1} c
+            WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{j - 1})
+            GROUP BY p.vec_id
+        ), chosen{j} AS (
+            SELECT vec_id, e, norm, rel, max_sim, rel - max_sim AS mmr
+            FROM cand{j} ORDER BY rel - max_sim DESC, vec_id LIMIT 1
+        )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, rel, max_sim, mmr FROM chosen{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    parts.append(f" SELECT * FROM ({union}) ORDER BY step")
+    return "".join(parts)
 
 _COS = f"""
             ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
@@ -1451,6 +1592,7 @@ GROUP BY p.query_id
 
 
 ORACLE = {
+    "x10_mmr_select": _mmr_oracle(),
     "x9_pq_adc_topk": _X9_SQL,
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,

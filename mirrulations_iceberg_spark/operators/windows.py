@@ -292,6 +292,55 @@ def w9_users_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix — the second canonical
+    product-analytics question after w11's funnel: of the users whose
+    FIRST activity fell in week W (the cohort), how many were active
+    again k weeks later? Output is one row per (cohort_week,
+    week_offset) with the active count, the cohort's size, and
+    retention in integer basis points.
+
+    Distributed shape: the cohort assignment is one per-user min
+    aggregation (shuffle on user_id); activity reduces to DISTINCT
+    (user, week) BEFORE the cohort join — so the join input is
+    users×weeks-active, not raw events — and the join itself is
+    user_id-keyed (co-partitioned with the aggregation's exchange
+    under AQE). The matrix is |weeks|² rows — metadata-sized at any
+    corpus scale (a decade of weekly cohorts is ~520×520). Offsets are
+    exact integer day arithmetic / 7 (weeks both start Monday on both
+    engines); retention is ``(10000 * n) DIV size`` — no floats.
+    """
+    events = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    user_weeks = events.select("user_id", week).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("(10000 * n_active) DIV cohort_size").alias(
+                "retention_bp"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 W10_WINDOW_S = 3600  # trailing time window (seconds)
 
 
@@ -407,6 +456,7 @@ def w11_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
     "w11_funnel_steps": w11_funnel_steps,
+    "w12_retention_cohorts": w12_retention_cohorts,
     "w2_running_sum": w2_running_sum,
     "w3_lag_delta": w3_lag_delta,
     "w4_rank_in_partition": w4_rank_in_partition,
@@ -419,6 +469,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w12_retention_cohorts": """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        ), cohorts AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+        ), sizes AS (
+            SELECT cohort_week, COUNT(*) AS cohort_size
+            FROM cohorts GROUP BY cohort_week
+        ), matrix AS (
+            SELECT c.cohort_week,
+                   CAST((uw.week - c.cohort_week) // 7 AS INT) AS week_offset,
+                   COUNT(*) AS n_active
+            FROM uw JOIN cohorts c USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+               CAST((10000 * m.n_active) // s.cohort_size AS BIGINT)
+                   AS retention_bp
+        FROM matrix m JOIN sizes s USING (cohort_week)
+        ORDER BY m.cohort_week, m.week_offset
+    """,
     "w11_funnel_steps": f"""
         WITH s1 AS (
             SELECT user_id, MIN(ts) AS t1 FROM events

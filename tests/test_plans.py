@@ -52,6 +52,7 @@ SKIP_SWEEP = {
     "m12_vacuum_orphans",  # commit writes + vacuum at construction
     "x9_pq_adc_topk",  # runs the codebook fit at construction
     "d13_semdedup",  # runs the shared Lloyd fit at construction
+    "x10_mmr_select",  # runs the shortlist scan + greedy loop at construction
 }
 
 
