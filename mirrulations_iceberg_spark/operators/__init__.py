@@ -54,9 +54,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: a documented pre-rotation gate (VERDICT r7 item #2 — sf0.001 hides
 #: value-boundary divergence, measured 0/493 vs 3/5,088 on m9).
 #:
-#: Three NEW r8 operators (never green by definition) take the slots
-#: of a1/a2/a4 — the three re-verification fillers with the deepest
-#: green history (r02–r06, five rounds each).
+#: Six NEW r8 operators (never green by definition) take the slots of
+#: a1/a2/a4/f1/f4/c_scalar_suite — the six re-verification fillers
+#: with the deepest green history (r02–r06, five rounds each).
 DRIVER_WINDOW = (
     # --- the flagship + the r7 red row (fix re-greened this round)
     "e2_training_pipeline",
@@ -65,6 +65,9 @@ DRIVER_WINDOW = (
     "d14_contamination_grade",
     "w12_retention_cohorts",
     "x10_mmr_select",
+    "e8_temperature_mixture",
+    "t15_freq_spectrum",
+    "j10_bucketed_colocated_join",
     # --- latest green r02: fourteen queries, six rounds of drift
     "a12b_cube",
     "a14_histogram",
@@ -105,9 +108,6 @@ DRIVER_WINDOW = (
     "a3_multikey_groupby",
     "a5_numeric_stats",
     "a12_rollup",
-    "c_scalar_suite",
-    "f1_like_substring",
-    "f4_conjunctive_filter",
     "j1_broadcast_star_join",
     "w7_ntile_deciles",
     "d1_exact_dedup",

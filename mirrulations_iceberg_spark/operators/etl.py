@@ -585,6 +585,73 @@ def _e6_oracle() -> str:
     """
 
 
+#: e8: sampling temperature exponent numerator/denominator (α = 1/2 →
+#: sqrt, which IEEE 754 rounds exactly — identical doubles on both
+#: engines) and the token budget to allocate across sources.
+E8_BUDGET_TOKENS = 1_000_000
+E8_SQRT_SCALE = 1_000_000
+
+
+def e8_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture weights — the multilingual /
+    multi-domain sampling recipe (mBERT's exponential smoothing, the
+    DoReMi baseline): raw domain shares p_i get flattened to
+    p_i^α / Σ p_j^α with α = 0.5, upsampling small domains so the
+    model doesn't starve them. Output compares each source's natural
+    share against its temperature share and allocates a fixed token
+    budget accordingly.
+
+    Cross-engine determinism: α = 1/2 makes the power a ``sqrt`` —
+    exactly rounded under IEEE 754, so both engines produce the same
+    double from the same integer token count; it is then floored into
+    an integer score at ``E8_SQRT_SCALE`` and every share/allocation
+    after that is ``(x * s_i) DIV Σ s_j`` integer arithmetic — no
+    float summation anywhere.
+
+    Scale shape: one map-side-partial per-source token-count
+    aggregation over the corpus (the only corpus-wide work), then all
+    mixture math happens on the |sources|-row rollup — a window over a
+    dimension-bounded frame. At 100 TB the rollup is bytes.
+    """
+    from pyspark.sql import Window
+
+    from ..tables import load_table
+    from .dedup import parallelize_scan
+    from .text import tokens_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = per_source.withColumn(
+        "score",
+        F.floor(F.sqrt(F.col("n_tokens")) * E8_SQRT_SCALE).cast("long"),
+    )
+    return (
+        scored.withColumn("total_tokens", F.sum("n_tokens").over(w))
+        .withColumn("total_score", F.sum("score").over(w))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(10000 * n_tokens) DIV total_tokens").alias(
+                "natural_bp"
+            ),
+            F.expr("(10000 * score) DIV total_score").alias("temp_bp"),
+            F.expr(
+                f"({E8_BUDGET_TOKENS} * score) DIV total_score"
+            ).alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 from ..etl.workload import DRIVER_ORACLE as _WORKLOAD_ORACLE  # noqa: E402
 from ..etl.workload import DRIVER_QUERIES as _WORKLOAD_QUERIES  # noqa: E402
 
@@ -596,12 +663,40 @@ QUERIES = {
     "e5_mixture_sample": e5_mixture_sample,
     "e6_budget_select": e6_budget_select,
     "e7_epoch_shuffle": e7_epoch_shuffle,
+    "e8_temperature_mixture": e8_temperature_mixture,
     # The reference's own demo workload (etl/workload.py q1–q10),
     # driver-checkable: Spark runs tree→pipeline→query, the oracle is a
     # pure-Python replay of the same seeded records as literal SELECTs.
     **_WORKLOAD_QUERIES,
 }
 ORACLE = {
+    "e8_temperature_mixture": """
+        WITH per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(lower(text),
+                                                   '{pattern}'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ), scored AS (
+            SELECT *,
+                   CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * {scale})
+                        AS BIGINT) AS score
+            FROM per_source
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(score) AS BIGINT) AS total_score
+            FROM scored
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST((10000 * n_tokens) // total_tokens AS BIGINT)
+                   AS natural_bp,
+               CAST((10000 * score) // total_score AS BIGINT) AS temp_bp,
+               CAST(({budget} * score) // total_score AS BIGINT)
+                   AS alloc_tokens
+        FROM scored CROSS JOIN tot
+        ORDER BY source
+    """.format(scale=E8_SQRT_SCALE, budget=E8_BUDGET_TOKENS,
+               pattern=__import__("mirrulations_iceberg_spark.operators.text", fromlist=["TOKEN_PATTERN"]).TOKEN_PATTERN),
     "e1_docket_pipeline": _oracle(),
     "e3_shard_assign": """
         WITH s AS (

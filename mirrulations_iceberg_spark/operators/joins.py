@@ -456,6 +456,72 @@ def j9_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+J10_BUCKETS = 8
+
+
+def j10_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with ZERO join-time exchange — the bucketing
+    payoff (SURVEY §2.6 at 100 TB): orders and lineitem are written
+    ``bucketBy(N, orderkey)``, so both scans arrive hash-partitioned
+    on the join key and the SortMergeJoin consumes them directly —
+    the plan contains no Exchange between either scan and the join
+    (asserted in tests/test_plans.py). At 100 TB this converts the
+    recurring full-corpus shuffle of every orderkey join into a
+    one-time layout cost paid at ingest.
+
+    Same aggregate as j4's fact-fact shape so the payoff is
+    comparable: per-status line counts and DECIMAL-exact revenue.
+    Tables are session-scoped temps dropped before return; the result
+    is materialized first (bounded at |statuses| rows).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    to, tl = "j10_orders_b", "j10_lineitem_b"
+    spark.sql(f"DROP TABLE IF EXISTS {to}")
+    spark.sql(f"DROP TABLE IF EXISTS {tl}")
+    try:
+        (
+            orders.write.bucketBy(J10_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(to)
+        )
+        (
+            li.write.bucketBy(J10_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(tl)
+        )
+        out = (
+            spark.table(tl)
+            .join(
+                spark.table(to),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "o_orderstatus string, n_lines long, revenue double"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+
+
 QUERIES = {
     "j1_broadcast_star_join": j1_broadcast_star_join,
     "j9_bloom_pruned_join": j9_bloom_pruned_join,
@@ -471,9 +537,17 @@ QUERIES = {
     "u3_except": u3_except,
     "u4_except_all": u4_except_all,
     "u5_intersect_all": u5_intersect_all,
+    "j10_bucketed_colocated_join": j10_bucketed_colocated_join,
 }
 
 ORACLE = {
+    "j10_bucketed_colocated_join": """
+        SELECT o_orderstatus, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "j9_bloom_pruned_join": """
         SELECT l_returnflag,
                COUNT(*) AS n_lines,

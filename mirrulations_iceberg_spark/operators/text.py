@@ -626,6 +626,48 @@ def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t15_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum — how many token TYPES fall in
+    each log₂ occurrence band (band = ⌊log₂ c⌋: band 0 = hapaxes,
+    band 1 = 2–3 occurrences, …). The count-of-counts vector is the
+    input to Good–Turing smoothing and the standard corpus-health
+    diagnostic: a fat hapax band means OCR noise / junk vocabulary, a
+    missing low end means template spam. Log bands (not raw counts
+    1..k) keep the report meaningful at any corpus size — raw-count
+    buckets saturate into one tail row the moment the corpus grows.
+
+    Cross-engine exactness: the band is ``length(bin(c)) - 1`` — the
+    bit length of the integer count, an exact ⌊log₂⌋ with no float
+    log anywhere (both engines render identical binary strings).
+
+    Scale shape: two hash aggregations, both map-side-partial — the
+    word-count shuffle (token-keyed), then a rollup keyed on the
+    BOUNDED band (≤ 64 groups). Every output is an exact integer.
+    """
+    from .dedup import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy(
+            (F.length(F.bin(F.col("c"))) - 1)
+            .cast("int")
+            .alias("log2_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("total_occurrences"),
+            F.min("c").alias("min_count"),
+            F.max("c").alias("max_count"),
+        )
+        .orderBy("log2_band")
+    )
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -640,6 +682,7 @@ QUERIES = {
     "t11_bigram_coverage": t11_bigram_coverage,
     "t12_vocab_growth": t12_vocab_growth,
     "t13_unigram_logprob": t13_unigram_logprob,
+    "t15_freq_spectrum": t15_freq_spectrum,
 }
 
 # DuckDB twin of t6's gram hash: same base-131 powers, same padded
@@ -650,6 +693,21 @@ _WINNOW_HASH_SQL = " + ".join(
 )
 
 ORACLE = {
+    "t15_freq_spectrum": f"""
+        WITH counts AS (
+            SELECT token, COUNT(*) AS c FROM (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '{TOKEN_PATTERN}')) AS token
+                FROM documents
+            ) GROUP BY token
+        )
+        SELECT CAST(length(bin(c)) - 1 AS INT) AS log2_band,
+               COUNT(*) AS n_types,
+               CAST(SUM(c) AS BIGINT) AS total_occurrences,
+               MIN(c) AS min_count,
+               MAX(c) AS max_count
+        FROM counts GROUP BY 1 ORDER BY 1
+    """,
     "t1_token_stats": f"""
         WITH toks AS (
             SELECT lang, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_tokens

@@ -63,3 +63,49 @@ def test_bucketed_aggregation_has_no_shuffle(spark, bucketed_postings):
     got = {(r.token, r.df) for r in agg.collect()}
     want = {(r.token, r.df) for r in expected.collect()}
     assert got == want
+
+
+def test_j10_join_plan_has_no_exchange(spark):
+    """The j10 driver query's payoff, asserted: both bucketed scans
+    feed the SortMergeJoin with no Exchange in between."""
+    from mirrulations_iceberg_spark.operators.joins import J10_BUCKETS
+    from mirrulations_iceberg_spark.tables import load_table as lt
+
+    to, tl = "j10_plan_orders", "j10_plan_lineitem"
+    spark.sql(f"DROP TABLE IF EXISTS {to}")
+    spark.sql(f"DROP TABLE IF EXISTS {tl}")
+    try:
+        (
+            lt(spark, SF_DIR, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.bucketBy(J10_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(to)
+        )
+        (
+            lt(spark, SF_DIR, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(J10_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(tl)
+        )
+        # At fixture scale AQE broadcasts the small side (also fine);
+        # force the SortMergeJoin regime the operator is designed for
+        # at 100 TB, where NEITHER fact side is broadcastable.
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(tl).join(
+                spark.table(to), F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan
+            assert "Bucketed: true" in plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")

@@ -53,6 +53,7 @@ SKIP_SWEEP = {
     "x9_pq_adc_topk",  # runs the codebook fit at construction
     "d13_semdedup",  # runs the shared Lloyd fit at construction
     "x10_mmr_select",  # runs the shortlist scan + greedy loop at construction
+    "j10_bucketed_colocated_join",  # writes bucketed tables at construction
 }
 
 
