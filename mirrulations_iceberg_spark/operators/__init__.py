@@ -54,9 +54,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: a documented pre-rotation gate (VERDICT r7 item #2 — sf0.001 hides
 #: value-boundary divergence, measured 0/493 vs 3/5,088 on m9).
 #:
-#: Six NEW r8 operators (never green by definition) take the slots of
-#: a1/a2/a4/f1/f4/c_scalar_suite — the six re-verification fillers
-#: with the deepest green history (r02–r06, five rounds each).
+#: Eight NEW r8 operators (never green by definition) take the slots
+#: of a1/a2/a3/a4/a5/f1/f4/c_scalar_suite — the eight re-verification
+#: fillers with the deepest green history (r02–r06, five rounds each).
 DRIVER_WINDOW = (
     # --- the flagship + the r7 red row (fix re-greened this round)
     "e2_training_pipeline",
@@ -68,6 +68,8 @@ DRIVER_WINDOW = (
     "e8_temperature_mixture",
     "t15_freq_spectrum",
     "j10_bucketed_colocated_join",
+    "a16_grouping_sets",
+    "o9_weighted_sample",
     # --- latest green r02: fourteen queries, six rounds of drift
     "a12b_cube",
     "a14_histogram",
@@ -105,8 +107,6 @@ DRIVER_WINDOW = (
     "t11_bigram_coverage",
     "u1_union_base_delta",
     # --- latest green r06, oldest first-green, family spread
-    "a3_multikey_groupby",
-    "a5_numeric_stats",
     "a12_rollup",
     "j1_broadcast_star_join",
     "w7_ntile_deciles",

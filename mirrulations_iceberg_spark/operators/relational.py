@@ -699,6 +699,53 @@ def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9: deterministic WEIGHTED sampling — importance sampling for
+    data curation (upweight long/high-quality docs) with o8's
+    stability guarantee: membership depends only on (doc_id, weight),
+    never on partitioning, corpus size, or a random seed. Keep doc i
+    iff ``u_i · w_max < w_i · 2^48`` where u_i is the first 48 bits of
+    md5(doc_id) as an integer — i.e. keep with probability w_i/w_max,
+    ALL-INTEGER (u < 2^48, w ≤ ~10^4 ⇒ both products < 2^62: no
+    overflow, no float, both engines exact). Weight = n_chars.
+
+    Scale shape: w_max is one MAX aggregate broadcast back as a 1-row
+    join; membership is then a pure projection on the scan; the only
+    other shuffle is the bounded per-lang rollup. The oracle rebuilds
+    u_i from the same 12 hex chars via an explicit base-16 polynomial
+    — literal-identical integer arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wmax = docs.agg(F.max(F.col("n_chars").cast("long")).alias("__wmax"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    kept = (
+        docs.join(F.broadcast(wmax))
+        .withColumn("__u", u)
+        .withColumn(
+            "__keep",
+            F.col("__u") * F.col("__wmax")
+            < F.col("n_chars").cast("long") * F.lit(2**48),
+        )
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("__keep"), F.col("n_chars").cast("long"))
+                .otherwise(F.lit(0))
+            ).alias("kept_chars"),
+            F.sum(
+                F.when(F.col("__keep"), F.col("doc_id")).otherwise(F.lit(0))
+            ).alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def c9_ts_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9/C10: timestamp min/max + span per event type over the events
     table (epoch-second floor on both engines — Spark timestamps are
@@ -733,16 +780,46 @@ def c11_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 family completion: arbitrary GROUPING SETS — the report
+    shape cube/rollup can't express: per (returnflag, linestatus)
+    detail + per-returnflag subtotal + grand total, but deliberately
+    NOT per-linestatus (so this is neither a rollup nor a cube). One
+    Expand + ONE aggregate pass, vs three scans written naively.
+    ``grouping()`` flags disambiguate a NULL key value from a
+    subtotal row — emitted per column (0/1 ints) rather than a packed
+    grouping_id, whose bit order is engine-specific.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("a16_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty
+        FROM a16_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+        """
+    )
+
+
 QUERIES = {
     "a12_rollup": a12_rollup,
     "a14_histogram": a14_histogram,
     "a15_exact_quantile_twopass": a15_exact_quantile_twopass,
+    "a16_grouping_sets": a16_grouping_sets,
     "a12b_cube": a12b_cube,
     "a13_pivot": a13_pivot,
     "c11_from_json_typed": c11_from_json_typed,
     "o6_systematic_sample": o6_systematic_sample,
     "o7_stratified_sample": o7_stratified_sample,
     "o8_hash_split": o8_hash_split,
+    "o9_weighted_sample": o9_weighted_sample,
     "c9_ts_minmax": c9_ts_minmax,
     "f1_like_substring": f1_like_substring,
     "f2_is_not_null": f2_is_not_null,
@@ -770,6 +847,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a16_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
     "a15_exact_quantile_twopass": """
         WITH v AS (
             SELECT n_chars AS val FROM documents WHERE n_chars IS NOT NULL
@@ -839,6 +928,43 @@ ORACLE = {
                CAST(SUM(n_chars) AS BIGINT) AS sample_chars
         FROM ranked WHERE (rn - 1) % 10 = 0
         GROUP BY lang ORDER BY lang
+    """,
+    "o9_weighted_sample": """
+        WITH wm AS (
+            SELECT CAST(MAX(n_chars) AS BIGINT) AS wmax FROM documents
+        ), k AS (
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+                   (SELECT wmax FROM wm) AS wmax,
+                   (
+                     (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 17592186044416
+                   + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 1099511627776
+                   + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 68719476736
+                   + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 4294967296
+                   + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 268435456
+                   + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 16777216
+                   + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 1048576
+                   + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1) * 65536
+                   + (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substring(h, 11, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substring(h, 12, 1)) - 1)
+                   ) AS u
+            FROM (SELECT lang, doc_id, n_chars,
+                         md5(CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents)
+        ), flagged AS (
+            SELECT lang, doc_id, w,
+                   CASE WHEN u * wmax < w * 281474976710656
+                        THEN 1 ELSE 0 END AS keep
+            FROM k
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(keep) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN keep = 1 THEN w ELSE 0 END) AS BIGINT)
+                   AS kept_chars,
+               CAST(SUM(CASE WHEN keep = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+                   AS id_checksum
+        FROM flagged GROUP BY lang ORDER BY lang
     """,
     "o8_hash_split": """
         SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'

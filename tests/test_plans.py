@@ -27,6 +27,7 @@ CROSS_JOIN_OK = {
     "t12_vocab_growth",  # broadcast 1-row n_docs for decile bucketing
     "t13_unigram_logprob",  # broadcast 1-row total-token count
     "a15_exact_quantile_twopass",  # 3 target ranks × bounded histogram
+    "o9_weighted_sample",  # broadcast 1-row w_max for the threshold compare
 }
 
 #: Queries that run their own jobs / driver-side work during
