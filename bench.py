@@ -151,11 +151,13 @@ def main() -> None:
     def _regressed(t: float, p: float) -> bool:
         # Absolute floor keeps sub-noise deltas from triggering reruns,
         # but a 0.5s floor on a 0.1s prior hides a genuine 5x
-        # regression — so the floor scales down for sub-0.5s priors
-        # (ADVICE r7): 0.15s of jitter still doesn't count, a
-        # multiplicative blow-up does.
-        floor = 0.5 if p >= 0.5 else 0.15
-        return t > 1.35 * p and t - p > floor
+        # regression — so sub-0.5s priors use a 0.15s floor with a 2x
+        # multiplicative bar (ADVICE r7, tuned: at the 0.2-0.4s scale,
+        # 1.4-1.8x IS host jitter — measured t8/t9 0.38->0.63s swings
+        # on unchanged code — while a real blow-up clears 2x easily).
+        if p >= 0.5:
+            return t > 1.35 * p and t - p > 0.5
+        return t > 2.0 * p and t - p > 0.15
 
     for i, (name, fn) in enumerate(sorted(queries.items())):
         t = _run_once(name, fn)
