@@ -377,3 +377,73 @@ def test_users_to_date_invariants(spark, events):
         assert sum(r["new_users"] for r in out) == total_users
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(1, 5000)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@_SETTINGS
+def test_o9_weighted_keep_matches_python(spark, rows):
+    """o9's all-integer keep rule vs a hashlib replay: the Spark
+    CONV(md5-prefix) threshold compare must equal Python's
+    int(md5[:12], 16) * w_max < w << 48 on arbitrary ids/weights."""
+    import hashlib
+
+    wmax = max(w for _i, w in rows)
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r.doc_id: r.keep
+        for r in df.select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("doc_id").cast("string")), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * F.lit(wmax)
+                < F.col("n_chars") * F.lit(2**48)
+            ).alias("keep"),
+        ).collect()
+    }
+    for i, w in rows:
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        assert got[i] == (u * wmax < w * 2**48), (i, w, wmax)
+
+
+@given(st.lists(st.integers(1, 10**12), min_size=1, max_size=30))
+@_SETTINGS
+def test_e8_sqrt_scores_match_python(spark, counts):
+    """e8's temperature score floor(sqrt(n)*1e6) vs Python math.sqrt —
+    IEEE-exact sqrt means all three runtimes must agree bit-for-bit."""
+    import math
+
+    df = spark.createDataFrame([(c,) for c in counts], "n long")
+    got = [
+        r.s
+        for r in df.select(
+            F.floor(F.sqrt(F.col("n")) * 1_000_000).cast("long").alias("s")
+        ).collect()
+    ]
+    assert got == [math.floor(math.sqrt(c) * 1_000_000) for c in counts]
+
+
+@given(st.lists(st.integers(1, 10**15), min_size=1, max_size=30))
+@_SETTINGS
+def test_t15_log2_band_matches_python(spark, counts):
+    """t15's length(bin(c)) - 1 band vs Python's int.bit_length - 1."""
+    df = spark.createDataFrame([(c,) for c in counts], "c long")
+    got = [
+        r.b
+        for r in df.select(
+            (F.length(F.bin(F.col("c"))) - 1).cast("int").alias("b")
+        ).collect()
+    ]
+    assert got == [c.bit_length() - 1 for c in counts]
