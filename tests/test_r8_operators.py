@@ -59,3 +59,56 @@ def test_x10_greedy_invariants(spark):
     for r in rows:
         assert r["mmr"] == r["rel"] - r["max_sim"]
         assert -1.0 <= r["max_sim"] <= 1.0
+
+
+def test_e8_temperature_flattens_toward_uniform(spark):
+    """α=0.5 must pull every domain's share toward the mean: sources
+    above natural share lose, sources below gain (the DoReMi point)."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        E8_BUDGET_TOKENS,
+        e8_temperature_mixture,
+    )
+
+    rows = e8_temperature_mixture(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    uniform_bp = 10000 // len(rows)
+    for r in rows:
+        if r["natural_bp"] > uniform_bp:
+            assert r["temp_bp"] <= r["natural_bp"]
+        elif r["natural_bp"] < uniform_bp:
+            assert r["temp_bp"] >= r["natural_bp"]
+        assert 0 <= r["alloc_tokens"] <= E8_BUDGET_TOKENS
+    # integer-DIV shares can undershoot but never overshoot the whole
+    assert sum(r["temp_bp"] for r in rows) <= 10000
+    assert sum(r["alloc_tokens"] for r in rows) <= E8_BUDGET_TOKENS
+
+
+def test_t15_band_totals_cover_the_corpus(spark):
+    from mirrulations_iceberg_spark.operators.text import (
+        t15_freq_spectrum,
+        t1_token_stats,
+    )
+
+    spec = t15_freq_spectrum(spark, SF_DIR).collect()
+    total = sum(r["total_occurrences"] for r in spec)
+    corpus_tokens = sum(
+        r["total_tokens"] for r in t1_token_stats(spark, SF_DIR).collect()
+    )
+    assert total == corpus_tokens  # every token lands in exactly one band
+    for r in spec:
+        lo, hi = 2 ** r["log2_band"], 2 ** (r["log2_band"] + 1) - 1
+        assert lo <= r["min_count"] <= r["max_count"] <= hi
+
+
+def test_o9_keeps_heaviest_doc_always_and_respects_weights(spark):
+    """The max-weight doc has keep probability 1 (u*wmax < wmax*2^48
+    holds for every u < 2^48), so every language's heaviest docs keep
+    the sample non-empty; kept char mass exceeds the uniform share."""
+    from mirrulations_iceberg_spark.operators.relational import (
+        o9_weighted_sample,
+    )
+
+    rows = o9_weighted_sample(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_docs"]
