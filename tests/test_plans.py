@@ -278,3 +278,28 @@ def test_d10_shuffles_carry_no_text(spark):
         assert "text" not in line, line
     # the anti-join itself is on the 32-char fingerprint
     assert "LeftAnti" in plan
+
+
+def test_d14_benchmark_set_broadcasts(spark):
+    """d14's gram join must be a broadcast of the benchmark-sized set,
+    never a corpus-vs-corpus SortMergeJoin."""
+    plan = _plan(spark, "d14_contamination_grade")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t15_has_exactly_two_shuffles(spark):
+    """t15 = word-count exchange + bounded band rollup; anything more
+    means the spectrum started shuffling the corpus twice."""
+    plan = _plan(spark, "t15_freq_spectrum")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_e8_single_corpus_pass(spark):
+    """e8's only corpus-wide exchange is the per-source partial agg;
+    the unbounded window runs on the |sources|-row rollup (one
+    SinglePartition exchange over dimension-bounded rows)."""
+    plan = _plan(spark, "e8_temperature_mixture")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
