@@ -54,8 +54,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: a documented pre-rotation gate (VERDICT r7 item #2 — sf0.001 hides
 #: value-boundary divergence, measured 0/493 vs 3/5,088 on m9).
 #:
-#: Eight NEW r8 operators (never green by definition) take the slots
-#: of a1/a2/a3/a4/a5/f1/f4/c_scalar_suite — the eight re-verification
+#: Nine NEW r8 operators (never green by definition) take the slots of
+#: a1/a2/a3/a4/a5/f1/f4/c_scalar_suite/w7 — the re-verification
 #: fillers with the deepest green history (r02–r06, five rounds each).
 DRIVER_WINDOW = (
     # --- the flagship + the r7 red row (fix re-greened this round)
@@ -70,6 +70,7 @@ DRIVER_WINDOW = (
     "j10_bucketed_colocated_join",
     "a16_grouping_sets",
     "o9_weighted_sample",
+    "e9_refresh_pipeline",
     # --- latest green r02: fourteen queries, six rounds of drift
     "a12b_cube",
     "a14_histogram",
@@ -109,7 +110,6 @@ DRIVER_WINDOW = (
     # --- latest green r06, oldest first-green, family spread
     "a12_rollup",
     "j1_broadcast_star_join",
-    "w7_ntile_deciles",
     "d1_exact_dedup",
     "e1_docket_pipeline",
     "j6_asof_join",

@@ -652,6 +652,178 @@ def e8_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+E9_MIN_TOKENS = 20  # delta-admission quality gate
+
+
+def e9_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second flagship — CONTINUOUS-ingest corpus refresh, composed
+    end-to-end the way a production pipeline admits each arriving
+    batch: quality gate → exact dedup WITHIN the delta → novelty
+    anti-join against the base corpus → benchmark decontamination →
+    per-language admission report with every stage's survivor count
+    (the observability a curation team actually reviews). e2 is the
+    batch-curation flagship; e9 is its incremental twin (d10's
+    split convention: ``doc_id % {mod} == 0`` is the arriving delta).
+
+    Stage order is the cost order: the token-length gate prunes on the
+    scan, fingerprinting runs only on survivors, the base side reduces
+    to DISTINCT fingerprints before its anti-join (32-byte keys
+    through the shuffle, never text — d10's shape), and the benchmark
+    shingle set broadcasts (benchmark-sized at any corpus — d9's
+    shape). Output is one bounded per-language row carrying all five
+    stage counts, admitted token mass, and an id checksum pinning the
+    exact admitted SET.
+    """
+    from pyspark.sql import Window
+
+    from ..tables import load_table
+    from .dedup import (
+        DECON_MOD,
+        D10_DELTA_MOD,
+        parallelize_scan,
+        shingles_from_tokens,
+    )
+    from .text import tokens_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents")).withColumn(
+        "__toks", tokens_col(F.col("text"))
+    )
+    is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
+    base = docs.filter(~is_delta)
+    delta = docs.filter(is_delta).select("doc_id", "lang", "__toks")
+
+    gated = delta.filter(F.size("__toks") >= E9_MIN_TOKENS)
+    fp = gated.withColumn("__fp", F.md5(F.concat_ws(" ", F.col("__toks"))))
+    w_fp = Window.partitionBy("__fp")
+    exact = fp.withColumn("__min_id", F.min("doc_id").over(w_fp)).filter(
+        F.col("doc_id") == F.col("__min_id")
+    )
+    base_fps = base.select(
+        F.md5(F.concat_ws(" ", F.col("__toks"))).alias("__fp")
+    ).distinct()
+    novel = exact.join(base_fps, "__fp", "left_anti")
+
+    bench_shingles = (
+        base.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select(
+            F.explode(shingles_from_tokens(F.col("__toks"))).alias("sh")
+        )
+        .distinct()
+    )
+    contaminated = (
+        novel.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("__toks"))).alias("sh")
+        )
+        .join(F.broadcast(bench_shingles), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    admitted = novel.join(contaminated, "doc_id", "left_anti")
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        _stage(delta, "n_delta")
+        .join(_stage(gated, "n_gated"), "lang", "left")
+        .join(_stage(exact, "n_exact"), "lang", "left")
+        .join(_stage(novel, "n_novel"), "lang", "left")
+        .join(
+            admitted.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_admitted"),
+                F.sum(F.size("__toks").cast("long")).alias(
+                    "admitted_tokens"
+                ),
+                F.sum("doc_id").alias("id_checksum"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_delta",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in (
+                    "n_gated",
+                    "n_exact",
+                    "n_novel",
+                    "n_admitted",
+                    "admitted_tokens",
+                    "id_checksum",
+                )
+            ],
+        )
+        .orderBy("lang")
+    )
+    return out
+
+
+def _e9_oracle() -> str:
+    from .dedup import DECON_MOD, D10_DELTA_MOD, SHINGLE_K
+    from .text import TOKEN_PATTERN
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), delta AS (
+            SELECT * FROM toks WHERE doc_id % {D10_DELTA_MOD} = 0
+        ), base AS (
+            SELECT * FROM toks WHERE doc_id % {D10_DELTA_MOD} <> 0
+        ), gated AS (
+            SELECT * FROM delta WHERE len(t) >= {E9_MIN_TOKENS}
+        ), fp AS (
+            SELECT *, md5(array_to_string(t, ' ')) AS f FROM gated
+        ), exact AS (
+            SELECT * FROM fp
+            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY f)
+        ), basefp AS (
+            SELECT DISTINCT md5(array_to_string(t, ' ')) AS f FROM base
+        ), novel AS (
+            SELECT * FROM exact WHERE f NOT IN (SELECT f FROM basefp)
+        ), bench AS (
+            SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+            FROM base WHERE doc_id % {DECON_MOD} = 0
+        ), contaminated AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+                FROM novel
+            ) WHERE sh IN (SELECT sh FROM bench)
+        ), admitted AS (
+            SELECT * FROM novel
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        )
+        SELECT d.lang,
+               COUNT(*) AS n_delta,
+               COALESCE(g.n, 0) AS n_gated,
+               COALESCE(x.n, 0) AS n_exact,
+               COALESCE(v.n, 0) AS n_novel,
+               COALESCE(a.n, 0) AS n_admitted,
+               COALESCE(a.tok, 0) AS admitted_tokens,
+               COALESCE(a.ck, 0) AS id_checksum
+        FROM delta d
+        LEFT JOIN (SELECT lang, COUNT(*) AS n FROM gated GROUP BY 1) g
+               ON d.lang = g.lang
+        LEFT JOIN (SELECT lang, COUNT(*) AS n FROM exact GROUP BY 1) x
+               ON d.lang = x.lang
+        LEFT JOIN (SELECT lang, COUNT(*) AS n FROM novel GROUP BY 1) v
+               ON d.lang = v.lang
+        LEFT JOIN (SELECT lang, COUNT(*) AS n,
+                          CAST(SUM(len(t)) AS BIGINT) AS tok,
+                          CAST(SUM(doc_id) AS BIGINT) AS ck
+                   FROM admitted GROUP BY 1) a
+               ON d.lang = a.lang
+        GROUP BY 1, g.n, x.n, v.n, a.n, a.tok, a.ck
+        ORDER BY d.lang
+    """
+
+
 from ..etl.workload import DRIVER_ORACLE as _WORKLOAD_ORACLE  # noqa: E402
 from ..etl.workload import DRIVER_QUERIES as _WORKLOAD_QUERIES  # noqa: E402
 
@@ -664,6 +836,7 @@ QUERIES = {
     "e6_budget_select": e6_budget_select,
     "e7_epoch_shuffle": e7_epoch_shuffle,
     "e8_temperature_mixture": e8_temperature_mixture,
+    "e9_refresh_pipeline": e9_refresh_pipeline,
     # The reference's own demo workload (etl/workload.py q1–q10),
     # driver-checkable: Spark runs tree→pipeline→query, the oracle is a
     # pure-Python replay of the same seeded records as literal SELECTs.
@@ -717,6 +890,7 @@ ORACLE = {
     "e4_pack_sequences": _e4_oracle(),
     "e5_mixture_sample": _e5_oracle(),
     "e6_budget_select": _e6_oracle(),
+    "e9_refresh_pipeline": _e9_oracle(),
     "e7_epoch_shuffle": f"""
         WITH k AS (
             SELECT doc_id,

@@ -112,3 +112,25 @@ def test_o9_keeps_heaviest_doc_always_and_respects_weights(spark):
     assert rows
     for r in rows:
         assert 0 < r["n_kept"] <= r["n_docs"]
+
+
+def test_e9_funnel_is_monotone(spark):
+    """Each refresh stage only removes documents: delta >= gated >=
+    exact >= novel >= admitted, per language, and admitted docs carry
+    positive token mass."""
+    from mirrulations_iceberg_spark.operators.etl import e9_refresh_pipeline
+
+    rows = e9_refresh_pipeline(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_delta"]
+            >= r["n_gated"]
+            >= r["n_exact"]
+            >= r["n_novel"]
+            >= r["n_admitted"]
+            >= 0
+        )
+        if r["n_admitted"] > 0:
+            assert r["admitted_tokens"] > 0
+            assert r["id_checksum"] > 0
