@@ -73,3 +73,33 @@ def test_parser_surface_matches_reference():
     assert args.output_path == "/out"
     assert args.agency == "CMS"
     assert args.compression == "zstd"
+
+
+def test_convert_runs_as_real_subprocess(tree, tmp_path_factory):
+    """The in-process tests above share the session fixture; this one
+    pays for one real ``python -m`` invocation so packaging problems
+    (import cycles, __main__ wiring, exit codes) can't hide."""
+    import subprocess
+    import sys
+
+    root, expected = tree
+    out = str(tmp_path_factory.mktemp("cli_out_subproc"))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "mirrulations_iceberg_spark",
+            "convert",
+            root,
+            "--output-path",
+            out,
+            "--shuffle-partitions",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert f"comments: {expected['comments']} rows" in proc.stdout
