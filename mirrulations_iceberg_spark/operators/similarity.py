@@ -1144,6 +1144,123 @@ def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, emb)
 
 
+#: x11: nprobe operating points to sweep (≤ IVF_CLUSTERS each).
+X11_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def x11_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall/cost TUNING CURVE — the measurement that picks
+    ``nprobe`` before a 100 TB ANN deployment: for each operating
+    point in ``X11_NPROBE_SWEEP``, total candidates scanned (the cost
+    axis) and recall@k vs exact top-k in integer basis points (the
+    quality axis). x5 runs ONE operating point; production tuning
+    needs the curve, measured on the index it will actually serve.
+
+    Shape: the Lloyd fit, corpus assignment, and per-query cell
+    ranking run ONCE; the candidate pool is bounded to
+    ``pr <= max(sweep)`` cells per query and each sweep point is a
+    filter + WindowGroupLimit top-k over that shared pool — the sweep
+    adds NO extra scans or fits. Output is |sweep| rows; recall is
+    ``(10000·hits) DIV (queries·k)`` — exact integers.
+
+    Oracle: x5's full Lloyd-replay SQL prefix (shared string — fit,
+    assignment, query set) extended with per-nprobe candidate/top-k/
+    hit CTEs and a UNION ALL summary.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    center_rows = sorted(
+        (r["cell"], list(r["center"]))
+        for r in _ivf_fit_centroids(emb).collect()
+    )
+    centers = spark.createDataFrame(
+        [(c, [float(v) for v in vec]) for c, vec in center_rows],
+        "cell int, center array<double>",
+    )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
+            )
+            for c, vec in center_rows
+        ]
+    )
+    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
+
+    def _step(acc, cs):
+        d = F.aggregate(
+            F.zip_with(F.col("e"), cs["center"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
+        )
+
+    assigned = emb.select(
+        "vec_id", "e", "norm", F.aggregate(cent_lit, acc0, _step)["c"].alias("cell")
+    )
+    qrows = _queries_side(emb)
+    d2 = F.aggregate(
+        F.zip_with("qe", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wp = Window.partitionBy("query_id").orderBy("dist2", "cell")
+    max_probe = max(X11_NPROBE_SWEEP)
+    probes = (
+        qrows.crossJoin(F.broadcast(centers))
+        .withColumn("dist2", d2)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= max_probe)
+        .select("query_id", "qe", "qnorm", "cell", "pr")
+    )
+    pool = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _cosine_sim())
+        .select("query_id", "vec_id", "pr", "cos_sim")
+        .cache()
+    )
+    exact_topk = _rank_topk(
+        emb.crossJoin(F.broadcast(_queries_side(emb)))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _cosine_sim())
+    ).select("query_id", "vec_id")
+    denom = N_QUERIES * TOP_K
+    summaries = []
+    for np_ in X11_NPROBE_SWEEP:
+        sub = pool.filter(F.col("pr") <= np_)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("vec_id")
+        )
+        topk = (
+            sub.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+        hits = topk.join(exact_topk, ["query_id", "vec_id"], "left_semi")
+        summaries.append(
+            sub.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("__h")))
+            .select(
+                F.lit(np_).alias("nprobe"),
+                "n_candidates",
+                F.expr(f"CAST((10000 * __h) DIV {denom} AS BIGINT)").alias(
+                    "recall_bp"
+                ),
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    from .util import materialize_release
+
+    return materialize_release(spark, out.orderBy("nprobe"), emb, pool)
+
+
 #: x10 MMR: query vector, shortlist size, and selections. λ = 0.5, so
 #: argmax(λ·rel − (1−λ)·max_sim) ≡ argmax(rel − max_sim) — no float λ.
 MMR_QUERY_ID = 0
@@ -1236,6 +1353,7 @@ QUERIES = {
     "x7_ann_partitioned_index": x7_ann_partitioned_index,
     "x9_pq_adc_topk": x9_pq_adc_topk,
     "x10_mmr_select": x10_mmr_select,
+    "x11_ivf_tuning_curve": x11_ivf_tuning_curve,
 }
 
 
@@ -1418,6 +1536,73 @@ FROM ncand nc LEFT JOIN hits h USING (query_id)
 """
 
 
+def _x11_sql() -> str:
+    """x11 oracle: x5's Lloyd-replay prefix (everything up to the
+    single-nprobe probes CTE — fit, assignment, query set, shared
+    string so the two oracles can never drift) + per-nprobe candidate/
+    top-k/hit CTEs + a UNION ALL summary with integer-bp recall."""
+    prefix = _X5_SQL.split("), probes AS (")[0]
+    cos = f"""CASE WHEN a.norm * a.qnorm > 0 THEN
+               ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                             i -> a.e[i] * a.qe[i]))
+                     / (a.norm * a.qnorm), 4)
+           ELSE 0.0 END"""
+    max_probe = max(X11_NPROBE_SWEEP)
+    parts = [
+        prefix,
+        f"""), allprobes AS (
+    SELECT query_id, qe, qnorm, cell, pr FROM (
+        SELECT q.query_id, q.qe, q.qnorm, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_x5_d2('q.qe', 'c.center')}, c.cell) AS pr
+        FROM q CROSS JOIN c2 c
+    ) WHERE pr <= {max_probe}
+), pool AS (
+    SELECT p.query_id, s.vec_id, p.pr, {cos.replace('a.e', 's.e').replace('a.norm', 's.norm').replace('a.qe', 'p.qe').replace('a.qnorm', 'p.qnorm')} AS cos_sim
+    FROM assign s JOIN allprobes p USING (cell)
+    WHERE s.vec_id <> p.query_id
+), exact_scored AS (
+    SELECT q.query_id, n.vec_id, {_COS} AS cos_sim
+    FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
+), exact_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM exact_scored
+    ) WHERE rnk <= {TOP_K}
+)""",
+    ]
+    denom = N_QUERIES * TOP_K
+    selects = []
+    for np_ in X11_NPROBE_SWEEP:
+        parts.append(
+            f""", topk{np_} AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM pool WHERE pr <= {np_}
+    ) WHERE rnk <= {TOP_K}
+)"""
+        )
+        selects.append(
+            f"""SELECT {np_} AS nprobe,
+       (SELECT COUNT(*) FROM pool WHERE pr <= {np_}) AS n_candidates,
+       CAST((10000 * (SELECT COUNT(*) FROM topk{np_} t
+                      JOIN exact_topk x
+                        ON t.query_id = x.query_id
+                       AND t.vec_id = x.vec_id)) // {denom} AS BIGINT)
+           AS recall_bp"""
+        )
+    parts.append(
+        " SELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY nprobe"
+    )
+    return "".join(parts)
+
+
 #: Full replay of d13: the x5 Lloyd fit (shared CTE builders), fold
 #: assignment with distance capture, per-cluster exemplar, exemplar
 #: cosine, rounded-threshold removal, decimal-exact label means.
@@ -1593,6 +1778,7 @@ GROUP BY p.query_id
 
 ORACLE = {
     "x10_mmr_select": _mmr_oracle(),
+    "x11_ivf_tuning_curve": _x11_sql(),
     "x9_pq_adc_topk": _X9_SQL,
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,

@@ -292,6 +292,74 @@ def w9_users_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: w13: the A→B-without-C pattern (error between view and purchase
+#: voids the conversion) and its time horizon.
+W13_START, W13_GOAL, W13_VETO = "view", "purchase", "error"
+W13_HORIZON_HOURS = 6
+
+
+def w13_sequence_with_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern WITH NEGATION — the MATCH_RECOGNIZE shape w11
+    can't express: users whose earliest ``view`` is followed by a
+    ``purchase`` within H hours with NO ``error`` event strictly
+    between the two. Negation is what separates a real funnel engine
+    from an existence test: 'converted' and 'converted cleanly' differ
+    exactly by the vetoed set, and both numbers are reported.
+
+    Distributed shape: three per-user sequential-min/exists
+    aggregations, every join and rollup keyed on ``user_id`` (the
+    start-event min, the goal join against it, one EXISTS semi-join of
+    veto events into the (start, goal) interval). No window over raw
+    events, per-user state is two timestamps; output is ONE summary
+    row. Rates are integer basis points with explicit zero guards
+    (ANSI DIV 0 throws where DuckDB's ``//`` returns NULL).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    horizon = F.expr(f"INTERVAL {W13_HORIZON_HOURS} HOURS")
+    starts = (
+        ev.filter(F.col("event_type") == W13_START)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_a"))
+    )
+    goals = (
+        ev.filter(F.col("event_type") == W13_GOAL)
+        .select("user_id", "ts")
+        .join(starts, "user_id")
+        .filter((F.col("ts") > F.col("t_a")) & (F.col("ts") <= F.col("t_a") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_b"), F.min("t_a").alias("t_a"))
+    )
+    vetoed = (
+        ev.filter(F.col("event_type") == W13_VETO)
+        .select("user_id", F.col("ts").alias("t_c"))
+        .join(goals, "user_id")
+        .filter((F.col("t_c") > F.col("t_a")) & (F.col("t_c") < F.col("t_b")))
+        .select("user_id")
+        .distinct()
+    )
+    n_start = starts.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n_start")
+    n_seq = goals.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n_seq")
+    n_veto = vetoed.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n_vetoed")
+    return (
+        n_start.join(n_seq)
+        .join(n_veto)
+        .select(
+            "n_start",
+            "n_seq",
+            "n_vetoed",
+            (F.col("n_seq") - F.col("n_vetoed")).alias("n_clean"),
+            F.expr(
+                "CAST(CASE WHEN n_start = 0 THEN 0"
+                " ELSE (10000 * (n_seq - n_vetoed)) DIV n_start END AS BIGINT)"
+            ).alias("clean_conv_bp"),
+            F.expr(
+                "CAST(CASE WHEN n_seq = 0 THEN 0"
+                " ELSE (10000 * n_vetoed) DIV n_seq END AS BIGINT)"
+            ).alias("veto_rate_bp"),
+        )
+    )
+
+
 def w12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohort matrix — the second canonical
     product-analytics question after w11's funnel: of the users whose
@@ -457,6 +525,7 @@ QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
     "w11_funnel_steps": w11_funnel_steps,
     "w12_retention_cohorts": w12_retention_cohorts,
+    "w13_sequence_with_negation": w13_sequence_with_negation,
     "w2_running_sum": w2_running_sum,
     "w3_lag_delta": w3_lag_delta,
     "w4_rank_in_partition": w4_rank_in_partition,
@@ -469,6 +538,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w13_sequence_with_negation": f"""
+        WITH starts AS (
+            SELECT user_id, MIN(ts) AS t_a FROM events
+            WHERE event_type = '{W13_START}' GROUP BY user_id
+        ), goals AS (
+            SELECT e.user_id, MIN(e.ts) AS t_b, MIN(s.t_a) AS t_a
+            FROM events e JOIN starts s USING (user_id)
+            WHERE e.event_type = '{W13_GOAL}'
+              AND e.ts > s.t_a
+              AND e.ts <= s.t_a + INTERVAL {W13_HORIZON_HOURS} HOURS
+            GROUP BY e.user_id
+        ), vetoed AS (
+            SELECT DISTINCT e.user_id
+            FROM events e JOIN goals g USING (user_id)
+            WHERE e.event_type = '{W13_VETO}'
+              AND e.ts > g.t_a AND e.ts < g.t_b
+        ), c AS (
+            SELECT (SELECT COUNT(*) FROM starts) AS n_start,
+                   (SELECT COUNT(*) FROM goals) AS n_seq,
+                   (SELECT COUNT(*) FROM vetoed) AS n_vetoed
+        )
+        SELECT n_start, n_seq, n_vetoed,
+               n_seq - n_vetoed AS n_clean,
+               CAST(CASE WHEN n_start = 0 THEN 0
+                    ELSE (10000 * (n_seq - n_vetoed)) // n_start END
+                    AS BIGINT) AS clean_conv_bp,
+               CAST(CASE WHEN n_seq = 0 THEN 0
+                    ELSE (10000 * n_vetoed) // n_seq END
+                    AS BIGINT) AS veto_rate_bp
+        FROM c
+    """,
     "w12_retention_cohorts": """
         WITH uw AS (
             SELECT DISTINCT user_id,

@@ -26,6 +26,7 @@ RELEASING = (
     "e6_budget_select",
     "x2_ann_lsh_topk",
     "x5_ann_ivf_topk",
+    "x11_ivf_tuning_curve",
     "x6_embedding_dedup_apply",
     "d7_dedup_apply_lsh",
 )

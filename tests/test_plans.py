@@ -55,6 +55,7 @@ SKIP_SWEEP = {
     "d13_semdedup",  # runs the shared Lloyd fit at construction
     "x10_mmr_select",  # runs the shortlist scan + greedy loop at construction
     "j10_bucketed_colocated_join",  # writes bucketed tables at construction
+    "x11_ivf_tuning_curve",  # runs the shared Lloyd fit at construction
 }
 
 
