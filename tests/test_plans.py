@@ -28,6 +28,7 @@ CROSS_JOIN_OK = {
     "t13_unigram_logprob",  # broadcast 1-row total-token count
     "a15_exact_quantile_twopass",  # 3 target ranks × bounded histogram
     "o9_weighted_sample",  # broadcast 1-row w_max for the threshold compare
+    "w13_sequence_with_negation",  # three 1-row stage counts joined into the summary
 }
 
 #: Queries that run their own jobs / driver-side work during
