@@ -81,11 +81,11 @@ def main(argv: list[str] | None = None) -> int:
     # termination contract, convert_to_iceberg.py:1197-1242): a
     # permission problem should cost seconds, not a failed hour-long
     # conversion.
-    failed = [
-        c
-        for c in fs_preflight(spark, args.data_path, args.output_path)
-        if not c.ok
-    ]
+    checks = fs_preflight(spark, args.data_path, args.output_path)
+    for c in checks:
+        if not c.ok and c.advisory:
+            print(f"Pre-flight warning: {c.name}: {c.detail}", file=sys.stderr)
+    failed = [c for c in checks if not c.ok and not c.advisory]
     if failed:
         for c in failed:
             print(f"Pre-flight check failed: {c.name}: {c.detail}", file=sys.stderr)

@@ -38,6 +38,10 @@ class Check:
     name: str
     ok: bool
     detail: str
+    #: advisory checks inform (committer tuning) but must not block the
+    #: run — a default file committer on an object store is slow, not
+    #: broken. Callers gate on ``not ok and not advisory``.
+    advisory: bool = False
 
 
 def _fs_for(spark: SparkSession, path: str):
@@ -91,6 +95,7 @@ def fs_preflight(
                 bool(factory),
                 factory or f"{factory_key} unset - default file committer "
                 "rename-copies on object stores",
+                advisory=True,
             )
         )
     return checks
@@ -98,12 +103,19 @@ def fs_preflight(
 
 def _msg(exc: Exception) -> str:
     # Py4J wraps Hadoop exceptions; the first line carries the message.
-    return str(exc).splitlines()[0][:200]
+    # Guard the empty-str() case (e.g. a wrapped NPE with no text) so
+    # fs_preflight keeps its never-raises contract.
+    return (str(exc).splitlines() or [f"<{type(exc).__name__}>"])[0][:200]
 
 
 def preflight_df(
     spark: SparkSession, data_path: str, out_path: str
 ) -> DataFrame:
     """The checks as a DataFrame (m7-report shape) for programmatic use."""
-    rows = [(c.name, c.ok, c.detail) for c in fs_preflight(spark, data_path, out_path)]
-    return spark.createDataFrame(rows, "check string, ok boolean, detail string")
+    rows = [
+        (c.name, c.ok, c.detail, c.advisory)
+        for c in fs_preflight(spark, data_path, out_path)
+    ]
+    return spark.createDataFrame(
+        rows, "check string, ok boolean, detail string, advisory boolean"
+    )

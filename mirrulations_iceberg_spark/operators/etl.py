@@ -759,6 +759,37 @@ def e9_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _e8_oracle() -> str:
+    from .text import TOKEN_PATTERN
+
+    return f"""
+        WITH per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(lower(text),
+                                                   '{TOKEN_PATTERN}'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ), scored AS (
+            SELECT *,
+                   CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * {E8_SQRT_SCALE})
+                        AS BIGINT) AS score
+            FROM per_source
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(score) AS BIGINT) AS total_score
+            FROM scored
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST((10000 * n_tokens) // total_tokens AS BIGINT)
+                   AS natural_bp,
+               CAST((10000 * score) // total_score AS BIGINT) AS temp_bp,
+               CAST(({E8_BUDGET_TOKENS} * score) // total_score AS BIGINT)
+                   AS alloc_tokens
+        FROM scored CROSS JOIN tot
+        ORDER BY source
+    """
+
+
 def _e9_oracle() -> str:
     from .dedup import DECON_MOD, D10_DELTA_MOD, SHINGLE_K
     from .text import TOKEN_PATTERN
@@ -843,33 +874,7 @@ QUERIES = {
     **_WORKLOAD_QUERIES,
 }
 ORACLE = {
-    "e8_temperature_mixture": """
-        WITH per_source AS (
-            SELECT source, COUNT(*) AS n_docs,
-                   CAST(SUM(len(regexp_extract_all(lower(text),
-                                                   '{pattern}'))) AS BIGINT)
-                       AS n_tokens
-            FROM documents GROUP BY source
-        ), scored AS (
-            SELECT *,
-                   CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * {scale})
-                        AS BIGINT) AS score
-            FROM per_source
-        ), tot AS (
-            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-                   CAST(SUM(score) AS BIGINT) AS total_score
-            FROM scored
-        )
-        SELECT source, n_docs, n_tokens,
-               CAST((10000 * n_tokens) // total_tokens AS BIGINT)
-                   AS natural_bp,
-               CAST((10000 * score) // total_score AS BIGINT) AS temp_bp,
-               CAST(({budget} * score) // total_score AS BIGINT)
-                   AS alloc_tokens
-        FROM scored CROSS JOIN tot
-        ORDER BY source
-    """.format(scale=E8_SQRT_SCALE, budget=E8_BUDGET_TOKENS,
-               pattern=__import__("mirrulations_iceberg_spark.operators.text", fromlist=["TOKEN_PATTERN"]).TOKEN_PATTERN),
+    "e8_temperature_mixture": _e8_oracle(),
     "e1_docket_pipeline": _oracle(),
     "e3_shard_assign": """
         WITH s AS (

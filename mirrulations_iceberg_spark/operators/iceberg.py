@@ -21,36 +21,62 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-#: Catalog name used for probe-routed tables; short-lived per operator.
-CATALOG = "miis_ib"
+#: Catalog name prefix for probe-routed tables; short-lived per operator.
+CATALOG_PREFIX = "miis_ib"
 
 _PROBE_CACHE: dict[int, bool] = {}
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True iff the JVM can load Iceberg's Spark catalog class.
+    """True iff Spark's session classloader can load Iceberg's catalog.
 
+    The lookup goes through ``org.apache.spark.util.Utils.classForName``
+    (Spark's own resolver, which consults the session/ivy classloader)
+    rather than a bare ``Class.forName`` — jars added via
+    ``spark.jars.packages`` live in Spark's MutableURLClassLoader and
+    are invisible to the app classloader that loaded py4j, so a bare
+    forName false-negatives on exactly the standard deployment path.
     Cached per-JVM: the classpath cannot change after session start.
     """
     key = id(spark.sparkContext._jsc)
     if key not in _PROBE_CACHE:
-        try:
-            spark._jvm.java.lang.Class.forName(
-                "org.apache.iceberg.spark.SparkCatalog"
-            )
-            _PROBE_CACHE[key] = True
-        except Exception:
-            _PROBE_CACHE[key] = False
+        ok = False
+        for attempt in (
+            lambda: spark._jvm.org.apache.spark.util.Utils.classForName(
+                "org.apache.iceberg.spark.SparkCatalog", True, False
+            ),
+            lambda: spark._jvm.java.lang.Thread.currentThread()
+            .getContextClassLoader()
+            .loadClass("org.apache.iceberg.spark.SparkCatalog"),
+        ):
+            try:
+                attempt()
+                ok = True
+                break
+            except Exception:
+                continue
+        _PROBE_CACHE[key] = ok
     return _PROBE_CACHE[key]
 
 
 def ensure_catalog(spark: SparkSession, warehouse: str) -> str:
     """Register a Hadoop-type Iceberg catalog over ``warehouse`` and
-    return its name. Caller guarantees :func:`iceberg_available`."""
+    return its name. Caller guarantees :func:`iceberg_available`.
+
+    The catalog NAME embeds a hash of the warehouse path: Spark's
+    CatalogManager caches each catalog plugin on first reference, so
+    re-pointing an existing name's ``.warehouse`` conf is silently
+    ignored — a second operator in the same session would write into
+    the first operator's (possibly deleted) tmpdir. A fresh name per
+    warehouse gets a fresh plugin instance instead.
+    """
+    import hashlib
+
+    name = f"{CATALOG_PREFIX}_{hashlib.md5(warehouse.encode()).hexdigest()[:8]}"
     spark.conf.set(
-        f"spark.sql.catalog.{CATALOG}",
+        f"spark.sql.catalog.{name}",
         "org.apache.iceberg.spark.SparkCatalog",
     )
-    spark.conf.set(f"spark.sql.catalog.{CATALOG}.type", "hadoop")
-    spark.conf.set(f"spark.sql.catalog.{CATALOG}.warehouse", warehouse)
-    return CATALOG
+    spark.conf.set(f"spark.sql.catalog.{name}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
+    return name

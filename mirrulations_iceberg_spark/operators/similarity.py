@@ -1224,11 +1224,18 @@ def x11_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "pr", "cos_sim")
         .cache()
     )
-    exact_topk = _rank_topk(
-        emb.crossJoin(F.broadcast(_queries_side(emb)))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", _cosine_sim())
-    ).select("query_id", "vec_id")
+    # cache(): the exact baseline is referenced by EVERY sweep point's
+    # hit join — uncached, the full-corpus exact scoring would re-run
+    # |sweep| times inside the one collecting action.
+    exact_topk = (
+        _rank_topk(
+            emb.crossJoin(F.broadcast(_queries_side(emb)))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cos_sim", _cosine_sim())
+        )
+        .select("query_id", "vec_id")
+        .cache()
+    )
     denom = N_QUERIES * TOP_K
     summaries = []
     for np_ in X11_NPROBE_SWEEP:
@@ -1258,7 +1265,9 @@ def x11_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(s)
     from .util import materialize_release
 
-    return materialize_release(spark, out.orderBy("nprobe"), emb, pool)
+    return materialize_release(
+        spark, out.orderBy("nprobe"), emb, pool, exact_topk
+    )
 
 
 #: x10 MMR: query vector, shortlist size, and selections. λ = 0.5, so

@@ -35,12 +35,17 @@ from mirrulations_iceberg_spark.session import get_spark
 
 #: id columns to offset per replica, per table. Offsetting the JOIN
 #: keys keeps referential integrity inside each replica (lineitem's
-#: l_orderkey moves in lockstep with orders' o_orderkey).
+#: l_orderkey moves in lockstep with orders' o_orderkey). Foreign keys
+#: into tables that stay 1x are NOT offset — o_custkey, l_partkey,
+#: l_suppkey keep pointing at the unreplicated dimension rows, exactly
+#: as a real 100x fact growth would (offsetting o_custkey while
+#: customer stays symlinked would dangle every replica>=1 row and
+#: silently empty customer-join output).
 ID_COLS = {
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
     "events": ("event_id", "user_id"),
-    "orders": ("o_orderkey", "o_custkey"),
+    "orders": ("o_orderkey",),
     "lineitem": ("l_orderkey",),
     "customer": ("c_custkey",),
     "part": ("p_partkey",),

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 
 from mirrulations_iceberg_spark.operators.iceberg import (
-    CATALOG,
+    CATALOG_PREFIX,
     ensure_catalog,
     iceberg_available,
 )
@@ -44,6 +44,19 @@ def test_real_iceberg_branch(spark, tmp_path):
     if not iceberg_available(spark):
         pytest.skip("no iceberg-spark-runtime jar in this container")
     cat = ensure_catalog(spark, str(tmp_path))
-    assert cat == CATALOG
+    assert cat.startswith(CATALOG_PREFIX)
+    # a different warehouse must get a different catalog name (the
+    # plugin-cache trap: conf changes on an existing name are ignored)
+    assert ensure_catalog(spark, str(tmp_path / "other")) != cat
     spark.range(3).writeTo(f"{cat}.db.probe").using("iceberg").createOrReplace()
     assert spark.table(f"{cat}.db.probe").count() == 3
+
+
+def test_catalog_name_is_per_warehouse(spark, tmp_path):
+    """Needs no jar: ensure_catalog only sets session conf. Distinct
+    warehouses must yield distinct catalog names (CatalogManager
+    caches plugins by name, ignoring later conf changes)."""
+    a = ensure_catalog(spark, str(tmp_path / "a"))
+    b = ensure_catalog(spark, str(tmp_path / "b"))
+    assert a != b
+    assert a == ensure_catalog(spark, str(tmp_path / "a"))  # stable

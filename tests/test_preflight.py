@@ -60,7 +60,7 @@ def test_probe_file_is_cleaned_up(spark, tmp_path):
 
 def test_preflight_df_shape(spark, tmp_path):
     df = preflight_df(spark, str(tmp_path), str(tmp_path))
-    assert df.columns == ["check", "ok", "detail"]
+    assert df.columns == ["check", "ok", "detail", "advisory"]
     assert df.count() >= 3
 
 
