@@ -54,8 +54,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: a documented pre-rotation gate (VERDICT r7 item #2 — sf0.001 hides
 #: value-boundary divergence, measured 0/493 vs 3/5,088 on m9).
 #:
-#: Eleven NEW r8 operators (never green by definition) take the slots
-#: of a1/a2/a3/a4/a5/a12/f1/f4/c_scalar_suite/w7/d1 — the
+#: Twelve NEW r8 operators (never green by definition) take the slots
+#: of a1/a2/a3/a4/a5/a12/f1/f4/c_scalar_suite/w7/d1/j1 — the
 #: re-verification fillers with the deepest green history (r02–r06).
 DRIVER_WINDOW = (
     # --- the flagship + the r7 red row (fix re-greened this round)
@@ -73,6 +73,7 @@ DRIVER_WINDOW = (
     "e9_refresh_pipeline",
     "w13_sequence_with_negation",
     "x11_ivf_tuning_curve",
+    "j11_salted_skew_join",
     # --- latest green r02: fourteen queries, six rounds of drift
     "a12b_cube",
     "a14_histogram",
@@ -110,7 +111,6 @@ DRIVER_WINDOW = (
     "t11_bigram_coverage",
     "u1_union_base_delta",
     # --- latest green r06, oldest first-green, family spread
-    "j1_broadcast_star_join",
     "e1_docket_pipeline",
     "j6_asof_join",
     "w5_sessionize",

@@ -456,6 +456,45 @@ def j9_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+J11_SALTS = 8
+
+
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join as a first-class query — ``salted_join``
+    (this module) promoted from test helper to driver surface. The
+    fact side (events, skewed on ``user_id`` per m10's report) joins a
+    per-user dimension with the key salted ``J11_SALTS`` ways: a hot
+    user that would land one monster task is spread across
+    ``J11_SALTS`` tasks, the dim replicated once per salt.
+
+    The property that matters is RESULT INVARIANCE: salting is purely
+    a physical rewrite, so the per-type rollup must hash-equal the
+    plain-join oracle. Value totals are DECIMAL-exact sums; dates and
+    counts are exact. (On AQE sort-merge plans the adaptive skew split
+    covers this case at runtime — the static salt is for plans where
+    the skew is known up front; see ``salted_join``'s docstring.)
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts"
+    )
+    dim = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    joined = salted_join(events, dim, "user_id", n_salts=J11_SALTS)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+            F.min("first_day").alias("earliest_cohort_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
 J10_BUCKETS = 8
 
 
@@ -538,9 +577,24 @@ QUERIES = {
     "u4_except_all": u4_except_all,
     "u5_intersect_all": u5_intersect_all,
     "j10_bucketed_colocated_join": j10_bucketed_colocated_join,
+    "j11_salted_skew_join": j11_salted_skew_join,
 }
 
 ORACLE = {
+    "j11_salted_skew_join": """
+        WITH dim AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_value,
+               MIN(d.first_day) AS earliest_cohort_day
+        FROM events e JOIN dim d USING (user_id)
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
     "j10_bucketed_colocated_join": """
         SELECT o_orderstatus, COUNT(*) AS n_lines,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
