@@ -15,6 +15,17 @@ rows, so one oracle covers both modes.
 The catalog is registered lazily via ``spark.conf`` — Spark resolves
 ``spark.sql.catalog.<name>`` on first reference, so no session restart
 is needed.
+
+Scope note: m3/m9 are the two ops routed because their outputs are
+ROW semantics (counts, sums) — identical under either storage layer,
+so one oracle covers both modes. m4 (compaction) and m12 (vacuum)
+deliberately stay on the parquet path even with a jar present: their
+outputs include FILE counts, and Iceberg's ``rewrite_data_files`` /
+``remove_orphan_files`` procedures make their own layout decisions —
+routing them would make the result depend on which mode ran, breaking
+the single-oracle contract. Their behavioral content (rewrite
+preserves rows; vacuum removes exactly disk−manifest) is checked on
+the stand-in.
 """
 
 from __future__ import annotations
