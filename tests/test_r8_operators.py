@@ -134,3 +134,34 @@ def test_e9_funnel_is_monotone(spark):
         if r["n_admitted"] > 0:
             assert r["admitted_tokens"] > 0
             assert r["id_checksum"] > 0
+
+
+def test_t15_bands_on_engineered_spectrum(spark, tmp_path):
+    """The sf fixtures' closed vocabulary yields only high bands; this
+    pins the banding math across the full range on engineered counts:
+    tokens occurring 1x (band 0), 2x and 3x (band 1), 5x (band 2),
+    and 9x (band 3)."""
+    import os
+
+    from mirrulations_iceberg_spark.operators.text import t15_freq_spectrum
+
+    words = (
+        ["hapax"]
+        + ["twice"] * 2
+        + ["thrice"] * 3
+        + ["five"] * 5
+        + ["nine"] * 9
+    )
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = {r["log2_band"]: r for r in t15_freq_spectrum(spark, sf).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0]["n_types"] == 1 and rows[0]["total_occurrences"] == 1
+    assert rows[1]["n_types"] == 2 and rows[1]["total_occurrences"] == 5
+    assert rows[2]["n_types"] == 1 and rows[2]["min_count"] == 5
+    assert rows[3]["n_types"] == 1 and rows[3]["max_count"] == 9
