@@ -165,3 +165,80 @@ def test_t15_bands_on_engineered_spectrum(spark, tmp_path):
     assert rows[1]["n_types"] == 2 and rows[1]["total_occurrences"] == 5
     assert rows[2]["n_types"] == 1 and rows[2]["min_count"] == 5
     assert rows[3]["n_types"] == 1 and rows[3]["max_count"] == 9
+
+
+def _write_events(spark, tmp_path, rows):
+    import os
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    return sf
+
+
+def test_w13_engineered_veto_scenario(spark, tmp_path):
+    """Four archetypes, one of each: clean converter, vetoed converter
+    (error strictly between view and purchase), view-only user, and a
+    purchase outside the horizon."""
+    from datetime import datetime, timedelta
+
+    from mirrulations_iceberg_spark.operators.windows import (
+        w13_sequence_with_negation,
+    )
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + h, 1, "purchase", 1.0, "{}"),        # clean
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + h / 2, 2, "error", 1.0, "{}"),
+        (5, t0 + h, 2, "purchase", 1.0, "{}"),        # vetoed
+        (6, t0, 3, "view", 1.0, "{}"),                # never converts
+        (7, t0, 4, "view", 1.0, "{}"),
+        (8, t0 + 10 * h, 4, "purchase", 1.0, "{}"),   # outside horizon
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = w13_sequence_with_negation(spark, sf).collect()[0]
+    assert (r["n_start"], r["n_seq"], r["n_vetoed"], r["n_clean"]) == (4, 2, 1, 1)
+    assert r["clean_conv_bp"] == 2500  # 1 of 4
+    assert r["veto_rate_bp"] == 5000  # 1 of 2
+
+
+def test_w12_engineered_two_cohorts(spark, tmp_path):
+    """Two cohorts a week apart; one user of cohort 1 returns in week
+    2, the other doesn't — the matrix must show 50% week-1 retention
+    for cohort 1 and a lone offset-0 row for cohort 2."""
+    from datetime import datetime, timedelta
+
+    from mirrulations_iceberg_spark.operators.windows import (
+        w12_retention_cohorts,
+    )
+
+    mon1 = datetime(2024, 3, 4, 10, 0)   # a Monday
+    mon2 = mon1 + timedelta(days=7)
+    rows = [
+        (1, mon1, 1, "view", 1.0, "{}"),
+        (2, mon2, 1, "view", 1.0, "{}"),   # user 1 retained
+        (3, mon1, 2, "view", 1.0, "{}"),   # user 2 churned
+        (4, mon2, 3, "view", 1.0, "{}"),   # cohort 2
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in w12_retention_cohorts(spark, sf).collect()
+    }
+    c1, c2 = "2024-03-04", "2024-03-11"
+    assert out[(c1, 0)]["cohort_size"] == 2
+    assert out[(c1, 0)]["retention_bp"] == 10000
+    assert out[(c1, 1)]["n_active"] == 1
+    assert out[(c1, 1)]["retention_bp"] == 5000
+    assert out[(c2, 0)]["cohort_size"] == 1
+    assert len(out) == 3
