@@ -242,3 +242,38 @@ def test_w12_engineered_two_cohorts(spark, tmp_path):
     assert out[(c1, 1)]["retention_bp"] == 5000
     assert out[(c2, 0)]["cohort_size"] == 1
     assert len(out) == 3
+
+
+def test_d14_engineered_contamination_grades(spark, tmp_path):
+    """Known-answer corpus: doc 0 is the benchmark slice (0 % 97 == 0);
+    doc 1 quotes one benchmark 5-gram (1 of its 6 grams -> 1666 bp),
+    doc 2 is a verbatim copy (10000 bp, flagged), doc 3 is disjoint."""
+    import os
+
+    from mirrulations_iceberg_spark.operators.dedup import (
+        d14_contamination_grade,
+    )
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks, 4 grams
+    quoting = "alpha beta gamma delta epsilon one two three four five"
+    disjoint = "red green blue cyan magenta yellow black white"
+    rows = [
+        (0, bench, "en", "s", len(bench)),
+        (1, quoting, "en", "s", len(quoting)),
+        (2, bench, "en", "s", len(bench)),
+        (3, disjoint, "en", "s", len(disjoint)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    df.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = d14_contamination_grade(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3
+    assert r["n_flagged"] == 1  # only the verbatim copy clears 2000 bp
+    assert r["total_grams"] == 6 + 4 + 4
+    assert r["matched_grams"] == 1 + 4 + 0
+    assert r["max_doc_bp"] == 10000
