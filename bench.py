@@ -31,6 +31,11 @@ from mirrulations_iceberg_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _REPO = os.path.dirname(os.path.abspath(__file__))
+#: Detail-sidecar location; overridable so sandboxed runs (tests, ad-hoc
+#: sf sweeps) don't clobber the committed sf0.1 prior.
+_DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_DETAIL_PATH", os.path.join(_REPO, "BENCH_DETAIL.json")
+)
 
 
 def _sf_label(sf_dir: str) -> float | str:
@@ -71,7 +76,7 @@ def _prior_timings() -> dict[str, float]:
     """Previous run's per-query numbers (same sf only) — the reference
     for the >50%-regression re-run rule."""
     try:
-        with open(os.path.join(_REPO, "BENCH_DETAIL.json")) as fh:
+        with open(_DETAIL_PATH) as fh:
             prior = json.load(fh)
     except (OSError, ValueError):
         return {}
@@ -211,7 +216,7 @@ def main() -> None:
         "contaminated": contaminated,
     }
     try:
-        with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as fh:
+        with open(_DETAIL_PATH, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
