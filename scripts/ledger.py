@@ -40,11 +40,21 @@ sys.path.insert(0, REPO)
 ROWS_ONLY_BY_DESIGN = frozenset({"m1_codec_benchmark", "m2_storage_efficiency"})
 
 
-def load_rounds() -> dict[str, dict]:
-    """Parse every CORRECTNESS_r*.json into {round: {query: record}}."""
+def load_rounds(rounds_filter: set[str] | None = None) -> dict[str, dict]:
+    """Parse CORRECTNESS_r*.json into {round: {query: record}}.
+
+    ``rounds_filter`` (round ids like ``{"01", "08"}``) restricts the
+    parse to exactly those rounds — the drift test uses the input set
+    stamped in LEDGER.md so a CORRECTNESS file the driver drops *after*
+    the ledger was generated (i.e. at round close, after the last
+    commit) cannot make the committed ledger look stale (VERDICT r8
+    item #1).
+    """
     rounds: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = os.path.basename(path).split("_r")[-1].split(".")[0]
+        if rounds_filter is not None and rnd not in rounds_filter:
+            continue
         with open(path) as fh:
             rounds[rnd] = json.load(fh)
     return rounds
@@ -56,12 +66,12 @@ def is_green(rec: dict) -> bool:
     )
 
 
-def build_ledger() -> dict:
+def build_ledger(rounds_filter: set[str] | None = None) -> dict:
     """Return the derived ledger for every queries() entry."""
     from mirrulations_iceberg_spark.operators import DRIVER_WINDOW, collect_queries
 
     queries, oracle = collect_queries()
-    rounds = load_rounds()
+    rounds = load_rounds(rounds_filter)
 
     ledger: dict[str, dict] = {}
     for name in queries:
@@ -97,12 +107,31 @@ def rotation_queue(ledger: dict) -> list[str]:
     ]
 
 
-def render(ledger: dict) -> str:
+def parse_inputs(text: str) -> set[str]:
+    """Recover the stamped CORRECTNESS-round input set from LEDGER.md.
+
+    Returns round ids (``{"01", ..., "08"}``). An old ledger without a
+    stamp yields the empty set; callers should fall back to all files.
+    """
+    for line in text.splitlines():
+        if line.startswith("Inputs:"):
+            return {tok[1:] for tok in line.split() if tok.startswith("r") and tok[1:].isdigit()}
+    return set()
+
+
+def render(ledger: dict, inputs: list[str] | None = None) -> str:
+    if inputs is None:
+        inputs = sorted(load_rounds())
     lines = [
         "# Driver-green ledger (generated — do not hand-edit)",
         "",
         "Regenerate with `python scripts/ledger.py --write`; "
         "`tests/test_ledger.py` fails on drift.",
+        "",
+        "Inputs: " + " ".join(f"r{r}" for r in inputs)
+        + " (CORRECTNESS files consumed at generation; the drift test "
+        "compares against exactly this set, so a newer driver drop at "
+        "round close cannot fail it)",
         "",
         "A query is **driver-green** iff some round's `CORRECTNESS_r*.json` "
         "recorded rows+schema+hash all true. `last` is the most recent driver "

@@ -21,13 +21,23 @@ import ledger  # noqa: E402
 
 
 def test_ledger_md_matches_generated():
-    """LEDGER.md is byte-identical to what ledger.py derives right now."""
-    generated = ledger.render(ledger.build_ledger())
+    """LEDGER.md matches a regeneration over its *stamped* input set.
+
+    The driver drops ``CORRECTNESS_r{N}.json`` at round close, *after*
+    the builder's last commit — so comparing against "all files present
+    right now" made every judging pass start red (VERDICT r8 item #1).
+    LEDGER.md stamps the rounds it consumed; we regenerate from exactly
+    that set, so newer driver drops are ignored while real drift (a
+    stamped file changing, queries() changing, hand-edits) still fails.
+    """
     with open(os.path.join(REPO, "LEDGER.md")) as fh:
         committed = fh.read()
+    stamped = ledger.parse_inputs(committed) or None
+    inputs = sorted(ledger.load_rounds(stamped))
+    generated = ledger.render(ledger.build_ledger(stamped), inputs)
     assert committed == generated, (
-        "LEDGER.md drifted from CORRECTNESS_r*.json — regenerate with "
-        "`python scripts/ledger.py --write`"
+        "LEDGER.md drifted from its stamped CORRECTNESS inputs — "
+        "regenerate with `python scripts/ledger.py --write`"
     )
 
 
