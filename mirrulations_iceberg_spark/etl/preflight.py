@@ -57,21 +57,40 @@ def fs_preflight(
     """Run every check; never raises — callers decide on the report."""
     checks: list[Check] = []
 
-    fs, p, jvm = _fs_for(spark, data_path)
+    # _fs_for itself can throw (unsupported scheme — e.g. s3a:// with no
+    # connector jar on the classpath — or a malformed URI). That is
+    # precisely the misconfiguration preflight exists to report, so it
+    # becomes a failed check rather than a raw Py4J traceback
+    # (ADVICE r8).
     try:
-        fs.getFileStatus(p)
-        checks.append(Check("input_exists", True, data_path))
+        fs, p, jvm = _fs_for(spark, data_path)
     except Exception as exc:
-        checks.append(Check("input_exists", False, _msg(exc)))
-        checks.append(Check("input_listable", False, "skipped: input missing"))
-    else:
+        checks.append(Check("input_fs_resolvable", False, _msg(exc)))
+        checks.append(Check("input_exists", False, "skipped: fs unresolvable"))
+        checks.append(Check("input_listable", False, "skipped: fs unresolvable"))
+        fs = None
+    if fs is not None:
         try:
-            n = len(fs.listStatus(p))
-            checks.append(Check("input_listable", True, f"{n} entries"))
+            fs.getFileStatus(p)
+            checks.append(Check("input_exists", True, data_path))
         except Exception as exc:
-            checks.append(Check("input_listable", False, _msg(exc)))
+            checks.append(Check("input_exists", False, _msg(exc)))
+            checks.append(
+                Check("input_listable", False, "skipped: input missing")
+            )
+        else:
+            try:
+                n = len(fs.listStatus(p))
+                checks.append(Check("input_listable", True, f"{n} entries"))
+            except Exception as exc:
+                checks.append(Check("input_listable", False, _msg(exc)))
 
-    ofs, op, jvm = _fs_for(spark, out_path)
+    try:
+        ofs, op, jvm = _fs_for(spark, out_path)
+    except Exception as exc:
+        checks.append(Check("output_fs_resolvable", False, _msg(exc)))
+        checks.append(Check("output_writable", False, "skipped: fs unresolvable"))
+        return checks
     try:
         probe = jvm.org.apache.hadoop.fs.Path(op, PROBE_NAME)
         out = ofs.create(probe, True)

@@ -813,7 +813,12 @@ def _e9_oracle() -> str:
         ), basefp AS (
             SELECT DISTINCT md5(array_to_string(t, ' ')) AS f FROM base
         ), novel AS (
-            SELECT * FROM exact WHERE f NOT IN (SELECT f FROM basefp)
+            -- NOT EXISTS, not NOT IN: a NULL fingerprint in base (e.g.
+            -- md5(NULL) from a future fixture with NULL text) poisons
+            -- NOT IN to zero rows while Spark's left_anti keeps rows;
+            -- NOT EXISTS matches anti-join semantics (ADVICE r8).
+            SELECT * FROM exact e
+            WHERE NOT EXISTS (SELECT 1 FROM basefp b WHERE b.f = e.f)
         ), bench AS (
             SELECT DISTINCT unnest(list_distinct(list_transform(
                        range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
@@ -827,8 +832,9 @@ def _e9_oracle() -> str:
                 FROM novel
             ) WHERE sh IN (SELECT sh FROM bench)
         ), admitted AS (
-            SELECT * FROM novel
-            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            SELECT * FROM novel n
+            WHERE NOT EXISTS
+                (SELECT 1 FROM contaminated c WHERE c.doc_id = n.doc_id)
         )
         SELECT d.lang,
                COUNT(*) AS n_delta,

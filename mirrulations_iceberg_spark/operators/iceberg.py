@@ -35,7 +35,7 @@ from pyspark.sql import SparkSession
 #: Catalog name prefix for probe-routed tables; short-lived per operator.
 CATALOG_PREFIX = "miis_ib"
 
-_PROBE_CACHE: dict[int, bool] = {}
+_PROBE_CACHE: dict[str, bool] = {}
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -49,7 +49,10 @@ def iceberg_available(spark: SparkSession) -> bool:
     forName false-negatives on exactly the standard deployment path.
     Cached per-JVM: the classpath cannot change after session start.
     """
-    key = id(spark.sparkContext._jsc)
+    # applicationId is stable for a session's lifetime and never reused
+    # by a successor session in-process, unlike id() of the Py4J
+    # wrapper, which CPython can recycle after GC (ADVICE r8).
+    key = spark.sparkContext.applicationId
     if key not in _PROBE_CACHE:
         ok = False
         for attempt in (

@@ -20,6 +20,8 @@ Scale stance:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -519,7 +521,11 @@ def j10_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    to, tl = "j10_orders_b", "j10_lineitem_b"
+    # Per-invocation table names: a fixed name in the shared session
+    # warehouse would let a concurrent bench/test run DROP the other
+    # run's tables mid-query (ADVICE r8).
+    tok = uuid.uuid4().hex[:8]
+    to, tl = f"j10_orders_b_{tok}", f"j10_lineitem_b_{tok}"
     spark.sql(f"DROP TABLE IF EXISTS {to}")
     spark.sql(f"DROP TABLE IF EXISTS {tl}")
     try:

@@ -73,3 +73,24 @@ def test_cli_terminates_early_on_bad_input(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "Pre-flight check failed: input_exists" in err
     assert "read access" in err
+
+
+def test_unresolvable_scheme_reports_not_raises(spark, tmp_path):
+    """An unsupported scheme (no connector jar) must become a failed
+    check, not a raw Py4J traceback — that misconfiguration is exactly
+    what preflight exists to report cleanly (ADVICE r8)."""
+    checks = _by_name(
+        fs_preflight(spark, "nosuchscheme://bucket/key", str(tmp_path))
+    )
+    assert not checks["input_fs_resolvable"].ok
+    assert not checks["input_exists"].ok
+    assert "skipped" in checks["input_exists"].detail
+    # output side still probed and green
+    assert checks["output_writable"].ok
+
+    out_checks = _by_name(
+        fs_preflight(spark, str(tmp_path), "nosuchscheme://bucket/out")
+    )
+    assert out_checks["input_exists"].ok
+    assert not out_checks["output_fs_resolvable"].ok
+    assert not out_checks["output_writable"].ok
