@@ -51,6 +51,91 @@ def f1_like_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: f1b's needle. The index answers substring needles that are wholly
+#: lowercase-alphanumeric: such a needle can never span a token
+#: separator, and lowercasing preserves it, so every raw-text match
+#: lies inside one lowered ``[a-z0-9]+`` token → token-level contains
+#: is a complete candidate generator; the raw-text verify then trims
+#: case mismatches ("Hash" yields token "hash" but fails the verify).
+F1B_NEEDLE = "hash"
+
+
+def f1b_indexed_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 answered from the inverted token index (SURVEY §4's promised
+    mitigation for the reference's ``LIKE '%health%'`` full scan,
+    ``simple_iceberg_exploration.py:324`` / ``demo_optimized_data.py:112``).
+
+    Path: (1) candidate lookup — scan the materialized
+    (token, token_orig, doc_id) index with ``token CONTAINS
+    lower(needle)``; (2) exact verify — case-sensitive ``contains`` on
+    the candidates' original-case surface forms (``token_orig``), so
+    the verify runs on index rows, never by re-scanning corpus text;
+    (3) fetch — join the verified doc_ids back to documents for the
+    output columns. The oracle is f1's *plain scan* SQL, so the
+    driver's hash check proves index path ≡ scan path.
+
+    Why this is exact for f1's needle: "hash" is wholly
+    lowercase-alphanumeric, so a raw-text occurrence can never span a
+    token separator and must lie inside one maximal ``[A-Za-z0-9]+``
+    run — whose surface form is exactly one ``token_orig`` value.
+    Needles outside that class (embedded spaces/punctuation, or
+    non-ASCII case pairs) must fall back to the f1 scan path — the
+    word-boundary-vs-substring contract is in PLANS.md.
+
+    At 100 TB: the index is written once at ingest (bucketBy(token)
+    parquet — stood in here by a per-query temp parquet). The query
+    reads the index's narrow dictionary-encoded token columns and a
+    3-column slice of documents; the corpus ``text`` column is not
+    read at all (plan-asserted: the documents scan's ReadSchema
+    excludes text). Word-boundary lookups (``token = needle``)
+    additionally bucket-prune on the index layout.
+    """
+    import shutil
+    import tempfile
+
+    from .text import build_token_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="miis_f1b_idx_")
+    try:
+        build_token_index(docs, with_original=True).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        out = indexed_substring_search(docs, spark.read.parquet(tmp))
+        # materialize before the temp index is removed (j10 pattern)
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, lang string, n_chars bigint"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def indexed_substring_search(
+    docs: DataFrame, index: DataFrame, needle: str = F1B_NEEDLE
+) -> DataFrame:
+    """The lazy index-lookup + verify query (plan-asserted in
+    tests/test_plans.py::test_f1b_answers_without_reading_text).
+
+    Candidate filter (lowered token) and case-sensitive verify
+    (original surface form) are declared as two steps; Catalyst fuses
+    them into one pass over the index scan — which is the plan you
+    want, since both touch only index columns.
+    """
+    verified = (
+        index.filter(F.col("token").contains(needle.lower()))
+        .filter(F.col("token_orig").contains(needle))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.join(verified, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(10)
+    )
+
+
 def f2_is_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: ``WHERE firstName IS NOT NULL`` (demo_optimized_data.py:100).
 
@@ -822,6 +907,7 @@ QUERIES = {
     "o9_weighted_sample": o9_weighted_sample,
     "c9_ts_minmax": c9_ts_minmax,
     "f1_like_substring": f1_like_substring,
+    "f1b_indexed_substring": f1b_indexed_substring,
     "f2_is_not_null": f2_is_not_null,
     "f3_boolean_filter": f3_boolean_filter,
     "f4_conjunctive_filter": f4_conjunctive_filter,
@@ -984,6 +1070,12 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
     "f1_like_substring": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE text LIKE '%hash%' ORDER BY doc_id LIMIT 10
+    """,
+    # deliberately f1's plain-scan SQL: hash equality against the
+    # index-path Spark result proves index path == scan path
+    "f1b_indexed_substring": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE text LIKE '%hash%' ORDER BY doc_id LIMIT 10
     """,

@@ -68,6 +68,32 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda p, q: p + q)
 
 
+def _pydot(a: list, b: list) -> float:
+    """Driver-side twin of :func:`_dot`: the same left-to-right
+    ``(…(0.0 + a₁b₁) + a₂b₂)…`` IEEE-double fold, so results are
+    bit-identical to the JVM expression."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _round_half_up(x: float, places: int) -> float:
+    """Driver-side twin of Spark's ``round(double, n)``: Spark converts
+    via ``BigDecimal.valueOf`` (shortest-decimal ``Double.toString``)
+    then ``setScale(n, HALF_UP)``; Python's ``repr`` is the same
+    shortest-roundtrip decimal, so quantizing it HALF_UP matches
+    bit-for-bit. (Builtin ``round`` is banker's rounding on the binary
+    value — NOT equivalent.)"""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-places), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _cosine_sim():
     """round(dot(e, qe) / (norm·qnorm), 4) over the joined schema."""
     denom = F.col("norm") * F.col("qnorm")
@@ -1314,35 +1340,36 @@ def x10_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MMR_SHORTLIST)
         .collect()
     )
-    shortlist = spark.createDataFrame(short_rows, scored.schema)
-    selected: list = []
+    # Greedy core runs driver-side (VERDICT r8 item #4): the shortlist
+    # is already collected, so the K sequential steps are plain Python
+    # over ≤M rows — launching a Spark job per step bought only
+    # scheduler overhead. Arithmetic stays bit-identical to the
+    # Spark/DuckDB expression: left-to-right IEEE-double fold for the
+    # dot product and Spark ROUND semantics for the 4-place rounding
+    # (:func:`_round_half_up` — shortest-decimal repr, HALF_UP).
+    pool = [
+        (r["vec_id"], list(r["e"]), float(r["norm"]), float(r["rel"]))
+        for r in short_rows
+    ]
+    selected: list[tuple[list, float]] = []
     out_rows: list[tuple] = []
-    pool = shortlist
     for step in range(1, MMR_K + 1):
-        if not selected:
-            cur = pool.withColumn("max_sim", F.lit(0.0))
-        else:
-            sims = []
-            for r in selected:
-                se = F.array(*[F.lit(float(v)) for v in r["e"]])
-                sn = F.lit(float(r["norm"]))
-                sims.append(
-                    F.round(_dot(F.col("e"), se) / (F.col("norm") * sn), 4)
+        best = None
+        for vid, e, norm, rel in pool:
+            if selected:
+                max_sim = max(
+                    _round_half_up(_pydot(e, se) / (norm * sn), 4)
+                    for se, sn in selected
                 )
-            cur = pool.withColumn(
-                "max_sim", F.greatest(*sims) if len(sims) > 1 else sims[0]
-            )
-        pick = (
-            cur.withColumn("mmr", F.col("rel") - F.col("max_sim"))
-            .orderBy(F.desc("mmr"), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        selected.append(pick)
-        out_rows.append(
-            (step, pick["vec_id"], pick["rel"], pick["max_sim"], pick["mmr"])
-        )
-        pool = pool.filter(F.col("vec_id") != pick["vec_id"])
+            else:
+                max_sim = 0.0
+            key = (-(rel - max_sim), vid)
+            if best is None or key < best[0]:
+                best = (key, vid, e, norm, rel, max_sim)
+        _, vid, e, norm, rel, max_sim = best
+        selected.append((e, norm))
+        out_rows.append((step, vid, rel, max_sim, rel - max_sim))
+        pool = [p for p in pool if p[0] != vid]
     return spark.createDataFrame(
         out_rows,
         "step int, vec_id long, rel double, max_sim double, mmr double",

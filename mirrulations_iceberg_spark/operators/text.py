@@ -136,11 +136,34 @@ def t5_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-def build_token_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def build_token_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_original: bool = False,
+) -> DataFrame:
     """Materializable inverted index: one (token, doc_id) row per distinct
     token occurrence. Write with ``.write.bucketBy(N, "token")`` (or an
     Iceberg bucket(token) partition spec) so lookups and token-joins are
-    shuffle-free."""
+    shuffle-free.
+
+    ``with_original=True`` adds a ``token_orig`` column carrying the
+    original-case surface form (the maximal ``[A-Za-z0-9]+`` run, whose
+    lowering is exactly the ``token`` value on ASCII text). f1b's
+    case-sensitive substring verify runs on this column — so the verify
+    never has to re-read corpus text at query time.
+    """
+    if with_original:
+        orig = F.array_distinct(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit("[A-Za-z0-9]+"), F.lit(0)
+            )
+        )
+        return docs.select(
+            F.col(id_col), F.explode(orig).alias("token_orig")
+        ).select(
+            id_col, F.lower(F.col("token_orig")).alias("token"), "token_orig"
+        )
     return docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),

@@ -57,6 +57,7 @@ SKIP_SWEEP = {
     "x10_mmr_select",  # runs the shortlist scan + greedy loop at construction
     "j10_bucketed_colocated_join",  # writes bucketed tables at construction
     "x11_ivf_tuning_curve",  # runs the shared Lloyd fit at construction
+    "f1b_indexed_substring",  # writes the token index at construction
 }
 
 
@@ -305,3 +306,33 @@ def test_e8_single_corpus_pass(spark):
     plan = _plan(spark, "e8_temperature_mixture")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_f1b_answers_without_reading_text(spark, tmp_path):
+    """f1b's whole point at 100 TB: the substring query is answered
+    from the inverted index — the documents scan must read only
+    (doc_id, lang, n_chars), never the corpus text column, and the
+    index lookup must reach the index scan as pushed StringContains
+    filters on the narrow token columns."""
+    from mirrulations_iceberg_spark.operators.relational import (
+        indexed_substring_search,
+    )
+    from mirrulations_iceberg_spark.operators.text import build_token_index
+    from mirrulations_iceberg_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx_path = str(tmp_path / "idx")
+    build_token_index(docs, with_original=True).write.parquet(idx_path)
+    q = indexed_substring_search(docs, spark.read.parquet(idx_path))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # documents side: 3-column slice, no text
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan
+    # column refs render as `text#NN` / `text:string` — neither may appear
+    assert "text#" not in plan and "text:" not in plan, (
+        "corpus text column leaked into the f1b plan"
+    )
+    # index side: candidate+verify pushed to the index scan
+    assert "StringContains(token,hash)" in plan
+    assert "Contains(token_orig" in plan  # pushed-filter list is truncated
+    # verified doc_ids ride as a broadcast semi join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
