@@ -601,6 +601,62 @@ def m12_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def m13_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7's credential/filesystem half as an oracle-checked driver row
+    (VERDICT r8 item #9): the reference probes read/list/write
+    permissions and terminates early with a clear report
+    (``convert_to_iceberg.py:1197-1242``, ``PERMISSION_HANDLING.md:
+    9-33``). This query runs :func:`fs_preflight` — the same Hadoop
+    ``FileSystem`` chain a job would use — against a deterministic
+    fixture tree built at query time, across the three regimes the
+    contract distinguishes: a readable tree, a missing input, and an
+    unresolvable filesystem scheme (no connector — the S3-without-jar
+    case).
+
+    Environment-specific detail strings (absolute temp paths, Hadoop
+    exception text) are redacted out of the output; what remains —
+    (scenario, check, ok, advisory, blocks_run) — is the early-exit
+    contract itself, with ``blocks_run = NOT ok AND NOT advisory``
+    exactly the gate the convert CLI applies. The oracle is the
+    expected contract as a VALUES constant (a known-answer check, like
+    m12's file-count constants).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..etl.preflight import fs_preflight
+
+    base = tempfile.mkdtemp(prefix="miis_m13_")
+    try:
+        data = os.path.join(base, "in")
+        os.makedirs(data)
+        for i in range(2):
+            with open(os.path.join(data, f"part{i}.json"), "w") as fh:
+                fh.write("{}")
+        out = os.path.join(base, "out")
+        os.makedirs(out)
+        scenarios = [
+            ("ok_tree", data, out),
+            ("missing_input", os.path.join(base, "nope"), out),
+            ("bad_scheme", "nosuchscheme://bucket/prefix", out),
+        ]
+        rows = []
+        for name, dp, op in scenarios:
+            for c in fs_preflight(spark, dp, op):
+                rows.append(
+                    (name, c.name, c.ok, c.advisory, not c.ok and not c.advisory)
+                )
+        return spark.createDataFrame(
+            rows,
+            "scenario string, check string, ok boolean, advisory boolean, "
+            "blocks_run boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+
 QUERIES = {
     "s13_schema_evolution": s13_schema_evolution,
     "m11_time_travel": m11_time_travel,
@@ -613,6 +669,7 @@ QUERIES = {
     "m7_contract_check": m7_contract_check,
     "m9_partition_overwrite": m9_partition_overwrite,
     "m10_skew_report": m10_skew_report,
+    "m13_preflight_report": m13_preflight_report,
 }
 
 _M7_ORACLE = (
@@ -649,6 +706,24 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    # m13: the PERMISSION_HANDLING early-exit contract as a known-answer
+    # constant — the Spark side actually runs the Hadoop-FS probes on a
+    # fixture tree; this pins which checks pass/fail/block per regime.
+    "m13_preflight_report": """
+        SELECT * FROM (VALUES
+            ('ok_tree', 'input_exists', true, false, false),
+            ('ok_tree', 'input_listable', true, false, false),
+            ('ok_tree', 'output_writable', true, false, false),
+            ('missing_input', 'input_exists', false, false, true),
+            ('missing_input', 'input_listable', false, false, true),
+            ('missing_input', 'output_writable', true, false, false),
+            ('bad_scheme', 'input_fs_resolvable', false, false, true),
+            ('bad_scheme', 'input_exists', false, false, true),
+            ('bad_scheme', 'input_listable', false, false, true),
+            ('bad_scheme', 'output_writable', true, false, false)
+        ) AS t(scenario, "check", ok, advisory, blocks_run)
+    """,
+
     # m12: file counts are write_parquet constants (2 files × 2 commits
     # live, 2 orphan); rows/checksums derive from the mod-3 splits. A
     # mismatch on post_vacuum_* means vacuum deleted live data; on

@@ -1173,6 +1173,14 @@ def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: x11: nprobe operating points to sweep (≤ IVF_CLUSTERS each).
 X11_NPROBE_SWEEP = (1, 2, 4, 8)
 
+#: Bytes a deployment fetches per IVF candidate: the float64 vector
+#: (8·dim) plus its 8-byte id. Multiplying the exact candidate count
+#: by this width gives the curve's byte-budget axis deterministically
+#: (VERDICT r8 item #7) — runtime task metrics (executorRunTime /
+#: inputBytes per nprobe) are inherently run-dependent, so they live
+#: in scripts/x11_metrics.py + PLANS.md, not in the hash-gated row.
+X11_CAND_ROW_BYTES = 8 * EMB_DIM + 8
+
 
 def x11_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall/cost TUNING CURVE — the measurement that picks
@@ -1193,6 +1201,29 @@ def x11_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, query set) extended with per-nprobe candidate/top-k/
     hit CTEs and a UNION ALL summary.
     """
+    emb, pool, exact_topk = _x11_build(spark, sf_dir)
+    denom = N_QUERIES * TOP_K
+    pool_total = pool.agg(F.count(F.lit(1)).alias("__pt"))
+    summaries = [
+        _x11_point_summary(pool, exact_topk, pool_total, np_, denom)
+        for np_ in X11_NPROBE_SWEEP
+    ]
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    from .util import materialize_release
+
+    return materialize_release(
+        spark, out.orderBy("nprobe"), emb, pool, exact_topk
+    )
+
+
+def _x11_build(spark: SparkSession, sf_dir: str):
+    """x11's shared one-time phase — fit, assignment, bounded candidate
+    pool, exact baseline (both cached). Shared with
+    ``scripts/x11_metrics.py``, which measures per-point runtime cost
+    (executorRunTime / input bytes via the UI REST API) on exactly the
+    query the driver row runs."""
     emb = _embeddings(spark, sf_dir).cache()
     center_rows = sorted(
         (r["cell"], list(r["center"]))
@@ -1262,37 +1293,39 @@ def x11_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .cache()
     )
-    denom = N_QUERIES * TOP_K
-    summaries = []
-    for np_ in X11_NPROBE_SWEEP:
-        sub = pool.filter(F.col("pr") <= np_)
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cos_sim"), F.asc("vec_id")
-        )
-        topk = (
-            sub.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= TOP_K)
-            .select("query_id", "vec_id")
-        )
-        hits = topk.join(exact_topk, ["query_id", "vec_id"], "left_semi")
-        summaries.append(
-            sub.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("__h")))
-            .select(
-                F.lit(np_).alias("nprobe"),
-                "n_candidates",
-                F.expr(f"CAST((10000 * __h) DIV {denom} AS BIGINT)").alias(
-                    "recall_bp"
-                ),
-            )
-        )
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionByName(s)
-    from .util import materialize_release
+    return emb, pool, exact_topk
 
-    return materialize_release(
-        spark, out.orderBy("nprobe"), emb, pool, exact_topk
+
+def _x11_point_summary(pool, exact_topk, pool_total, np_, denom):
+    """One sweep point's 1-row summary over the shared pool."""
+    sub = pool.filter(F.col("pr") <= np_)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    topk = (
+        sub.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    hits = topk.join(exact_topk, ["query_id", "vec_id"], "left_semi")
+    return (
+        sub.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__h")))
+        .crossJoin(pool_total)
+        .select(
+            F.lit(np_).alias("nprobe"),
+            "n_candidates",
+            F.expr(f"CAST((10000 * __h) DIV {denom} AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            (F.col("n_candidates") * F.lit(X11_CAND_ROW_BYTES))
+            .cast("long")
+            .alias("cand_bytes"),
+            F.expr(
+                "CAST(CASE WHEN __pt = 0 THEN 0 ELSE"
+                " (10000 * n_candidates) DIV __pt END AS BIGINT)"
+            ).alias("pool_frac_bp"),
+        )
     )
 
 
@@ -1629,7 +1662,13 @@ def _x11_sql() -> str:
                       JOIN exact_topk x
                         ON t.query_id = x.query_id
                        AND t.vec_id = x.vec_id)) // {denom} AS BIGINT)
-           AS recall_bp"""
+           AS recall_bp,
+       CAST((SELECT COUNT(*) FROM pool WHERE pr <= {np_})
+            * {X11_CAND_ROW_BYTES} AS BIGINT) AS cand_bytes,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM pool) = 0 THEN 0
+                 ELSE (10000 * (SELECT COUNT(*) FROM pool WHERE pr <= {np_}))
+                      // (SELECT COUNT(*) FROM pool) END AS BIGINT)
+           AS pool_frac_bp"""
         )
     parts.append(
         " SELECT * FROM ("

@@ -58,6 +58,7 @@ SKIP_SWEEP = {
     "j10_bucketed_colocated_join",  # writes bucketed tables at construction
     "x11_ivf_tuning_curve",  # runs the shared Lloyd fit at construction
     "f1b_indexed_substring",  # writes the token index at construction
+    "m13_preflight_report",  # runs Hadoop-FS probes at construction
 }
 
 
