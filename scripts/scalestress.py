@@ -62,7 +62,12 @@ ALL_TABLES = (
 
 
 def build_corpus(
-    spark: SparkSession, src: str, dst: str, factor: int, tables: list[str]
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    factor: int,
+    tables: list[str],
+    novel: bool = False,
 ) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in ALL_TABLES:
@@ -83,6 +88,22 @@ def build_corpus(
             df = base
             for c, span in spans.items():
                 df = df.withColumn(c, F.col(c) + F.lit(r * span))
+            if novel and t == "documents":
+                # --novel: the adversarial regime for dedup-shaped
+                # pipelines (VERDICT r8 item #6) — append one globally
+                # unique token per row so NO text repeats anywhere:
+                # exact dedup collapses nothing, every delta doc is
+                # novel, and the anti-join + decontamination carry
+                # full weight instead of the replication-favorable
+                # early collapse.
+                df = df.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.col("text"),
+                        F.concat(F.lit("uniqtok"), F.col("doc_id")),
+                    ),
+                )
             replicas.append(df)
         out = replicas[0]
         for df in replicas[1:]:
@@ -108,6 +129,12 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
+        "--novel",
+        action="store_true",
+        help="make every replicated documents row textually unique "
+        "(worst case for dedup/novelty pipelines)",
+    )
+    ap.add_argument(
         "--tables",
         help="comma-separated tables to replicate (default: inferred "
         "fact tables documents,embeddings,events,orders,lineitem)",
@@ -122,7 +149,9 @@ def main() -> int:
     spark = get_spark(app_name="scalestress")
     dst = tempfile.mkdtemp(prefix=f"miis_stress_{args.factor}x_")
     try:
-        build_corpus(spark, args.src, dst, args.factor, args.tables.split(","))
+        build_corpus(
+            spark, args.src, dst, args.factor, args.tables.split(","), novel=args.novel
+        )
         for q in args.queries:
             fn = queries[q]
             t1 = time_query(spark, fn, args.src)
