@@ -54,66 +54,80 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: a documented pre-rotation gate (VERDICT r7 item #2 — sf0.001 hides
 #: value-boundary divergence, measured 0/493 vs 3/5,088 on m9).
 #:
-#: Twelve NEW r8 operators (never green by definition) take the slots
-#: of a1/a2/a3/a4/a5/a12/f1/f4/c_scalar_suite/w7/d1/j1 — the
+#: Twelve NEW r8 operators (never green by definition) took the r8
+#: slots of a1/a2/a3/a4/a5/a12/f1/f4/c_scalar_suite/w7/d1/j1 — the
 #: re-verification fillers with the deepest green history (r02–r06).
+#:
+#: Round-9 rotation (VERDICT r8 item #3): after r08's all-green board
+#: the stalest cohort is the 46 queries whose latest green is r06.
+#: The window = 2 NEW ops (f1b, m13) + 4 whose code or oracle changed
+#: this round (x10 driver-side greedy, x11 byte-budget axis, e9
+#: NOT-EXISTS oracle, t13 whose r8 decimal-sum mean never held a
+#: slot) + 44 of the 46 r06-stale queries, oldest-first. The two
+#: r06 leave-outs are argued inline below; e2 (r08-green, and
+#: smoke-run every round via ``entry()``) rotates out per the
+#: oldest-first rule.
 DRIVER_WINDOW = (
-    # --- the flagship + the r7 red row (fix re-greened this round)
-    "e2_training_pipeline",
-    "m9_partition_overwrite",
-    # --- NEW round-8 operators (oracle-bearing, never checked)
-    "d14_contamination_grade",
-    "w12_retention_cohorts",
-    "x10_mmr_select",
-    "e8_temperature_mixture",
-    "t15_freq_spectrum",
-    "j10_bucketed_colocated_join",
-    "a16_grouping_sets",
-    "o9_weighted_sample",
-    "e9_refresh_pipeline",
-    "w13_sequence_with_negation",
-    "x11_ivf_tuning_curve",
-    "j11_salted_skew_join",
-    # --- latest green r02: fourteen queries, six rounds of drift
-    "a12b_cube",
-    "a14_histogram",
-    "j2_semi_join",
-    "j3_anti_join",
-    "j4_fact_fact_join",
-    "j5_left_outer_join",
-    "j7_range_join",
-    "j8_full_outer_join",
-    "t3_fingerprint",
-    "t4_token_index_lookup",
-    "u2_intersect",
-    "u3_except",
-    "w1_topn_per_group",
-    "w4_rank_in_partition",
-    # --- latest green r04
-    "c9_ts_minmax",
-    "d9_decontaminate",
-    "o4_peak_day",
-    "o6_systematic_sample",
-    "t2_quality_score",
-    "t6_winnow_fingerprints",
-    "w2_running_sum",
-    # --- latest green r05
-    "a10_date_histogram",
-    "a6_count_distinct",
-    "a7_boolean_sum",
-    "a9_value_counts",
-    "c11_from_json_typed",
-    "f2_is_not_null",
-    "f3_boolean_filter",
-    "m3_delta_append",
-    "m4_compaction",
-    "o2_top_dates",
-    "t11_bigram_coverage",
-    "u1_union_base_delta",
-    # --- latest green r06, oldest first-green, family spread
-    "e1_docket_pipeline",
-    "j6_asof_join",
-    "w5_sessionize",
+    # --- NEW round-9 operators (oracle-bearing, never checked)
+    "f1b_indexed_substring",
+    "m13_preflight_report",
+    # --- code/oracle changed in round 9: re-verify at the driver
+    "x10_mmr_select",       # greedy core moved driver-side
+    "x11_ivf_tuning_curve",  # byte-budget axis added to output+oracle
+    "e9_refresh_pipeline",   # oracle NOT IN -> NOT EXISTS
+    # --- t13: the r8 decimal-sum mean (1198e7e) has never been in a
+    #     window; VERDICT r8 item #5's done-criterion
+    "t13_unigram_logprob",
+    # --- the 44 stalest greens (last green r06), oldest-first fill.
+    #     Left out of the 46-query r06 cohort, with reasons:
+    #     f1_like_substring (f1b's oracle IS f1's plain-scan SQL, so
+    #     f1's result is hash-verified through f1b's slot) and
+    #     q1_count_total (trivial COUNT(*), counting shapes covered by
+    #     a1/a2/q2 in-window).
+    "a12_rollup",
+    "a1_count_star",
+    "a2_groupby_count",
+    "a3_multikey_groupby",
+    "a4_avg_length",
+    "a5_numeric_stats",
+    "a8_null_profile",
+    "c_json_extract",
+    "c_scalar_suite",
+    "d10_incremental_dedup",
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "d7_dedup_apply_lsh",
+    "d8_dedup_components",
+    "e4_pack_sequences",
+    "e5_mixture_sample",
+    "e6_budget_select",
+    "e7_epoch_shuffle",
+    "f4_conjunctive_filter",
+    "j1_broadcast_star_join",
+    "m10_skew_report",
+    "m6_profile",
+    "m7_contract_check",
+    "mm2_feature_stats",
+    "q10_docket_rollup",
+    "q2_count_by_agency",
+    "q3_with_attachments",
+    "q4_avg_comment_length",
+    "q5_top_commenters",
+    "q6_comments_by_date",
+    "q7_text_search",
+    "q8_complex_filter",
+    "q9_comments_per_document",
+    "s13_schema_evolution",
+    "s1_stream_windowed_counts",
+    "s2_incremental_ingest",
+    "s3_stream_sessions",
+    "s4_stream_dedup",
+    "s5_stream_attribution",
+    "t1_token_stats",
+    "w7_ntile_deciles",
+    "x2_ann_lsh_topk",
+    "x6_embedding_dedup_apply",
+    "x7_ann_partitioned_index",
 )
 
 

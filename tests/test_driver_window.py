@@ -53,7 +53,13 @@ def test_window_spans_all_families():
     }
     expected = {"f", "a", "c", "j", "w", "t", "d", "x", "mm", "m", "s", "e", "o", "g"}
     assert expected <= covered, f"missing families: {expected - covered}"
-    assert "e2_training_pipeline" in DRIVER_WINDOW
+    # The flagship rotated out in round 9 (oldest-first fill, VERDICT
+    # r8 item #3): its claim rests on six banked green rows (r03–r08)
+    # plus the driver's per-round entry() smoke run of the same query.
+    assert (
+        "e2_training_pipeline" in DRIVER_WINDOW
+        or led["e2_training_pipeline"]["green_rounds"]
+    )
 
 
 def test_window_names_unique():
