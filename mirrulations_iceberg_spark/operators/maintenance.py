@@ -636,10 +636,21 @@ def m13_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write("{}")
         out = os.path.join(base, "out")
         os.makedirs(out)
+        # viewfs:// mount over the fixture dir: a genuinely non-file
+        # scheme through the full Hadoop FS dispatch, reaching the
+        # object-store committer advisory branch no file:// run can
+        # (tests/test_viewfs_scheme.py carries the S2/S9 half).
+        import uuid
+
+        auth = f"m13{uuid.uuid4().hex[:8]}"
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            f"fs.viewfs.mounttable.{auth}.link./data", f"file://{data}"
+        )
         scenarios = [
             ("ok_tree", data, out),
             ("missing_input", os.path.join(base, "nope"), out),
             ("bad_scheme", "nosuchscheme://bucket/prefix", out),
+            ("viewfs_tree", f"viewfs://{auth}/data", f"viewfs://{auth}/data"),
         ]
         rows = []
         for name, dp, op in scenarios:
@@ -720,7 +731,11 @@ ORACLE = {
             ('bad_scheme', 'input_fs_resolvable', false, false, true),
             ('bad_scheme', 'input_exists', false, false, true),
             ('bad_scheme', 'input_listable', false, false, true),
-            ('bad_scheme', 'output_writable', true, false, false)
+            ('bad_scheme', 'output_writable', true, false, false),
+            ('viewfs_tree', 'input_exists', true, false, false),
+            ('viewfs_tree', 'input_listable', true, false, false),
+            ('viewfs_tree', 'output_writable', true, false, false),
+            ('viewfs_tree', 'object_store_committer', false, true, false)
         ) AS t(scenario, "check", ok, advisory, blocks_run)
     """,
 
