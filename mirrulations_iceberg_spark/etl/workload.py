@@ -275,8 +275,8 @@ def _union_literal(cols: list[str], rows: list[tuple[str, ...]]) -> str:
 
 def _build_driver_oracle() -> dict[str, str]:
     from collections import Counter
-    from decimal import ROUND_HALF_UP, Decimal
 
+    from ..operators.util import spark_round_decimal
     from .fixtures import COMMENT_COUNTS, _docket_ids, build_records
 
     c = _flat_comment_rows()
@@ -284,10 +284,8 @@ def _build_driver_oracle() -> dict[str, str]:
 
     by_agency = Counter(r["agencyId"] for r in c)
     n_att = sum(r["has_attachments"] for r in c)
-    # Spark's ROUND on double = BigDecimal.valueOf(d).setScale(4,
-    # HALF_UP): Decimal(repr(d)) reproduces valueOf's shortest-repr.
     avg = sum(len(r["comment"]) for r in c) / n
-    avg_lit = str(Decimal(repr(avg)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+    avg_lit = str(spark_round_decimal(avg, 4))
     n_named = sum(r["firstName"] is not None for r in c)
     by_date = Counter(r["date"] for r in c)
     top_dates = sorted(by_date.items(), key=lambda kv: (-kv[1], kv[0]))[:5]

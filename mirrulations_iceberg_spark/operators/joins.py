@@ -499,6 +499,40 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J10_BUCKETS = 8
 
+#: age (seconds) past which a leftover j10_* warehouse dir from a
+#: crashed run is considered stale and swept; no live run lasts this.
+J10_STALE_S = 3600
+
+
+def _sweep_stale_j10_tables(spark: SparkSession) -> None:
+    """Delete j10_* bucketed-table dirs leaked by a crashed run.
+
+    uuid-suffixed names (ADVICE r8) stop concurrent runs dropping each
+    other's tables, but also mean a run killed between saveAsTable and
+    its finally block leaves a full bucketed copy of orders+lineitem
+    on disk forever. The catalog entry dies with the session (in-memory
+    catalog), so cleanup is filesystem-level: sweep warehouse dirs with
+    the j10_ prefix older than J10_STALE_S — old enough that they
+    cannot belong to a live run, so the concurrency guarantee holds.
+    """
+    import os
+    import shutil
+    import time
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    root = warehouse.removeprefix("file:")
+    if not root or not os.path.isdir(root):
+        return
+    cutoff = time.time() - J10_STALE_S
+    for name in os.listdir(root):
+        if name.startswith(("j10_orders_b_", "j10_lineitem_b_")):
+            path = os.path.join(root, name)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                continue
+
 
 def j10_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join with ZERO join-time exchange — the bucketing
@@ -526,8 +560,7 @@ def j10_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run's tables mid-query (ADVICE r8).
     tok = uuid.uuid4().hex[:8]
     to, tl = f"j10_orders_b_{tok}", f"j10_lineitem_b_{tok}"
-    spark.sql(f"DROP TABLE IF EXISTS {to}")
-    spark.sql(f"DROP TABLE IF EXISTS {tl}")
+    _sweep_stale_j10_tables(spark)
     try:
         (
             orders.write.bucketBy(J10_BUCKETS, "o_orderkey")

@@ -643,9 +643,9 @@ def m13_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         import uuid
 
         auth = f"m13{uuid.uuid4().hex[:8]}"
-        spark.sparkContext._jsc.hadoopConfiguration().set(
-            f"fs.viewfs.mounttable.{auth}.link./data", f"file://{data}"
-        )
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        mount_key = f"fs.viewfs.mounttable.{auth}.link./data"
+        hconf.set(mount_key, f"file://{data}")
         scenarios = [
             ("ok_tree", data, out),
             ("missing_input", os.path.join(base, "nope"), out),
@@ -664,6 +664,18 @@ def m13_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "blocks_run boolean",
         )
     finally:
+        # Session-global state must not accumulate across invocations
+        # (m13 sits in the driver window, so it runs every round in a
+        # shared session): drop the mount-table key and evict the
+        # cached ViewFileSystem instance it created.
+        try:
+            hconf.unset(mount_key)
+            jvm = spark._jvm
+            jvm.org.apache.hadoop.fs.FileSystem.get(
+                jvm.java.net.URI(f"viewfs://{auth}/"), hconf
+            ).close()
+        except Exception:
+            pass
         shutil.rmtree(base, ignore_errors=True)
 
 

@@ -79,19 +79,11 @@ def _pydot(a: list, b: list) -> float:
 
 
 def _round_half_up(x: float, places: int) -> float:
-    """Driver-side twin of Spark's ``round(double, n)``: Spark converts
-    via ``BigDecimal.valueOf`` (shortest-decimal ``Double.toString``)
-    then ``setScale(n, HALF_UP)``; Python's ``repr`` is the same
-    shortest-roundtrip decimal, so quantizing it HALF_UP matches
-    bit-for-bit. (Builtin ``round`` is banker's rounding on the binary
-    value — NOT equivalent.)"""
-    import decimal
+    """Float view of :func:`..util.spark_round_decimal` (one shared
+    home for the Spark-round bit-parity trick)."""
+    from .util import spark_round_decimal
 
-    return float(
-        decimal.Decimal(repr(x)).quantize(
-            decimal.Decimal(1).scaleb(-places), rounding=decimal.ROUND_HALF_UP
-        )
-    )
+    return float(spark_round_decimal(x, places))
 
 
 def _cosine_sim():
@@ -1390,8 +1382,14 @@ def x10_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = None
         for vid, e, norm, rel in pool:
             if selected:
+                # zero-denominator guard mirrors _cosine_sim's: a
+                # zero-norm vector scores 0.0 instead of raising
+                # ZeroDivisionError (Spark produced NULL here, which
+                # F.greatest skipped — 0.0 is that row's rel anyway)
                 max_sim = max(
                     _round_half_up(_pydot(e, se) / (norm * sn), 4)
+                    if norm * sn > 0
+                    else 0.0
                     for se, sn in selected
                 )
             else:

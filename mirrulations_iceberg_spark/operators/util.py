@@ -32,3 +32,19 @@ def materialize_release(
     for df in cached:
         df.unpersist(blocking=False)
     return spark.createDataFrame(rows, result.schema)
+
+
+def spark_round_decimal(x: float, places: int):
+    """The exact Decimal Spark's ``round(double, n)`` lands on:
+    ``BigDecimal.valueOf`` (shortest-decimal ``Double.toString``) then
+    ``setScale(n, HALF_UP)``. Python's ``repr`` is the same
+    shortest-roundtrip decimal, so quantizing it HALF_UP matches
+    bit-for-bit. (Builtin ``round`` is banker's rounding on the binary
+    value — NOT equivalent.) Shared by the x10 driver-side greedy and
+    the workload oracle literals so the parity trick has one home.
+    """
+    import decimal
+
+    return decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal(1).scaleb(-places), rounding=decimal.ROUND_HALF_UP
+    )

@@ -167,8 +167,12 @@ def render(ledger: dict, inputs: list[str] | None = None) -> str:
 
 
 def main() -> int:
-    ledger = build_ledger()
-    text = render(ledger)
+    # Snapshot the input set ONCE and thread it through both build and
+    # render — re-globbing inside render() could stamp a CORRECTNESS
+    # file that landed between the two calls without its rows.
+    inputs = sorted(load_rounds())
+    ledger = build_ledger(set(inputs))
+    text = render(ledger, inputs)
     out = os.path.join(REPO, "LEDGER.md")
     if "--write" in sys.argv[1:]:
         with open(out, "w") as fh:

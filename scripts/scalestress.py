@@ -146,6 +146,14 @@ def main() -> int:
         if q not in queries:
             print(f"unknown query: {q}", file=sys.stderr)
             return 2
+    if args.novel and "documents" not in args.tables.split(","):
+        print(
+            "--novel only mutates the documents table; add it to "
+            "--tables or the 'adversarial' run silently measures the "
+            "duplicate regime",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark(app_name="scalestress")
     dst = tempfile.mkdtemp(prefix=f"miis_stress_{args.factor}x_")
     try:

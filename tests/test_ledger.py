@@ -33,6 +33,18 @@ def test_ledger_md_matches_generated():
     with open(os.path.join(REPO, "LEDGER.md")) as fh:
         committed = fh.read()
     stamped = ledger.parse_inputs(committed) or None
+    # Tolerance is ONLY for rounds newer than the newest stamped one
+    # (the driver's round-close drop); a stamp missing an OLDER round
+    # means the ledger is genuinely stale and must fail.
+    if stamped:
+        available = set(ledger.load_rounds())
+        stale = sorted(
+            r for r in available - stamped if r <= max(stamped)
+        )
+        assert not stale, (
+            f"LEDGER.md's stamp omits non-newest rounds {stale} — "
+            "regenerate with `python scripts/ledger.py --write`"
+        )
     inputs = sorted(ledger.load_rounds(stamped))
     generated = ledger.render(ledger.build_ledger(stamped), inputs)
     assert committed == generated, (
