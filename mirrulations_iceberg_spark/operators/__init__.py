@@ -78,13 +78,17 @@ DRIVER_WINDOW = (
     # --- t13: the r8 decimal-sum mean (1198e7e) has never been in a
     #     window; VERDICT r8 item #5's done-criterion
     "t13_unigram_logprob",
+    # --- NEW mid-round-9 operator (never checked): substring-level
+    #     dedup; takes a12_rollup's slot (greens r02-r06 — the deepest
+    #     history left in-window; the Expand family keeps a12b/a14/a16
+    #     banked r08-green)
+    "d15_exact_substring_spans",
     # --- the 44 stalest greens (last green r06), oldest-first fill.
     #     Left out of the 46-query r06 cohort, with reasons:
     #     f1_like_substring (f1b's oracle IS f1's plain-scan SQL, so
     #     f1's result is hash-verified through f1b's slot) and
     #     q1_count_total (trivial COUNT(*), counting shapes covered by
     #     a1/a2/q2 in-window).
-    "a12_rollup",
     "a1_count_star",
     "a2_groupby_count",
     "a3_multikey_groupby",

@@ -945,6 +945,97 @@ def d12_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d15: tokens per window for substring-level dedup. Lee et al. 2022
+#: ("Deduplicating Training Data Makes Language Models Better") use
+#: 50-token spans on web corpora; 25 keeps the majority of the
+#: shorter fixture documents span-eligible (measured: 425/500 docs
+#: carry >=1 window at sf0.01, 41 flagged) while preserving the
+#: long-shared-span semantics. The contract is the same either way.
+D15_K = 25
+
+
+def d15_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup — the ExactSubstr pass of Lee et
+    al. 2022, the dedup mode this suite lacked: d1 removes whole-doc
+    copies, d3/d13 near/semantic duplicates, but a doc that EMBEDS a
+    long span of another (quoted boilerplate, syndicated paragraphs,
+    licence blocks) passes all three. This operator scores exactly
+    that: for every document, how many of its distinct ``D15_K``-token
+    windows also occur in some OTHER document, rolled up per language
+    (docs spanned, docs carrying any cross-doc span, window totals,
+    duplicated-window basis points).
+
+    Scale shape — the d1/d10 fingerprint discipline end to end: each
+    window is reduced to its md5 before anything shuffles, so both
+    corpus-wide exchanges (the window-count groupBy and the
+    duplicated-set join back) carry 32-byte keys, never window text;
+    window construction is the named-column ladder (t11's
+    CollapseProject trap) and windows are deduped per-doc with
+    ``array_distinct`` before exploding. No self-join, no all-pairs
+    path at any scale — cost is linear in corpus tokens. (The paper's
+    suffix-array formulation finds maximal spans; the fixed-K window
+    formulation is the shuffle-friendly equivalent measure — any
+    duplicated span >= K surfaces as >= 1 duplicated window.)
+
+    Oracle: the identical window ladder + counts in DuckDB, md5 on
+    both sides, integer-bp arithmetic (``//`` == ``DIV``).
+    """
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents")).withColumn(
+        "__t", tokens_col(F.col("text"))
+    )
+    t = F.col("__t")
+    ladder = F.transform(
+        F.sequence(F.lit(0), F.size(t) - D15_K),
+        lambda i: F.concat_ws(" ", *[t[i + j] for j in range(D15_K)]),
+    )
+    wins = F.when(F.size(t) >= D15_K, ladder).otherwise(
+        F.array().cast("array<string>")
+    )
+    dw = (
+        docs.withColumn("__w", F.array_distinct(wins))
+        .select("doc_id", "lang", F.explode("__w").alias("w"))
+        .select("doc_id", "lang", F.md5("w").alias("h"))
+    )
+    dup = (
+        dw.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+        .withColumn("__m", F.lit(1))
+    )
+    per_doc = (
+        dw.join(dup, "h", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.sum(F.coalesce(F.col("__m"), F.lit(0)).cast("long")).alias(
+                "ndup"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_spanned"),
+            F.sum((F.col("ndup") > 0).cast("long")).alias("n_docs_with_dup"),
+            F.sum("nw").alias("total_windows"),
+            F.sum("ndup").alias("dup_windows"),
+        )
+        .select(
+            "lang",
+            "n_docs_spanned",
+            "n_docs_with_dup",
+            "total_windows",
+            "dup_windows",
+            F.expr(
+                "CAST(CASE WHEN total_windows = 0 THEN 0 ELSE"
+                " (10000 * dup_windows) DIV total_windows END AS BIGINT)"
+            ).alias("dup_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_pairs_diag": d2_ngram_jaccard_pairs,
@@ -960,6 +1051,7 @@ QUERIES = {
     "d10_incremental_dedup": d10_incremental_dedup,
     "d12_segment_boilerplate": d12_segment_boilerplate,
     "d14_contamination_grade": d14_contamination_grade,
+    "d15_exact_substring_spans": d15_exact_substring_spans,
 }
 
 # DuckDB twin of d4's SimHash: identical md5-derived 60-bit token
@@ -1013,6 +1105,36 @@ _EXACT_PAIRS_SQL = f"""
     """
 
 ORACLE = {
+    "d15_exact_substring_spans": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), w AS (
+            SELECT doc_id, lang,
+                   md5(unnest(list_distinct(list_transform(
+                       range(1, GREATEST(len(t) - {D15_K - 1}, 0) + 1),
+                       i -> t[i+0] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8] || ' ' || t[i+9] || ' ' || t[i+10] || ' ' || t[i+11] || ' ' || t[i+12] || ' ' || t[i+13] || ' ' || t[i+14] || ' ' || t[i+15] || ' ' || t[i+16] || ' ' || t[i+17] || ' ' || t[i+18] || ' ' || t[i+19] || ' ' || t[i+20] || ' ' || t[i+21] || ' ' || t[i+22] || ' ' || t[i+23] || ' ' || t[i+24])))) AS h
+            FROM toks
+        ), c AS (
+            SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h
+        ), pd AS (
+            SELECT doc_id, lang, COUNT(*) AS nw,
+                   SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS ndup
+            FROM w JOIN c USING (h) GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_spanned,
+               CAST(SUM(CASE WHEN ndup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_with_dup,
+               CAST(SUM(nw) AS BIGINT) AS total_windows,
+               CAST(SUM(ndup) AS BIGINT) AS dup_windows,
+               CAST(CASE WHEN SUM(nw) = 0 THEN 0
+                         ELSE (10000 * SUM(ndup)) // SUM(nw) END AS BIGINT)
+                   AS dup_bp
+        FROM pd GROUP BY lang ORDER BY lang
+    """,
+
     "d1_exact_dedup": f"""
         SELECT md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' '))
                    AS fingerprint,

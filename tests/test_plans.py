@@ -337,3 +337,16 @@ def test_f1b_answers_without_reading_text(spark, tmp_path):
     assert "Contains(token_orig" in plan  # pushed-filter list is truncated
     # verified doc_ids ride as a broadcast semi join
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_d15_shuffles_carry_no_window_text(spark):
+    """d15's 100 TB claim: every window reduces to its md5 scan-side,
+    so no Exchange row set carries window text (or the source text
+    column) — the d1/d10 fingerprint discipline, and no self-join."""
+    plan = _plan(spark, "d15_exact_substring_spans")
+    exchange_lines = [
+        l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l
+    ]
+    assert exchange_lines, "expected exchanges in d15"
+    for line in exchange_lines:
+        assert "text" not in line and " w#" not in line, line

@@ -277,3 +277,36 @@ def test_d14_engineered_contamination_grades(spark, tmp_path):
     assert r["total_grams"] == 6 + 4 + 4
     assert r["matched_grams"] == 1 + 4 + 0
     assert r["max_doc_bp"] == 10000
+
+
+def test_d15_engineered_span_embedding(spark, tmp_path):
+    """Known-answer d15 (r9): doc 2 embeds a >=K-token span of doc 1,
+    doc 3 shares nothing, doc 4 repeats a span INSIDE itself only
+    (within-doc repetition must NOT count — windows are per-doc
+    distinct and the bar is cross-doc nd >= 2)."""
+    from mirrulations_iceberg_spark.operators.dedup import (
+        D15_K,
+        d15_exact_substring_spans,
+    )
+
+    span = " ".join(f"w{i}" for i in range(D15_K))          # exactly K tokens
+    span2 = " ".join(f"z{i}" for i in range(D15_K))
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    rows = [
+        (1, f"{uniq('a', 5)} {span} {uniq('b', 5)}", "en"),  # source of span
+        (2, f"{uniq('c', 5)} {span}", "en"),                 # embeds the span
+        (3, uniq("d", D15_K + 10), "en"),                    # no overlap
+        (4, f"{span2} {span2}", "en"),                       # self-repeat only
+    ]
+    spark.createDataFrame(
+        [(i, t, l, "synth", len(t)) for i, t, l in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["lang"]: r for r in d15_exact_substring_spans(spark, str(tmp_path)).collect()}
+    en = out["en"]
+    assert en["n_docs_spanned"] == 4
+    assert en["n_docs_with_dup"] == 2          # docs 1 and 2 only
+    # doc2's dup windows: its text has 5+K tokens -> 6 windows, but only
+    # the window equal to the pure span matches doc1 (doc1 wraps the
+    # span in different neighbors) -> exactly 1 dup window per doc
+    assert en["dup_windows"] == 2
