@@ -83,13 +83,16 @@ DRIVER_WINDOW = (
     #     history left in-window; the Expand family keeps a12b/a14/a16
     #     banked r08-green)
     "d15_exact_substring_spans",
+    # --- NEW mid-round-9 operator: per-node k-NN graph; takes
+    #     a1_count_star's slot (r02-r06 greens; plain COUNT(*) stays
+    #     exercised by a2/q2 in-window and a6/a9 banked r08)
+    "x12_knn_graph",
     # --- the 44 stalest greens (last green r06), oldest-first fill.
     #     Left out of the 46-query r06 cohort, with reasons:
     #     f1_like_substring (f1b's oracle IS f1's plain-scan SQL, so
     #     f1's result is hash-verified through f1b's slot) and
     #     q1_count_total (trivial COUNT(*), counting shapes covered by
     #     a1/a2/q2 in-window).
-    "a1_count_star",
     "a2_groupby_count",
     "a3_multikey_groupby",
     "a4_avg_length",

@@ -1407,6 +1407,106 @@ def x10_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: x12: neighbors kept per node and the in-bucket pair cap (x4's
+#: diagnostics discipline: cap truncation is itself measurable there).
+X12_K = 5
+X12_MAX_BUCKET = 1_000
+
+
+def x12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over LSH candidates — the input structure for
+    graph-based dedup/clustering (SemDeDup-style cluster pruning, NN
+    descent, duplicate-community detection all start from "each
+    vector's K nearest by cosine"). x1/x5 answer per-QUERY top-k for a
+    bounded query set; this builds the per-NODE neighbor lists for the
+    whole corpus, sub-quadratically.
+
+    Shape: SRP-LSH buckets (x2's seeded hyperplanes) → in-bucket pair
+    generation with the x4 cap → DISTINCT pairs (a pair colliding in
+    several tables must score once, or it would occupy two top-k
+    slots) → symmetrize → exact cosine → per-node top-``X12_K`` via
+    one window (WindowGroupLimit). The driver-visible output is the
+    bounded per-label audit: nodes with neighbors, directed edge
+    count, degree span, and mean kept-neighbor cosine in exact integer
+    ten-thousandths (DECIMAL sums — no float accumulation order).
+
+    At 100 TB: no self-join of the corpus and no all-pairs path — the
+    only quadratic work is inside capped buckets (the x4b-audited
+    trade), shuffles carry (t, bucket) ints and id pairs, and the
+    top-k window keys on vec_id (WindowGroupLimit prunes per
+    partition). Oracle: full replay — buckets, cap, pairs, top-k,
+    rollup — over the same hyperplane literal.
+    """
+    emb = _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols()).cache()
+    bands = emb.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+    buckets = (
+        bands.groupBy("t", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= X12_MAX_BUCKET))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(pairs.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+    lhs = emb.select(
+        F.col("vec_id").alias("node"),
+        F.col("label"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    rhs = emb.select(F.col("vec_id").alias("nb"), "e", "norm")
+    scored = (
+        edges.join(lhs, "node")
+        .join(rhs, "nb")
+        .withColumn("cos_sim", _cosine_sim())
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cos_sim"), F.asc("nb"))
+    kept = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= X12_K
+    )
+    per_node = kept.groupBy("node", "label").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.sum(F.round("cos_sim", 4).cast("decimal(8,4)")).alias("s"),
+    )
+    out = (
+        per_node.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("n_edges"),
+            F.min("deg").alias("min_degree"),
+            F.max("deg").alias("max_degree"),
+            F.sum("s").alias("__s"),
+        )
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            "min_degree",
+            "max_degree",
+            F.expr(
+                "CAST(CAST(__s * 10000 AS BIGINT) DIV n_edges AS BIGINT)"
+            ).alias("mean_sim_e4"),
+        )
+        .orderBy("label")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
+
+
 QUERIES = {
     "x1_cosine_topk": x1_cosine_topk,
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
@@ -1421,7 +1521,83 @@ QUERIES = {
     "x9_pq_adc_topk": x9_pq_adc_topk,
     "x10_mmr_select": x10_mmr_select,
     "x11_ivf_tuning_curve": x11_ivf_tuning_curve,
+    "x12_knn_graph": x12_knn_graph,
 }
+
+
+
+def _x12_sql() -> str:
+    """x12 oracle: full replay — seeded-plane buckets, the x4 cap,
+    distinct symmetric pairs, exact cosine, per-node top-K, per-label
+    rollup with DECIMAL-exact mean in ten-thousandths."""
+    cos = (
+        f"CASE WHEN cn.norm * nn.norm > 0 THEN "
+        f"ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> cn.e[i] * nn.e[i])) / (cn.norm * nn.norm), 4) ELSE 0.0 END"
+    )
+    return f"""
+        WITH planes AS (
+            SELECT {_planes_sql()} AS m
+        ), e0 AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, label, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM e0
+        ), b AS (
+            SELECT vec_id,
+                   list_transform(range(0, {LSH_TABLES}), t ->
+                       list_sum(list_transform(range(0, {LSH_BITS}), bb ->
+                           CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                    i -> e[CAST(i AS INT)]
+                                         * m[CAST(t * {LSH_BITS * EMB_DIM}
+                                                  + bb * {EMB_DIM} + i AS INT)])) > 0
+                                THEN (1 << CAST(bb AS INT)) ELSE 0 END))) AS buckets
+            FROM n CROSS JOIN planes
+        ), bl AS (
+            SELECT vec_id, ti AS t, buckets[CAST(ti + 1 AS INT)] AS bucket
+            FROM b, range(0, {LSH_TABLES}) r(ti)
+        ), ok AS (
+            SELECT t, bucket FROM bl GROUP BY t, bucket
+            HAVING COUNT(*) > 1 AND COUNT(*) <= {X12_MAX_BUCKET}
+        ), pairs AS (
+            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+            FROM bl x
+            JOIN bl y ON x.t = y.t AND x.bucket = y.bucket
+                      AND x.vec_id < y.vec_id
+            JOIN ok ON ok.t = x.t AND ok.bucket = x.bucket
+        ), edges AS (
+            SELECT a AS node, b AS nb FROM pairs
+            UNION ALL
+            SELECT b AS node, a AS nb FROM pairs
+        ), scored AS (
+            SELECT ed.node, ed.nb, cn.label, {cos} AS cos_sim
+            FROM edges ed
+            JOIN n cn ON cn.vec_id = ed.node
+            JOIN n nn ON nn.vec_id = ed.nb
+        ), kept AS (
+            SELECT * FROM (
+                SELECT node, label, cos_sim,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY cos_sim DESC, nb ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= {X12_K}
+        ), per_node AS (
+            SELECT node, label, COUNT(*) AS deg,
+                   SUM(CAST(cos_sim AS DECIMAL(8,4))) AS s
+            FROM kept GROUP BY 1, 2
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg) AS BIGINT) AS n_edges,
+               CAST(MIN(deg) AS BIGINT) AS min_degree,
+               CAST(MAX(deg) AS BIGINT) AS max_degree,
+               CAST(CAST(SUM(s) * 10000 AS BIGINT) // SUM(deg) AS BIGINT)
+                   AS mean_sim_e4
+        FROM per_node GROUP BY label ORDER BY label
+    """
 
 
 def _mmr_oracle() -> str:
@@ -1852,6 +2028,7 @@ GROUP BY p.query_id
 ORACLE = {
     "x10_mmr_select": _mmr_oracle(),
     "x11_ivf_tuning_curve": _x11_sql(),
+    "x12_knn_graph": _x12_sql(),
     "x9_pq_adc_topk": _X9_SQL,
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,

@@ -59,6 +59,7 @@ SKIP_SWEEP = {
     "x11_ivf_tuning_curve",  # runs the shared Lloyd fit at construction
     "f1b_indexed_substring",  # writes the token index at construction
     "m13_preflight_report",  # runs Hadoop-FS probes at construction
+    "x12_knn_graph",  # caches + materializes the graph at construction
 }
 
 

@@ -310,3 +310,21 @@ def test_d15_engineered_span_embedding(spark, tmp_path):
     # the window equal to the pure span matches doc1 (doc1 wraps the
     # span in different neighbors) -> exactly 1 dup window per doc
     assert en["dup_windows"] == 2
+
+
+def test_x12_graph_invariants(spark):
+    """x12 (r9): per-label audit must be internally consistent —
+    degrees bounded by K, edges == sum of degrees, mean similarity a
+    plausible ten-thousandths cosine."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        X12_K,
+        x12_knn_graph,
+    )
+
+    rows = x12_knn_graph(spark, SF_DIR).collect()
+    assert rows, "expected at least one label row"
+    for r in rows:
+        assert 1 <= r["min_degree"] <= r["max_degree"] <= X12_K
+        assert r["n_edges"] >= r["n_nodes"] * r["min_degree"]
+        assert r["n_edges"] <= r["n_nodes"] * r["max_degree"]
+        assert -10000 <= r["mean_sim_e4"] <= 10000
