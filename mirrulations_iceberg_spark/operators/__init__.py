@@ -87,13 +87,16 @@ DRIVER_WINDOW = (
     #     a1_count_star's slot (r02-r06 greens; plain COUNT(*) stays
     #     exercised by a2/q2 in-window and a6/a9 banked r08)
     "x12_knn_graph",
+    # --- NEW mid-round-9 operator: incremental index refresh; takes
+    #     a2_groupby_count's slot (r02-r06 greens; single-key counting
+    #     stays exercised by q2 in-window and a6/a9 banked r08)
+    "f1c_index_refresh",
     # --- the 44 stalest greens (last green r06), oldest-first fill.
     #     Left out of the 46-query r06 cohort, with reasons:
     #     f1_like_substring (f1b's oracle IS f1's plain-scan SQL, so
     #     f1's result is hash-verified through f1b's slot) and
     #     q1_count_total (trivial COUNT(*), counting shapes covered by
     #     a1/a2/q2 in-window).
-    "a2_groupby_count",
     "a3_multikey_groupby",
     "a4_avg_length",
     "a5_numeric_stats",

@@ -111,6 +111,53 @@ def f1b_indexed_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: f1c: which documents arrive "later" (the delta batch); the base
+#: corpus is indexed at ingest, the delta's postings are APPENDED.
+F1C_DELTA_MOD = 5
+
+
+def f1c_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of f1b's inverted index — the d10
+    delta-vs-base shape applied to index postings, completing SURVEY
+    §4's production story ("a precomputed inverted-token table
+    MAINTAINED as a separate table"): rebuilding a corpus-sized index
+    per delta batch is the one cost that would kill the design at
+    100 TB, so the refresh writes ONLY the delta's postings (an
+    append — with bucketBy(token) layout both base and delta cluster
+    the same way, so lookups stay co-located).
+
+    Base = documents with ``doc_id % F1C_DELTA_MOD != 0`` indexed "at
+    ingest"; delta = the rest arriving later; postings appended; the
+    same candidate+verify lookup then runs over the unioned index.
+    The oracle is f1's full-corpus plain-scan SQL — so the driver
+    hash proves refreshed-index ≡ full-rebuild ≡ scan, the exact
+    invariant an incremental index must keep.
+    """
+    import shutil
+    import tempfile
+
+    from .text import build_token_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="miis_f1c_idx_")
+    try:
+        base = docs.filter(F.col("doc_id") % F1C_DELTA_MOD != 0)
+        delta = docs.filter(F.col("doc_id") % F1C_DELTA_MOD == 0)
+        build_token_index(base, with_original=True).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        build_token_index(delta, with_original=True).write.mode(
+            "append"
+        ).parquet(tmp)
+        out = indexed_substring_search(docs, spark.read.parquet(tmp))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, lang string, n_chars bigint"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def indexed_substring_search(
     docs: DataFrame, index: DataFrame, needle: str = F1B_NEEDLE
 ) -> DataFrame:
@@ -908,6 +955,7 @@ QUERIES = {
     "c9_ts_minmax": c9_ts_minmax,
     "f1_like_substring": f1_like_substring,
     "f1b_indexed_substring": f1b_indexed_substring,
+    "f1c_index_refresh": f1c_index_refresh,
     "f2_is_not_null": f2_is_not_null,
     "f3_boolean_filter": f3_boolean_filter,
     "f4_conjunctive_filter": f4_conjunctive_filter,
@@ -1076,6 +1124,14 @@ ORACLE = {
     # deliberately f1's plain-scan SQL: hash equality against the
     # index-path Spark result proves index path == scan path
     "f1b_indexed_substring": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE text LIKE '%hash%' ORDER BY doc_id LIMIT 10
+    """,
+    # f1c: same full-corpus scan SQL — the refreshed (base ∪ appended
+    # delta) index must answer identically to a full rebuild and to
+    # the scan; any posting lost or duplicated by the refresh breaks
+    # the hash
+    "f1c_index_refresh": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE text LIKE '%hash%' ORDER BY doc_id LIMIT 10
     """,

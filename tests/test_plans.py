@@ -60,6 +60,7 @@ SKIP_SWEEP = {
     "f1b_indexed_substring",  # writes the token index at construction
     "m13_preflight_report",  # runs Hadoop-FS probes at construction
     "x12_knn_graph",  # caches + materializes the graph at construction
+    "f1c_index_refresh",  # writes base+delta index at construction
 }
 
 
