@@ -91,25 +91,46 @@ DRIVER_WINDOW = (
     #     a2_groupby_count's slot (r02-r06 greens; single-key counting
     #     stays exercised by q2 in-window and a6/a9 banked r08)
     "f1c_index_refresh",
-    # --- the 44 stalest greens (last green r06), oldest-first fill.
-    #     Left out of the 46-query r06 cohort, with reasons:
+    # --- NEW mid-round-9 operator: quality-staged curriculum; takes
+    #     a3_multikey_groupby's slot (r02-r06 greens; multikey
+    #     grouping stays exercised by q10 in-window and a16 banked)
+    "e10_curriculum_schedule",
+    # --- NEW mid-round-9 operator: keep-best-per-cluster dedup; takes
+    #     d8_dedup_components's slot (d16's oracle IS d8's recursive
+    #     closure extended with the quality argmax, and d16 calls the
+    #     d3 LSH path internally — component semantics stay
+    #     hash-verified through this slot)
+    "d16_cluster_best_select",
+    # --- NEW mid-round-9 operator: source-overlap matrix; takes
+    #     d3_minhash_lsh_pairs's slot (d3's signature/banding code path
+    #     runs inside d16 in-window, and d7 — the linear LSH apply over
+    #     the same banding — stays in-window)
+    "t16_source_overlap",
+    # --- NEW mid-round-9 operator: epoch-cap mixture allocation; takes
+    #     e5_mixture_sample's slot (mixture math covered by e11
+    #     in-window + e8 banked r08; deterministic hash sampling covered
+    #     by o10 in-window + o6/o9 banked r08)
+    "e11_epoch_cap_allocation",
+    # --- NEW mid-round-9 operator: exact-quota stratified sample;
+    #     takes a4_avg_length's slot (r02-r06 greens; avg-length shape
+    #     stays exercised by q4_avg_comment_length in-window)
+    "o10_stratified_quota_sample",
+    # --- the stalest greens (last green r06), oldest-first fill
+    #     (44 at round open; mid-round operators displaced 8, each
+    #     argued above). Left out of the 46-query r06 cohort, with
+    #     reasons:
     #     f1_like_substring (f1b's oracle IS f1's plain-scan SQL, so
     #     f1's result is hash-verified through f1b's slot) and
     #     q1_count_total (trivial COUNT(*), counting shapes covered by
     #     a1/a2/q2 in-window).
-    "a3_multikey_groupby",
-    "a4_avg_length",
     "a5_numeric_stats",
     "a8_null_profile",
     "c_json_extract",
     "c_scalar_suite",
     "d10_incremental_dedup",
     "d1_exact_dedup",
-    "d3_minhash_lsh_pairs",
     "d7_dedup_apply_lsh",
-    "d8_dedup_components",
     "e4_pack_sequences",
-    "e5_mixture_sample",
     "e6_budget_select",
     "e7_epoch_shuffle",
     "f4_conjunctive_filter",

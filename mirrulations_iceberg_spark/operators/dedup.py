@@ -27,7 +27,7 @@ Scale notes (the whole point of these operators):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -1036,7 +1036,139 @@ def d15_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization — d8 keeps the MIN-id
+    member of each transitive cluster; real pipelines keep the BEST
+    one (RefinedWeb/FineWeb keep the highest-quality copy so dedup
+    never trades a clean original for a mangled mirror). Per cluster:
+    the kept representative = argmax(quality, tie → min doc_id) on the
+    integer alpha-ratio proxy (e10's basis-point heuristic — exact on
+    both engines, so the argmax is deterministic cross-engine).
+
+    Scale shape: the pair graph comes from the SUB-QUADRATIC path
+    (d3's banded MinHash-LSH with exact-Jaccard verify — identical
+    output to the exact d2 pair set, which is why the d2-replay oracle
+    below is valid); components via diameter-bounded min-label
+    propagation (one join + one groupBy per round); quality is a
+    scan-side projection joined once on doc_id; the argmax is one
+    WindowGroupLimit-able row_number over label. Output is one row per
+    multi-member cluster — bounded by duplicate clusters, not corpus.
+
+    Oracle: d8's recursive-CTE closure extended with the quality
+    argmax (so component semantics stay hash-verified through this
+    slot as well).
+    """
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(
+            F.expr(
+                "(10000 * length(regexp_replace(lower(text), '[^a-z0-9]', '')))"
+                " DIV greatest(length(text), 1)"
+            ),
+            F.lit(0),
+        ).alias("quality_bp"),
+    )
+    members = cc.join(quality, cc.node == quality.doc_id).select(
+        "label", "doc_id", "quality_bp"
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("quality_bp"), F.asc("doc_id")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rk") == 1, F.col("quality_bp"))).alias(
+                "kept_quality_bp"
+            ),
+            F.sum((F.col("rk") > 1).cast("long")).alias("n_dropped"),
+        )
+        .select(
+            F.col("label").alias("component"),
+            "n_members",
+            "kept_doc",
+            "kept_quality_bp",
+            "n_dropped",
+        )
+        .orderBy("component")
+    )
+
+
+def t16_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level overlap matrix — before mixing N crawl/corpus
+    sources into one training set, measure how much they duplicate
+    EACH OTHER (CommonCrawl snapshots overlap 30-60%; two "different"
+    curated sets often share a wholesale mirror). Per source pair:
+    Jaccard similarity of their distinct 3-word-shingle fingerprint
+    sets — the source-granularity twin of d2's per-document measure.
+
+    Scale shape: shingles reduce to 32-char md5 fingerprints BEFORE
+    anything shuffles (the d1/d15 discipline); one shuffle builds the
+    distinct (source, fp) posting set, one self-join on fp counts
+    intersections. Per-fingerprint fanout is bounded by |sources| (a
+    shingle contributes at most |sources|·(|sources|-1)/2 pair hits),
+    and the output is |sources|² rows at ANY corpus size — the join
+    key is hot only if |sources| is huge, which it never is. Pairs
+    with zero shared shingles are omitted (inner-join semantics, both
+    engines).
+
+    Oracle: identical shingle → md5 → distinct → self-join pipeline in
+    DuckDB; integer counts, one final double division ROUND-ed.
+    """
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    per_src = (
+        docs.withColumn("__toks", tokens_col(F.col("text")))
+        .select(
+            "source",
+            F.explode(shingles_from_tokens(F.col("__toks"))).alias("sh"),
+        )
+        .select("source", F.md5("sh").alias("fp"))
+        .distinct()
+    )
+    counts = per_src.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        per_src.alias("a")
+        .join(per_src.alias("b"), "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(ca), "src_a")
+        .join(F.broadcast(cb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 QUERIES = {
+    "d16_cluster_best_select": d16_cluster_best_select,
+    "t16_source_overlap": t16_source_overlap,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_pairs_diag": d2_ngram_jaccard_pairs,
     "d2b_cap_report": d2b_cap_report,
@@ -1410,6 +1542,91 @@ ORACLE = {
         )
         SELECT label AS component, COUNT(*) AS n_members
         FROM lab GROUP BY label ORDER BY component
+    """,
+    # d16: d8's closure + the quality argmax. LSH candidates verified
+    # with exact Jaccard == the exact pair set (see d3's docstring), so
+    # the d2-replay closure is the valid oracle for the LSH apply path.
+    "d16_cluster_best_select": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), postings AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+            FROM postings a JOIN postings b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ), fp AS (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM fp
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM fp
+        ), reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), lab AS (
+            SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a
+        ), q AS (
+            SELECT doc_id,
+                   COALESCE((10000 * length(regexp_replace(lower(text),
+                                                           '[^a-z0-9]', '', 'g')))
+                                // GREATEST(length(text), 1), 0) AS quality_bp
+            FROM documents
+        ), m AS (
+            SELECT lab.label, lab.node AS doc_id, q.quality_bp,
+                   ROW_NUMBER() OVER (PARTITION BY lab.label
+                                      ORDER BY q.quality_bp DESC, lab.node ASC)
+                       AS rk
+            FROM lab JOIN q ON q.doc_id = lab.node
+        )
+        SELECT label AS component,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+               CAST(MAX(CASE WHEN rk = 1 THEN quality_bp END) AS BIGINT)
+                   AS kept_quality_bp,
+               CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM m GROUP BY label ORDER BY component
+    """,
+    "t16_source_overlap": f"""
+        WITH toks AS (
+            SELECT source, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT source,
+                   unnest(list_distinct(list_transform(range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+            FROM toks
+        ), ps AS (
+            SELECT DISTINCT source, md5(shingle) AS fp FROM sh
+        ), cnt AS (
+            SELECT source, COUNT(*) AS n_sh FROM ps GROUP BY 1
+        ), pr AS (
+            SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS common
+            FROM ps a JOIN ps b USING (fp)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b,
+               CAST(ca.n_sh AS BIGINT) AS n_a,
+               CAST(cb.n_sh AS BIGINT) AS n_b,
+               CAST(common AS BIGINT) AS common,
+               ROUND(common / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE), 4)
+                   AS jaccard
+        FROM pr
+        JOIN cnt ca ON ca.source = pr.src_a
+        JOIN cnt cb ON cb.source = pr.src_b
+        ORDER BY src_a, src_b
     """,
     # d3/d4: engine-native hash functions — no ANSI-SQL oracle (driver
     # records rows-only checks; d2 is the oracle-checked exact twin).

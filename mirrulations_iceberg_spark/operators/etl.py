@@ -864,7 +864,170 @@ def _e9_oracle() -> str:
 from ..etl.workload import DRIVER_ORACLE as _WORKLOAD_ORACLE  # noqa: E402
 from ..etl.workload import DRIVER_QUERIES as _WORKLOAD_QUERIES  # noqa: E402
 
+#: e10 curriculum-stage thresholds on the integer alpha-ratio quality
+#: proxy (basis points): cleanest band trains first. Cut points chosen
+#: at the fixture's distribution terciles (217/124/159 at sf0.01) so
+#: every stage is non-degenerate; a deployment sets its own bands.
+E10_STAGE0_BP = 8230
+E10_STAGE1_BP = 8190
+E10_SEED = 4242
+
+
+def e10_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-staged curriculum ordering — the training schedule that
+    anneals data quality across a run (clean text first, noisier bands
+    later; the inverse schedule is one CASE away): every document gets
+    (1) a curriculum STAGE from an exact integer quality proxy
+    (alpha-chars per text-char in basis points — the t2 heuristic made
+    integer so both engines band identically) and (2) a deterministic
+    within-stage ORDER key (the e7 seed-keyed md5 — reproducible on
+    any cluster size, re-seedable per run).
+
+    Scale shape: stage and key are pure scan-side projections; the
+    schedule materializes exactly like e7 (repartitionByRange over
+    (stage, skey) + local sorts — no single-partition sort), and the
+    driver row is the bounded permutation-pinning summary: per (stage,
+    first-hex-digit bucket) counts, id checksums, and key boundaries —
+    ≤ 3·16 rows at any corpus size, any divergence in membership,
+    stage, or order moves a checksum or boundary.
+    """
+    from ..tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bp = F.expr(
+        f"(10000 * length(regexp_replace(lower(text), '[^a-z0-9]', '')))"
+        f" DIV greatest(length(text), 1)"
+    )
+    staged = docs.select(
+        "doc_id",
+        bp.alias("quality_bp"),
+        F.md5(
+            F.concat(F.lit(f"{E10_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    ).withColumn(
+        "stage",
+        F.when(F.col("quality_bp") >= E10_STAGE0_BP, 0)
+        .when(F.col("quality_bp") >= E10_STAGE1_BP, 1)
+        .otherwise(2),
+    )
+    return (
+        staged.groupBy("stage", F.substring("skey", 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("quality_bp").alias("quality_checksum"),
+            F.min("skey").alias("first_key"),
+            F.max("skey").alias("last_key"),
+        )
+        .orderBy("stage", "bucket")
+    )
+
+
+#: e11: repeat ceiling (epochs) per source and the token budget in
+#: units of the corpus's total supply — "train for BUDGET_EPOCHS
+#: average epochs, never repeating any single source more than
+#: MAX_EPOCHS times" (the data-constrained-scaling recipe: past ~4
+#: repeats, extra epochs of the same source stop helping).
+E11_MAX_EPOCHS = 2
+E11_BUDGET_EPOCHS = 2
+
+
+def e11_epoch_cap_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture allocation — when the token budget
+    exceeds what the best sources can supply once, a pipeline must
+    decide how many EPOCHS of each source to take. Demand is
+    quality-weighted (each source's integer alpha-ratio mass), supply
+    is capped at ``E11_MAX_EPOCHS`` repeats, and the budget freed by
+    capped sources is redistributed to uncapped ones in one
+    deterministic round (a deployment iterates to fixpoint — ≤
+    |sources| rounds on a |sources|-row frame, trivially driver-side;
+    one round keeps the oracle a plain window expression).
+
+    All-integer arithmetic end to end (``DIV`` == ``//`` — the e8
+    discipline): want_s = B·q_s DIV Σq, cap_s = R·supply_s, leftover
+    redistributed ∝ q over the uncapped set, epochs reported in basis
+    points. No float appears anywhere, so both engines agree bit-wise.
+
+    Scale shape: ONE map-side-partial corpus aggregation (per-source
+    token count + quality mass); every allocation step after that is
+    window math over the |sources|-row rollup — bytes at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    from ..tables import load_table
+    from .dedup import parallelize_scan
+    from .text import tokens_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    qbp = F.coalesce(
+        F.expr(
+            "(10000 * length(regexp_replace(lower(text), '[^a-z0-9]', '')))"
+            " DIV greatest(length(text), 1)"
+        ),
+        F.lit(0),
+    )
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.sum(qbp).alias("q"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    a0 = (
+        per.withColumn("total_tokens", F.sum("n_tokens").over(w))
+        .withColumn("total_q", F.sum("q").over(w))
+        .withColumn(
+            "budget", F.expr(f"{E11_BUDGET_EPOCHS} * total_tokens")
+        )
+        .withColumn(
+            "want_tokens",
+            F.expr("(budget * q) DIV greatest(total_q, 1)"),
+        )
+        .withColumn("cap_tokens", F.expr(f"{E11_MAX_EPOCHS} * n_tokens"))
+        .withColumn("alloc0", F.expr("least(want_tokens, cap_tokens)"))
+    )
+    a1 = a0.withColumn(
+        "leftover", F.expr("budget") - F.sum("alloc0").over(w)
+    ).withColumn(
+        "q_open",
+        F.sum(
+            F.when(F.col("alloc0") < F.col("cap_tokens"), F.col("q")).otherwise(
+                F.lit(0)
+            )
+        ).over(w),
+    )
+    return (
+        a1.withColumn(
+            "alloc_tokens",
+            F.expr(
+                "least(alloc0 + CASE WHEN alloc0 < cap_tokens THEN"
+                " (leftover * q) DIV greatest(q_open, 1) ELSE 0 END,"
+                " cap_tokens)"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "want_tokens",
+            "cap_tokens",
+            "alloc_tokens",
+            F.expr(
+                "(10000 * alloc_tokens) DIV greatest(n_tokens, 1)"
+            ).alias("epochs_bp"),
+            F.expr(
+                "CAST(CASE WHEN alloc_tokens >= cap_tokens THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "e10_curriculum_schedule": e10_curriculum_schedule,
+    "e11_epoch_cap_allocation": e11_epoch_cap_allocation,
     "e1_docket_pipeline": e1_docket_pipeline,
     "e2_training_pipeline": e2_training_pipeline,
     "e3_shard_assign": e3_shard_assign,
@@ -880,6 +1043,78 @@ QUERIES = {
     **_WORKLOAD_QUERIES,
 }
 ORACLE = {
+    "e10_curriculum_schedule": f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   (10000 * length(regexp_replace(lower(text),
+                                                  '[^a-z0-9]', '', 'g')))
+                       // GREATEST(length(text), 1) AS quality_bp,
+                   md5({E10_SEED} || ':' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM documents
+        ), st AS (
+            SELECT *, CASE WHEN quality_bp >= {E10_STAGE0_BP} THEN 0
+                           WHEN quality_bp >= {E10_STAGE1_BP} THEN 1
+                           ELSE 2 END AS stage
+            FROM staged
+        )
+        SELECT stage, substring(skey, 1, 1) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(quality_bp) AS BIGINT) AS quality_checksum,
+               MIN(skey) AS first_key,
+               MAX(skey) AS last_key
+        FROM st GROUP BY 1, 2 ORDER BY stage, bucket
+    """,
+
+    "e11_epoch_cap_allocation": f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                        AS BIGINT) AS n_tokens,
+                   CAST(SUM(COALESCE(
+                        (10000 * length(regexp_replace(lower(text),
+                                                       '[^a-z0-9]', '', 'g')))
+                            // GREATEST(length(text), 1), 0)) AS BIGINT) AS q
+            FROM documents GROUP BY 1
+        ), tot AS (
+            SELECT *, SUM(n_tokens) OVER () AS total_tokens,
+                      SUM(q) OVER () AS total_q
+            FROM per
+        ), a0 AS (
+            SELECT *,
+                   {E11_BUDGET_EPOCHS} * total_tokens AS budget,
+                   ({E11_BUDGET_EPOCHS} * total_tokens * q)
+                       // GREATEST(total_q, 1) AS want_tokens,
+                   {E11_MAX_EPOCHS} * n_tokens AS cap_tokens
+            FROM tot
+        ), a1 AS (
+            SELECT *, LEAST(want_tokens, cap_tokens) AS alloc0 FROM a0
+        ), a2 AS (
+            SELECT *,
+                   budget - SUM(alloc0) OVER () AS leftover,
+                   SUM(CASE WHEN alloc0 < cap_tokens THEN q ELSE 0 END)
+                       OVER () AS q_open
+            FROM a1
+        ), a3 AS (
+            SELECT *,
+                   LEAST(alloc0 + CASE WHEN alloc0 < cap_tokens THEN
+                             (leftover * q) // GREATEST(q_open, 1)
+                         ELSE 0 END,
+                         cap_tokens) AS alloc_tokens
+            FROM a2
+        )
+        SELECT source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(want_tokens AS BIGINT) AS want_tokens,
+               CAST(cap_tokens AS BIGINT) AS cap_tokens,
+               CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+               CAST((10000 * alloc_tokens) // GREATEST(n_tokens, 1)
+                    AS BIGINT) AS epochs_bp,
+               CAST(CASE WHEN alloc_tokens >= cap_tokens THEN 1 ELSE 0 END
+                    AS BIGINT) AS capped
+        FROM a3 ORDER BY source
+    """,
+
     "e8_temperature_mixture": _e8_oracle(),
     "e1_docket_pipeline": _oracle(),
     "e3_shard_assign": """

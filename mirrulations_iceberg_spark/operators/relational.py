@@ -809,6 +809,42 @@ def o7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+O10_QUOTA = 5  # rows kept per stratum
+O10_SEED = 1313
+
+
+def o10_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: EXACT-quota stratified sample — exactly ``O10_QUOTA`` rows
+    per source, drawn in a seeded-hash random order. ``sampleBy`` gives
+    only expected fractions (a Bernoulli coin per row); an eval-set or
+    annotation batch needs exact counts per stratum. The order key is
+    md5(seed:doc_id) — reproducible on any cluster size and across
+    engines, re-seedable per draw.
+
+    Scale shape: one shuffle on the stratum key, and because the
+    filter is ``row_number() <= k`` Catalyst rewrites the window to a
+    per-partition top-k (WindowGroupLimit): each map task keeps only
+    its local k rows per stratum before the exchange, so a skewed
+    stratum never sorts corpus-sized input. Output is quota × |strata|
+    rows at any corpus size.
+
+    Oracle: identical ROW_NUMBER + md5 key in DuckDB (ties impossible
+    — the key embeds the unique doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.lit(f"{O10_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("skey")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("skey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= O10_QUOTA)
+        .select("source", "rk", "doc_id", "n_chars", "skey")
+        .orderBy("source", "rk")
+    )
+
+
 def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8: deterministic train/holdout assignment — the stable split a
     training pipeline needs (membership must not change when the corpus
@@ -952,6 +988,7 @@ QUERIES = {
     "o7_stratified_sample": o7_stratified_sample,
     "o8_hash_split": o8_hash_split,
     "o9_weighted_sample": o9_weighted_sample,
+    "o10_stratified_quota_sample": o10_stratified_quota_sample,
     "c9_ts_minmax": c9_ts_minmax,
     "f1_like_substring": f1_like_substring,
     "f1b_indexed_substring": f1b_indexed_substring,
@@ -1062,6 +1099,20 @@ ORACLE = {
                CAST(SUM(n_chars) AS BIGINT) AS sample_chars
         FROM ranked WHERE (rn - 1) % 10 = 0
         GROUP BY lang ORDER BY lang
+    """,
+    "o10_stratified_quota_sample": f"""
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   md5('{O10_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM documents
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey)
+                       AS rk
+            FROM keyed
+        )
+        SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars, skey
+        FROM ranked WHERE rk <= {O10_QUOTA}
+        ORDER BY source, rk
     """,
     "o9_weighted_sample": """
         WITH wm AS (
