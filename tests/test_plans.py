@@ -109,6 +109,9 @@ def test_projection_queries_have_no_exchange(spark):
 def test_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in _plan(spark, "x1_cosine_topk")
     assert "WindowGroupLimit" in _plan(spark, "t7_tfidf_top_terms")
+    # o10's scale claim: rank<=k rewrites to per-partition top-k, so a
+    # skewed stratum never sorts corpus-sized input before the exchange
+    assert "WindowGroupLimit" in _plan(spark, "o10_stratified_quota_sample")
 
 
 def test_t11_model_ranks_limited_and_broadcast(spark):

@@ -1,0 +1,185 @@
+"""Engineered known-answer tests for the mid-round-9 operators
+(e10 / d16 / t16 / e11 / o10) — invariants that hold by construction
+and would catch a refactor that still happens to match a buggy oracle.
+The oracle-parity sweep (test_oracle_parity.py) covers cross-engine
+equality; these pin the SEMANTICS on corpora built to exercise each
+operator's decision boundaries."""
+
+from __future__ import annotations
+
+import os
+
+from mirrulations_iceberg_spark.operators.dedup import (
+    d16_cluster_best_select,
+    t16_source_overlap,
+)
+from mirrulations_iceberg_spark.operators.etl import (
+    E10_STAGE0_BP,
+    E10_STAGE1_BP,
+    E11_MAX_EPOCHS,
+    e10_curriculum_schedule,
+    e11_epoch_cap_allocation,
+)
+from mirrulations_iceberg_spark.operators.relational import (
+    O10_QUOTA,
+    o10_stratified_quota_sample,
+)
+
+from .conftest import SF_DIR
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source) — n_chars derived."""
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+def test_e10_engineered_stage_assignment(spark, tmp_path):
+    """One doc per stage, quality pinned by construction: all-alpha
+    text scores 10000 bp (stage 0), 82 alpha chars out of 100 scores
+    8200 (between the cut points -> stage 1), half-punctuation text
+    scores well under 8190 (stage 2)."""
+    assert E10_STAGE1_BP < 8200 < E10_STAGE0_BP  # guards the fixture
+    clean = "a" * 40                            # 10000 bp
+    mid = "a" * 82 + "!" * 18                   # 8200 bp
+    noisy = "a" * 50 + "!" * 50                 # 5000 bp
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, clean, "en", "s"), (2, mid, "en", "s"), (3, noisy, "en", "s")],
+    )
+    rows = e10_curriculum_schedule(spark, sf).collect()
+    by_stage = {}
+    for r in rows:
+        agg = by_stage.setdefault(r["stage"], [0, 0])
+        agg[0] += r["n_docs"]
+        agg[1] += r["id_checksum"]
+    assert by_stage == {0: [1, 1], 1: [1, 2], 2: [1, 3]}
+    for r in rows:  # order keys are hex md5, bucket = first digit
+        assert r["first_key"] <= r["last_key"]
+        assert r["first_key"][0] == r["bucket"]
+
+
+def test_e10_stage_counts_partition_the_corpus(spark):
+    rows = e10_curriculum_schedule(spark, SF_DIR).collect()
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n
+    assert {r["stage"] for r in rows} <= {0, 1, 2}
+
+
+def test_d16_engineered_keeps_best_quality(spark, tmp_path):
+    """Three docs with IDENTICAL token streams (so they cluster with
+    Jaccard 1) but different punctuation loads: the keep decision must
+    pick the cleanest copy, NOT the min-id one (the d8 default this
+    operator exists to improve on). A disjoint singleton must not
+    appear at all."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " !!!!!!!!!!!!", "en", "s"),  # noisiest, min id
+        (2, base, "en", "s"),                    # cleanest -> kept
+        (3, base + " ???", "en", "s"),           # middle
+        (9, "totally unrelated words only here nothing shared at all",
+         "en", "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = d16_cluster_best_select(spark, sf).collect()
+    assert len(out) == 1
+    c = out[0]
+    assert c["component"] == 1          # min member id labels the cluster
+    assert c["n_members"] == 3
+    assert c["kept_doc"] == 2           # argmax quality, not min id
+    assert c["kept_quality_bp"] > 8000
+    assert c["n_dropped"] == 2
+
+
+def test_t16_engineered_pairwise_overlap(spark, tmp_path):
+    """srcA/srcB share 2 of their 3+3 shingles (jaccard 2/4 = 0.5);
+    srcC is disjoint, so exactly one pair row exists."""
+    rows = [
+        (1, "a b c d e", "en", "srcA"),   # shingles: abc bcd cde
+        (2, "a b c d x", "en", "srcB"),   # shingles: abc bcd cdx
+        (3, "p q r s t", "en", "srcC"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = t16_source_overlap(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"]) == ("srcA", "srcB")
+    assert (r["n_a"], r["n_b"], r["common"]) == (3, 3, 2)
+    assert r["jaccard"] == 0.5
+
+
+def test_t16_fixture_matrix_shape(spark):
+    rows = t16_source_overlap(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 1 <= r["common"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_e11_engineered_caps_bind(spark, tmp_path):
+    """A source of many tiny pristine docs carries outsized quality
+    mass but minimal supply: its quality-weighted want exceeds the
+    repeat ceiling, so it must come back capped at exactly
+    MAX_EPOCHS (epochs_bp == 10000 * R)."""
+    rows = [(i, "abc", "en", "tiny") for i in range(1, 11)]
+    rows.append(
+        (99, " ".join("w%d!!!" % i for i in range(100)), "en", "big")
+    )
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in e11_epoch_cap_allocation(spark, sf).collect()}
+    tiny = out["tiny"]
+    assert tiny["capped"] == 1
+    assert tiny["alloc_tokens"] == tiny["cap_tokens"]
+    assert tiny["epochs_bp"] == 10000 * E11_MAX_EPOCHS
+    assert tiny["want_tokens"] > tiny["cap_tokens"]
+    for r in out.values():
+        assert r["alloc_tokens"] <= r["cap_tokens"]
+        assert (r["capped"] == 1) == (r["alloc_tokens"] == r["cap_tokens"])
+        assert r["epochs_bp"] <= 10000 * E11_MAX_EPOCHS
+
+
+def test_e11_fixture_allocation_is_feasible(spark):
+    rows = e11_epoch_cap_allocation(spark, SF_DIR).collect()
+    total_supply = sum(r["n_tokens"] for r in rows)
+    budget = 2 * total_supply  # E11_BUDGET_EPOCHS
+    assert sum(r["alloc_tokens"] for r in rows) <= budget
+    assert any(r["capped"] == 1 for r in rows)      # constants chosen so
+    assert any(r["capped"] == 0 for r in rows)      # the split is real
+
+
+def test_o10_engineered_quota_exceeds_stratum(spark, tmp_path):
+    """A stratum smaller than the quota returns ALL its rows (ranks
+    stay dense 1..n), never pads or errors."""
+    rows = [(i, "word", "en", "small") for i in range(1, 4)]  # 3 < quota
+    rows += [(100 + i, "word", "en", "full") for i in range(20)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = o10_stratified_quota_sample(spark, sf).collect()
+    small = [r for r in out if r["source"] == "small"]
+    full = [r for r in out if r["source"] == "full"]
+    assert [r["rk"] for r in small] == [1, 2, 3]
+    assert [r["rk"] for r in full] == list(range(1, O10_QUOTA + 1))
+    keys = [r["skey"] for r in full]
+    assert keys == sorted(keys)  # rank follows the seeded hash order
+
+
+def test_o10_is_deterministic_across_runs(spark):
+    a = [tuple(r) for r in o10_stratified_quota_sample(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in o10_stratified_quota_sample(spark, SF_DIR).collect()]
+    assert a == b
+    per_src = {}
+    for r in a:
+        per_src[r[0]] = per_src.get(r[0], 0) + 1
+    assert all(v <= O10_QUOTA for v in per_src.values())
