@@ -115,15 +115,18 @@ DRIVER_WINDOW = (
     #     takes a4_avg_length's slot (r02-r06 greens; avg-length shape
     #     stays exercised by q4_avg_comment_length in-window)
     "o10_stratified_quota_sample",
+    # --- NEW mid-round-9 operator: base-vs-delta drift monitor; takes
+    #     a5_numeric_stats's slot (r02-r06 greens; numeric-stats shape
+    #     stays exercised by m6_profile in-window + a5b banked r07)
+    "m14_drift_report",
     # --- the stalest greens (last green r06), oldest-first fill
-    #     (44 at round open; mid-round operators displaced 8, each
+    #     (44 at round open; mid-round operators displaced 9, each
     #     argued above). Left out of the 46-query r06 cohort, with
     #     reasons:
     #     f1_like_substring (f1b's oracle IS f1's plain-scan SQL, so
     #     f1's result is hash-verified through f1b's slot) and
     #     q1_count_total (trivial COUNT(*), counting shapes covered by
     #     a1/a2/q2 in-window).
-    "a5_numeric_stats",
     "a8_null_profile",
     "c_json_extract",
     "c_scalar_suite",

@@ -680,8 +680,114 @@ def m13_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: m14 bin widths: token-count bins of 32, quality-bp bins of 500.
+M14_TOK_W = 32
+M14_Q_W = 500
+
+
+def m14_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — the check a pipeline runs on every
+    arriving batch BEFORE admitting it: does the delta's distribution
+    (token lengths, quality scores, language mix) still look like the
+    base corpus, or did the upstream crawler/extractor change under
+    us? Split convention is d10/e9's (``doc_id % mod == 0`` is the
+    arriving delta), so this composes with the e9 flagship as its
+    monitoring stage.
+
+    Per (feature, bin): base and delta shares in basis points, the
+    per-bin share gap, and the feature-level total-variation distance
+    (TVD = Σ|p−q| DIV 2 — the drift number a monitor thresholds on).
+    ALL-INTEGER basis-point arithmetic: unlike PSI/KL (whose ``ln``
+    has no cross-engine-exact form) TVD is exact on both engines, and
+    it is the metric's bounded [0,10000] twin.
+
+    Scale shape: one corpus scan projecting three small features, one
+    explode (×3 — constant fanout), one hash-agg on (feature, bin) —
+    a key space bounded by the DOMAIN (fixed-width bins, |langs|), not
+    the data. Every share/TVD step after that is window math over the
+    bounded histogram. At 100 TB the post-agg frame is still ~dozens
+    of rows.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import D10_DELTA_MOD, parallelize_scan
+    from .text import tokens_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    qbp_sql = (
+        "coalesce((10000 * length(regexp_replace(lower(text),"
+        " '[^a-z0-9]', ''))) DIV greatest(length(text), 1), 0)"
+    )
+    feats = (
+        docs.withColumn("__ntok", F.size(tokens_col(F.col("text"))).cast("long"))
+        .withColumn("__qbp", F.expr(qbp_sql))
+        .select(
+            (F.col("doc_id") % D10_DELTA_MOD == 0).alias("is_delta"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("tokens").alias("feature"),
+                        # fixed-width numeric label: lexicographic order
+                        # == numeric order on both engines
+                        F.expr(
+                            f"lpad(CAST(__ntok DIV {M14_TOK_W} AS STRING),"
+                            " 6, '0')"
+                        ).alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("quality").alias("feature"),
+                        F.expr(
+                            f"lpad(CAST(__qbp DIV {M14_Q_W} AS STRING),"
+                            " 6, '0')"
+                        ).alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("lang").alias("feature"),
+                        F.coalesce(F.col("lang"), F.lit("(null)")).alias(
+                            "bin"
+                        ),
+                    ),
+                )
+            ).alias("fb"),
+        )
+        .select("is_delta", "fb.feature", "fb.bin")
+    )
+    counts = feats.groupBy("feature", "bin").agg(
+        F.sum((~F.col("is_delta")).cast("long")).alias("n_base"),
+        F.sum(F.col("is_delta").cast("long")).alias("n_delta"),
+    )
+    wf = Window.partitionBy("feature")
+    return (
+        counts.withColumn("t_base", F.sum("n_base").over(wf))
+        .withColumn("t_delta", F.sum("n_delta").over(wf))
+        .withColumn(
+            "base_bp", F.expr("(10000 * n_base) DIV greatest(t_base, 1)")
+        )
+        .withColumn(
+            "delta_bp", F.expr("(10000 * n_delta) DIV greatest(t_delta, 1)")
+        )
+        .withColumn("gap_bp", F.expr("abs(base_bp - delta_bp)"))
+        .withColumn(
+            "feature_tvd_bp",
+            F.floor(F.sum("gap_bp").over(wf) / 2).cast("long"),
+        )
+        .select(
+            "feature",
+            "bin",
+            "n_base",
+            "n_delta",
+            "base_bp",
+            "delta_bp",
+            "gap_bp",
+            "feature_tvd_bp",
+        )
+        .orderBy("feature", "bin")
+    )
+
+
 QUERIES = {
     "s13_schema_evolution": s13_schema_evolution,
+    "m14_drift_report": m14_drift_report,
     "m11_time_travel": m11_time_travel,
     "m12_vacuum_orphans": m12_vacuum_orphans,
     "m1_codec_benchmark": m1_codec_benchmark,
@@ -729,6 +835,51 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    "m14_drift_report": """
+        WITH feat AS (
+            SELECT doc_id % __D10MOD__ = 0 AS is_delta,
+                   lpad(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                             // __TOKW__ AS VARCHAR), 6, '0') AS tok_bin,
+                   lpad(CAST(COALESCE(
+                        (10000 * length(regexp_replace(lower(text),
+                                                       '[^a-z0-9]', '', 'g')))
+                            // GREATEST(length(text), 1), 0)
+                        // __QW__ AS VARCHAR), 6, '0') AS q_bin,
+                   COALESCE(lang, '(null)') AS lang_bin
+            FROM documents
+        ), fb AS (
+            SELECT is_delta, 'tokens' AS feature, tok_bin AS bin FROM feat
+            UNION ALL
+            SELECT is_delta, 'quality' AS feature, q_bin AS bin FROM feat
+            UNION ALL
+            SELECT is_delta, 'lang' AS feature, lang_bin AS bin FROM feat
+        ), counts AS (
+            SELECT feature, bin,
+                   SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS n_base,
+                   SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS n_delta
+            FROM fb GROUP BY 1, 2
+        ), shares AS (
+            SELECT *,
+                   (10000 * n_base)
+                       // GREATEST(SUM(n_base) OVER (PARTITION BY feature), 1)
+                       AS base_bp,
+                   (10000 * n_delta)
+                       // GREATEST(SUM(n_delta) OVER (PARTITION BY feature), 1)
+                       AS delta_bp
+            FROM counts
+        ), gaps AS (
+            SELECT *, ABS(base_bp - delta_bp) AS gap_bp FROM shares
+        )
+        SELECT feature, bin,
+               CAST(n_base AS BIGINT) AS n_base,
+               CAST(n_delta AS BIGINT) AS n_delta,
+               CAST(base_bp AS BIGINT) AS base_bp,
+               CAST(delta_bp AS BIGINT) AS delta_bp,
+               CAST(gap_bp AS BIGINT) AS gap_bp,
+               CAST(SUM(gap_bp) OVER (PARTITION BY feature) // 2 AS BIGINT)
+                   AS feature_tvd_bp
+        FROM gaps ORDER BY feature, bin
+    """,
     # m13: the PERMISSION_HANDLING early-exit contract as a known-answer
     # constant — the Spark side actually runs the Hadoop-FS probes on a
     # fixture tree; this pins which checks pass/fail/block per regime.
@@ -834,3 +985,16 @@ ORACLE = {
     """,
     "m6_profile": _M6_UNION,
 }
+
+
+# m14's oracle shares d10/e9's split constant and the bin widths —
+# substituted here so the SQL above stays copy-paste runnable.
+from .dedup import D10_DELTA_MOD as _M14_MOD  # noqa: E402
+
+ORACLE["m14_drift_report"] = (
+    ORACLE["m14_drift_report"]
+    .replace("__D10MOD__", str(_M14_MOD))
+    .replace("__TOKW__", str(M14_TOK_W))
+    .replace("__QW__", str(M14_Q_W))
+)
+

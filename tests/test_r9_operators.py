@@ -175,6 +175,31 @@ def test_o10_engineered_quota_exceeds_stratum(spark, tmp_path):
     assert keys == sorted(keys)  # rank follows the seeded hash order
 
 
+def test_m14_engineered_disjoint_lang_drift(spark, tmp_path):
+    """Base (ids 1,2) is all-'en'; the arriving delta (ids 5,10 — the
+    d10 split) is all-'de': lang TVD must be exactly 10000 bp (total
+    drift), while tokens/quality — identical texts — show zero."""
+    from mirrulations_iceberg_spark.operators.maintenance import (
+        m14_drift_report,
+    )
+
+    text = "same words every time"
+    rows = [
+        (1, text, "en", "s"),
+        (2, text, "en", "s"),
+        (5, text, "de", "s"),
+        (10, text, "de", "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = m14_drift_report(spark, sf).collect()
+    tvd = {r["feature"]: r["feature_tvd_bp"] for r in out}
+    assert tvd == {"lang": 10000, "tokens": 0, "quality": 0}
+    lang_bins = {r["bin"]: r for r in out if r["feature"] == "lang"}
+    assert lang_bins["en"]["n_base"] == 2 and lang_bins["en"]["n_delta"] == 0
+    assert lang_bins["de"]["n_base"] == 0 and lang_bins["de"]["n_delta"] == 2
+    assert lang_bins["en"]["gap_bp"] == 10000
+
+
 def test_o10_is_deterministic_across_runs(spark):
     a = [tuple(r) for r in o10_stratified_quota_sample(spark, SF_DIR).collect()]
     b = [tuple(r) for r in o10_stratified_quota_sample(spark, SF_DIR).collect()]
