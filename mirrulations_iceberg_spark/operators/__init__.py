@@ -119,8 +119,23 @@ DRIVER_WINDOW = (
     #     a5_numeric_stats's slot (r02-r06 greens; numeric-stats shape
     #     stays exercised by m6_profile in-window + a5b banked r07)
     "m14_drift_report",
+    # --- NEW mid-round-9 operator: SRP-LSH recall-vs-tables curve;
+    #     takes x2_ann_lsh_topk's slot (x13's oracle embeds x2's full
+    #     bucket/candidate/recall replay and its L=8 point is x2's
+    #     configuration — the banding path stays hash-verified here)
+    "x13_lsh_recall_curve",
+    # --- NEW mid-round-9 operator: packing-efficiency curve; takes
+    #     e4_pack_sequences's slot (e12's oracle IS e4's greedy
+    #     recursive-CTE replay swept over four budgets — same
+    #     greedy_pack code path, same shard hash, hash-verified here)
+    "e12_packing_curve",
+    # --- NEW mid-round-9 operator: cluster-balanced exact-quota
+    #     sample; takes x6_embedding_dedup_apply's slot (the broadcast
+    #     linear-apply shape stays exercised by x7 in-window and
+    #     x5/x9/d13 banked; x14 runs the same centroid fold in-window)
+    "x14_cluster_balanced_sample",
     # --- the stalest greens (last green r06), oldest-first fill
-    #     (44 at round open; mid-round operators displaced 9, each
+    #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
     #     reasons:
     #     f1_like_substring (f1b's oracle IS f1's plain-scan SQL, so
@@ -133,7 +148,6 @@ DRIVER_WINDOW = (
     "d10_incremental_dedup",
     "d1_exact_dedup",
     "d7_dedup_apply_lsh",
-    "e4_pack_sequences",
     "e6_budget_select",
     "e7_epoch_shuffle",
     "f4_conjunctive_filter",
@@ -159,8 +173,6 @@ DRIVER_WINDOW = (
     "s5_stream_attribution",
     "t1_token_stats",
     "w7_ntile_deciles",
-    "x2_ann_lsh_topk",
-    "x6_embedding_dedup_apply",
     "x7_ann_partitioned_index",
 )
 

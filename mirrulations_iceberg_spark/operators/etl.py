@@ -386,6 +386,150 @@ def _e4_oracle() -> str:
     """
 
 
+#: e12 sweep points: candidate context lengths (tokens per packed
+#: sequence). 64 sits below the largest fixture docs so the overflow
+#: path is exercised; 512 sits near one-bin-per-shard.
+E12_BUDGETS = (64, 128, 256, 512)
+
+
+def e12_packing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency curve — e4 packs at ONE context length; the
+    decision a training team actually makes is WHICH length: shorter
+    contexts waste less padding but truncate long-range structure,
+    longer ones pad more. This sweep reports, per candidate length,
+    the bin count, fill rate, and overflow incidence — the curve read
+    before committing a context length (the x11/x13 sweep discipline
+    applied to e4).
+
+    Shares-everything shape: ONE tokenize + shard pass; each shard's
+    Arrow batch replays the same greedy recurrence once per budget (a
+    |budgets|-constant factor on a partition-local linear scan), and
+    only the |budgets|×|shards| summary rows leave Python. Oracle:
+    e4's recursive-CTE greedy replay with the budget as a recursion
+    column — one recursion covers the whole sweep, so every bin
+    boundary at every operating point is hash-pinned.
+    """
+    import pandas as pd
+
+    from ..tables import load_table
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    nib = "0123456789abcdef"
+    first_byte = (F.instr(F.lit(nib), F.substring(md5, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(nib), F.substring(md5, 2, 1)) - 1
+    )
+    shard = (first_byte % PACK_SHARDS).cast("int")
+    with_toks = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        out = []
+        for budget in E12_BUDGETS:
+            bins = greedy_pack(pdf["n_toks"], budget)
+            out.append(
+                (
+                    budget,
+                    int(pdf["shard"].iloc[0]),
+                    len(bins),
+                    sum(t for t, _ in bins),
+                    sum(1 for t, _ in bins if t > budget),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "budget",
+                "shard",
+                "n_bins",
+                "total_tokens",
+                "n_overflow",
+            ],
+        )
+
+    per_shard = with_toks.groupBy("shard").applyInPandas(
+        sweep,
+        "budget int, shard int, n_bins long, total_tokens long,"
+        " n_overflow long",
+    )
+    return (
+        per_shard.groupBy("budget")
+        .agg(
+            F.sum("n_bins").alias("n_bins"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("n_overflow").alias("n_overflow_bins"),
+        )
+        .select(
+            "budget",
+            "n_bins",
+            "total_tokens",
+            F.expr("(10000 * total_tokens) DIV (n_bins * budget)").alias(
+                "fill_bp"
+            ),
+            "n_overflow_bins",
+        )
+        .orderBy("budget")
+    )
+
+
+def _e12_oracle() -> str:
+    from .text import TOKEN_PATTERN
+
+    budgets_values = ", ".join(f"({b})" for b in E12_BUDGETS)
+    return f"""
+        WITH RECURSIVE budgets(budget) AS (
+            VALUES {budgets_values}
+        ), base AS (
+            SELECT b.budget,
+                   CAST((
+                       (strpos('0123456789abcdef',
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                       * 16 +
+                       (strpos('0123456789abcdef',
+                               substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                   ) % {PACK_SHARDS} AS INT) AS shard,
+                   doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_toks
+            FROM documents CROSS JOIN budgets b
+        ), ord AS (
+            SELECT budget, shard, n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY budget, shard
+                                      ORDER BY doc_id) AS rn
+            FROM base
+        ), pack AS (
+            SELECT budget, shard, rn, n_toks,
+                   CAST(0 AS BIGINT) AS bin_id, n_toks AS fill
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.budget, o.shard, o.rn, o.n_toks,
+                   CASE WHEN p.fill + o.n_toks <= p.budget
+                        THEN p.bin_id ELSE p.bin_id + 1 END,
+                   CASE WHEN p.fill + o.n_toks <= p.budget
+                        THEN p.fill + o.n_toks ELSE o.n_toks END
+            FROM pack p JOIN ord o
+              ON o.budget = p.budget AND o.shard = p.shard AND o.rn = p.rn + 1
+        ), bins AS (
+            SELECT budget, shard, bin_id,
+                   SUM(n_toks) AS bin_tokens
+            FROM pack GROUP BY 1, 2, 3
+        )
+        SELECT budget,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+               CAST((10000 * SUM(bin_tokens)) // (COUNT(*) * budget)
+                    AS BIGINT) AS fill_bp,
+               CAST(SUM(CASE WHEN bin_tokens > budget THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overflow_bins
+        FROM bins GROUP BY budget ORDER BY budget
+    """
+
+
 #: Per-source sampling thresholds for the training mixture, as an
 #: upper bound on the first byte of md5(doc_id): keep iff
 #: substring(md5, 1, 2) < hex(thr). thr/256 IS the exact target rate
@@ -1028,6 +1172,7 @@ def e11_epoch_cap_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "e10_curriculum_schedule": e10_curriculum_schedule,
     "e11_epoch_cap_allocation": e11_epoch_cap_allocation,
+    "e12_packing_curve": e12_packing_curve,
     "e1_docket_pipeline": e1_docket_pipeline,
     "e2_training_pipeline": e2_training_pipeline,
     "e3_shard_assign": e3_shard_assign,
@@ -1115,6 +1260,7 @@ ORACLE = {
         FROM a3 ORDER BY source
     """,
 
+    "e12_packing_curve": _e12_oracle(),
     "e8_temperature_mixture": _e8_oracle(),
     "e1_docket_pipeline": _oracle(),
     "e3_shard_assign": """

@@ -1507,9 +1507,189 @@ def x12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, emb)
 
 
+#: x13 sweep points: how many of the 8 LSH tables are consulted.
+X13_LEVELS = (1, 2, 4, 8)
+
+
+def x13_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH tuning curve — x11's nprobe sweep applied to x2's
+    multi-table LSH: recall@k and candidate volume as a function of
+    how many hash tables are consulted (the L axis a deployment
+    budgets — more tables = more memory + more candidates = higher
+    recall). One row per operating point; the curve is the artifact a
+    team reads to pick L.
+
+    Shares-everything shape (the x11 discipline): ONE bucket
+    projection, ONE candidate pass recording each pair's FIRST
+    colliding table (min t), ONE exact-cosine scoring — every sweep
+    point is then a filter (`first_t < L`) over the same scored pool,
+    never a re-scan. Per-level ranking is a WindowGroupLimit window
+    over the bounded candidate set; the exact top-k baseline is
+    computed once. All recall math in integer basis points.
+    """
+    emb = (
+        _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols()).cache()
+    )
+    corpus = emb.select(
+        "vec_id", F.posexplode("buckets").alias("t", "bucket")
+    )
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES)
+    qside = qrows.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("buckets").alias("t", "bucket"),
+    )
+    first_hit = (
+        corpus.join(F.broadcast(qside), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.min("t").alias("first_t"))
+    )
+    scored = (
+        first_hit.join(emb.select("vec_id", "e", "norm"), "vec_id")
+        .join(
+            F.broadcast(
+                qrows.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("e").alias("qe"),
+                    F.col("norm").alias("qnorm"),
+                )
+            ),
+            "query_id",
+        )
+        .withColumn("cos_sim", _cosine_sim())
+        .select("query_id", "vec_id", "first_t", "cos_sim")
+    )
+    levels = spark.createDataFrame(
+        [(n,) for n in X13_LEVELS], "n_tables int"
+    )
+    leveled = scored.join(
+        F.broadcast(levels), F.col("first_t") < F.col("n_tables")
+    )
+    w = Window.partitionBy("n_tables", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    lsh_topk = (
+        leveled.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("n_tables", "query_id", "vec_id")
+    )
+    exact_topk = _rank_topk(
+        emb.crossJoin(F.broadcast(_queries_side(emb)))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _cosine_sim())
+    ).select("query_id", "vec_id")
+    hits = lsh_topk.join(exact_topk, ["query_id", "vec_id"]).groupBy(
+        "n_tables"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    cands = leveled.groupBy("n_tables").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    denom = exact_topk.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        levels.join(cands, "n_tables", "left")
+        .join(hits, "n_tables", "left")
+        .join(F.broadcast(denom))
+        .select(
+            "n_tables",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.expr(
+                f"CAST(coalesce(n_candidates, 0) DIV {N_QUERIES} AS BIGINT)"
+            ).alias("cand_per_query"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                "(10000 * coalesce(n_hits, 0)) DIV greatest(n_exact, 1)"
+            ).alias("recall_bp"),
+        )
+        .orderBy("n_tables")
+    )
+
+
+X14_QUOTA = 20  # vectors kept per cluster cell
+X14_SEED = 99
+
+
+def x14_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection — the diversity-preserving
+    downsample (the SemDeDup/SSL-prototypes companion step): instead
+    of sampling the corpus uniformly (which reproduces its cluster
+    imbalance), cluster the embedding space and take an EXACT quota
+    per cell, so rare modes survive the cut. o10's exact-quota
+    discipline applied in embedding space.
+
+    Pipeline: d13's shared deterministic sample-Lloyd fit; assignment
+    as the broadcast-centroid fold (scan-side projection — no join, no
+    corpus shuffle); per-cell rank over the seeded md5 key with
+    ``row_number() <= quota`` (WindowGroupLimit — map-side top-k per
+    cell). Output is the per-cell audit: totals, kept count, and an id
+    checksum pinning the exact kept SET — bounded at IVF_CLUSTERS rows
+    at any corpus size.
+
+    Oracle: the full Lloyd-replay prefix (x5/d13's shared SQL) plus
+    the identical ROW_NUMBER quota.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    center_rows = sorted(
+        (r["cell"], list(r["center"]))
+        for r in _ivf_fit_centroids(emb).collect()
+    )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
+            )
+            for c, vec in center_rows
+        ]
+    )
+    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
+
+    def _step(acc, cs):
+        d = F.aggregate(
+            F.zip_with(F.col("e"), cs["center"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
+        )
+
+    assigned = emb.select(
+        "vec_id",
+        F.aggregate(cent_lit, acc0, _step)["c"].alias("cell"),
+        F.md5(
+            F.concat(F.lit(f"{X14_SEED}:"), F.col("vec_id").cast("string"))
+        ).alias("skey"),
+    )
+    w = Window.partitionBy("cell").orderBy("skey")
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("rk") <= X14_QUOTA)
+    totals = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    kept_agg = kept.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("kept_checksum"),
+        F.min("skey").alias("first_key"),
+    )
+    out = (
+        totals.join(kept_agg, "cell")
+        .select(
+            "cell", "n_total", "n_kept", "kept_checksum", "first_key"
+        )
+        .orderBy("cell")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
+
+
 QUERIES = {
     "x1_cosine_topk": x1_cosine_topk,
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
+    "x13_lsh_recall_curve": x13_lsh_recall_curve,
+    "x14_cluster_balanced_sample": x14_cluster_balanced_sample,
     "x3_label_centroid_sim": x3_label_centroid_sim,
     "x4_embedding_neardup_pairs_diag": x4_embedding_neardup_pairs,
     "x4b_bucket_cap_report": x4b_bucket_cap_report,
@@ -1855,6 +2035,55 @@ def _x11_sql() -> str:
 #: Full replay of d13: the x5 Lloyd fit (shared CTE builders), fold
 #: assignment with distance capture, per-cluster exemplar, exemplar
 #: cosine, rounded-threshold removal, decimal-exact label means.
+#: x14: the shared Lloyd-replay prefix (seeded init + unrolled steps)
+#: + corpus assignment + the seeded-key exact quota per cell.
+_X14_SQL = f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), samp AS (
+    SELECT vec_id, e FROM e WHERE vec_id % {IVF_SAMPLE_MOD} = 0
+), seeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM samp ORDER BY s, vec_id LIMIT {IVF_CLUSTERS}
+), c0 AS (
+    SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell, e AS center
+    FROM seeds
+), {_x5_lloyd_step('c0', 'a1', 'm1', 'c1')},
+{_x5_lloyd_step('c1', 'a2', 'm2', 'c2')}, assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT ee.vec_id, c.cell,
+               row_number() OVER (PARTITION BY ee.vec_id
+                                  ORDER BY {_x5_d2('ee.e', 'c.center')}, c.cell) AS pr
+        FROM e ee CROSS JOIN c2 c
+    ) WHERE pr = 1
+), keyed AS (
+    SELECT cell, vec_id,
+           md5('{X14_SEED}:' || CAST(vec_id AS VARCHAR)) AS skey
+    FROM assign
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY skey) AS rk
+    FROM keyed
+), kept AS (
+    SELECT * FROM ranked WHERE rk <= {X14_QUOTA}
+), tot AS (
+    SELECT cell, COUNT(*) AS n_total FROM assign GROUP BY 1
+), ka AS (
+    SELECT cell, COUNT(*) AS n_kept, SUM(vec_id) AS kept_checksum,
+           MIN(skey) AS first_key
+    FROM kept GROUP BY 1
+)
+SELECT CAST(tot.cell AS INT) AS cell,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(kept_checksum AS BIGINT) AS kept_checksum,
+       first_key
+FROM tot JOIN ka ON ka.cell = tot.cell
+ORDER BY cell
+"""
+
+
 _D13_SQL = f"""
 WITH e AS (
     SELECT vec_id, label,
@@ -2032,6 +2261,7 @@ ORACLE = {
     "x9_pq_adc_topk": _X9_SQL,
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,
+    "x14_cluster_balanced_sample": _X14_SQL,
     "x8_range_search": f"""
         WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2219,6 +2449,91 @@ ORACLE = {
         SELECT n_cand.query_id, n_candidates,
                ROUND(COALESCE(n_hits, 0) / {float(TOP_K)}, 4) AS recall_at_k
         FROM n_cand LEFT JOIN n_hit ON n_cand.query_id = n_hit.query_id
+    """,
+    # x13: x2's replay + the first-colliding-table axis and the sweep.
+    "x13_lsh_recall_curve": f"""
+        WITH planes AS (
+            SELECT {_planes_sql()} AS m
+        ), e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM e
+        ), b AS (
+            SELECT vec_id, e, norm,
+                   list_transform(range(0, {LSH_TABLES}), t ->
+                       list_sum(list_transform(range(0, {LSH_BITS}), bb ->
+                           CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                    i -> e[CAST(i AS INT)]
+                                         * m[CAST(t * {LSH_BITS * EMB_DIM}
+                                                  + bb * {EMB_DIM} + i AS INT)])) > 0
+                                THEN (1 << CAST(bb AS INT)) ELSE 0 END))) AS buckets
+            FROM n CROSS JOIN planes
+        ), qb AS (
+            SELECT vec_id AS query_id, e AS qe, norm AS qnorm, buckets AS qbuckets
+            FROM b WHERE vec_id < {N_QUERIES}
+        ), cand AS (
+            SELECT q.query_id, c.vec_id, MIN(ti) AS first_t
+            FROM qb q, b c, range(0, {LSH_TABLES}) t(ti)
+            WHERE c.vec_id <> q.query_id
+              AND c.buckets[CAST(ti + 1 AS INT)] = q.qbuckets[CAST(ti + 1 AS INT)]
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT cand.query_id, cand.vec_id, cand.first_t,
+                   CASE WHEN n.norm * q.qnorm > 0 THEN {_COS}
+                   ELSE 0.0 END AS cos_sim
+            FROM cand
+            JOIN n ON n.vec_id = cand.vec_id
+            JOIN qb q ON q.query_id = cand.query_id
+        ), levels(n_tables) AS (
+            VALUES {", ".join(f"({n})" for n in X13_LEVELS)}
+        ), leveled AS (
+            SELECT l.n_tables, s.query_id, s.vec_id, s.cos_sim
+            FROM levels l JOIN scored s ON s.first_t < l.n_tables
+        ), lsh_topk AS (
+            SELECT n_tables, query_id, vec_id FROM (
+                SELECT n_tables, query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY n_tables, query_id
+                                          ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+                FROM leveled
+            ) WHERE rnk <= {TOP_K}
+        ), exact_scored AS (
+            SELECT q.query_id, n.vec_id,
+                   CASE WHEN n.norm * q.qnorm > 0 THEN {_COS}
+                   ELSE 0.0 END AS cos_sim
+            FROM n CROSS JOIN qb q WHERE n.vec_id <> q.query_id
+        ), exact_topk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+                FROM exact_scored
+            ) WHERE rnk <= {TOP_K}
+        ), n_exact AS (
+            SELECT COUNT(*) AS n_exact FROM exact_topk
+        ), hits AS (
+            SELECT l.n_tables, COUNT(*) AS n_hits
+            FROM lsh_topk l JOIN exact_topk x
+              ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+            GROUP BY 1
+        ), cands AS (
+            SELECT n_tables, COUNT(*) AS n_candidates
+            FROM leveled GROUP BY 1
+        )
+        SELECT levels.n_tables,
+               CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(n_candidates, 0) // {N_QUERIES} AS BIGINT)
+                   AS cand_per_query,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+               CAST((10000 * COALESCE(n_hits, 0))
+                    // GREATEST((SELECT n_exact FROM n_exact), 1) AS BIGINT)
+                   AS recall_bp
+        FROM levels
+        LEFT JOIN cands ON cands.n_tables = levels.n_tables
+        LEFT JOIN hits ON hits.n_tables = levels.n_tables
+        ORDER BY levels.n_tables
     """,
     # Single-table twin of the partitioned index: same planes (table 0),
     # same bucket ints, same in-bucket rounded-cosine top-k.

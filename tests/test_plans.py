@@ -29,6 +29,7 @@ CROSS_JOIN_OK = {
     "a15_exact_quantile_twopass",  # 3 target ranks × bounded histogram
     "o9_weighted_sample",  # broadcast 1-row w_max for the threshold compare
     "w13_sequence_with_negation",  # three 1-row stage counts joined into the summary
+    "x13_lsh_recall_curve",  # 4-row sweep levels + 1-row exact-count broadcast
 }
 
 #: Queries that run their own jobs / driver-side work during

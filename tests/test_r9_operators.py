@@ -200,6 +200,81 @@ def test_m14_engineered_disjoint_lang_drift(spark, tmp_path):
     assert lang_bins["en"]["gap_bp"] == 10000
 
 
+def test_x13_curve_is_monotone(spark):
+    """More tables can only ADD candidates (first_t < L is monotone in
+    L), so candidate volume and hit count must be non-decreasing along
+    the curve, recall bounded in [0, 10000], and the L=8 point must
+    dominate every other operating point."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        X13_LEVELS,
+        x13_lsh_recall_curve,
+    )
+
+    rows = x13_lsh_recall_curve(spark, SF_DIR).collect()
+    assert [r["n_tables"] for r in rows] == list(X13_LEVELS)
+    cands = [r["n_candidates"] for r in rows]
+    hits = [r["n_hits"] for r in rows]
+    assert cands == sorted(cands)
+    assert hits == sorted(hits)
+    for r in rows:
+        assert 0 <= r["recall_bp"] <= 10000
+        assert r["n_hits"] <= r["n_candidates"]
+
+
+def test_e12_curve_invariants(spark):
+    """Total tokens are budget-invariant (packing never drops or
+    splits), bin count is non-increasing in budget, and fill can only
+    exceed 10000 bp through overflow bins."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        E12_BUDGETS,
+        e12_packing_curve,
+    )
+
+    rows = e12_packing_curve(spark, SF_DIR).collect()
+    assert [r["budget"] for r in rows] == list(E12_BUDGETS)
+    assert len({r["total_tokens"] for r in rows}) == 1
+    n_bins = [r["n_bins"] for r in rows]
+    assert n_bins == sorted(n_bins, reverse=True)
+    for r in rows:
+        if r["fill_bp"] > 10000:
+            assert r["n_overflow_bins"] > 0
+
+
+def test_e12_engineered_overflow(spark, tmp_path):
+    """One 100-token doc: at budget 64 it packs alone into a single
+    overflowing bin (never split, never dropped), at 128+ it fits."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        e12_packing_curve,
+    )
+
+    rows = [(1, " ".join(f"w{i}" for i in range(100)), "en", "s")]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["budget"]: r for r in e12_packing_curve(spark, sf).collect()}
+    assert out[64]["n_bins"] == 1
+    assert out[64]["n_overflow_bins"] == 1
+    assert out[64]["fill_bp"] > 10000
+    assert out[128]["n_overflow_bins"] == 0
+    assert out[128]["total_tokens"] == 100
+
+
+def test_x14_quota_and_coverage(spark):
+    """Every cell keeps min(quota, its population), kept sets are
+    disjoint subsets of the cell populations, and total coverage
+    equals the corpus when cells are small or quota × cells when
+    saturated."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        X14_QUOTA,
+        x14_cluster_balanced_sample,
+    )
+
+    rows = x14_cluster_balanced_sample(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] == min(X14_QUOTA, r["n_total"])
+        assert r["n_kept"] >= 1
+        assert r["kept_checksum"] > 0
+
+
 def test_o10_is_deterministic_across_runs(spark):
     a = [tuple(r) for r in o10_stratified_quota_sample(spark, SF_DIR).collect()]
     b = [tuple(r) for r in o10_stratified_quota_sample(spark, SF_DIR).collect()]
