@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .text import TOKEN_PATTERN, tokens_col
+from .text import (
+    ALPHA_RATIO_BP_SQL_DUCK,
+    TOKEN_PATTERN,
+    alpha_ratio_bp_col,
+    tokens_col,
+)
 
 SHINGLE_K = 3
 
@@ -1082,20 +1087,14 @@ def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         parallelize_scan(load_table(spark, sf_dir, "documents"))
         .withColumn("__toks", tokens_col(F.col("text")))
-        .withColumn(
-            "quality_bp",
-            F.coalesce(
-                F.expr(
-                    "(10000 * length(regexp_replace(lower(text),"
-                    " '[^a-z0-9]', ''))) DIV greatest(length(text), 1)"
-                ),
-                F.lit(0),
-            ),
-        )
+        .withColumn("quality_bp", alpha_ratio_bp_col())
         .withColumn("__fp", F.md5(F.concat_ws(" ", F.col("__toks"))))
         # shingle-less docs (< k tokens) can never form a pair in the
         # uncollapsed graph — exclude them from exact-only fallback too
         .withColumn("__has_sh", F.size("__toks") >= SHINGLE_K)
+        # consumed by BOTH the rep build and the membership expansion —
+        # cache, or the tokenize+md5 lineage executes twice
+        .cache()
     )
     reps = docs.groupBy("__fp").agg(
         F.min("doc_id").alias("doc_id"),
@@ -1103,7 +1102,8 @@ def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_lsh_pairs_over(reps)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
-    rep_map = docs.groupBy("__fp").agg(F.min("doc_id").alias("rep"))
+    # reps already holds (fp -> min doc_id): reuse, don't re-aggregate
+    rep_map = reps.select("__fp", F.col("doc_id").alias("rep"))
     members = (
         docs.select("doc_id", "quality_bp", "__fp", "__has_sh")
         .join(rep_map, "__fp")
@@ -1123,7 +1123,7 @@ def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("quality_bp"), F.asc("doc_id")
     )
     ranked = members.withColumn("rk", F.row_number().over(w))
-    return (
+    out = (
         ranked.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -1143,6 +1143,9 @@ def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+    from .util import materialize_release
+
+    return materialize_release(docs.sparkSession, out, docs)
 
 
 def t16_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,18 +1158,24 @@ def t16_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: shingles reduce to 32-char md5 fingerprints BEFORE
     anything shuffles (the d1/d15 discipline); one shuffle builds the
-    distinct (source, fp) posting set, one self-join on fp counts
-    intersections. Per-fingerprint fanout is bounded by |sources| (a
-    shingle contributes at most |sources|·(|sources|-1)/2 pair hits),
-    and the output is |sources|² rows at ANY corpus size — the join
-    key is hot only if |sources| is huge, which it never is. Pairs
-    with zero shared shingles are omitted (inner-join semantics, both
-    engines).
+    distinct (source, fp) posting set (cached — it feeds totals AND
+    pairs), one group-and-pair shuffle on fp collects each
+    fingerprint's source set and emits pairs with array lambdas (the
+    d2/d3 shape — no self-join, no lineage recompute). Per-fingerprint
+    fanout is bounded by |sources|·(|sources|-1)/2 structurally, and
+    the output is |sources|² rows at ANY corpus size. Pairs with zero
+    shared shingles are omitted (both engines).
 
     Oracle: identical shingle → md5 → distinct → self-join pipeline in
     DuckDB; integer counts, one final double division ROUND-ed.
     """
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    # ONE tokenize+shingle+hash pass: per_src is cached and feeds both
+    # the per-source totals and the pair counts (a per_src⋈per_src
+    # self-join would re-run the whole corpus lineage per side — the
+    # d3 recompute trap); pairs come from the d2/d3 group-and-pair
+    # shape (collect sources per fingerprint, fanout bounded by
+    # |sources| per row) instead of a self-join.
     per_src = (
         docs.withColumn("__toks", tokens_col(F.col("text")))
         .select(
@@ -1175,15 +1184,26 @@ def t16_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.md5("sh").alias("fp"))
         .distinct()
+        .cache()
     )
     counts = per_src.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        per_src.alias("a")
-        .join(per_src.alias("b"), "fp")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+    srcs = (
+        per_src.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
         )
+    )
+    inter = (
+        srcs.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.src_a", "p.src_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     ca = counts.select(
@@ -1192,7 +1212,7 @@ def t16_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = counts.select(
         F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
     )
-    return (
+    out = (
         inter.join(F.broadcast(ca), "src_a")
         .join(F.broadcast(cb), "src_b")
         .select(
@@ -1211,6 +1231,9 @@ def t16_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+    from .util import materialize_release
+
+    return materialize_release(docs.sparkSession, out, per_src)
 
 
 QUERIES = {
@@ -1624,10 +1647,7 @@ ORACLE = {
         ), lab AS (
             SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a
         ), q AS (
-            SELECT doc_id,
-                   COALESCE((10000 * length(regexp_replace(lower(text),
-                                                           '[^a-z0-9]', '', 'g')))
-                                // GREATEST(length(text), 1), 0) AS quality_bp
+            SELECT doc_id, {ALPHA_RATIO_BP_SQL_DUCK} AS quality_bp
             FROM documents
         ), m AS (
             SELECT lab.label, lab.node AS doc_id, q.quality_bp,

@@ -266,6 +266,29 @@ def greedy_pack(token_counts, budget: int) -> list[tuple[int, int]]:
     return bins
 
 
+def pack_shard_col():
+    """The e4/e12 shard key: first md5 byte of doc_id mod PACK_SHARDS.
+    ONE home for the ladder — its DuckDB twin is :func:`_pack_shard_sql`;
+    the two must stay bit-identical or the packing oracles break."""
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    nib = "0123456789abcdef"
+    first_byte = (F.instr(F.lit(nib), F.substring(md5, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(nib), F.substring(md5, 2, 1)) - 1
+    )
+    return (first_byte % PACK_SHARDS).cast("int")
+
+
+def _pack_shard_sql() -> str:
+    """DuckDB twin of :func:`pack_shard_col`."""
+    return f"""CAST((
+                       (strpos('0123456789abcdef',
+                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                       * 16 +
+                       (strpos('0123456789abcdef',
+                               substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                   ) % {PACK_SHARDS} AS INT)"""
+
+
 def e4_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length packing — the step between curation and the
     trainer: greedily fill fixed token-budget sequences ("bins") with
@@ -289,15 +312,9 @@ def e4_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    md5 = F.md5(F.col("doc_id").cast("string"))
-    nib = "0123456789abcdef"
-    first_byte = (F.instr(F.lit(nib), F.substring(md5, 1, 1)) - 1) * 16 + (
-        F.instr(F.lit(nib), F.substring(md5, 2, 1)) - 1
-    )
-    shard = (first_byte % PACK_SHARDS).cast("int")
     with_toks = docs.select(
         "doc_id",
-        shard.alias("shard"),
+        pack_shard_col().alias("shard"),
         F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
     )
 
@@ -347,13 +364,7 @@ def _e4_oracle() -> str:
 
     return f"""
         WITH RECURSIVE base AS (
-            SELECT CAST((
-                       (strpos('0123456789abcdef',
-                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
-                       * 16 +
-                       (strpos('0123456789abcdef',
-                               substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-                   ) % {PACK_SHARDS} AS INT) AS shard,
+            SELECT {_pack_shard_sql()} AS shard,
                    doc_id,
                    CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
                         AS BIGINT) AS n_toks
@@ -415,15 +426,9 @@ def e12_packing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    md5 = F.md5(F.col("doc_id").cast("string"))
-    nib = "0123456789abcdef"
-    first_byte = (F.instr(F.lit(nib), F.substring(md5, 1, 1)) - 1) * 16 + (
-        F.instr(F.lit(nib), F.substring(md5, 2, 1)) - 1
-    )
-    shard = (first_byte % PACK_SHARDS).cast("int")
     with_toks = docs.select(
         "doc_id",
-        shard.alias("shard"),
+        pack_shard_col().alias("shard"),
         F.size(tokens_col(F.col("text"))).cast("long").alias("n_toks"),
     )
 
@@ -486,13 +491,7 @@ def _e12_oracle() -> str:
             VALUES {budgets_values}
         ), base AS (
             SELECT b.budget,
-                   CAST((
-                       (strpos('0123456789abcdef',
-                               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
-                       * 16 +
-                       (strpos('0123456789abcdef',
-                               substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-                   ) % {PACK_SHARDS} AS INT) AS shard,
+                   {_pack_shard_sql()} AS shard,
                    doc_id,
                    CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
                         AS BIGINT) AS n_toks
@@ -1006,6 +1005,7 @@ def _e9_oracle() -> str:
 
 
 from ..etl.workload import DRIVER_ORACLE as _WORKLOAD_ORACLE  # noqa: E402
+from .text import ALPHA_RATIO_BP_SQL_DUCK as _ALPHA_BP  # noqa: E402
 from ..etl.workload import DRIVER_QUERIES as _WORKLOAD_QUERIES  # noqa: E402
 
 #: e10 curriculum-stage thresholds on the integer alpha-ratio quality
@@ -1038,13 +1038,11 @@ def e10_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    bp = F.expr(
-        f"(10000 * length(regexp_replace(lower(text), '[^a-z0-9]', '')))"
-        f" DIV greatest(length(text), 1)"
-    )
+    from .text import alpha_ratio_bp_col
+
     staged = docs.select(
         "doc_id",
-        bp.alias("quality_bp"),
+        alpha_ratio_bp_col().alias("quality_bp"),
         F.md5(
             F.concat(F.lit(f"{E10_SEED}:"), F.col("doc_id").cast("string"))
         ).alias("skey"),
@@ -1103,13 +1101,9 @@ def e11_epoch_cap_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens_col
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    qbp = F.coalesce(
-        F.expr(
-            "(10000 * length(regexp_replace(lower(text), '[^a-z0-9]', '')))"
-            " DIV greatest(length(text), 1)"
-        ),
-        F.lit(0),
-    )
+    from .text import alpha_ratio_bp_col
+
+    qbp = alpha_ratio_bp_col()
     per = docs.groupBy("source").agg(
         F.sum(F.size(tokens_col(F.col("text"))).cast("long")).alias(
             "n_tokens"
@@ -1191,9 +1185,7 @@ ORACLE = {
     "e10_curriculum_schedule": f"""
         WITH staged AS (
             SELECT doc_id,
-                   (10000 * length(regexp_replace(lower(text),
-                                                  '[^a-z0-9]', '', 'g')))
-                       // GREATEST(length(text), 1) AS quality_bp,
+                   {_ALPHA_BP} AS quality_bp,
                    md5({E10_SEED} || ':' || CAST(doc_id AS VARCHAR)) AS skey
             FROM documents
         ), st AS (
@@ -1216,10 +1208,7 @@ ORACLE = {
             SELECT source,
                    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
                         AS BIGINT) AS n_tokens,
-                   CAST(SUM(COALESCE(
-                        (10000 * length(regexp_replace(lower(text),
-                                                       '[^a-z0-9]', '', 'g')))
-                            // GREATEST(length(text), 1), 0)) AS BIGINT) AS q
+                   CAST(SUM({_ALPHA_BP}) AS BIGINT) AS q
             FROM documents GROUP BY 1
         ), tot AS (
             SELECT *, SUM(n_tokens) OVER () AS total_tokens,

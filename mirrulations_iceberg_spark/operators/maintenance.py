@@ -714,13 +714,16 @@ def m14_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens_col
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    qbp_sql = (
-        "coalesce((10000 * length(regexp_replace(lower(text),"
-        " '[^a-z0-9]', ''))) DIV greatest(length(text), 1), 0)"
-    )
+    from .text import alpha_ratio_bp_col
     feats = (
-        docs.withColumn("__ntok", F.size(tokens_col(F.col("text"))).cast("long"))
-        .withColumn("__qbp", F.expr(qbp_sql))
+        docs.withColumn(
+            "__ntok",
+            # NULL text -> NULL token array under ANSI; coalesce so the
+            # bin label never goes NULL (Spark NULLS FIRST vs DuckDB
+            # NULLS LAST would break the shared ORDER BY)
+            F.coalesce(F.size(tokens_col(F.col("text"))).cast("long"), F.lit(0)),
+        )
+        .withColumn("__qbp", alpha_ratio_bp_col())
         .select(
             (F.col("doc_id") % D10_DELTA_MOD == 0).alias("is_delta"),
             F.explode(
@@ -838,12 +841,9 @@ ORACLE = {
     "m14_drift_report": """
         WITH feat AS (
             SELECT doc_id % __D10MOD__ = 0 AS is_delta,
-                   lpad(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   lpad(CAST(COALESCE(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0)
                              // __TOKW__ AS VARCHAR), 6, '0') AS tok_bin,
-                   lpad(CAST(COALESCE(
-                        (10000 * length(regexp_replace(lower(text),
-                                                       '[^a-z0-9]', '', 'g')))
-                            // GREATEST(length(text), 1), 0)
+                   lpad(CAST((__ALPHABP__)
                         // __QW__ AS VARCHAR), 6, '0') AS q_bin,
                    COALESCE(lang, '(null)') AS lang_bin
             FROM documents
@@ -990,9 +990,11 @@ ORACLE = {
 # m14's oracle shares d10/e9's split constant and the bin widths —
 # substituted here so the SQL above stays copy-paste runnable.
 from .dedup import D10_DELTA_MOD as _M14_MOD  # noqa: E402
+from .text import ALPHA_RATIO_BP_SQL_DUCK as _M14_ALPHA_BP  # noqa: E402
 
 ORACLE["m14_drift_report"] = (
     ORACLE["m14_drift_report"]
+    .replace("__ALPHABP__", _M14_ALPHA_BP)
     .replace("__D10MOD__", str(_M14_MOD))
     .replace("__TOKW__", str(M14_TOK_W))
     .replace("__QW__", str(M14_Q_W))

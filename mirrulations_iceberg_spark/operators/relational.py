@@ -113,7 +113,9 @@ def f1b_indexed_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: f1c: which documents arrive "later" (the delta batch); the base
 #: corpus is indexed at ingest, the delta's postings are APPENDED.
-F1C_DELTA_MOD = 5
+#: ONE split convention across the repo: this IS d10/e9/m14's constant
+#: (imported, not shadowed — retuning the convention moves them all).
+from .dedup import D10_DELTA_MOD as F1C_DELTA_MOD  # noqa: E402
 
 
 def f1c_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1585,7 +1585,7 @@ def x13_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_candidates")
     )
     denom = exact_topk.agg(F.count(F.lit(1)).alias("n_exact"))
-    return (
+    out = (
         levels.join(cands, "n_tables", "left")
         .join(hits, "n_tables", "left")
         .join(F.broadcast(denom))
@@ -1602,6 +1602,9 @@ def x13_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_tables")
     )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
 
 
 X14_QUOTA = 20  # vectors kept per cluster cell

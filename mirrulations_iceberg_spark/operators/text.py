@@ -37,6 +37,30 @@ def tokens_col(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
 
 
+#: The integer alpha-ratio quality proxy — alphanumeric chars per text
+#: char in basis points — shared by e10 (curriculum bands), e11 (demand
+#: weights), d16 (keep-best argmax), and m14 (drift bins). ONE home for
+#: the cross-engine-critical expression: the Spark column and the
+#: DuckDB fragment below must stay twins (``DIV`` == ``//``, NULL text
+#: coalesced to 0 on both sides).
+ALPHA_RATIO_BP_SQL_DUCK = (
+    "COALESCE((10000 * length(regexp_replace(lower(text),"
+    " '[^a-z0-9]', '', 'g'))) // GREATEST(length(text), 1), 0)"
+)
+
+
+def alpha_ratio_bp_col() -> Column:
+    """Spark twin of :data:`ALPHA_RATIO_BP_SQL_DUCK` over a ``text``
+    column."""
+    return F.coalesce(
+        F.expr(
+            "(10000 * length(regexp_replace(lower(text), '[^a-z0-9]', '')))"
+            " DIV greatest(length(text), 1)"
+        ),
+        F.lit(0),
+    )
+
+
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document + corpus aggregates (one pass)."""
     docs = load_table(spark, sf_dir, "documents")

@@ -62,6 +62,10 @@ SKIP_SWEEP = {
     "m13_preflight_report",  # runs Hadoop-FS probes at construction
     "x12_knn_graph",  # caches + materializes the graph at construction
     "f1c_index_refresh",  # writes base+delta index at construction
+    "x14_cluster_balanced_sample",  # runs the shared Lloyd fit + collect
+    "d16_cluster_best_select",  # LSH pair gen + iterative components
+    "t16_source_overlap",  # caches + materializes the posting set
+    "x13_lsh_recall_curve",  # caches + materializes the bucket projection
 }
 
 
