@@ -134,6 +134,12 @@ DRIVER_WINDOW = (
     #     linear-apply shape stays exercised by x7 in-window and
     #     x5/x9/d13 banked; x14 runs the same centroid fold in-window)
     "x14_cluster_balanced_sample",
+    # --- NEW mid-round-9 operator: cross-split near-dup leakage
+    #     audit; takes d1_exact_dedup's slot (the md5-fingerprint
+    #     collapse shape stays hash-verified in-window through d10's
+    #     incremental dedup and d16's exact-collapse staging; d1
+    #     banked green r06)
+    "d17_split_leakage",
     # --- the stalest greens (last green r06), oldest-first fill
     #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
@@ -146,7 +152,6 @@ DRIVER_WINDOW = (
     "c_json_extract",
     "c_scalar_suite",
     "d10_incremental_dedup",
-    "d1_exact_dedup",
     "d7_dedup_apply_lsh",
     "e6_budget_select",
     "e7_epoch_shuffle",

@@ -1236,7 +1236,100 @@ def t16_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(docs.sparkSession, out, per_src)
 
 
+def _o8_split_col(id_col):
+    """o8's deterministic train/holdout rule (first md5 nibble < 'd'),
+    shared so the leakage audit classifies with EXACTLY the split the
+    pipeline ships (`relational.o8_hash_split`)."""
+    return F.when(
+        F.substring(F.md5(id_col.cast("string")), 1, 1) < "d", "train"
+    ).otherwise("holdout")
+
+
+def d17_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate LEAKAGE audit — the eval-hygiene
+    check every training pipeline needs before trusting a holdout
+    number: a holdout document with a near-duplicate in train is a
+    memorization channel, not a generalization measure (the
+    train-test-overlap concern of the GPT-3 appendix-C analysis,
+    applied at the SPLIT boundary rather than against an external
+    benchmark like d9/d14). Near-dup pairs (d3's banded MinHash-LSH +
+    exact-Jaccard verify) are classified by o8's deterministic split
+    rule into within_train / within_holdout / cross_split; per
+    category: pair count, distinct holdout docs touched, and the
+    leaked share of the holdout in integer basis points.
+
+    Scale shape: the pair set is d3's — signature agg + band-bucket
+    join only, never all-pairs — and classification is a pure
+    projection on the (bounded) pair output: md5 re-derived per side,
+    NO join back to the corpus. The only corpus-wide extra is o8's
+    1-row holdout count, broadcast. Everything downstream of the pair
+    set is bounded by duplicates, not corpus size.
+
+    Oracle: the exact-Jaccard pair set (valid because the LSH verify
+    step makes d3's output equal the exact pair set at this threshold
+    — d3's argument, checked at sf0.01 and sf0.1) + the same split
+    arithmetic; all-integer outputs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_over(docs)
+    tagged = pairs.select(
+        "doc_a",
+        "doc_b",
+        _o8_split_col(F.col("doc_a")).alias("sa"),
+        _o8_split_col(F.col("doc_b")).alias("sb"),
+    ).withColumn(
+        "category",
+        F.when(
+            F.col("sa") == F.col("sb"),
+            F.concat(F.lit("within_"), F.col("sa")),
+        ).otherwise(F.lit("cross_split")),
+    )
+    per_cat = tagged.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    # distinct holdout-side docs per category: explode the two sides
+    # of each (bounded) pair — never touches the corpus again
+    holdout_docs = (
+        tagged.select(
+            "category",
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("d"), F.col("sa").alias("s")),
+                    F.struct(F.col("doc_b").alias("d"), F.col("sb").alias("s")),
+                )
+            ).alias("x"),
+        )
+        .filter(F.col("x.s") == "holdout")
+        .select("category", F.col("x.d").alias("d"))
+        .distinct()
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_holdout_docs"))
+    )
+    totals = docs.select(_o8_split_col(F.col("doc_id")).alias("s")).agg(
+        F.sum((F.col("s") == "holdout").cast("long")).alias("n_holdout")
+    )
+    return (
+        per_cat.join(holdout_docs, "category", "left")
+        .na.fill(0, ["n_holdout_docs"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "category",
+            "n_pairs",
+            "n_holdout_docs",
+            F.when(
+                F.col("n_holdout") > 0,
+                F.expr("(10000 * n_holdout_docs) DIV n_holdout"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("leak_bp"),
+        )
+        .orderBy("category")
+    )
+
+
 QUERIES = {
+    "d17_split_leakage": d17_split_leakage,
     "d16_cluster_best_select": d16_cluster_best_select,
     "t16_source_overlap": t16_source_overlap,
     "d1_exact_dedup": d1_exact_dedup,
@@ -1307,6 +1400,58 @@ _EXACT_PAIRS_SQL = f"""
     """
 
 ORACLE = {
+    "d17_split_leakage": f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), postings AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ), rawp AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+            FROM postings a JOIN postings b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ), vp AS (
+            SELECT doc_a, doc_b,
+                   CASE WHEN substring(md5(CAST(doc_a AS VARCHAR)), 1, 1) < 'd'
+                        THEN 'train' ELSE 'holdout' END AS sa,
+                   CASE WHEN substring(md5(CAST(doc_b AS VARCHAR)), 1, 1) < 'd'
+                        THEN 'train' ELSE 'holdout' END AS sb
+            FROM rawp
+            WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.18
+        ), cat AS (
+            SELECT doc_a, doc_b, sa, sb,
+                   CASE WHEN sa = sb THEN 'within_' || sa
+                        ELSE 'cross_split' END AS category
+            FROM vp
+        ), pc AS (
+            SELECT category, COUNT(*) AS n_pairs FROM cat GROUP BY 1
+        ), sides AS (
+            SELECT category, doc_a AS d, sa AS s FROM cat
+            UNION ALL
+            SELECT category, doc_b AS d, sb AS s FROM cat
+        ), hl AS (
+            SELECT category, COUNT(DISTINCT d) AS n_holdout_docs
+            FROM sides WHERE s = 'holdout' GROUP BY 1
+        ), tot AS (
+            SELECT COUNT(*) AS n_holdout FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'd'
+        )
+        SELECT pc.category,
+               CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+               CAST(COALESCE(hl.n_holdout_docs, 0) AS BIGINT) AS n_holdout_docs,
+               CAST(CASE WHEN tot.n_holdout > 0
+                         THEN (10000 * COALESCE(hl.n_holdout_docs, 0)) // tot.n_holdout
+                         ELSE 0 END AS BIGINT) AS leak_bp
+        FROM pc LEFT JOIN hl USING (category) CROSS JOIN tot
+        ORDER BY category
+    """,
     "d15_exact_substring_spans": f"""
         WITH toks AS (
             SELECT doc_id, lang,

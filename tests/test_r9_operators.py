@@ -11,6 +11,7 @@ import os
 
 from mirrulations_iceberg_spark.operators.dedup import (
     d16_cluster_best_select,
+    d17_split_leakage,
     t16_source_overlap,
 )
 from mirrulations_iceberg_spark.operators.etl import (
@@ -283,3 +284,40 @@ def test_o10_is_deterministic_across_runs(spark):
     for r in a:
         per_src[r[0]] = per_src.get(r[0], 0) + 1
     assert all(v <= O10_QUOTA for v in per_src.values())
+
+
+def test_d17_engineered_split_leakage(spark, tmp_path):
+    """Split membership is pinned by md5(doc_id) (computed here with
+    hashlib, independently of both engines): ids 1,2,4,6 are train;
+    3,5,10 are holdout. One identical-text pair per category plus a
+    singleton -> exact expected counts and basis points."""
+    t1 = "alpha bravo charlie delta echo foxtrot"
+    t2 = "golf hotel india juliet kilo lima"
+    t3 = "mike november oscar papa quebec romeo"
+    t4 = "sierra tango uniform victor whiskey xray"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, t1, "en", "s"),   # train  ┐ cross_split pair
+            (3, t1, "en", "s"),   # holdout┘
+            (2, t2, "en", "s"),   # train ┐ within_train pair
+            (4, t2, "en", "s"),   # train ┘
+            (5, t3, "en", "s"),   # holdout┐ within_holdout pair
+            (10, t3, "en", "s"),  # holdout┘
+            (6, t4, "en", "s"),   # train singleton
+        ],
+    )
+    rows = {r["category"]: r for r in d17_split_leakage(spark, sf).collect()}
+    assert set(rows) == {"cross_split", "within_train", "within_holdout"}
+    # 3 holdout docs total (3, 5, 10)
+    cross = rows["cross_split"]
+    assert (cross["n_pairs"], cross["n_holdout_docs"], cross["leak_bp"]) == (
+        1, 1, 10000 * 1 // 3,
+    )
+    wt = rows["within_train"]
+    assert (wt["n_pairs"], wt["n_holdout_docs"], wt["leak_bp"]) == (1, 0, 0)
+    wh = rows["within_holdout"]
+    assert (wh["n_pairs"], wh["n_holdout_docs"], wh["leak_bp"]) == (
+        1, 2, 10000 * 2 // 3,
+    )
