@@ -140,6 +140,11 @@ DRIVER_WINDOW = (
     #     incremental dedup and d16's exact-collapse staging; d1
     #     banked green r06)
     "d17_split_leakage",
+    # --- NEW mid-round-9 operator: scalar-int8 quantization recall;
+    #     takes c_scalar_suite's slot (the scalar expression
+    #     vocabulary stays exercised by c_json_extract in-window and
+    #     c9/c11 banked r08; c_scalar banked green r06)
+    "x15_sq_int8_recall",
     # --- the stalest greens (last green r06), oldest-first fill
     #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
@@ -150,7 +155,6 @@ DRIVER_WINDOW = (
     #     a1/a2/q2 in-window).
     "a8_null_profile",
     "c_json_extract",
-    "c_scalar_suite",
     "d10_incremental_dedup",
     "d7_dedup_apply_lsh",
     "e6_budget_select",

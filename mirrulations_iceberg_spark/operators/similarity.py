@@ -1688,7 +1688,127 @@ def x14_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, emb)
 
 
+SQ_LEVELS = 255  # int8 code range 0..255 (one unsigned byte per dim)
+
+
+def x15_sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization calibration — the OTHER production
+    vector-compression path next to x9's PQ: one unsigned byte per
+    dimension (64 B vs 512 B fp64 — 8× smaller, the compression that
+    makes a RAM-resident index over a 100 TB corpus feasible), decoded
+    asymmetrically at query time (full-precision query against
+    reconstructed corpus vectors, FAISS's ``SQ8`` + ADC shape). Output:
+    per query, the retrieved top-k id-checksum and recall@k against the
+    exact ranking — the accept/reject measurement for switching an
+    index to SQ8.
+
+    Per-dim quantizer: ``code = min(255, floor((v - lo_d) * 255 /
+    span_d))``, decode ``lo_d + code * span_d / 255`` — all-IEEE-double
+    with identical evaluation order on both engines, so codes and
+    reconstructions are bit-identical cross-engine.
+
+    Scale shape: the quantizer fit is ONE 64-row min/max aggregate
+    (map-side partial, nothing corpus-sized shuffles) collected and
+    re-injected as literal arrays — the broadcast-the-model x6/d7
+    discipline; quantize→decode→score is then a single corpus scan
+    with the 5 queries broadcast (decode fused into the scan — codes
+    never materialize), and top-k is WindowGroupLimit, so the shuffle
+    carries ≤ k·partitions rows. No corpus self-join anywhere.
+
+    Oracle: the full fit→quantize→decode→score→rank pipeline replayed
+    in DuckDB (per-dim stats via a range() unnest, ascending-dim
+    list folds for the exact-order dots).
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    stats = (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )  # EMB_DIM rows — bounded by dimensionality, never by corpus
+    lo = [r["lo"] for r in stats]
+    span = [r["hi"] - r["lo"] for r in stats]  # IEEE double, = SQL MAX-MIN
+    lo_arr = F.array(*[F.lit(float(x)) for x in lo])
+    span_arr = F.array(*[F.lit(float(x)) for x in span])
+    idx = F.sequence(F.lit(1), F.lit(EMB_DIM))
+
+    def _recon_at(i):
+        v = F.element_at(F.col("e"), i)
+        l_, s_ = F.element_at(lo_arr, i), F.element_at(span_arr, i)
+        code = F.least(
+            F.lit(float(SQ_LEVELS)),
+            F.floor((v - l_) * SQ_LEVELS / s_).cast("double"),
+        )
+        return F.when(s_ > 0, l_ + code * s_ / SQ_LEVELS).otherwise(l_)
+
+    recon = emb.select(
+        "vec_id",
+        F.transform(idx, _recon_at).alias("r"),
+    ).withColumn(
+        "rnorm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("r", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+            )
+        ),
+    )
+    qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(qside))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.when(
+                F.col("rnorm") * F.col("qnorm") > 0,
+                F.round(
+                    _dot(F.col("qe"), F.col("r"))
+                    / (F.col("rnorm") * F.col("qnorm")),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    sq_topk = _rank_topk(scored)
+    exact_scored = (
+        emb.crossJoin(F.broadcast(qside))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _cosine_sim())
+    )
+    exact_topk = _rank_topk(exact_scored).select(
+        "query_id", F.col("vec_id").alias("exact_vec_id")
+    )
+    hits = sq_topk.join(
+        exact_topk,
+        (sq_topk.query_id == exact_topk.query_id)
+        & (sq_topk.vec_id == exact_topk.exact_vec_id),
+        "left_semi",
+    )
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    out = (
+        sq_topk.groupBy("query_id")
+        .agg(F.sum("vec_id").alias("id_checksum"))
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("id_checksum").cast("long").alias("id_checksum"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
+
+
 QUERIES = {
+    "x15_sq_int8_recall": x15_sq_int8_recall,
     "x1_cosine_topk": x1_cosine_topk,
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
     "x13_lsh_recall_curve": x13_lsh_recall_curve,
@@ -2257,7 +2377,76 @@ GROUP BY p.query_id
 """
 
 
+_X15_SQL = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), stats AS (
+    SELECT t.i AS i, MIN(e.e[t.i]) AS lo, MAX(e.e[t.i]) - MIN(e.e[t.i]) AS span
+    FROM e CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+    GROUP BY t.i
+), recon AS (
+    SELECT e.vec_id,
+           list(CASE WHEN s.span > 0
+                     THEN s.lo + LEAST({float(SQ_LEVELS)},
+                              FLOOR((e.e[s.i] - s.lo) * {SQ_LEVELS} / s.span))
+                          * s.span / {SQ_LEVELS}
+                     ELSE s.lo END ORDER BY s.i) AS r
+    FROM e CROSS JOIN stats s
+    GROUP BY e.vec_id
+), rn AS (
+    SELECT vec_id, r,
+           sqrt(list_sum(list_transform(r, x -> x * x))) AS rnorm
+    FROM recon
+), q AS (
+    SELECT vec_id AS query_id, e AS qe,
+           sqrt(list_sum(list_transform(e, x -> x * x))) AS qnorm
+    FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.query_id, rn.vec_id,
+           CASE WHEN rn.rnorm * q.qnorm > 0
+                THEN ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                                   i -> q.qe[i] * rn.r[i]))
+                           / (rn.rnorm * q.qnorm), 4)
+                ELSE 0.0 END AS cos_sim
+    FROM rn CROSS JOIN q WHERE rn.vec_id <> q.query_id
+), sq_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+), n AS (
+    SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+    FROM e
+), exact AS (
+    SELECT q.query_id, n.vec_id,
+           {_COS} AS cos_sim
+    FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
+), exact_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM exact
+    ) WHERE rnk <= {TOP_K}
+), hits AS (
+    SELECT p.query_id, COUNT(*) AS n_hits
+    FROM sq_topk p JOIN exact_topk x
+      ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+    GROUP BY p.query_id
+)
+SELECT p.query_id, CAST(SUM(p.vec_id) AS BIGINT) AS id_checksum,
+       ROUND(COALESCE(MAX(h.n_hits), 0) / {float(TOP_K)}, 4) AS recall_at_k
+FROM sq_topk p LEFT JOIN hits h USING (query_id)
+GROUP BY p.query_id
+ORDER BY p.query_id
+"""
+
+
 ORACLE = {
+    "x15_sq_int8_recall": _X15_SQL,
     "x10_mmr_select": _mmr_oracle(),
     "x11_ivf_tuning_curve": _x11_sql(),
     "x12_knn_graph": _x12_sql(),

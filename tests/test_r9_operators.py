@@ -21,6 +21,10 @@ from mirrulations_iceberg_spark.operators.etl import (
     e10_curriculum_schedule,
     e11_epoch_cap_allocation,
 )
+from mirrulations_iceberg_spark.operators.similarity import (
+    x1_cosine_topk,
+    x15_sq_int8_recall,
+)
 from mirrulations_iceberg_spark.operators.relational import (
     O10_QUOTA,
     o10_stratified_quota_sample,
@@ -321,3 +325,35 @@ def test_d17_engineered_split_leakage(spark, tmp_path):
     assert (wh["n_pairs"], wh["n_holdout_docs"], wh["leak_bp"]) == (
         1, 2, 10000 * 2 // 3,
     )
+
+
+def test_x15_integer_grid_is_lossless(spark, tmp_path):
+    """Vectors whose coordinates are integers in [0,255], with per-dim
+    min pinned to 0 and max to 255 by two anchor vectors, are FIXED
+    POINTS of the int8 quantizer (code = v exactly; decode = v
+    exactly — all steps representable doubles), so the quantized
+    ranking must equal the exact ranking: recall@k = 1.0 and the same
+    id checksum as x1's exact top-k."""
+    import os
+
+    rows = [
+        (i, [float((i * 37 + d * 13) % 256) for d in range(64)], 0)
+        for i in range(30)
+    ]
+    rows.append((100, [0.0] * 64, 0))
+    rows.append((101, [255.0] * 64, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+    sf = str(tmp_path)
+    out = {r["query_id"]: r for r in x15_sq_int8_recall(spark, sf).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    exact = x1_cosine_topk(spark, sf).collect()
+    exact_sum = {}
+    for r in exact:
+        exact_sum[r["query_id"]] = exact_sum.get(r["query_id"], 0) + r["vec_id"]
+    for q, r in out.items():
+        assert r["recall_at_k"] == 1.0, (q, r)
+        assert r["id_checksum"] == exact_sum[q], (q, r)
