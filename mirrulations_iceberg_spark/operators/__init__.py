@@ -145,6 +145,11 @@ DRIVER_WINDOW = (
     #     vocabulary stays exercised by c_json_extract in-window and
     #     c9/c11 banked r08; c_scalar banked green r06)
     "x15_sq_int8_recall",
+    # --- NEW mid-round-9 operator: BPE merge-candidate induction;
+    #     takes t1_token_stats's slot (t17 runs the same tokens_col
+    #     tokenize+explode+count shape corpus-wide; per-doc token
+    #     stats stay covered by t2/t9 banked r07 and t13 in-window)
+    "t17_bpe_pair_stats",
     # --- the stalest greens (last green r06), oldest-first fill
     #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
@@ -180,7 +185,6 @@ DRIVER_WINDOW = (
     "s3_stream_sessions",
     "s4_stream_dedup",
     "s5_stream_attribution",
-    "t1_token_stats",
     "w7_ntile_deciles",
     "x7_ann_partitioned_index",
 )

@@ -715,7 +715,110 @@ def t15_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T17_TOP = 10  # report the top-N merge candidates
+
+
+def t17_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge induction, iteration 1 — the statistic a
+    tokenizer-training pipeline computes over the WHOLE corpus: for
+    every adjacent symbol pair (symbols = characters at iteration 1),
+    its corpus-weighted frequency; the argmax (ties → lexicographic)
+    is the first learned merge. For each of the top-``T17_TOP``
+    candidates the output also reports how many GREEDY left-to-right
+    non-overlapping applications the merge would make (``'aaa'`` has
+    two ``'aa'`` pair occurrences but only ONE application — computed
+    exactly on both engines via replace-length arithmetic:
+    ``(len - len(replace(tok, pair, ''))) DIV 2``).
+
+    Scale shape: pair counting runs on the DISTINCT-token vocabulary
+    weighted by token count, not on raw text — Heaps' law bounds the
+    vocab sublinearly in corpus size (the t12 measurement), and the
+    pair table itself is structurally ≤ |alphabet|² = 1,296 rows, so
+    the global rank window and the broadcast of the top-N candidates
+    back across the vocabulary are both bounded by construction.
+    Multi-iteration training loops this same plan with the merge
+    table re-broadcast per round (the fold-application step is
+    Spark-side; pytest pins it) — each iteration is one bounded
+    aggregate, never a corpus rewrite.
+
+    All-integer output; full DuckDB replay oracle.
+    """
+    from .dedup import parallelize_scan as _pscan
+
+    docs = _pscan(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+    # global rank over a ≤|alphabet|²-row table: the single-partition
+    # window is bounded structurally, not by corpus size
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    top = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= T17_TOP)
+        .select("rnk", "pair", "pair_count")
+    )
+    applied = (
+        vocab.crossJoin(F.broadcast(top.select("pair")))
+        .withColumn(
+            "m",
+            F.expr(
+                "cnt * ((length(tok) - length(replace(tok, pair, ''))) DIV 2)"
+            ),
+        )
+        .groupBy("pair")
+        .agg(F.sum("m").cast("long").alias("merges_applied"))
+    )
+    out = (
+        top.join(applied, "pair")
+        .select("rnk", "pair", "pair_count", "merges_applied")
+        .orderBy("rnk")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, vocab)
+
+
+def apply_bpe_merge(symbols: Column, a: str, b: str) -> Column:
+    """Apply ONE learned merge (a, b) -> a+b to a symbol array with the
+    standard greedy left-to-right scan, as a pure array fold (no UDF):
+    append each symbol unless the accumulator ends with ``a`` and the
+    incoming symbol is ``b``, in which case the tail is replaced by the
+    merged symbol. Non-overlapping by construction (``a a a`` with
+    merge (a,a) -> ``aa a``). The multi-iteration training loop
+    re-broadcasts the merge table and reapplies this per round;
+    iteration 1's statistics are the oracle-checked contract (t17)."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 QUERIES = {
+    "t17_bpe_pair_stats": t17_bpe_pair_stats,
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
     "t3_fingerprint": t3_fingerprint,
@@ -740,6 +843,40 @@ _WINNOW_HASH_SQL = " + ".join(
 )
 
 ORACLE = {
+    "t17_bpe_pair_stats": f"""
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all(lower(text),
+                                             '{TOKEN_PATTERN}')) AS tok
+            FROM documents
+        ), vocab AS (
+            SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, length(tok)),
+                          i -> substring(tok, CAST(i AS INT), 2))) AS pair,
+                   cnt
+            FROM vocab WHERE length(tok) >= 2
+        ), pc AS (
+            SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY pair
+        ), top AS (
+            SELECT rnk, pair, pair_count FROM (
+                SELECT pair, pair_count,
+                       ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair)
+                           AS rnk
+                FROM pc
+            ) WHERE rnk <= {T17_TOP}
+        ), applied AS (
+            SELECT t.pair,
+                   CAST(SUM(v.cnt * ((length(v.tok)
+                        - length(replace(v.tok, t.pair, ''))) // 2))
+                        AS BIGINT) AS merges_applied
+            FROM vocab v CROSS JOIN top t
+            GROUP BY t.pair
+        )
+        SELECT t.rnk, t.pair, t.pair_count, a.merges_applied
+        FROM top t JOIN applied a USING (pair)
+        ORDER BY t.rnk
+    """,
     "t15_freq_spectrum": f"""
         WITH counts AS (
             SELECT token, COUNT(*) AS c FROM (

@@ -21,6 +21,10 @@ from mirrulations_iceberg_spark.operators.etl import (
     e10_curriculum_schedule,
     e11_epoch_cap_allocation,
 )
+from mirrulations_iceberg_spark.operators.text import (
+    apply_bpe_merge,
+    t17_bpe_pair_stats,
+)
 from mirrulations_iceberg_spark.operators.similarity import (
     x1_cosine_topk,
     x15_sq_int8_recall,
@@ -357,3 +361,42 @@ def test_x15_integer_grid_is_lossless(spark, tmp_path):
     for q, r in out.items():
         assert r["recall_at_k"] == 1.0, (q, r)
         assert r["id_checksum"] == exact_sum[q], (q, r)
+
+
+def test_t17_engineered_pair_stats(spark, tmp_path):
+    """'aaa bb' + 'abab': pair counts aa:2 ab:2 ba:1 bb:1. The argmax
+    tie (aa vs ab, both 2) breaks lexicographically to 'aa', and
+    merges_applied distinguishes overlap from application: 'aaa' has
+    TWO 'aa' pair occurrences but ONE greedy application."""
+    sf = _write_docs(
+        spark, tmp_path, [(1, "aaa bb", "en", "s"), (2, "abab", "en", "s")]
+    )
+    rows = t17_bpe_pair_stats(spark, sf).collect()
+    got = {r["pair"]: (r["rnk"], r["pair_count"], r["merges_applied"]) for r in rows}
+    assert got["aa"] == (1, 2, 1)
+    assert got["ab"] == (2, 2, 2)
+    assert got["ba"] == (3, 1, 1)
+    assert got["bb"] == (4, 1, 1)
+
+
+def test_t17_apply_merge_fold_is_greedy(spark):
+    """The array-fold merge application is greedy left-to-right and
+    non-overlapping; two rounds compose (full BPE training loop)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],), (["b", "a", "a"],)],
+        "syms array<string>",
+    )
+    one = df.select(apply_bpe_merge(F.col("syms"), "a", "a").alias("m"))
+    assert [r["m"] for r in one.collect()] == [
+        ["aa", "a"], ["a", "b", "a", "b"], ["b", "aa"],
+    ]
+    two = df.select(
+        apply_bpe_merge(
+            apply_bpe_merge(F.col("syms"), "a", "a"), "aa", "a"
+        ).alias("m")
+    )
+    assert [r["m"] for r in two.collect()] == [
+        ["aaa"], ["a", "b", "a", "b"], ["b", "aa"],
+    ]
