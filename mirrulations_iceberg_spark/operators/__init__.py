@@ -150,6 +150,16 @@ DRIVER_WINDOW = (
     #     tokenize+explode+count shape corpus-wide; per-doc token
     #     stats stay covered by t2/t9 banked r07 and t13 in-window)
     "t17_bpe_pair_stats",
+    # --- NEW mid-round-9 operator: row-level CDC merge (MERGE INTO
+    #     semantics); takes m6_profile's slot (profiling shapes stay
+    #     exercised by m10 skew report and m14 drift bins in-window;
+    #     m6 banked green r05/r06)
+    "m15_cdc_merge",
+    # --- NEW mid-round-9 operator: streaming CDC upsert (stream/batch
+    #     parity with m15 under redelivery); takes
+    #     s1_stream_windowed_counts's slot (the streaming windowed-agg
+    #     shape stays exercised by s2/s3/s5 in-window; s1 banked r06)
+    "s7_stream_cdc_upsert",
     # --- the stalest greens (last green r06), oldest-first fill
     #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
@@ -167,7 +177,6 @@ DRIVER_WINDOW = (
     "f4_conjunctive_filter",
     "j1_broadcast_star_join",
     "m10_skew_report",
-    "m6_profile",
     "m7_contract_check",
     "mm2_feature_stats",
     "q10_docket_rollup",
@@ -180,7 +189,6 @@ DRIVER_WINDOW = (
     "q8_complex_filter",
     "q9_comments_per_document",
     "s13_schema_evolution",
-    "s1_stream_windowed_counts",
     "s2_incremental_ingest",
     "s3_stream_sessions",
     "s4_stream_dedup",

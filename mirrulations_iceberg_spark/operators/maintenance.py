@@ -788,7 +788,125 @@ def m14_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CDC change-log construction moduli (the d10/e9 delta convention:
+#: derived deterministically from the corpus so both engines build the
+#: identical log). Keys divisible by 21 get updates AND a delete — the
+#: delete's higher seq must win.
+M15_UPD_MOD = 3
+M15_DEL_MOD = 7
+M15_INS_MOD = 5
+
+
+def m15_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC merge — the ``MERGE INTO`` semantics of an
+    Iceberg/Delta upsert sink (the row-granularity counterpart of m9's
+    partition overwrite): apply a change log of inserts / updates /
+    deletes to a base snapshot with LAST-WRITER-WINS per key, ordered
+    by the change sequence number. The log is derived deterministically
+    from the corpus (doc_id % {3,7,5} → two updates, a delete, an
+    insert under a fresh negative key; keys divisible by 21 exercise
+    update-then-delete precedence), so both engines construct the
+    identical log and the whole apply is hash-checked.
+
+    Output: per-lang rollup of the POST-MERGE state — live rows, total
+    chars, and how many arrived by insert / survived an update / were
+    deleted. All-integer.
+
+    Scale shape: latest-change-per-key is one row_number over the
+    change log keyed by (key) — the log shuffles ONCE on the merge
+    key; the apply is a single full-outer join base⋈latest on that
+    same key (co-partitioned with the log shuffle, the sort-merge
+    MERGE plan Iceberg's copy-on-write executes); the rollup is a
+    bounded |langs| hash-agg. No step is quadratic in corpus or log.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    changes = cdc_changes(docs)
+    w = Window.partitionBy("key").orderBy(F.desc("seq"), F.asc("op"))
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "new_text", F.col("lang").alias("chg_lang"))
+    )
+    return cdc_apply_rollup(docs, latest)
+
+
+def cdc_changes(docs: DataFrame) -> DataFrame:
+    """m15's deterministic CDC log over a (doc_id, text, lang) frame:
+    (key, seq, op, new_text, lang) — two updates, a delete, an insert
+    under a fresh negative key, keyed by the m15 moduli."""
+    upd1 = docs.filter(F.col("doc_id") % M15_UPD_MOD == 0).select(
+        F.col("doc_id").alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("new_text"),
+        "lang",
+    )
+    upd2 = docs.filter(F.col("doc_id") % M15_UPD_MOD == 0).select(
+        F.col("doc_id").alias("key"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.col("text"), F.lit(" v3")).alias("new_text"),
+        "lang",
+    )
+    dele = docs.filter(F.col("doc_id") % M15_DEL_MOD == 0).select(
+        F.col("doc_id").alias("key"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_text"),
+        "lang",
+    )
+    ins = docs.filter(F.col("doc_id") % M15_INS_MOD == 0).select(
+        (-F.col("doc_id") - 1).alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new "), F.col("text")).alias("new_text"),
+        "lang",
+    )
+    return upd1.unionByName(upd2).unionByName(dele).unionByName(ins)
+
+
+def cdc_apply_rollup(docs: DataFrame, latest: DataFrame) -> DataFrame:
+    """Apply a latest-change-per-key frame (key, op, new_text,
+    chg_lang) to the base snapshot and roll up the post-merge state
+    per lang — m15's merge+report, shared with the streaming twin
+    (s7) so stream/batch parity is checked through one code path."""
+    base = docs.select(F.col("doc_id").alias("key"), "text", "lang")
+    merged = base.join(latest, "key", "full_outer").select(
+        F.coalesce(F.col("lang"), F.col("chg_lang")).alias("rlang"),
+        F.col("op"),
+        F.col("text").isNotNull().alias("in_base"),
+        F.when(
+            F.coalesce(F.col("op"), F.lit("")) != "D",
+            F.coalesce(F.col("new_text"), F.col("text")),
+        ).alias("final_text"),
+    )
+    return (
+        merged.groupBy(F.col("rlang").alias("lang"))
+        .agg(
+            F.sum(F.col("final_text").isNotNull().cast("long")).alias(
+                "n_docs"
+            ),
+            F.sum(
+                F.coalesce(F.length("final_text"), F.lit(0)).cast("long")
+            ).alias("total_chars"),
+            F.sum(((F.col("op") == "I")).cast("long")).alias("n_inserted"),
+            F.sum(
+                ((F.col("op") == "U") & F.col("in_base")).cast("long")
+            ).alias("n_updated"),
+            F.sum(
+                ((F.col("op") == "D") & F.col("in_base")).cast("long")
+            ).alias("n_deleted"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "m15_cdc_merge": m15_cdc_merge,
     "s13_schema_evolution": s13_schema_evolution,
     "m14_drift_report": m14_drift_report,
     "m11_time_travel": m11_time_travel,
@@ -838,6 +956,49 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    "m15_cdc_merge": f"""
+        WITH base AS (
+            SELECT doc_id AS key, text, lang FROM documents
+        ), chg AS (
+            SELECT doc_id AS key, 1 AS seq, 'U' AS op,
+                   text || ' v2' AS new_text, lang
+            FROM documents WHERE doc_id % {M15_UPD_MOD} = 0
+            UNION ALL
+            SELECT doc_id, 2, 'U', text || ' v3', lang
+            FROM documents WHERE doc_id % {M15_UPD_MOD} = 0
+            UNION ALL
+            SELECT doc_id, 3, 'D', NULL, lang
+            FROM documents WHERE doc_id % {M15_DEL_MOD} = 0
+            UNION ALL
+            SELECT -doc_id - 1, 1, 'I', 'new ' || text, lang
+            FROM documents WHERE doc_id % {M15_INS_MOD} = 0
+        ), latest AS (
+            SELECT key, op, new_text, lang AS chg_lang FROM (
+                SELECT key, op, new_text, lang,
+                       ROW_NUMBER() OVER (PARTITION BY key
+                                          ORDER BY seq DESC, op) AS rn
+                FROM chg
+            ) WHERE rn = 1
+        ), merged AS (
+            SELECT COALESCE(b.lang, l.chg_lang) AS lang, l.op,
+                   b.text IS NOT NULL AS in_base,
+                   CASE WHEN COALESCE(l.op, '') <> 'D'
+                        THEN COALESCE(l.new_text, b.text) END AS final_text
+            FROM base b FULL OUTER JOIN latest l USING (key)
+        )
+        SELECT lang,
+               CAST(SUM(CASE WHEN final_text IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs,
+               CAST(SUM(COALESCE(length(final_text), 0)) AS BIGINT)
+                   AS total_chars,
+               CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inserted,
+               CAST(SUM(CASE WHEN op = 'U' AND in_base THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated,
+               CAST(SUM(CASE WHEN op = 'D' AND in_base THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deleted
+        FROM merged GROUP BY lang ORDER BY lang
+    """,
     "m14_drift_report": """
         WITH feat AS (
             SELECT doc_id % __D10MOD__ = 0 AS is_delta,

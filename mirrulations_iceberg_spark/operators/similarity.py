@@ -1742,16 +1742,29 @@ def x15_sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.when(s_ > 0, l_ + code * s_ / SQ_LEVELS).otherwise(l_)
 
-    recon = emb.select(
-        "vec_id",
-        F.transform(idx, _recon_at).alias("r"),
-    ).withColumn(
-        "rnorm",
-        F.sqrt(
-            F.aggregate(
-                F.transform("r", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
-            )
-        ),
+    # cache: the decoded vectors are referenced once per query by the
+    # dot product AND once by rnorm — without a materialization point
+    # CollapseProject inlines the 64-lambda decode into every
+    # reference (measured 14.3× at the 20× stress; the x11 interpreted
+    # higher-order-function trap). In a deployment this frame is the
+    # persisted SQ8 index artifact, so materializing it is the design,
+    # not a workaround.
+    recon = (
+        emb.select(
+            "vec_id",
+            F.transform(idx, _recon_at).alias("r"),
+        )
+        .withColumn(
+            "rnorm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("r", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            ),
+        )
+        .cache()
     )
     qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1804,7 +1817,7 @@ def x15_sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .util import materialize_release
 
-    return materialize_release(spark, out, emb)
+    return materialize_release(spark, out, emb, recon)
 
 
 QUERIES = {

@@ -434,7 +434,94 @@ def s6_stream_base_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s7_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert — the STREAMING twin of m15's MERGE: the
+    change log arrives as four micro-batches (updates, then
+    delete+update, then inserts, then a FULL REDELIVERY of batch 0 —
+    at-least-once semantics), and the stream keeps one last-writer-
+    wins row per key via ``max(struct(seq, ...))``. LWW-by-max is a
+    commutative idempotent monoid, so redelivered changes are absorbed
+    by the ALGEBRA — exactly-once output with no dedup state beyond
+    the per-key aggregate itself (contrast s4, which needs
+    dropDuplicatesWithinWatermark for a non-idempotent sink).
+
+    The finished per-key state then merges into the static base
+    snapshot through m15's exact apply+rollup code path
+    (``maintenance.cdc_apply_rollup``), and the oracle IS m15's SQL —
+    the claim checked is stream/batch parity of the whole CDC apply
+    under redelivery.
+
+    Scale shape: state is one row per CHANGED key (bounded by the
+    delta, not the corpus); the post-stream merge is m15's single
+    co-partitioned full-outer join.
+    """
+    import shutil
+    import tempfile
+
+    from .maintenance import cdc_apply_rollup, cdc_changes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    changes = cdc_changes(docs)
+    base_dir = tempfile.mkdtemp(prefix="miis_s7_")
+    try:
+        batches = [
+            changes.filter((F.col("op") == "U") & (F.col("seq") == 1)),
+            changes.filter(
+                ((F.col("op") == "U") & (F.col("seq") == 2))
+                | (F.col("op") == "D")
+            ),
+            changes.filter(F.col("op") == "I"),
+            # at-least-once: batch 0 delivered again, verbatim
+            changes.filter((F.col("op") == "U") & (F.col("seq") == 1)),
+        ]
+        # the file stream source lists the input dir FLAT — land each
+        # delivery as a single file. ONE write job (partitioned by
+        # delivery index), then move each part file up.
+        import glob
+        import os
+        from functools import reduce
+
+        scratch = f"{base_dir}/.scratch"
+        tagged = reduce(
+            DataFrame.unionByName,
+            [b.withColumn("__d", F.lit(i)) for i, b in enumerate(batches)],
+        )
+        tagged.coalesce(1).write.mode("overwrite").partitionBy(
+            "__d"
+        ).parquet(scratch)
+        for i in range(len(batches)):
+            (part,) = glob.glob(f"{scratch}/__d={i}/part-*.parquet")
+            os.replace(part, f"{base_dir}/delivery{i}.parquet")
+        shutil.rmtree(scratch, ignore_errors=True)
+        schema = changes.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(base_dir)
+        )
+        lww = stream.groupBy("key").agg(
+            F.max(
+                F.struct("seq", "op", "new_text", "lang")
+            ).alias("last")
+        )
+        latest = _run_to_table(lww, "s7_sink").select(
+            "key",
+            F.col("last.op").alias("op"),
+            F.col("last.new_text").alias("new_text"),
+            F.col("last.lang").alias("chg_lang"),
+        )
+        out = cdc_apply_rollup(docs, latest)
+        # memory sink is materialized; collect before scratch cleanup
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
 QUERIES = {
+    "s7_stream_cdc_upsert": s7_stream_cdc_upsert,
     "s1_stream_windowed_counts": s1_stream_windowed_counts,
     "s2_incremental_ingest": s2_incremental_ingest,
     "s3_stream_sessions": s3_stream_sessions,
@@ -452,7 +539,17 @@ def _s6_oracle() -> str:
     return DEDUP_ORACLE["d10_incremental_dedup"]
 
 
+def _s7_oracle() -> str:
+    """The SAME merge+rollup SQL as m15's oracle — s7's claim is
+    stream/batch parity of the CDC apply under redelivery, so the two
+    entries intentionally share one ground truth."""
+    from .maintenance import ORACLE as MAINT_ORACLE
+
+    return MAINT_ORACLE["m15_cdc_merge"]
+
+
 ORACLE = {
+    "s7_stream_cdc_upsert": _s7_oracle(),
     "s6_stream_base_dedup": _s6_oracle(),
     "s5_stream_attribution": """
         WITH c AS (

@@ -400,3 +400,29 @@ def test_t17_apply_merge_fold_is_greedy(spark):
     assert [r["m"] for r in two.collect()] == [
         ["aaa"], ["a", "b", "a", "b"], ["b", "aa"],
     ]
+
+
+def test_m15_engineered_merge_and_s7_parity(spark, tmp_path):
+    """Ten docs with length-coded texts: update keys {0,3,6,9}, delete
+    keys {0,7} (key 0 exercises update-then-delete precedence), insert
+    keys {-1,-6}. Expected post-merge state is computed by hand; the
+    streaming twin must reproduce the batch rollup EXACTLY under the
+    redelivered change log."""
+    from mirrulations_iceberg_spark.operators.maintenance import (
+        m15_cdc_merge,
+    )
+    from mirrulations_iceberg_spark.operators.streamq import (
+        s7_stream_cdc_upsert,
+    )
+
+    rows = [(i, "x" * (10 + i), "en", "s") for i in range(10)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = m15_cdc_merge(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    # live: base {1,2,4,5,8} untouched (70 chars), {3,6,9} updated
+    # (+3 each -> 57), inserts from {0,5} ('new ' prefix -> 14+19)
+    assert (r["n_docs"], r["total_chars"]) == (10, 160)
+    assert (r["n_inserted"], r["n_updated"], r["n_deleted"]) == (2, 3, 2)
+    s7 = s7_stream_cdc_upsert(spark, sf).collect()
+    assert s7 == out
