@@ -1258,64 +1258,152 @@ def d17_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     category: pair count, distinct holdout docs touched, and the
     leaked share of the holdout in integer basis points.
 
-    Scale shape: the pair set is d3's — signature agg + band-bucket
-    join only, never all-pairs — and classification is a pure
-    projection on the (bounded) pair output: md5 re-derived per side,
-    NO join back to the corpus. The only corpus-wide extra is o8's
-    1-row holdout count, broadcast. Everything downstream of the pair
-    set is bounded by duplicates, not corpus size.
+    Scale shape — d16's production staging with ARITHMETIC pair
+    expansion: exact duplicates collapse to one representative per
+    token-fingerprint BEFORE the LSH join (the replicated-corpus
+    regime that makes pair materialization quadratic — measured 72×
+    wall at the 100× all-clones stress on the naive pair path — does
+    its work in one fingerprint hash-agg instead, 100× row now ~2×),
+    carrying per-group (train, holdout) member counts. Member-level
+    pair counts are then EXACT integer arithmetic, never materialized:
+    a rep pair (A,B) contributes t_A·t_B / h_A·h_B / t_A·h_B+h_A·t_B
+    member pairs per category (valid because exact copies share all
+    shingles, so every cross-member pair has the rep pair's Jaccard),
+    and a group with n members and shingles contributes C(t,2) /
+    C(h,2) / t·h internal Jaccard-1.0 pairs. Leaked-holdout-doc
+    counting is per-group flag logic over the (bounded) rep-pair
+    neighbor aggregate. Every shuffle carries fingerprints, counts, or
+    rep pairs — never member pairs, never text.
 
-    Oracle: the exact-Jaccard pair set (valid because the LSH verify
-    step makes d3's output equal the exact pair set at this threshold
-    — d3's argument, checked at sf0.01 and sf0.1) + the same split
-    arithmetic; all-integer outputs.
+    Oracle: the UNCOLLAPSED exact-Jaccard pair set (valid because the
+    LSH verify step makes d3's output equal the exact pair set at this
+    threshold — d3's argument, checked at sf0.01 and sf0.1) + the same
+    split arithmetic — so the collapse+expansion is proven pure plan
+    optimization, exactly d16's staging contract. All-integer outputs.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs_over(docs)
-    tagged = pairs.select(
-        "doc_a",
-        "doc_b",
-        _o8_split_col(F.col("doc_a")).alias("sa"),
-        _o8_split_col(F.col("doc_b")).alias("sb"),
-    ).withColumn(
-        "category",
-        F.when(
-            F.col("sa") == F.col("sb"),
-            F.concat(F.lit("within_"), F.col("sa")),
-        ).otherwise(F.lit("cross_split")),
+    from .text import tokens_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        _o8_split_col(F.col("doc_id")).alias("split"),
+        F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("__fp"),
+        (F.size(tokens_col(F.col("text"))) >= SHINGLE_K).alias("has_sh"),
     )
-    per_cat = tagged.groupBy("category").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
-    # distinct holdout-side docs per category: explode the two sides
-    # of each (bounded) pair — never touches the corpus again
-    holdout_docs = (
-        tagged.select(
-            "category",
-            F.explode(
-                F.array(
-                    F.struct(F.col("doc_a").alias("d"), F.col("sa").alias("s")),
-                    F.struct(F.col("doc_b").alias("d"), F.col("sb").alias("s")),
-                )
-            ).alias("x"),
+    groups = (
+        tagged.groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+            F.sum((F.col("split") == "train").cast("long")).alias("t"),
+            F.sum((F.col("split") == "holdout").cast("long")).alias("h"),
+            F.max("has_sh").alias("has_sh"),
         )
-        .filter(F.col("x.s") == "holdout")
-        .select("category", F.col("x.d").alias("d"))
-        .distinct()
-        .groupBy("category")
-        .agg(F.count(F.lit(1)).alias("n_holdout_docs"))
+        .cache()
     )
-    totals = docs.select(_o8_split_col(F.col("doc_id")).alias("s")).agg(
-        F.sum((F.col("s") == "holdout").cast("long")).alias("n_holdout")
+    rep_pairs = minhash_lsh_pairs_over(
+        groups.select("doc_id", "text")
+    ).select("doc_a", "doc_b")
+    cnt_a = groups.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("t").alias("t_a"),
+        F.col("h").alias("h_a"),
     )
-    return (
-        per_cat.join(holdout_docs, "category", "left")
-        .na.fill(0, ["n_holdout_docs"])
-        .crossJoin(F.broadcast(totals))
+    cnt_b = groups.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("t").alias("t_b"),
+        F.col("h").alias("h_b"),
+    )
+    pe = rep_pairs.join(cnt_a, "doc_a").join(cnt_b, "doc_b").cache()
+    # cross-group member-pair counts + per-rep neighbor split presence
+    agg_pairs = pe.agg(
+        F.coalesce(F.sum(F.expr("t_a * t_b")), F.lit(0)).alias("wt_x"),
+        F.coalesce(F.sum(F.expr("h_a * h_b")), F.lit(0)).alias("wh_x"),
+        F.coalesce(F.sum(F.expr("t_a * h_b + h_a * t_b")), F.lit(0)).alias(
+            "cx_x"
+        ),
+    )
+    nbr = (
+        pe.select(
+            F.col("doc_a").alias("rep"),
+            F.col("t_b").alias("nt"),
+            F.col("h_b").alias("nh"),
+        )
+        .unionByName(
+            pe.select(
+                F.col("doc_b").alias("rep"),
+                F.col("t_a").alias("nt"),
+                F.col("h_a").alias("nh"),
+            )
+        )
+        .groupBy("rep")
+        .agg(
+            F.max((F.col("nt") > 0).cast("int")).alias("nbr_t"),
+            F.max((F.col("nh") > 0).cast("int")).alias("nbr_h"),
+        )
+    )
+    gflag = groups.join(
+        nbr, groups["doc_id"] == nbr["rep"], "left"
+    ).select(
+        "t",
+        "h",
+        "has_sh",
+        F.coalesce("nbr_t", F.lit(0)).alias("nbr_t"),
+        F.coalesce("nbr_h", F.lit(0)).alias("nbr_h"),
+    )
+    internal = F.col("has_sh").cast("long")
+    agg_groups = gflag.agg(
+        F.sum(F.expr("t * (t - 1) DIV 2") * internal).alias("wt_in"),
+        F.sum(F.expr("h * (h - 1) DIV 2") * internal).alias("wh_in"),
+        F.sum(F.expr("t * h") * internal).alias("cx_in"),
+        # a holdout member is in >=1 cross pair iff its group holds a
+        # train member (internal pair) or neighbors one
+        F.sum(
+            F.when(
+                ((F.col("t") >= 1) & F.col("has_sh"))
+                | (F.col("nbr_t") == 1),
+                F.col("h"),
+            ).otherwise(F.lit(0))
+        ).alias("hd_cx"),
+        F.sum(
+            F.when(
+                ((F.col("h") >= 2) & F.col("has_sh"))
+                | (F.col("nbr_h") == 1),
+                F.col("h"),
+            ).otherwise(F.lit(0))
+        ).alias("hd_wh"),
+        F.sum("h").alias("n_holdout"),
+    )
+    cats = agg_groups.crossJoin(F.broadcast(agg_pairs)).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cross_split").alias("category"),
+                    (F.col("cx_in") + F.col("cx_x")).alias("n_pairs"),
+                    F.col("hd_cx").alias("n_holdout_docs"),
+                ),
+                F.struct(
+                    F.lit("within_holdout").alias("category"),
+                    (F.col("wh_in") + F.col("wh_x")).alias("n_pairs"),
+                    F.col("hd_wh").alias("n_holdout_docs"),
+                ),
+                F.struct(
+                    F.lit("within_train").alias("category"),
+                    (F.col("wt_in") + F.col("wt_x")).alias("n_pairs"),
+                    F.lit(0).cast("long").alias("n_holdout_docs"),
+                ),
+            )
+        ).alias("c"),
+        "n_holdout",
+    )
+    out = (
+        cats.select("c.*", "n_holdout")
+        .filter(F.col("n_pairs") > 0)
         .select(
             "category",
-            "n_pairs",
-            "n_holdout_docs",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_holdout_docs").cast("long").alias("n_holdout_docs"),
             F.when(
                 F.col("n_holdout") > 0,
                 F.expr("(10000 * n_holdout_docs) DIV n_holdout"),
@@ -1326,6 +1414,9 @@ def d17_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, groups, pe)
 
 
 QUERIES = {

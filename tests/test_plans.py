@@ -66,6 +66,10 @@ SKIP_SWEEP = {
     "d16_cluster_best_select",  # LSH pair gen + iterative components
     "t16_source_overlap",  # caches + materializes the posting set
     "x13_lsh_recall_curve",  # caches + materializes the bucket projection
+    "d17_split_leakage",  # collapse + LSH pair gen + materialize
+    "x15_sq_int8_recall",  # collects the 64-row quantizer fit + materializes
+    "t17_bpe_pair_stats",  # caches + materializes the vocab table
+    "s7_stream_cdc_upsert",  # runs a streaming job at construction
 }
 
 
