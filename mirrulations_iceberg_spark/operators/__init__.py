@@ -160,6 +160,29 @@ DRIVER_WINDOW = (
     #     s1_stream_windowed_counts's slot (the streaming windowed-agg
     #     shape stays exercised by s2/s3/s5 in-window; s1 banked r06)
     "s7_stream_cdc_upsert",
+    # --- NEW mid-round-9 operator: gap-fill + LOCF downsample (the
+    #     hypertable continuous-aggregate shape); takes
+    #     w7_ntile_deciles's slot (window-function shapes stay
+    #     exercised by w14's LOCF window in-window plus w1/w2/w4/w5
+    #     banked r08; w7 banked green r06)
+    "w14_gapfill_downsample",
+    # --- NEW mid-round-9 operator: cluster-aware train/holdout split
+    #     (the leakage REMEDY d17's audit motivates); takes
+    #     e7_epoch_shuffle's slot (seeded-md5 shuffle keys stay
+    #     exercised by e10's stage buckets in-window; e7 banked r06)
+    "e13_cluster_aware_split",
+    # --- NEW mid-round-9 operator: incremental near-dup admission
+    #     (delta probes the base via cross-frame banded LSH); takes
+    #     q3_with_attachments's slot (the q-family keeps eight reps
+    #     in-window — q2/q4–q10 — and q3's boolean-flag shape stays
+    #     banked via f3 r08)
+    "d18_incremental_neardup",
+    # --- NEW mid-round-9 operator: stupid-backoff bigram surprisal
+    #     (order-2 upgrade of t13, same decimal-bits machinery); takes
+    #     e6_budget_select's slot (budget/allocation math stays
+    #     exercised in-window by e11's cap waterfill and e12's packing
+    #     curve; e6 banked green r06)
+    "t18_backoff_surprisal",
     # --- the stalest greens (last green r06), oldest-first fill
     #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
@@ -172,8 +195,6 @@ DRIVER_WINDOW = (
     "c_json_extract",
     "d10_incremental_dedup",
     "d7_dedup_apply_lsh",
-    "e6_budget_select",
-    "e7_epoch_shuffle",
     "f4_conjunctive_filter",
     "j1_broadcast_star_join",
     "m10_skew_report",
@@ -181,7 +202,6 @@ DRIVER_WINDOW = (
     "mm2_feature_stats",
     "q10_docket_rollup",
     "q2_count_by_agency",
-    "q3_with_attachments",
     "q4_avg_comment_length",
     "q5_top_commenters",
     "q6_comments_by_date",
@@ -193,7 +213,6 @@ DRIVER_WINDOW = (
     "s3_stream_sessions",
     "s4_stream_dedup",
     "s5_stream_attribution",
-    "w7_ntile_deciles",
     "x7_ann_partitioned_index",
 )
 

@@ -1419,7 +1419,207 @@ def d17_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, groups, pe)
 
 
+def minhash_lsh_cross_pairs_over(
+    probe: DataFrame,
+    base: DataFrame,
+    threshold: float = 0.18,
+    max_bucket_size: int = 1_000,
+) -> DataFrame:
+    """Banded MinHash-LSH candidates BETWEEN two frames — probe×base
+    pairs only, never probe×probe or base×base — verified with exact
+    Jaccard. The incremental twin of :func:`minhash_lsh_pairs_over`:
+    a delta batch probes a (conceptually pre-stored) base signature
+    index instead of re-pairing the whole corpus. Doc-id spaces must
+    be disjoint (callers use disjoint id partitions).
+
+    Same scale contract as d3: signatures are row-local projections,
+    the single pair-generating shuffle is the (band, bucket) hash-agg,
+    per-bucket cross products are bounded by the degenerate-bucket
+    cap, and only candidate pairs reach the exact verify join.
+    """
+    sig_p = minhash_signatures(probe).withColumn("__probe", F.lit(True))
+    sig_b = minhash_signatures(base).withColumn("__probe", F.lit(False))
+    sigs = sig_p.unionByName(sig_b).cache()
+    bands = sigs.select(
+        "doc_id",
+        "__probe",
+        F.posexplode(
+            F.when(
+                F.col("signature").isNotNull(),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(
+                            F.col("signature"),
+                            b * ROWS_PER_BAND + 1,
+                            ROWS_PER_BAND,
+                        )
+                    ),
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    # collect_list drops the NULLs the when() produces for the other
+    # side, so each bucket carries its probe ids and base ids as two
+    # sorted arrays; the cross product stays inside the bucket task.
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("__probe"), F.col("doc_id")))
+            ).alias("pids"),
+            F.sort_array(
+                F.collect_list(F.when(~F.col("__probe"), F.col("doc_id")))
+            ).alias("bids"),
+        )
+        .filter(
+            (F.size("pids") >= 1)
+            & (F.size("bids") >= 1)
+            & ((F.size("pids") + F.size("bids")) <= max_bucket_size)
+        )
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("pids"),
+            lambda x: F.transform(
+                F.col("bids"),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sh_a = sigs.filter(F.col("__probe")).select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = sigs.filter(~F.col("__probe")).select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (
+                    F.size("sh_a") + F.size("sh_b") - F.col("common")
+                ).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def d18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission — the missing layer between d10
+    (exact delta-vs-base dedup) and d3 (whole-corpus near-dup pairs):
+    each delta batch is screened against the BASE corpus for near
+    duplicates before admission, the check a continuously-ingesting
+    pipeline needs so paraphrased/boilerplate-shifted re-submissions
+    don't slip past the exact-fingerprint gate. Delta = d10's
+    convention (doc_id % {mod} == 0); output is the per-language
+    admission report: delta docs, flagged-as-near-dup-of-base docs,
+    novel remainder, flag rate in basis points, and an id checksum
+    pinning the flagged SET.
+
+    Scale shape: d16/d17's staging on BOTH sides — each side collapses
+    to one representative per (content-fingerprint) group before any
+    signature work (the delta additionally keyed by lang to keep the
+    rollup a pure group property), so clone-heavy corpora cost
+    hash-aggs, not quadratic buckets. Cross-LSH then pairs delta reps
+    against base reps ONLY (no delta×delta, no base×base — the base's
+    internal duplication is irrelevant to admission, and at 100 TB the
+    base side is a stored signature/fingerprint table bucketed on
+    band-bucket, so each ingest co-locates instead of rescanning
+    text). Member-level flags expand arithmetically: exact copies of a
+    flagged rep are near-dups of the same base doc, so a group's flag
+    is a group property (n, id_sum carried through the collapse).
+
+    Oracle: the UNCOLLAPSED exact cross-Jaccard pair set (valid by
+    d3's recall-1 argument, which the exact verify makes deterministic)
+    + the same per-language arithmetic.
+    """
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    fp = F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("__fp")
+    is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
+    dg = (
+        docs.filter(is_delta)
+        .select("doc_id", "lang", "text", fp)
+        .groupBy("lang", "__fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .cache()
+    )
+    bg = (
+        docs.filter(~is_delta)
+        .select("doc_id", "text", fp)
+        .groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+    )
+    flagged_reps = (
+        minhash_lsh_cross_pairs_over(
+            dg.select("doc_id", "text"), bg.select("doc_id", "text")
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("__flag", F.lit(1))
+    )
+    out = (
+        dg.join(flagged_reps, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_delta"),
+            F.coalesce(
+                F.sum(F.when(F.col("__flag") == 1, F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.coalesce(
+                F.sum(F.when(F.col("__flag") == 1, F.col("id_sum"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("flagged_id_checksum"),
+        )
+        .select(
+            "lang",
+            "n_delta",
+            "n_flagged",
+            (F.col("n_delta") - F.col("n_flagged")).alias("n_novel"),
+            F.expr(
+                "CASE WHEN n_delta > 0 THEN (10000 * n_flagged) DIV n_delta"
+                " ELSE 0 END"
+            ).alias("flagged_bp"),
+            "flagged_id_checksum",
+        )
+        .orderBy("lang")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, dg)
+
+
+d18_incremental_neardup.__doc__ = d18_incremental_neardup.__doc__.format(
+    mod=D10_DELTA_MOD
+)
+
+
 QUERIES = {
+    "d18_incremental_neardup": d18_incremental_neardup,
     "d17_split_leakage": d17_split_leakage,
     "d16_cluster_best_select": d16_cluster_best_select,
     "t16_source_overlap": t16_source_overlap,
@@ -1491,6 +1691,53 @@ _EXACT_PAIRS_SQL = f"""
     """
 
 ORACLE = {
+    # d18: uncollapsed exact cross-Jaccard (delta×base postings join —
+    # valid by d3's recall-1 argument) + identical per-lang arithmetic;
+    # member-level flags here equal Spark's group-flag expansion
+    # because exact copies share all shingles.
+    "d18_incremental_neardup": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), pd AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh WHERE doc_id % {D10_DELTA_MOD} = 0
+        ), pb AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh WHERE doc_id % {D10_DELTA_MOD} <> 0
+        ), pairs AS (
+            SELECT d.doc_id AS doc_a, d.n_sh AS n_a,
+                   b.doc_id AS doc_b, b.n_sh AS n_b, COUNT(*) AS common
+            FROM pd d JOIN pb b USING (shingle)
+            GROUP BY 1, 2, 3, 4
+        ), fl AS (
+            SELECT DISTINCT doc_a FROM pairs
+            WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4)
+                      >= 0.18
+        ), dd AS (
+            SELECT s.doc_id, s.lang,
+                   CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS flag
+            FROM sh s LEFT JOIN fl f ON f.doc_a = s.doc_id
+            WHERE s.doc_id % {D10_DELTA_MOD} = 0
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_delta,
+               CAST(SUM(flag) AS BIGINT) AS n_flagged,
+               CAST(COUNT(*) - SUM(flag) AS BIGINT) AS n_novel,
+               CAST(CASE WHEN COUNT(*) > 0
+                         THEN (10000 * SUM(flag)) // COUNT(*)
+                         ELSE 0 END AS BIGINT) AS flagged_bp,
+               CAST(COALESCE(SUM(CASE WHEN flag = 1 THEN doc_id END), 0)
+                    AS BIGINT) AS flagged_id_checksum
+        FROM dd GROUP BY lang ORDER BY lang
+    """,
     "d17_split_leakage": f"""
         WITH toks AS (
             SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t

@@ -1004,8 +1004,110 @@ def _e9_oracle() -> str:
     """
 
 
+def e13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/holdout assignment — the production REMEDY
+    for the leakage d17 audits: instead of splitting per-document
+    (o8's rule), split per near-duplicate CLUSTER, so every member of
+    a cluster lands in the same split and cross-split near-dup pairs
+    are zero by construction (the split is a function of the cluster
+    label). Output is one row per split with the cluster/doc counts,
+    the largest cluster routed there, an identity checksum pinning the
+    exact assignment, and ``n_moved`` — the docs whose cluster split
+    differs from their naive doc-level split, i.e. the price of
+    leakage-freedom.
+
+    Distributed shape: d16/d17's production staging. Exact duplicates
+    collapse to one representative per token fingerprint (one hash-agg
+    carrying per-group naive-split counts); MinHash-LSH pairs + min-
+    label connected components run over REPRESENTATIVES only; the
+    final rollup is per-cluster then per-split (2 rows). Every shuffle
+    carries fingerprints, counts, or rep pairs — never member pairs,
+    never text past the signature stage.
+
+    Oracle: the UNCOLLAPSED closure — components over the exact-
+    Jaccard pair graph (valid as d3's LSH+verify equals it at this
+    threshold) UNIONed with exact-copy edges (member → group-min; this
+    also clusters copies too short to have shingles, which carry no
+    Jaccard edges), with identical split/checksum arithmetic — proving
+    the collapse+rep staging pure plan optimization.
+    """
+    from ..tables import load_table
+    from .dedup import (
+        _o8_split_col,
+        connected_components,
+        minhash_lsh_pairs_over,
+        parallelize_scan,
+    )
+    from .text import tokens_col
+    from .util import materialize_release
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        _o8_split_col(F.col("doc_id")).alias("doc_split"),
+        F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("__fp"),
+    )
+    groups = (
+        tagged.groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.min_by("text", "doc_id").alias("text"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("doc_split") == "train").cast("long")).alias("nt"),
+        )
+        .cache()
+    )
+    rep_pairs = minhash_lsh_pairs_over(
+        groups.select(F.col("rep_id").alias("doc_id"), "text")
+    ).select("doc_a", "doc_b")
+    cc = connected_components(rep_pairs, src="doc_a", dst="doc_b")
+    clusters = (
+        groups.join(cc, groups["rep_id"] == cc["node"], "left")
+        .select(
+            "n",
+            "nt",
+            F.coalesce("label", F.col("rep_id")).alias("cluster"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("c_docs"),
+            F.sum("nt").alias("c_naive_train"),
+        )
+    )
+    out = (
+        clusters.select(
+            _o8_split_col(F.col("cluster")).alias("split"),
+            "cluster",
+            "c_docs",
+            "c_naive_train",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("c_docs").cast("long").alias("n_docs"),
+            F.max("c_docs").cast("long").alias("max_cluster_docs"),
+            F.sum(F.col("cluster") * F.col("c_docs"))
+            .cast("long")
+            .alias("id_checksum"),
+            F.sum(
+                F.when(
+                    F.col("split") == "train",
+                    F.col("c_docs") - F.col("c_naive_train"),
+                ).otherwise(F.col("c_naive_train"))
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .orderBy("split")
+    )
+    return materialize_release(spark, out, groups)
+
+
 from ..etl.workload import DRIVER_ORACLE as _WORKLOAD_ORACLE  # noqa: E402
+from .dedup import SHINGLE_K as _SHINGLE_K  # noqa: E402
 from .text import ALPHA_RATIO_BP_SQL_DUCK as _ALPHA_BP  # noqa: E402
+from .text import TOKEN_PATTERN as _TOKEN_PATTERN  # noqa: E402
 from ..etl.workload import DRIVER_QUERIES as _WORKLOAD_QUERIES  # noqa: E402
 
 #: e10 curriculum-stage thresholds on the integer alpha-ratio quality
@@ -1167,6 +1269,7 @@ QUERIES = {
     "e10_curriculum_schedule": e10_curriculum_schedule,
     "e11_epoch_cap_allocation": e11_epoch_cap_allocation,
     "e12_packing_curve": e12_packing_curve,
+    "e13_cluster_aware_split": e13_cluster_aware_split,
     "e1_docket_pipeline": e1_docket_pipeline,
     "e2_training_pipeline": e2_training_pipeline,
     "e3_shard_assign": e3_shard_assign,
@@ -1250,6 +1353,80 @@ ORACLE = {
     """,
 
     "e12_packing_curve": _e12_oracle(),
+    # e13: uncollapsed closure — exact-Jaccard pairs (== the LSH+verify
+    # pair set, d3's argument) UNION exact-copy edges (member → group
+    # min; also clusters shingle-less copies) — then the identical
+    # split/checksum arithmetic. Proves the rep-collapse staging pure
+    # plan optimization, exactly d16/d17's oracle contract.
+    "e13_cluster_aware_split": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, GREATEST(len(t) - {_SHINGLE_K - 1}, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks
+        ), postings AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+            FROM postings a JOIN postings b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ), jp AS (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4)
+                      >= 0.18
+        ), fpg AS (
+            SELECT doc_id, md5(array_to_string(t, ' ')) AS g FROM toks
+        ), gm AS (
+            SELECT g, MIN(doc_id) AS rep FROM fpg GROUP BY g
+        ), fpe AS (
+            SELECT f.doc_id AS doc_a, m.rep AS doc_b
+            FROM fpg f JOIN gm m USING (g)
+            WHERE f.doc_id <> m.rep
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jp
+            UNION SELECT doc_b, doc_a FROM jp
+            UNION SELECT doc_a, doc_b FROM fpe
+            UNION SELECT doc_b, doc_a FROM fpe
+        ), reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), lab AS (
+            SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a
+        ), clu AS (
+            SELECT d.doc_id,
+                   COALESCE(l.label, d.doc_id) AS cluster,
+                   CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'd'
+                        THEN 1 ELSE 0 END AS naive_train
+            FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+        ), cs AS (
+            SELECT cluster, COUNT(*) AS c_docs,
+                   SUM(naive_train) AS c_naive_train
+            FROM clu GROUP BY cluster
+        ), fin AS (
+            SELECT CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'd'
+                        THEN 'train' ELSE 'holdout' END AS split,
+                   cluster, c_docs, c_naive_train
+            FROM cs
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(c_docs) AS BIGINT) AS n_docs,
+               CAST(MAX(c_docs) AS BIGINT) AS max_cluster_docs,
+               CAST(SUM(cluster * c_docs) AS BIGINT) AS id_checksum,
+               CAST(SUM(CASE WHEN split = 'train'
+                             THEN c_docs - c_naive_train
+                             ELSE c_naive_train END) AS BIGINT) AS n_moved
+        FROM fin GROUP BY split ORDER BY split
+    """,
     "e8_temperature_mixture": _e8_oracle(),
     "e1_docket_pipeline": _oracle(),
     "e3_shard_assign": """

@@ -817,7 +817,121 @@ def apply_bpe_merge(symbols: Column, a: str, b: str) -> Column:
     )
 
 
+T18_BIGRAMS = 4096  # top-B bigram table (broadcast-sized forever)
+T18_BACKOFF = 2.5  # 1/0.4 — the "stupid backoff" discount as a penalty
+
+
+def t18_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram surprisal — the order-2 upgrade of t13's
+    unigram code length, the shape CCNet/Gopher-style quality filters
+    actually run (KenLM is backoff n-grams; "stupid backoff" is the
+    web-scale variant that skips normalization): each token TRANSITION
+    (w1→w2) costs ``-log2(c(w1,w2)/c(w1))`` bits when the bigram is in
+    the top-``T18_BIGRAMS`` table, else it backs off to the unigram
+    code length plus a constant ``log2(2.5)`` discount penalty (t13's
+    model: top-``T13_VOCAB`` vocab, count-1 OOV floor). Documents are
+    charged per transition; the first token of each document carries
+    no transition (documented start-of-text simplification).
+
+    Scale shape: BOTH models are fixed-size-truncated through total
+    orders (count desc, keys asc → ``TakeOrderedAndProject``, both
+    engines pick identical rows) so they broadcast at any corpus size;
+    the bigram table picks up its left-context counts by broadcasting
+    INTO the corpus-wide unigram aggregate (B-row output, no unigram
+    shuffle beyond its own agg). Scoring is broadcast left joins on
+    the exploded transition stream; the only corpus-wide shuffles are
+    the two model count-aggs and the per-language rollup. Bits use
+    t13's exactness machinery: ROUND(bits, 4) into DECIMAL
+    ten-thousandths, integer half-up mean — no float summation order
+    anywhere.
+    """
+    from .dedup import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", tokens_col(F.col("text")).alias("__toks")
+    )
+    uni = (
+        toks.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("__t"))
+    vocab = (
+        uni.orderBy(F.desc("c"), F.asc("token"))
+        .limit(T13_VOCAB)
+        .select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    )
+    trans = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - 2),
+                    lambda i: F.struct(
+                        F.col("__toks")[i].alias("w1"),
+                        F.col("__toks")[i + 1].alias("w2"),
+                    ),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    big = (
+        trans.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(T18_BIGRAMS)
+    )
+    # left-context counts for the kept bigrams: broadcast the B-row
+    # table INTO the unigram agg — B rows out, no unigram shuffle
+    big_model = F.broadcast(big).join(
+        uni.select(F.col("token").alias("w1"), F.col("c").alias("c1")),
+        "w1",
+    )
+    scored = (
+        trans.join(F.broadcast(big_model), ["w1", "w2"], "left")
+        .join(F.broadcast(vocab), "w2", "left")
+        .join(F.broadcast(total))
+        .withColumn("hit", F.col("c12").isNotNull())
+        .withColumn(
+            "bits",
+            F.when(
+                F.col("hit"), F.log2("c1") - F.log2("c12")
+            ).otherwise(
+                F.log2(F.lit(T18_BACKOFF))
+                + F.log2("__t")
+                - F.log2(F.coalesce(F.col("c2"), F.lit(1)))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(F.col("hit").cast("long")).alias("__hits"),
+            F.sum(F.round(F.col("bits"), 4).cast("decimal(20,4)")).alias(
+                "__bits"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_transitions",
+            F.expr("(10000 * __hits) DIV n_transitions").alias("hit_bp"),
+            F.expr(
+                "CAST((2 * CAST(__bits * 10000 AS BIGINT) + n_transitions)"
+                " DIV (2 * n_transitions) AS DOUBLE) / 10000"
+            ).alias("avg_bits_per_transition"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "t18_backoff_surprisal": t18_backoff_surprisal,
     "t17_bpe_pair_stats": t17_bpe_pair_stats,
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -843,6 +957,53 @@ _WINNOW_HASH_SQL = " + ".join(
 )
 
 ORACLE = {
+    "t18_backoff_surprisal": f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), tokx AS (
+            SELECT doc_id, unnest(t) AS token FROM tok
+        ), uni AS (
+            SELECT token, COUNT(*) AS c FROM tokx GROUP BY token
+        ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+        vocab AS (
+            SELECT token AS w2, c AS c2 FROM uni
+            ORDER BY c DESC, token LIMIT {T13_VOCAB}
+        ), p2 AS (
+            SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM (
+                SELECT doc_id, lang,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> struct_pack(w1 := t[i], w2 := t[i+1])))
+                           AS bg
+                FROM tok WHERE len(t) >= 2) s
+        ), big AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM p2
+            GROUP BY 1, 2 ORDER BY c12 DESC, w1, w2 LIMIT {T18_BIGRAMS}
+        ), bigm AS (
+            SELECT b.w1, b.w2, b.c12, u.c AS c1
+            FROM big b JOIN uni u ON u.token = b.w1
+        ), scored AS (
+            SELECT p.doc_id, p.lang, m.c12 IS NOT NULL AS hit,
+                   CASE WHEN m.c12 IS NOT NULL
+                        THEN log2(m.c1) - log2(m.c12)
+                        ELSE log2({T18_BACKOFF}) + log2((SELECT t FROM tot))
+                             - log2(COALESCE(v.c2, 1)) END AS bits
+            FROM p2 p
+            LEFT JOIN bigm m USING (w1, w2)
+            LEFT JOIN vocab v ON v.w2 = p.w2
+        )
+        SELECT lang,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST((10000 * SUM(CASE WHEN hit THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS hit_bp,
+               CAST((2 * CAST(SUM(CAST(ROUND(bits, 4) AS DECIMAL(20,4)))
+                              * 10000 AS BIGINT) + COUNT(*))
+                    // (2 * COUNT(*)) AS DOUBLE) / 10000
+                   AS avg_bits_per_transition
+        FROM scored GROUP BY lang ORDER BY lang
+    """,
     "t17_bpe_pair_stats": f"""
         WITH tok AS (
             SELECT unnest(regexp_extract_all(lower(text),

@@ -409,6 +409,79 @@ def w12_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+W14_BUCKET_S = 900  # 15-minute downsample buckets
+
+
+def w14_gapfill_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style downsample with gap-fill + last-observation
+    carry-forward — TimescaleDB's ``time_bucket_gapfill``/``locf``
+    re-expressed Spark-first, the continuous-aggregate shape every
+    time-series deployment reads instead of raw events. Events bucket
+    to 15-minute epochs per event_type; every bucket in each type's
+    [min, max] span exists in the output (gaps materialized with
+    ``n_events = 0``), and ``locf_sum`` carries the last present
+    bucket's value across gaps.
+
+    Distributed shape: the bucket rollup is one map-side-partial
+    hash-agg (the only corpus-sized shuffle, keyed on type×bucket);
+    the gap grid is ``sequence()``-exploded from a |types|-row span
+    aggregate — domain-bounded (types × span/900s), NOT data-bounded —
+    and joins the rollup on its own key. The LOCF window partitions by
+    event_type ordered by bucket: partition size = span buckets, again
+    time-bounded, not row-bounded (a decade of 15-min buckets is
+    ~350K rows/type; chunk by calendar month first if types are few
+    and spans are decades). Float exactness: per-bucket sums quantize
+    ``ROUND(value, 4)`` into DECIMAL(20,4) — order-independent and
+    identical cross-engine (the t13 pattern) — and only the final
+    columns cast back to double.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        events.select(
+            "event_type",
+            F.expr(
+                f"(unix_timestamp(ts) DIV {W14_BUCKET_S}) * {W14_BUCKET_S}"
+            ).alias("bucket_epoch"),
+            F.round(F.col("value"), 4).cast("decimal(20,4)").alias("__v"),
+        )
+        .groupBy("event_type", "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__v").alias("__bsum"),
+        )
+    )
+    grid = (
+        per.groupBy("event_type")
+        .agg(F.min("bucket_epoch").alias("lo"), F.max("bucket_epoch").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(W14_BUCKET_S).cast("long"))
+            ).alias("bucket_epoch"),
+        )
+    )
+    locf_w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(per, ["event_type", "bucket_epoch"], "left")
+        .select(
+            "event_type",
+            "bucket_epoch",
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
+            F.col("__bsum").cast("double").alias("bucket_sum"),
+            F.last("__bsum", ignorenulls=True)
+            .over(locf_w)
+            .cast("double")
+            .alias("locf_sum"),
+            F.col("__n").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("event_type", "bucket_epoch")
+    )
+
+
 W10_WINDOW_S = 3600  # trailing time window (seconds)
 
 
@@ -526,6 +599,7 @@ QUERIES = {
     "w11_funnel_steps": w11_funnel_steps,
     "w12_retention_cohorts": w12_retention_cohorts,
     "w13_sequence_with_negation": w13_sequence_with_negation,
+    "w14_gapfill_downsample": w14_gapfill_downsample,
     "w2_running_sum": w2_running_sum,
     "w3_lag_delta": w3_lag_delta,
     "w4_rank_in_partition": w4_rank_in_partition,
@@ -538,6 +612,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w14_gapfill_downsample": f"""
+        WITH per AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000 // {W14_BUCKET_S})
+                       * {W14_BUCKET_S} AS bucket_epoch,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value, 4) AS DECIMAL(20,4))) AS bsum
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT event_type, MIN(bucket_epoch) AS lo,
+                   MAX(bucket_epoch) AS hi
+            FROM per GROUP BY 1
+        ), grid AS (
+            SELECT event_type,
+                   unnest(range(lo, hi + {W14_BUCKET_S}, {W14_BUCKET_S}))
+                       AS bucket_epoch
+            FROM span
+        ), f AS (
+            SELECT g.event_type, g.bucket_epoch, p.n, p.bsum
+            FROM grid g LEFT JOIN per p USING (event_type, bucket_epoch)
+        )
+        SELECT event_type,
+               CAST(bucket_epoch AS BIGINT) AS bucket_epoch,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               CAST(bsum AS DOUBLE) AS bucket_sum,
+               CAST(last_value(bsum IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY bucket_epoch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS locf_sum,
+               CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+        FROM f ORDER BY event_type, bucket_epoch
+    """,
     "w13_sequence_with_negation": f"""
         WITH starts AS (
             SELECT user_id, MIN(ts) AS t_a FROM events

@@ -70,6 +70,8 @@ SKIP_SWEEP = {
     "x15_sq_int8_recall",  # collects the 64-row quantizer fit + materializes
     "t17_bpe_pair_stats",  # caches + materializes the vocab table
     "s7_stream_cdc_upsert",  # runs a streaming job at construction
+    "e13_cluster_aware_split",  # LSH pair gen + iterative components
+    "d18_incremental_neardup",  # caches signatures + materializes
 }
 
 

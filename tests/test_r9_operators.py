@@ -426,3 +426,155 @@ def test_m15_engineered_merge_and_s7_parity(spark, tmp_path):
     assert (r["n_inserted"], r["n_updated"], r["n_deleted"]) == (2, 3, 2)
     s7 = s7_stream_cdc_upsert(spark, sf).collect()
     assert s7 == out
+
+
+def test_w14_engineered_gapfill_locf(spark, tmp_path):
+    """Two 15-minute buckets of type 'a' with a one-bucket gap between
+    them: the gap row must exist with n_events=0, NULL bucket_sum, the
+    previous bucket's sum carried forward, and is_gap=1. Type 'b' has
+    one event -> a one-bucket grid with no gaps."""
+    from datetime import datetime
+
+    from mirrulations_iceberg_spark.operators.windows import (
+        w14_gapfill_downsample,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minute, second=0):
+        return t0.replace(minute=minute, second=second)
+
+    sf = _write_events_local(
+        spark,
+        tmp_path,
+        [
+            (1, at(5), 100, "a", 1.25, "{}"),
+            (2, at(10), 101, "a", 2.25, "{}"),   # bucket 0: sum 3.50
+            (3, at(40), 102, "a", 4.0, "{}"),    # bucket 2 (gap at 1)
+            (4, at(7), 103, "b", 9.5, "{}"),     # single-bucket type
+        ],
+    )
+    rows = w14_gapfill_downsample(spark, sf).collect()
+    a = [r for r in rows if r["event_type"] == "a"]
+    b = [r for r in rows if r["event_type"] == "b"]
+    assert [r["n_events"] for r in a] == [2, 0, 1]
+    assert [r["bucket_sum"] for r in a] == [3.5, None, 4.0]
+    assert [r["locf_sum"] for r in a] == [3.5, 3.5, 4.0]
+    assert [r["is_gap"] for r in a] == [0, 1, 0]
+    assert [r["bucket_epoch"] - a[0]["bucket_epoch"] for r in a] == [
+        0, 900, 1800,
+    ]
+    assert len(b) == 1 and b[0]["n_events"] == 1 and b[0]["is_gap"] == 0
+
+
+def _write_events_local(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    return sf
+
+
+def test_e13_engineered_cluster_split(spark, tmp_path):
+    """Split membership pinned by md5(doc_id) (hashlib-verified in the
+    d17 test above): 1,2,6 train; 3,5,10 holdout. An exact-copy pair
+    (1,3), a near-dup pair (2,5; Jaccard 0.6), and two singletons
+    (6 train, 10 holdout). Cluster labels are min ids (1, 2) -> both
+    pair-clusters route to train, moving holdout docs 3 and 5."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        e13_cluster_aware_split,
+    )
+
+    t1 = "alpha bravo charlie delta echo foxtrot"
+    t2 = "golf hotel india juliet kilo lima"
+    t2b = "golf hotel india juliet kilo zulu"  # 3/5 shared shingles
+    t4 = "sierra tango uniform victor whiskey xray"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, t1, "en", "s"),    # train  ┐ exact pair, cluster 1
+            (3, t1, "en", "s"),    # holdout┘  -> train (moved)
+            (2, t2, "en", "s"),    # train  ┐ near-dup pair, cluster 2
+            (5, t2b, "en", "s"),   # holdout┘  -> train (moved)
+            (6, t4, "en", "s"),    # train singleton
+            (10, "unique words only here", "en", "s"),  # holdout singleton
+        ],
+    )
+    rows = {r["split"]: r for r in e13_cluster_aware_split(spark, sf).collect()}
+    tr, ho = rows["train"], rows["holdout"]
+    assert (tr["n_clusters"], tr["n_docs"], tr["max_cluster_docs"]) == (3, 5, 2)
+    assert tr["id_checksum"] == 1 * 2 + 2 * 2 + 6 * 1
+    assert tr["n_moved"] == 2  # docs 3 and 5 pulled into train
+    assert (ho["n_clusters"], ho["n_docs"], ho["max_cluster_docs"]) == (1, 1, 1)
+    assert ho["id_checksum"] == 10 and ho["n_moved"] == 0
+
+
+def test_d18_engineered_incremental_neardup(spark, tmp_path):
+    """Delta = doc_id % 5 == 0. Doc 5 is an exact copy of base doc 1
+    (flagged, J=1.0); doc 10 is a near-dup of base doc 2 (4 of 5
+    shingles shared, J=2/3); doc 15 is novel; doc 20 is a near-dup of
+    DELTA doc 15 only — cross-frame LSH must NOT flag it (no
+    delta-delta pairs). Base docs 1-4 are never reported."""
+    from mirrulations_iceberg_spark.operators.dedup import (
+        d18_incremental_neardup,
+    )
+
+    t1 = "alpha bravo charlie delta echo foxtrot"
+    t2 = "golf hotel india juliet kilo lima mike"
+    t2b = "golf hotel india juliet kilo lima zulu"  # 4/6 shingles shared
+    t3 = "november oscar papa quebec romeo sierra"
+    t3b = "november oscar papa quebec romeo tango"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, t1, "en", "s"),     # base
+            (2, t2, "en", "s"),     # base
+            (3, "unrelated words entirely here now", "en", "s"),  # base
+            (4, "more filler text goes right here", "de", "s"),   # base
+            (5, t1, "en", "s"),     # delta: exact copy of base 1
+            (10, t2b, "en", "s"),   # delta: near-dup of base 2
+            (15, t3, "de", "s"),    # delta: novel
+            (20, t3b, "de", "s"),   # delta: near-dup of DELTA 15 only
+        ],
+    )
+    rows = {r["lang"]: r for r in d18_incremental_neardup(spark, sf).collect()}
+    en, de = rows["en"], rows["de"]
+    assert (en["n_delta"], en["n_flagged"], en["n_novel"]) == (2, 2, 0)
+    assert en["flagged_id_checksum"] == 5 + 10
+    assert en["flagged_bp"] == 10000
+    assert (de["n_delta"], de["n_flagged"], de["n_novel"]) == (2, 0, 2)
+    assert de["flagged_id_checksum"] == 0 and de["flagged_bp"] == 0
+
+
+def test_t18_engineered_backoff_bits(spark, tmp_path):
+    """Hand-computable bigram code lengths: uni a=4,b=4,c=1,x=1,y=1;
+    bigrams (a,b)=4,(b,a)=2,(b,c)=1,(x,y)=1 all kept (B=4096), so
+    every transition hits: (a,b)->0 bits, (b,a)->1, (b,c)->2,
+    (x,y)->0. en mean = 4/7 floored half-up at 1e-4."""
+    from mirrulations_iceberg_spark.operators.text import (
+        t18_backoff_surprisal,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b a b a b", "en", "s"),
+            (2, "a b c", "en", "s"),
+            (3, "x y", "de", "s"),
+        ],
+    )
+    rows = {r["lang"]: r for r in t18_backoff_surprisal(spark, sf).collect()}
+    en, de = rows["en"], rows["de"]
+    assert (en["n_docs"], en["n_transitions"], en["hit_bp"]) == (2, 7, 10000)
+    assert en["avg_bits_per_transition"] == 0.5714  # (2*40000+7)//14 / 1e4
+    assert (de["n_docs"], de["n_transitions"], de["hit_bp"]) == (1, 1, 10000)
+    assert de["avg_bits_per_transition"] == 0.0
