@@ -183,6 +183,12 @@ DRIVER_WINDOW = (
     #     exercised in-window by e11's cap waterfill and e12's packing
     #     curve; e6 banked green r06)
     "t18_backoff_surprisal",
+    # --- NEW mid-round-9 operator: layout/clustering scatter audit
+    #     (the rewrite-with-sort-order decision input, measured through
+    #     real partitioned writes + input_file_name reads); takes
+    #     c_json_extract's slot (JSON-path extraction stays banked
+    #     green r06 and the from_json shape is banked c11 r08)
+    "m16_layout_scatter_report",
     # --- the stalest greens (last green r06), oldest-first fill
     #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
@@ -192,7 +198,6 @@ DRIVER_WINDOW = (
     #     q1_count_total (trivial COUNT(*), counting shapes covered by
     #     a1/a2/q2 in-window).
     "a8_null_profile",
-    "c_json_extract",
     "d10_incremental_dedup",
     "d7_dedup_apply_lsh",
     "f4_conjunctive_filter",

@@ -905,7 +905,101 @@ def cdc_apply_rollup(docs: DataFrame, latest: DataFrame) -> DataFrame:
     )
 
 
+def m16_layout_scatter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout/clustering effectiveness audit — the decision input for
+    Iceberg's ``rewrite_data_files`` with a sort order (Z-order /
+    liquid-clustering family): given a probe column (``lang``), how
+    many PLACEMENT UNITS must a probe touch under the as-ingested
+    hash-scattered layout vs a key-clustered rewrite? The table is
+    written BOTH ways (hive-partitioned by a deterministic md5-nibble
+    ingest shard, then by the probe key), read back through the real
+    partition-discovery path, and the per-key scatter measured with
+    ``input_file_name()`` parsing — so the number is what the file
+    index would actually do, not a simulation. ``units_scattered`` ≈
+    all shards (every probe touches everything: the layout that makes
+    100 TB scans key-blind) vs ``units_clustered`` = 1 (partition
+    pruning serves each probe from one unit; the pruning itself is
+    plan-asserted in ``tests/test_plans.py``).
+
+    Scale shape: two one-pass writes (partitioned sinks — s10's
+    machinery), one read-side distinct over (unit, key) pairs, output
+    bounded by |langs|. At 100 TB the write is Iceberg's rewrite
+    action; the report is identical.
+
+    Oracle: the scattered layout's unit set is a pure function of the
+    data (md5-nibble of doc_id), so DuckDB recomputes it exactly;
+    units_clustered = 1 is the clustering INVARIANT the measured side
+    must reproduce (Spark measures it from the clustered read, the
+    oracle states it).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    base = _tmpdir()
+    try:
+        scat, clus = os.path.join(base, "scattered"), os.path.join(
+            base, "clustered"
+        )
+        staged.write.partitionBy("shard").mode("overwrite").parquet(scat)
+        staged.write.partitionBy("lang").mode("overwrite").parquet(clus)
+        unit = F.regexp_extract(F.input_file_name(), r"(shard|lang)=([^/]+)", 2)
+        ra = (
+            spark.read.parquet(scat)
+            .select("doc_id", "lang", unit.alias("unit"))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("id_checksum"),
+                F.countDistinct("unit").alias("units_scattered"),
+            )
+        )
+        rb = (
+            spark.read.parquet(clus)
+            .select("doc_id", "lang", unit.alias("unit"))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("__n_b"),
+                F.sum("doc_id").alias("__ck_b"),
+                F.countDistinct("unit").alias("units_clustered"),
+            )
+        )
+        out = (
+            ra.join(rb, "lang")
+            # round-trip equality between the two layouts is part of
+            # the contract: surface it as filters the oracle would
+            # expose as row-count mismatches if ever violated
+            .filter(
+                (F.col("n_docs") == F.col("__n_b"))
+                & (F.col("id_checksum") == F.col("__ck_b"))
+            )
+            .select(
+                "lang",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("id_checksum").cast("long").alias("id_checksum"),
+                F.col("units_scattered").cast("long").alias("units_scattered"),
+                F.col("units_clustered").cast("long").alias("units_clustered"),
+            )
+            .orderBy("lang")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
+    "m16_layout_scatter_report": m16_layout_scatter_report,
     "m15_cdc_merge": m15_cdc_merge,
     "s13_schema_evolution": s13_schema_evolution,
     "m14_drift_report": m14_drift_report,
@@ -956,6 +1050,24 @@ _M6_UNION = "\n        UNION ALL\n".join(
 )
 
 ORACLE = {
+    # m16: the scattered layout's unit set is a pure function of the
+    # data (md5-nibble shard of doc_id); units_clustered = 1 is the
+    # clustering invariant the measured read must reproduce.
+    "m16_layout_scatter_report": """
+        WITH s AS (
+            SELECT doc_id, lang,
+                   strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                       AS shard
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               CAST(COUNT(DISTINCT shard) AS BIGINT) AS units_scattered,
+               CAST(1 AS BIGINT) AS units_clustered
+        FROM s GROUP BY lang ORDER BY lang
+    """,
     "m15_cdc_merge": f"""
         WITH base AS (
             SELECT doc_id AS key, text, lang FROM documents

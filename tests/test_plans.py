@@ -26,6 +26,7 @@ CROSS_JOIN_OK = {
     "x8_range_search",  # broadcast bounded query set over the corpus scan
     "t12_vocab_growth",  # broadcast 1-row n_docs for decile bucketing
     "t13_unigram_logprob",  # broadcast 1-row total-token count
+    "t18_backoff_surprisal",  # broadcast 1-row total (t13's pattern)
     "a15_exact_quantile_twopass",  # 3 target ranks × bounded histogram
     "o9_weighted_sample",  # broadcast 1-row w_max for the threshold compare
     "w13_sequence_with_negation",  # three 1-row stage counts joined into the summary
@@ -72,6 +73,7 @@ SKIP_SWEEP = {
     "s7_stream_cdc_upsert",  # runs a streaming job at construction
     "e13_cluster_aware_split",  # LSH pair gen + iterative components
     "d18_incremental_neardup",  # caches signatures + materializes
+    "m16_layout_scatter_report",  # writes two partitioned layouts
 }
 
 
@@ -366,3 +368,23 @@ def test_d15_shuffles_carry_no_window_text(spark):
     assert exchange_lines, "expected exchanges in d15"
     for line in exchange_lines:
         assert "text" not in line and " w#" not in line, line
+
+
+def test_m16_clustered_layout_prunes_partitions(spark, tmp_path):
+    """m16's clustering payoff, plan-asserted: a probe-key filter on
+    the key-clustered layout resolves to PartitionFilters (directory
+    pruning — no data files of other keys are opened), while the same
+    filter on the hash-scattered layout reaches every placement unit
+    as a plain data filter."""
+    from mirrulations_iceberg_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    clus = str(tmp_path / "clustered")
+    docs.write.partitionBy("lang").parquet(clus)
+    q = spark.read.parquet(clus).filter("lang = 'en'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # the pruned scan must not re-check lang row-by-row
+    assert "PushedFilters: []" in plan or "EqualTo(lang" not in plan
