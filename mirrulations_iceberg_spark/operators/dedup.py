@@ -99,13 +99,24 @@ def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def content_fp_from_toks(toks):
+    """md5 over space-joined tokens — the ONE exact-dup content
+    identity every collapse/staging operator shares (d1/d10/d16/d17/
+    d18, e2/e9/e13, s6). DuckDB twin, kept in lockstep by the oracles:
+    ``md5(array_to_string(regexp_extract_all(lower(text), TOKEN_PATTERN),
+    ' '))``. A tokenizer/normalization change edits THIS helper (and
+    the oracle twin), never per-operator copies."""
+    return F.md5(F.concat_ws(" ", toks))
+
+
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content fingerprint, keep the smallest
     doc_id per group. One hash-agg shuffle of (fingerprint, id) pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.concat_ws(" ", tokens_col(F.col("text")))
     return (
-        docs.groupBy(F.md5(norm).alias("fingerprint"))
+        docs.groupBy(
+            content_fp_from_toks(tokens_col(F.col("text"))).alias("fingerprint")
+        )
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("copies"))
     )
 
@@ -332,6 +343,58 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def band_buckets_col():
+    """The ``BANDS`` band-bucket hashes derived from a MinHash
+    ``signature`` column — ONE home for the banding arithmetic shared
+    by d3/d7 and the cross-frame variant (a bands/rows tuning change
+    edits this expression only). Null signature (shingle-less doc) →
+    null array → ``posexplode`` emits zero rows."""
+    return F.when(
+        F.col("signature").isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BANDS - 1)),
+            lambda b: F.xxhash64(
+                F.slice(
+                    F.col("signature"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND
+                )
+            ),
+        ),
+    )
+
+
+def verify_exact_jaccard(
+    cand: DataFrame, sigs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate ``(doc_a, doc_b)`` pairs
+    against the signature frame's shingle arrays — the shared verify
+    step of the within-corpus and cross-frame LSH paths (the
+    ``ROUND(j, 4) >= threshold`` contract the oracles mirror lives
+    here once)."""
+    sh_a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (
+                    F.size("sh_a") + F.size("sh_b") - F.col("common")
+                ).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
 def d3_minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.18,
     max_bucket_size: int = 1_000,
@@ -358,28 +421,26 @@ def d3_minhash_lsh_pairs(
 
 
 def minhash_lsh_pairs_over(
-    docs: DataFrame, threshold: float = 0.18, max_bucket_size: int = 1_000
+    docs: DataFrame,
+    threshold: float = 0.18,
+    max_bucket_size: int = 1_000,
+    caches: list | None = None,
 ) -> DataFrame:
     """d3's banded MinHash-LSH + exact-Jaccard verify over an arbitrary
     (doc_id, text) frame — factored out so cluster-level consumers
     (d16) can run it over a pre-collapsed representative set instead of
-    the raw corpus."""
+    the raw corpus. The signature frame is cached (it feeds the band
+    explode AND both verify joins); a MATERIALIZING caller passes
+    ``caches`` and hands the registered frame to
+    ``materialize_release`` so the cache's lifetime ends with the
+    query (ADVICE: an unregistered internal cache outlives every
+    handle on a long-lived shared session)."""
     sigs = minhash_signatures(docs).cache()
-    # when(): null signature (shingle-less doc) → null band array →
-    # posexplode emits zero rows, so empty docs never become candidates.
+    if caches is not None:
+        caches.append(sigs)
     bands = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.when(
-                F.col("signature").isNotNull(),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                    lambda b: F.xxhash64(
-                        F.slice(F.col("signature"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
-                    ),
-                ),
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(band_buckets_col()).alias("band", "bucket"),
     )
     # Group-and-pair (same shape as d2): ONE shuffle on (band, bucket)
     # builds per-bucket doc lists; candidate pairs are generated with
@@ -408,24 +469,7 @@ def minhash_lsh_pairs_over(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "common", "jaccard")
-    )
-    return verified
+    return verify_exact_jaccard(cand, sigs, threshold)
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed int64
@@ -604,17 +648,7 @@ def d7_dedup_apply_lsh(
     sigs = minhash_signatures(docs).cache()
     bands = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.when(
-                F.col("signature").isNotNull(),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                    lambda b: F.xxhash64(
-                        F.slice(F.col("signature"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
-                    ),
-                ),
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(band_buckets_col()).alias("band", "bucket"),
     )
     buckets = (
         bands.groupBy("band", "bucket")
@@ -874,7 +908,7 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. Per-lang summary out (bounded by |langs|).
     """
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("fingerprint")
+    fp = content_fp_from_toks(tokens_col(F.col("text"))).alias("fingerprint")
     is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
     base_fps = docs.filter(~is_delta).select(fp).distinct()
     delta = (
@@ -1088,7 +1122,7 @@ def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelize_scan(load_table(spark, sf_dir, "documents"))
         .withColumn("__toks", tokens_col(F.col("text")))
         .withColumn("quality_bp", alpha_ratio_bp_col())
-        .withColumn("__fp", F.md5(F.concat_ws(" ", F.col("__toks"))))
+        .withColumn("__fp", content_fp_from_toks(F.col("__toks")))
         # shingle-less docs (< k tokens) can never form a pair in the
         # uncollapsed graph — exclude them from exact-only fallback too
         .withColumn("__has_sh", F.size("__toks") >= SHINGLE_K)
@@ -1100,7 +1134,8 @@ def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.min_by("text", "doc_id").alias("text"),
     )
-    pairs = minhash_lsh_pairs_over(reps)
+    lsh_caches: list = []
+    pairs = minhash_lsh_pairs_over(reps, caches=lsh_caches)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     # reps already holds (fp -> min doc_id): reuse, don't re-aggregate
     rep_map = reps.select("__fp", F.col("doc_id").alias("rep"))
@@ -1145,7 +1180,7 @@ def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .util import materialize_release
 
-    return materialize_release(docs.sparkSession, out, docs)
+    return materialize_release(docs.sparkSession, out, docs, *lsh_caches)
 
 
 def t16_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,15 +1316,15 @@ def d17_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split arithmetic — so the collapse+expansion is proven pure plan
     optimization, exactly d16's staging contract. All-integer outputs.
     """
-    from .text import tokens_col
-
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    tagged = docs.select(
+    # project tokens ONCE (the 2.6x re-evaluation trap documented on
+    # shingles_from_tokens) — __fp and has_sh both read __toks
+    tagged = docs.withColumn("__toks", tokens_col(F.col("text"))).select(
         "doc_id",
         "text",
         _o8_split_col(F.col("doc_id")).alias("split"),
-        F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("__fp"),
-        (F.size(tokens_col(F.col("text"))) >= SHINGLE_K).alias("has_sh"),
+        content_fp_from_toks(F.col("__toks")).alias("__fp"),
+        (F.size("__toks") >= SHINGLE_K).alias("has_sh"),
     )
     groups = (
         tagged.groupBy("__fp")
@@ -1302,8 +1337,9 @@ def d17_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    lsh_caches: list = []
     rep_pairs = minhash_lsh_pairs_over(
-        groups.select("doc_id", "text")
+        groups.select("doc_id", "text"), caches=lsh_caches
     ).select("doc_a", "doc_b")
     cnt_a = groups.select(
         F.col("doc_id").alias("doc_a"),
@@ -1416,7 +1452,7 @@ def d17_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .util import materialize_release
 
-    return materialize_release(spark, out, groups, pe)
+    return materialize_release(spark, out, groups, pe, *lsh_caches)
 
 
 def minhash_lsh_cross_pairs_over(
@@ -1424,40 +1460,32 @@ def minhash_lsh_cross_pairs_over(
     base: DataFrame,
     threshold: float = 0.18,
     max_bucket_size: int = 1_000,
+    caches: list | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH candidates BETWEEN two frames — probe×base
     pairs only, never probe×probe or base×base — verified with exact
-    Jaccard. The incremental twin of :func:`minhash_lsh_pairs_over`:
+    Jaccard (the shared :func:`verify_exact_jaccard`; doc-id spaces
+    are disjoint, so the union signature frame serves both verify
+    sides). The incremental twin of :func:`minhash_lsh_pairs_over`:
     a delta batch probes a (conceptually pre-stored) base signature
-    index instead of re-pairing the whole corpus. Doc-id spaces must
-    be disjoint (callers use disjoint id partitions).
+    index instead of re-pairing the whole corpus.
 
     Same scale contract as d3: signatures are row-local projections,
     the single pair-generating shuffle is the (band, bucket) hash-agg,
     per-bucket cross products are bounded by the degenerate-bucket
     cap, and only candidate pairs reach the exact verify join.
+    ``caches`` registers the internal signature cache for release by
+    the materializing caller (see minhash_lsh_pairs_over).
     """
     sig_p = minhash_signatures(probe).withColumn("__probe", F.lit(True))
     sig_b = minhash_signatures(base).withColumn("__probe", F.lit(False))
     sigs = sig_p.unionByName(sig_b).cache()
+    if caches is not None:
+        caches.append(sigs)
     bands = sigs.select(
         "doc_id",
         "__probe",
-        F.posexplode(
-            F.when(
-                F.col("signature").isNotNull(),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(BANDS - 1)),
-                    lambda b: F.xxhash64(
-                        F.slice(
-                            F.col("signature"),
-                            b * ROWS_PER_BAND + 1,
-                            ROWS_PER_BAND,
-                        )
-                    ),
-                ),
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(band_buckets_col()).alias("band", "bucket"),
     )
     # collect_list drops the NULLs the when() produces for the other
     # side, so each bucket carries its probe ids and base ids as two
@@ -1492,29 +1520,7 @@ def minhash_lsh_cross_pairs_over(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sh_a = sigs.filter(F.col("__probe")).select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sh_b = sigs.filter(~F.col("__probe")).select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
-    return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common")
-                / (
-                    F.size("sh_a") + F.size("sh_b") - F.col("common")
-                ).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "common", "jaccard")
-    )
+    return verify_exact_jaccard(cand, sigs, threshold)
 
 
 def d18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1547,7 +1553,7 @@ def d18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + the same per-language arithmetic.
     """
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    fp = F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("__fp")
+    fp = content_fp_from_toks(tokens_col(F.col("text"))).alias("__fp")
     is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
     dg = (
         docs.filter(is_delta)
@@ -1570,9 +1576,12 @@ def d18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("text", "doc_id").alias("text"),
         )
     )
+    lsh_caches: list = []
     flagged_reps = (
         minhash_lsh_cross_pairs_over(
-            dg.select("doc_id", "text"), bg.select("doc_id", "text")
+            dg.select("doc_id", "text"),
+            bg.select("doc_id", "text"),
+            caches=lsh_caches,
         )
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -1610,7 +1619,7 @@ def d18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .util import materialize_release
 
-    return materialize_release(spark, out, dg)
+    return materialize_release(spark, out, dg, *lsh_caches)
 
 
 d18_incremental_neardup.__doc__ = d18_incremental_neardup.__doc__.format(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..etl.fixtures import expected_counts, write_docket_tree
+from .dedup import content_fp_from_toks as _content_fp
 from ..etl.pipeline import run_pipeline
 
 
@@ -74,7 +75,7 @@ def e2_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra tokenize of survivors, and on a production multi-row-group
     # layout the scan-side evaluation is fully parallel.
     quality = docs.filter(F.size("__toks") >= E2_MIN_TOKENS)
-    fp = quality.withColumn("__fp", F.md5(F.concat_ws(" ", F.col("__toks"))))
+    fp = quality.withColumn("__fp", _content_fp(F.col("__toks")))
     w_fp = Window.partitionBy("__fp")
     # cache(): exact_kept feeds BOTH the survivor side and the near-dup
     # pair pipeline — without it the whole scan→gate→fingerprint-window
@@ -836,13 +837,13 @@ def e9_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(is_delta).select("doc_id", "lang", "__toks")
 
     gated = delta.filter(F.size("__toks") >= E9_MIN_TOKENS)
-    fp = gated.withColumn("__fp", F.md5(F.concat_ws(" ", F.col("__toks"))))
+    fp = gated.withColumn("__fp", _content_fp(F.col("__toks")))
     w_fp = Window.partitionBy("__fp")
     exact = fp.withColumn("__min_id", F.min("doc_id").over(w_fp)).filter(
         F.col("doc_id") == F.col("__min_id")
     )
     base_fps = base.select(
-        F.md5(F.concat_ws(" ", F.col("__toks"))).alias("__fp")
+        _content_fp(F.col("__toks")).alias("__fp")
     ).distinct()
     novel = exact.join(base_fps, "__fp", "left_anti")
 
@@ -1046,7 +1047,7 @@ def e13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         _o8_split_col(F.col("doc_id")).alias("doc_split"),
-        F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("__fp"),
+        _content_fp(tokens_col(F.col("text"))).alias("__fp"),
     )
     groups = (
         tagged.groupBy("__fp")

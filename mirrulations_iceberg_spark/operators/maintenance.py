@@ -992,8 +992,9 @@ def m16_layout_scatter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("lang")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        from .util import materialize_release
+
+        return materialize_release(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

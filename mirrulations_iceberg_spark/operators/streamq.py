@@ -395,10 +395,10 @@ def s6_stream_base_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same delta-vs-base SQL as d10) checks exactly that stream/batch
     parity, not just row counts.
     """
-    from .dedup import D10_DELTA_MOD, tokens_col
+    from .dedup import D10_DELTA_MOD, content_fp_from_toks, tokens_col
 
     batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    fp = F.md5(F.concat_ws(" ", tokens_col(F.col("text")))).alias("fingerprint")
+    fp = content_fp_from_toks(tokens_col(F.col("text"))).alias("fingerprint")
     is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
 
     base_fps = (
