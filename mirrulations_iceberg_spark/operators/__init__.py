@@ -189,6 +189,17 @@ DRIVER_WINDOW = (
     #     c_json_extract's slot (JSON-path extraction stays banked
     #     green r06 and the from_json shape is banked c11 r08)
     "m16_layout_scatter_report",
+    # --- NEW mid-round-9 operator: hourly OHLC candles (the
+    #     first/last/min/max hypertable rollup, one hash-agg); takes
+    #     q9_comments_per_document's slot (per-key counting stays
+    #     exercised by q2/q10 in-window; q9 banked green r06)
+    "w15_ohlc_downsample",
+    # --- NEW mid-round-9 operator: large×large interval overlap join
+    #     (interval_bucket_join promoted to the oracle board, DuckDB
+    #     IEJoin oracle); takes q8_complex_filter's slot (the
+    #     conjunctive-filter shape stays exercised by f4 in-window;
+    #     q8 banked green r06)
+    "j12_interval_overlap_join",
     # --- the stalest greens (last green r06), oldest-first fill
     #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
@@ -211,8 +222,6 @@ DRIVER_WINDOW = (
     "q5_top_commenters",
     "q6_comments_by_date",
     "q7_text_search",
-    "q8_complex_filter",
-    "q9_comments_per_document",
     "s13_schema_evolution",
     "s2_incremental_ingest",
     "s3_stream_sessions",

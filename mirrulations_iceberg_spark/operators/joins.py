@@ -175,6 +175,7 @@ def interval_bucket_join(
     start_col: str,
     end_col: str,
     bucket: str = "1 day",
+    trunc: str = "day",
 ) -> DataFrame:
     """Large-×-large interval join without a nested loop: explode each
     interval into the fixed-width buckets it overlaps, bucket the fact
@@ -183,20 +184,21 @@ def interval_bucket_join(
     Each fact row joins only intervals sharing a bucket — the cross
     product collapses from |facts|×|intervals| to per-bucket locality,
     and the equi-join shuffles/broadcasts like any other. Bucket width
-    should approximate the median interval length: wider buckets mean
-    fewer replicated interval rows but more false candidates.
+    (``bucket`` step + matching ``trunc`` unit) should approximate the
+    median interval length: wider buckets mean fewer replicated
+    interval rows but more false candidates.
     """
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.date_trunc("day", F.col(start_col)),
-                F.date_trunc("day", F.col(end_col)),
+                F.date_trunc(trunc, F.col(start_col)),
+                F.date_trunc(trunc, F.col(end_col)),
                 F.expr(f"INTERVAL {bucket}"),
             )
         ),
     )
-    fx = facts.withColumn("__bucket", F.date_trunc("day", F.col(ts_col)))
+    fx = facts.withColumn("__bucket", F.date_trunc(trunc, F.col(ts_col)))
     out = fx.join(iv, "__bucket").filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
@@ -600,7 +602,63 @@ def j10_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {tl}")
 
 
+J12_WINDOW_HOURS = 2  # incident-window width
+
+
+def j12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-×-large interval OVERLAP join on the driver surface —
+    ``interval_bucket_join`` promoted from an equivalence-tested helper
+    to an oracle-checked query (j7 covers the broadcast-small-side
+    range join; this is the case where BOTH sides are data-sized, the
+    shape a nested-loop range join cannot survive at 100 TB). Scenario:
+    every 'error' event opens a {hours}-hour incident window; each
+    event is attributed to every window containing its timestamp
+    (within-incident activity attribution). Output: per event_type,
+    the (event, window) membership-pair count, distinct events covered,
+    and an id checksum over the pair multiset.
+
+    Scale shape: intervals explode into the hour buckets they overlap
+    (≤ {hours}+1 rows each); facts bucket by hour; ONE equi-join on
+    the bucket + an exact range re-check. Both sides shuffle on the
+    bucket key — per-bucket locality replaces the |facts|×|intervals|
+    cross product, and skewed buckets ride AQE skew-join like any
+    other equi-join. The rollup output is |event_types|-bounded.
+
+    Oracle: DuckDB's native inequality join (IEJoin) over the same
+    window derivation — the declarative spec of the bucketed rewrite.
+    """
+    events = load_table(spark, sf_dir, "events")
+    windows = events.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("w_start"),
+        F.expr(f"ts + INTERVAL {J12_WINDOW_HOURS} HOURS").alias("w_end"),
+    )
+    pairs = interval_bucket_join(
+        events.select("event_id", "ts", "event_type"),
+        windows,
+        "ts",
+        "w_start",
+        "w_end",
+        bucket="1 hour",
+        trunc="hour",
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_events_covered"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+j12_interval_overlap_join.__doc__ = j12_interval_overlap_join.__doc__.format(
+    hours=J12_WINDOW_HOURS
+)
+
+
 QUERIES = {
+    "j12_interval_overlap_join": j12_interval_overlap_join,
     "j1_broadcast_star_join": j1_broadcast_star_join,
     "j9_bloom_pruned_join": j9_bloom_pruned_join,
     "j2_semi_join": j2_semi_join,
@@ -620,6 +678,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    # j12: DuckDB's native inequality join (IEJoin) is the declarative
+    # spec of the bucketed rewrite.
+    "j12_interval_overlap_join": f"""
+        WITH w AS (
+            SELECT ts AS w_start,
+                   ts + INTERVAL {J12_WINDOW_HOURS} HOUR AS w_end
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT f.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT f.event_id) AS BIGINT)
+                   AS n_events_covered,
+               CAST(SUM(f.event_id) AS BIGINT) AS id_checksum
+        FROM events f JOIN w
+          ON f.ts >= w.w_start AND f.ts < w.w_end
+        GROUP BY f.event_type ORDER BY f.event_type
+    """,
     "j11_salted_skew_join": """
         WITH dim AS (
             SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day

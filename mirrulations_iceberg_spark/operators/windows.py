@@ -482,6 +482,51 @@ def w14_gapfill_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+W15_BUCKET_S = 3600  # hourly OHLC candles
+
+
+def w15_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsample — the other half of the hypertable
+    rollup pair with w14 (financial/metrics first-last-min-max per
+    bucket): per (event_type, hour) the OPEN (first value by event
+    time), CLOSE (last), HIGH, LOW, and event count. First/last are
+    exact ``min_by``/``max_by`` picks keyed on a zero-padded
+    ``(epoch_micros, event_id)`` string — totally ordered and
+    identical cross-engine, so ties in the timestamp (replicated
+    ingests) cannot make the two engines pick different rows; high/low
+    are exact double min/max. No window function at all: one map-side-
+    partial hash-agg is the whole operator, the cheapest shape a
+    downsample can have at 100 TB.
+
+    Oracle: DuckDB ``arg_min/arg_max`` over the same string key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.select(
+            "event_type",
+            F.expr(
+                f"(unix_timestamp(ts) DIV {W15_BUCKET_S}) * {W15_BUCKET_S}"
+            ).alias("bucket_epoch"),
+            "value",
+            key.alias("__k"),
+        )
+        .groupBy("event_type", "bucket_epoch")
+        .agg(
+            F.min_by("value", F.col("__k")).alias("open"),
+            F.max_by("value", F.col("__k")).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bucket_epoch")
+    )
+
+
 W10_WINDOW_S = 3600  # trailing time window (seconds)
 
 
@@ -600,6 +645,7 @@ QUERIES = {
     "w12_retention_cohorts": w12_retention_cohorts,
     "w13_sequence_with_negation": w13_sequence_with_negation,
     "w14_gapfill_downsample": w14_gapfill_downsample,
+    "w15_ohlc_downsample": w15_ohlc_downsample,
     "w2_running_sum": w2_running_sum,
     "w3_lag_delta": w3_lag_delta,
     "w4_rank_in_partition": w4_rank_in_partition,
@@ -612,6 +658,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w15_ohlc_downsample": f"""
+        WITH e AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000 // {W15_BUCKET_S})
+                       * {W15_BUCKET_S} AS bucket_epoch,
+                   value,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(bucket_epoch AS BIGINT) AS bucket_epoch,
+               arg_min(value, k) AS open,
+               arg_max(value, k) AS close,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY 1, 2 ORDER BY event_type, bucket_epoch
+    """,
     "w14_gapfill_downsample": f"""
         WITH per AS (
             SELECT event_type,

@@ -578,3 +578,66 @@ def test_t18_engineered_backoff_bits(spark, tmp_path):
     assert en["avg_bits_per_transition"] == 0.5714  # (2*40000+7)//14 / 1e4
     assert (de["n_docs"], de["n_transitions"], de["hit_bp"]) == (1, 1, 10000)
     assert de["avg_bits_per_transition"] == 0.0
+
+
+def test_w15_engineered_ohlc(spark, tmp_path):
+    """One hourly candle with a same-microsecond tie: events at
+    (t+5min, id 2, v=5.0) and (t+5min, id 1, v=7.0) — the string key
+    breaks the tie by event_id, so open=7.0 (id 1), close=2.0 (the
+    latest event), high=7.0, low=2.0."""
+    from datetime import datetime
+
+    from mirrulations_iceberg_spark.operators.windows import (
+        w15_ohlc_downsample,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    sf = _write_events_local(
+        spark,
+        tmp_path,
+        [
+            (2, t0.replace(minute=5), 100, "a", 5.0, "{}"),
+            (1, t0.replace(minute=5), 101, "a", 7.0, "{}"),
+            (3, t0.replace(minute=40), 102, "a", 2.0, "{}"),
+        ],
+    )
+    rows = w15_ohlc_downsample(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["open"], r["close"], r["high"], r["low"], r["n_events"]) == (
+        7.0, 2.0, 7.0, 2.0, 3,
+    )
+
+
+def test_j12_engineered_window_attribution(spark, tmp_path):
+    """Two error windows [10:00, 12:00) and [11:00, 13:00): an event at
+    11:30 falls in BOTH (2 pairs), one at 12:30 only in the second,
+    one at 09:00 in neither. The error events themselves are attributed
+    to their own (and each other's overlapping) windows."""
+    from datetime import datetime
+
+    from mirrulations_iceberg_spark.operators.joins import (
+        j12_interval_overlap_join,
+    )
+
+    def at(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    sf = _write_events_local(
+        spark,
+        tmp_path,
+        [
+            (1, at(10), 100, "error", 0.0, "{}"),   # window 1 + in w1
+            (2, at(11), 101, "error", 0.0, "{}"),   # window 2 + in w1, w2
+            (3, at(11, 30), 102, "view", 1.0, "{}"),  # in w1 and w2
+            (4, at(12, 30), 103, "click", 1.0, "{}"),  # in w2 only
+            (5, at(9), 104, "view", 1.0, "{}"),     # in neither
+        ],
+    )
+    rows = {r["event_type"]: r for r in j12_interval_overlap_join(spark, sf).collect()}
+    assert rows["view"]["n_pairs"] == 2 and rows["view"]["n_events_covered"] == 1
+    assert rows["view"]["id_checksum"] == 3 * 2
+    assert rows["click"]["n_pairs"] == 1 and rows["click"]["id_checksum"] == 4
+    # error 1 in w1; error 2 in w1 and w2 -> 3 pairs
+    assert rows["error"]["n_pairs"] == 3 and rows["error"]["n_events_covered"] == 2
+    assert "view" in rows and len(rows) == 3  # '5' contributes nothing
