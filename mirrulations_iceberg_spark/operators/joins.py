@@ -174,7 +174,6 @@ def interval_bucket_join(
     ts_col: str,
     start_col: str,
     end_col: str,
-    bucket: str = "1 day",
     trunc: str = "day",
 ) -> DataFrame:
     """Large-×-large interval join without a nested loop: explode each
@@ -183,10 +182,15 @@ def interval_bucket_join(
 
     Each fact row joins only intervals sharing a bucket — the cross
     product collapses from |facts|×|intervals| to per-bucket locality,
-    and the equi-join shuffles/broadcasts like any other. Bucket width
-    (``bucket`` step + matching ``trunc`` unit) should approximate the
-    median interval length: wider buckets mean fewer replicated
-    interval rows but more false candidates.
+    and the equi-join shuffles/broadcasts like any other. The bucket
+    width IS the ``trunc`` unit (hour/day/week/...): the interval
+    side's explode step is derived from it, never passed separately —
+    a step wider than the trunc unit would emit only every N-th
+    boundary on the interval side while facts bucket to EVERY
+    boundary, silently dropping matches (review r9). Pick a coarser
+    ``trunc`` (not a wider step) to trade interval replication against
+    false candidates; it should approximate the median interval
+    length.
     """
     iv = intervals.withColumn(
         "__bucket",
@@ -194,7 +198,7 @@ def interval_bucket_join(
             F.sequence(
                 F.date_trunc(trunc, F.col(start_col)),
                 F.date_trunc(trunc, F.col(end_col)),
-                F.expr(f"INTERVAL {bucket}"),
+                F.expr(f"INTERVAL 1 {trunc}"),
             )
         ),
     )
@@ -638,7 +642,6 @@ def j12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "w_start",
         "w_end",
-        bucket="1 hour",
         trunc="hour",
     )
     return (

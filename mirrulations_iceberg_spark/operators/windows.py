@@ -499,8 +499,15 @@ def w15_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsample can have at 100 TB.
 
     Oracle: DuckDB ``arg_min/arg_max`` over the same string key.
+    NULL values are filtered symmetrically on both engines BEFORE the
+    candle math (review r9: Spark's ``min_by`` would return a NULL
+    value at the extreme key while DuckDB's ``arg_min`` skips NULL
+    arguments — the symmetric filter removes that divergence class;
+    candles summarize observed values).
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     key = F.concat(
         F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
         F.lit(":"),
@@ -666,7 +673,7 @@ ORACLE = {
                    value,
                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
                    lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
-            FROM events
+            FROM events WHERE value IS NOT NULL
         )
         SELECT event_type,
                CAST(bucket_epoch AS BIGINT) AS bucket_epoch,
