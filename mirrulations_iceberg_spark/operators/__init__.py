@@ -200,6 +200,11 @@ DRIVER_WINDOW = (
     #     conjunctive-filter shape stays exercised by f4 in-window;
     #     q8 banked green r06)
     "j12_interval_overlap_join",
+    # --- NEW mid-round-9 operator: the THIRD flagship — release
+    #     admission (e9 + d18 near-dup novelty + o8 split routing);
+    #     takes a8_null_profile's slot (null-counting shapes stay
+    #     banked via a6/a9 r08 and m6's profile r05/r06; a8 banked r06)
+    "e14_release_pipeline",
     # --- the stalest greens (last green r06), oldest-first fill
     #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
@@ -208,7 +213,6 @@ DRIVER_WINDOW = (
     #     f1's result is hash-verified through f1b's slot) and
     #     q1_count_total (trivial COUNT(*), counting shapes covered by
     #     a1/a2/q2 in-window).
-    "a8_null_profile",
     "d10_incremental_dedup",
     "d7_dedup_apply_lsh",
     "f4_conjunctive_filter",

@@ -1005,6 +1005,136 @@ def _e9_oracle() -> str:
     """
 
 
+def e14_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD flagship — full RELEASE admission for an arriving
+    batch, e9's refresh upgraded with the two r9 stages a production
+    release actually adds: near-dup novelty (paraphrased re-submissions
+    that slip past the exact-fingerprint gate, d18's cross-frame LSH)
+    and train/holdout ROUTING of the admitted set (o8's deterministic
+    split rule). Composed end-to-end: quality gate → exact dedup
+    WITHIN the delta → exact novelty anti-join vs the base's distinct
+    fingerprints → NEAR-dup novelty vs the base's fingerprint
+    representatives → split routing → one bounded per-language release
+    report carrying every stage's survivor count, the train/holdout
+    routing, admitted token mass, and an id checksum pinning the
+    admitted SET. (e9 keeps the benchmark-decontamination stage on the
+    oracle board; a deployment chains both.)
+
+    Scale shape, stage by stage: the gate prunes on the scan;
+    fingerprints are 32-byte keys through every exchange (d10); ONE
+    base collapse (fp → rep) serves both the exact anti-join and the
+    cross-LSH base side; the cross-LSH pairs delta survivors against
+    base reps only (no delta×delta, no base×base — d18's shape, the
+    reason the all-novel stress is 6× not 35×); and the report is
+    |langs|-bounded. At 100 TB the base rep/signature table is a
+    stored, bucketed artifact — each release prices at the delta, not
+    the corpus.
+
+    Oracle: e9's stage-replay prefix + d18's uncollapsed exact
+    cross-Jaccard pair set + o8's split CASE — every stage count
+    hash-checked.
+    """
+    from pyspark.sql import Window
+
+    from ..tables import load_table
+    from .dedup import (
+        D10_DELTA_MOD,
+        _o8_split_col,
+        minhash_lsh_cross_pairs_over,
+        parallelize_scan,
+    )
+    from .text import tokens_col
+    from .util import materialize_release
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents")).withColumn(
+        "__toks", tokens_col(F.col("text"))
+    )
+    is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
+    base = docs.filter(~is_delta)
+    delta = docs.filter(is_delta).select("doc_id", "lang", "__toks")
+
+    gated = delta.filter(F.size("__toks") >= E9_MIN_TOKENS)
+    fp = gated.withColumn("__fp", _content_fp(F.col("__toks")))
+    w_fp = Window.partitionBy("__fp")
+    exact = (
+        fp.withColumn("__min_id", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__min_id")
+    )
+    # ONE base collapse serves the exact anti-join AND the LSH base side
+    bg = (
+        base.select(
+            "doc_id", _content_fp(F.col("__toks")).alias("__fp"), "__toks"
+        )
+        .groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("__toks", "doc_id").alias("__toks"),
+        )
+        .cache()
+    )
+    novel = exact.join(bg.select("__fp"), "__fp", "left_anti").cache()
+    lsh_caches: list = []
+    flagged = (
+        minhash_lsh_cross_pairs_over(
+            novel.select("doc_id", "__toks"),
+            bg.select("doc_id", "__toks"),
+            caches=lsh_caches,
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    admitted = novel.join(flagged, "doc_id", "left_anti").withColumn(
+        "split", _o8_split_col(F.col("doc_id"))
+    )
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        _stage(delta, "n_delta")
+        .join(_stage(gated, "n_gated"), "lang", "left")
+        .join(_stage(exact, "n_exact"), "lang", "left")
+        .join(_stage(novel, "n_novel"), "lang", "left")
+        .join(
+            admitted.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_admitted"),
+                F.sum((F.col("split") == "train").cast("long")).alias(
+                    "n_train"
+                ),
+                F.sum((F.col("split") == "holdout").cast("long")).alias(
+                    "n_holdout"
+                ),
+                F.sum(F.size("__toks").cast("long")).alias(
+                    "admitted_tokens"
+                ),
+                F.sum("doc_id").alias("id_checksum"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_delta",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in (
+                    "n_gated",
+                    "n_exact",
+                    "n_novel",
+                    "n_admitted",
+                    "n_train",
+                    "n_holdout",
+                    "admitted_tokens",
+                    "id_checksum",
+                )
+            ],
+        )
+        .orderBy("lang")
+    )
+    return materialize_release(spark, out, bg, novel, *lsh_caches)
+
+
 def e13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/holdout assignment — the production REMEDY
     for the leakage d17 audits: instead of splitting per-document
@@ -1106,6 +1236,7 @@ def e13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..etl.workload import DRIVER_ORACLE as _WORKLOAD_ORACLE  # noqa: E402
+from .dedup import D10_DELTA_MOD as _D10_MOD  # noqa: E402
 from .dedup import SHINGLE_K as _SHINGLE_K  # noqa: E402
 from .text import ALPHA_RATIO_BP_SQL_DUCK as _ALPHA_BP  # noqa: E402
 from .text import TOKEN_PATTERN as _TOKEN_PATTERN  # noqa: E402
@@ -1271,6 +1402,7 @@ QUERIES = {
     "e11_epoch_cap_allocation": e11_epoch_cap_allocation,
     "e12_packing_curve": e12_packing_curve,
     "e13_cluster_aware_split": e13_cluster_aware_split,
+    "e14_release_pipeline": e14_release_pipeline,
     "e1_docket_pipeline": e1_docket_pipeline,
     "e2_training_pipeline": e2_training_pipeline,
     "e3_shard_assign": e3_shard_assign,
@@ -1354,6 +1486,91 @@ ORACLE = {
     """,
 
     "e12_packing_curve": _e12_oracle(),
+    # e14: e9's stage-replay prefix + d18's uncollapsed exact
+    # cross-Jaccard pair set (valid by d3's recall-1 argument) + o8's
+    # split CASE. Pairing novel reps against UNCOLLAPSED base members
+    # equals the rep-level LSH (exact copies share all shingles).
+    "e14_release_pipeline": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+            FROM documents
+        ), delta AS (
+            SELECT * FROM toks WHERE doc_id % {_D10_MOD} = 0
+        ), base AS (
+            SELECT * FROM toks WHERE doc_id % {_D10_MOD} <> 0
+        ), gated AS (
+            SELECT * FROM delta WHERE len(t) >= {E9_MIN_TOKENS}
+        ), fp AS (
+            SELECT *, md5(array_to_string(t, ' ')) AS f FROM gated
+        ), exact AS (
+            SELECT * FROM fp
+            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY f)
+        ), basefp AS (
+            SELECT DISTINCT md5(array_to_string(t, ' ')) AS f FROM base
+        ), novel AS (
+            SELECT * FROM exact e
+            WHERE NOT EXISTS (SELECT 1 FROM basefp b WHERE b.f = e.f)
+        ), pn AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(1, GREATEST(len(t) - {_SHINGLE_K - 1}, 0) + 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                             AS shingles
+                  FROM novel)
+        ), pb AS (
+            SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+            FROM (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(1, GREATEST(len(t) - {_SHINGLE_K - 1}, 0) + 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                             AS shingles
+                  FROM base)
+        ), pairs AS (
+            SELECT n.doc_id AS doc_a, n.n_sh AS n_a,
+                   b.n_sh AS n_b, b.doc_id AS doc_b, COUNT(*) AS common
+            FROM pn n JOIN pb b USING (shingle)
+            GROUP BY 1, 2, 3, 4
+        ), flagged AS (
+            SELECT DISTINCT doc_a FROM pairs
+            WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4)
+                      >= 0.18
+        ), admitted AS (
+            SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                < 'd'
+                           THEN 1 ELSE 0 END AS tr
+            FROM novel n
+            WHERE NOT EXISTS
+                (SELECT 1 FROM flagged f WHERE f.doc_a = n.doc_id)
+        )
+        SELECT d.lang,
+               COUNT(*) AS n_delta,
+               COALESCE(g.n, 0) AS n_gated,
+               COALESCE(x.n, 0) AS n_exact,
+               COALESCE(v.n, 0) AS n_novel,
+               COALESCE(a.n, 0) AS n_admitted,
+               COALESCE(a.ntr, 0) AS n_train,
+               COALESCE(a.nho, 0) AS n_holdout,
+               COALESCE(a.tok, 0) AS admitted_tokens,
+               COALESCE(a.ck, 0) AS id_checksum
+        FROM delta d
+        LEFT JOIN (SELECT lang, COUNT(*) AS n FROM gated GROUP BY 1) g
+               ON d.lang = g.lang
+        LEFT JOIN (SELECT lang, COUNT(*) AS n FROM exact GROUP BY 1) x
+               ON d.lang = x.lang
+        LEFT JOIN (SELECT lang, COUNT(*) AS n FROM novel GROUP BY 1) v
+               ON d.lang = v.lang
+        LEFT JOIN (SELECT lang, COUNT(*) AS n,
+                          CAST(SUM(tr) AS BIGINT) AS ntr,
+                          CAST(COUNT(*) - SUM(tr) AS BIGINT) AS nho,
+                          CAST(SUM(len(t)) AS BIGINT) AS tok,
+                          CAST(SUM(doc_id) AS BIGINT) AS ck
+                   FROM admitted GROUP BY 1) a
+               ON d.lang = a.lang
+        GROUP BY 1, g.n, x.n, v.n, a.n, a.ntr, a.nho, a.tok, a.ck
+        ORDER BY d.lang
+    """,
     # e13: uncollapsed closure — exact-Jaccard pairs (== the LSH+verify
     # pair set, d3's argument) UNION exact-copy edges (member → group
     # min; also clusters shingle-less copies) — then the identical

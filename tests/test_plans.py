@@ -74,6 +74,7 @@ SKIP_SWEEP = {
     "e13_cluster_aware_split",  # LSH pair gen + iterative components
     "d18_incremental_neardup",  # caches signatures + materializes
     "m16_layout_scatter_report",  # writes two partitioned layouts
+    "e14_release_pipeline",  # caches base reps + LSH sigs, materializes
 }
 
 

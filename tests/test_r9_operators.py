@@ -641,3 +641,58 @@ def test_j12_engineered_window_attribution(spark, tmp_path):
     # error 1 in w1; error 2 in w1 and w2 -> 3 pairs
     assert rows["error"]["n_pairs"] == 3 and rows["error"]["n_events_covered"] == 2
     assert "view" in rows and len(rows) == 3  # '5' contributes nothing
+
+
+def test_e14_engineered_release_stages(spark, tmp_path):
+    """Every stage drops exactly one crafted doc: delta = {5, 10, 15,
+    20, 25}; 5 fails the 20-token gate; 10 and 15 are exact copies
+    (15 collapses into 10); 10's text exists verbatim in base (exact
+    novelty drops it); 20 is a near-dup of base doc 1 (near-novelty
+    drops it); 25 is admitted and routes to holdout (md5('25')='06..'
+    -> train? no: '0' < 'd' -> train)."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        e14_release_pipeline,
+    )
+
+    base_t = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango uniform"
+    )  # 21 tokens
+    near_t = base_t.replace("uniform", "victor")  # near-dup of base_t
+    novel_t = (
+        "zero one two three four five six seven eight nine ten "
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen "
+        "eighteen nineteen twenty"
+    )  # 21 tokens, unrelated
+    dup_t = (
+        "whiskey xray yankee zulu apple banana cherry dragon eagle "
+        "falcon grape harbor island jungle koala lemon mango nectar "
+        "orange panda quartz"
+    )  # 21 tokens, also placed in base so exact-novelty drops it
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, base_t, "en", "s"),   # base
+            (2, dup_t, "en", "s"),    # base (exact twin of delta 10/15)
+            (5, "too short", "en", "s"),      # delta: gated out
+            (10, dup_t, "en", "s"),   # delta: exact-dup of base 2
+            (15, dup_t, "en", "s"),   # delta: collapses into 10
+            (20, near_t, "en", "s"),  # delta: near-dup of base 1
+            (25, novel_t, "en", "s"),  # delta: admitted
+        ],
+    )
+    rows = e14_release_pipeline(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_delta"], r["n_gated"], r["n_exact"], r["n_novel"]) == (
+        5, 4, 3, 2,
+    )
+    assert (r["n_admitted"], r["id_checksum"]) == (1, 25)
+    import hashlib
+
+    expect_train = hashlib.md5(b"25").hexdigest()[0] < "d"
+    assert r["n_train"] == (1 if expect_train else 0)
+    assert r["n_holdout"] == (0 if expect_train else 1)
+    assert r["admitted_tokens"] == 21
