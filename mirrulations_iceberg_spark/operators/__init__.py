@@ -205,6 +205,13 @@ DRIVER_WINDOW = (
     #     takes a8_null_profile's slot (null-counting shapes stay
     #     banked via a6/a9 r08 and m6's profile r05/r06; a8 banked r06)
     "e14_release_pipeline",
+    # --- NEW mid-round-9 operator: interval coalescing (scalable
+    #     gaps-and-islands: per-day islands + driver boundary stitch,
+    #     global-islands SQL oracle proving the decomposition); takes
+    #     m10_skew_report's slot (per-key frequency profiling stays
+    #     banked r06 and the skew-handling path is exercised by j11
+    #     banked r08; m-family keeps m13/m14/m15/m16 in-window)
+    "j13_interval_coalesce",
     # --- the stalest greens (last green r06), oldest-first fill
     #     (44 at round open; mid-round operators displaced 12, each
     #     argued above). Left out of the 46-query r06 cohort, with
@@ -217,7 +224,6 @@ DRIVER_WINDOW = (
     "d7_dedup_apply_lsh",
     "f4_conjunctive_filter",
     "j1_broadcast_star_join",
-    "m10_skew_report",
     "m7_contract_check",
     "mm2_feature_stats",
     "q10_docket_rollup",

@@ -660,8 +660,115 @@ j12_interval_overlap_join.__doc__ = j12_interval_overlap_join.__doc__.format(
 )
 
 
+def j13_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval COALESCING (gaps-and-islands) — merge overlapping
+    incident windows into disjoint episodes: the deployment-side
+    density bound PLANS names as j12's answer (attribution against
+    coalesced episodes is linear, not quadratic, in window rate), and
+    the classic sessionize-the-timeline operator every alerting/SLA
+    pipeline runs.
+
+    Scale shape — the naive islands rewrite is a GLOBAL running max
+    (Exchange SinglePartition: the w7 trap). Instead, two phases:
+    per-DAY islands (running max + new-island flag + cumulative group
+    id, all windows partitioned by day — parallel across days, each
+    partition bounded by a day's window rate), then a driver-side
+    stitch over the |days|-row boundary summary that merges each day's
+    chain tail with the next day's first episode. The stitch is exact
+    because every window has the same width W = {hours}h < 1 day: a
+    cross-midnight chain reaches at most W past midnight, and the next
+    day's SECOND episode starts after its first episode's end ≥ its
+    start + W ≥ midnight + W ≥ the chain tail — so at most ONE merge
+    per boundary, with closed-form overlap corrections. (Generalize by
+    picking a partition unit ≫ max interval width — the same
+    precondition a watermark puts on lateness.)
+
+    Oracle: the textbook GLOBAL islands SQL in DuckDB — parity proves
+    the day-partition + stitch decomposition equals the global answer.
+    All outputs integer (epoch-microsecond arithmetic, // to seconds
+    after summation).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = events.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("s"),
+        F.expr(f"ts + INTERVAL {J12_WINDOW_HOURS} HOURS").alias("e"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    from pyspark.sql import Window
+
+    ord_w = Window.partitionBy("day").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = w.withColumn(
+        "new_island",
+        (prev_max.isNull() | (F.col("s") > prev_max)).cast("int"),
+    ).withColumn("grp", F.sum("new_island").over(ord_w))
+    eps = (
+        flagged.groupBy("day", "grp")
+        .agg(F.min("s").alias("cs"), F.max("e").alias("ce"))
+        .select(
+            "day",
+            "grp",
+            F.unix_micros("cs").alias("cs"),
+            F.unix_micros("ce").alias("ce"),
+        )
+    )
+    day_rows = (
+        eps.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_eps"),
+            F.sum(F.col("ce") - F.col("cs")).alias("covered_us"),
+            F.min_by(F.struct("cs", "ce"), "cs").alias("first_ep"),
+            F.max_by(F.struct("cs", "ce"), "cs").alias("last_ep"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    n_windows = w.count()
+    # driver-side boundary stitch over the |days|-row summary
+    episodes = 0
+    covered_us = 0
+    merges = 0
+    open_ce = None  # chain tail end (micros) carried across boundaries
+    for r in day_rows:
+        episodes += r["n_eps"]
+        covered_us += r["covered_us"]
+        f_cs, f_ce = r["first_ep"]["cs"], r["first_ep"]["ce"]
+        if open_ce is not None and f_cs <= open_ce:
+            merges += 1
+            episodes -= 1
+            covered_us -= min(open_ce, f_ce) - f_cs  # double-counted span
+        # the chain into the NEXT boundary is this day's last episode
+        # (possibly extended by the merge when it IS the first episode)
+        l_cs, l_ce = r["last_ep"]["cs"], r["last_ep"]["ce"]
+        if r["n_eps"] == 1 and open_ce is not None and f_cs <= open_ce:
+            open_ce = max(open_ce, l_ce)
+        else:
+            open_ce = l_ce
+    rows = [
+        (
+            int(n_windows),
+            int(episodes),
+            int(merges),
+            int(covered_us // 1_000_000),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_windows long, n_episodes long, n_boundary_merges long,"
+        " covered_s long",
+    )
+
+
+j13_interval_coalesce.__doc__ = j13_interval_coalesce.__doc__.format(
+    hours=J12_WINDOW_HOURS
+)
+
+
 QUERIES = {
     "j12_interval_overlap_join": j12_interval_overlap_join,
+    "j13_interval_coalesce": j13_interval_coalesce,
     "j1_broadcast_star_join": j1_broadcast_star_join,
     "j9_bloom_pruned_join": j9_bloom_pruned_join,
     "j2_semi_join": j2_semi_join,
@@ -681,6 +788,50 @@ QUERIES = {
 }
 
 ORACLE = {
+    # j13: the textbook GLOBAL islands SQL — parity proves the
+    # day-partition + driver-stitch decomposition equals the global
+    # answer. n_boundary_merges = day-level episode count minus global
+    # episode count (each cross-midnight merge removes exactly one).
+    "j13_interval_coalesce": f"""
+        WITH w AS (
+            SELECT ts AS s, ts + INTERVAL {J12_WINDOW_HOURS} HOUR AS e
+            FROM events WHERE event_type = 'error'
+        ), o AS (
+            SELECT s, e,
+                   MAX(e) OVER (ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM w
+        ), g AS (
+            SELECT s, e,
+                   SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                       OVER (ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS grp
+            FROM o
+        ), eps AS (
+            SELECT grp, MIN(epoch_us(s)) AS cs, MAX(epoch_us(e)) AS ce
+            FROM g GROUP BY grp
+        ), d1 AS (
+            SELECT s, e,
+                   MAX(e) OVER (PARTITION BY date_trunc('day', s)
+                                ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM w
+        ), dn AS (
+            SELECT COALESCE(SUM(CASE WHEN pm IS NULL OR s > pm
+                                     THEN 1 ELSE 0 END), 0) AS n_day_eps
+            FROM d1
+        )
+        SELECT CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_windows,
+               CAST((SELECT COUNT(*) FROM eps) AS BIGINT) AS n_episodes,
+               CAST((SELECT n_day_eps FROM dn)
+                    - (SELECT COUNT(*) FROM eps) AS BIGINT)
+                   AS n_boundary_merges,
+               CAST(COALESCE((SELECT SUM(ce - cs) FROM eps), 0)
+                    // 1000000 AS BIGINT) AS covered_s
+    """,
     # j12: DuckDB's native inequality join (IEJoin) is the declarative
     # spec of the bucketed rewrite.
     "j12_interval_overlap_join": f"""

@@ -75,6 +75,7 @@ SKIP_SWEEP = {
     "d18_incremental_neardup",  # caches signatures + materializes
     "m16_layout_scatter_report",  # writes two partitioned layouts
     "e14_release_pipeline",  # caches base reps + LSH sigs, materializes
+    "j13_interval_coalesce",  # collects the day summary at construction
 }
 
 

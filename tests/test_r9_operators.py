@@ -696,3 +696,37 @@ def test_e14_engineered_release_stages(spark, tmp_path):
     assert r["n_train"] == (1 if expect_train else 0)
     assert r["n_holdout"] == (0 if expect_train else 1)
     assert r["admitted_tokens"] == 21
+
+
+def test_j13_engineered_midnight_merges(spark, tmp_path):
+    """Two cross-midnight chains: [23:30 d1, 01:30) merges with
+    [01:00 d2, 03:00) -> episode 23:30->03:00 (12600 s); [23:45 d2,
+    01:45) merges with [00:30 d3, 02:30) -> 23:45->02:30 (9900 s).
+    Day-level islands count 4, global 2 -> 2 boundary merges."""
+    from datetime import datetime
+
+    from mirrulations_iceberg_spark.operators.joins import (
+        j13_interval_coalesce,
+    )
+
+    def at(d, h, m=0):
+        return datetime(2024, 1, d, h, m)
+
+    sf = _write_events_local(
+        spark,
+        tmp_path,
+        [
+            (1, at(1, 23, 30), 100, "error", 0.0, "{}"),
+            (2, at(2, 1, 0), 101, "error", 0.0, "{}"),
+            (3, at(2, 23, 45), 102, "error", 0.0, "{}"),
+            (4, at(3, 0, 30), 103, "error", 0.0, "{}"),
+            (5, at(2, 12, 0), 104, "view", 1.0, "{}"),  # not a window
+        ],
+    )
+    rows = j13_interval_coalesce(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_windows"], r["n_episodes"], r["n_boundary_merges"]) == (
+        4, 2, 2,
+    )
+    assert r["covered_s"] == 12600 + 9900
