@@ -660,6 +660,41 @@ j12_interval_overlap_join.__doc__ = j12_interval_overlap_join.__doc__.format(
 )
 
 
+def _daily_error_episodes(events: DataFrame) -> DataFrame:
+    """Per-DAY coalesced incident episodes (shared j13/j14 core):
+    every 'error' event opens a ``J12_WINDOW_HOURS``-hour window;
+    windows are merged into disjoint islands WITHIN each day (running
+    max + new-island flag + cumulative group id, all windows
+    partitioned by day — parallel across days, never the global
+    running-max single partition). Returns one row per (day, grp)
+    episode: ``cs``/``ce`` timestamps plus ``n_w``, the raw-window
+    count that rode the aggregation (so corpus totals never need a
+    second scan of the events lineage). Cross-midnight chains are the
+    caller's driver-side stitch (see j13/j14 — exact because the
+    window width < 1 day bounds a chain tail to one boundary merge).
+    """
+    w = events.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("s"),
+        F.expr(f"ts + INTERVAL {J12_WINDOW_HOURS} HOURS").alias("e"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    from pyspark.sql import Window
+
+    ord_w = Window.partitionBy("day").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = w.withColumn(
+        "new_island",
+        (prev_max.isNull() | (F.col("s") > prev_max)).cast("int"),
+    ).withColumn("grp", F.sum("new_island").over(ord_w))
+    return flagged.groupBy("day", "grp").agg(
+        F.min("s").alias("cs"),
+        F.max("e").alias("ce"),
+        F.count(F.lit(1)).alias("n_w"),
+    )
+
+
 def j13_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval COALESCING (gaps-and-islands) — merge overlapping
     incident windows into disjoint episodes: the deployment-side
@@ -689,35 +724,18 @@ def j13_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     after summation).
     """
     events = load_table(spark, sf_dir, "events")
-    w = events.filter(F.col("event_type") == "error").select(
-        F.col("ts").alias("s"),
-        F.expr(f"ts + INTERVAL {J12_WINDOW_HOURS} HOURS").alias("e"),
-        F.date_trunc("day", F.col("ts")).alias("day"),
-    )
-    from pyspark.sql import Window
-
-    ord_w = Window.partitionBy("day").orderBy("s", "e")
-    prev_max = F.max("e").over(
-        ord_w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = w.withColumn(
-        "new_island",
-        (prev_max.isNull() | (F.col("s") > prev_max)).cast("int"),
-    ).withColumn("grp", F.sum("new_island").over(ord_w))
-    eps = (
-        flagged.groupBy("day", "grp")
-        .agg(F.min("s").alias("cs"), F.max("e").alias("ce"))
-        .select(
-            "day",
-            "grp",
-            F.unix_micros("cs").alias("cs"),
-            F.unix_micros("ce").alias("ce"),
-        )
+    eps = _daily_error_episodes(events).select(
+        "day",
+        "grp",
+        F.unix_micros("cs").alias("cs"),
+        F.unix_micros("ce").alias("ce"),
+        "n_w",
     )
     day_rows = (
         eps.groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_eps"),
+            F.sum("n_w").alias("n_windows"),
             F.sum(F.col("ce") - F.col("cs")).alias("covered_us"),
             F.min_by(F.struct("cs", "ce"), "cs").alias("first_ep"),
             F.max_by(F.struct("cs", "ce"), "cs").alias("last_ep"),
@@ -725,7 +743,7 @@ def j13_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .collect()
     )
-    n_windows = w.count()
+    n_windows = sum(r["n_windows"] for r in day_rows)
     # driver-side boundary stitch over the |days|-row summary
     episodes = 0
     covered_us = 0
@@ -766,9 +784,111 @@ j13_interval_coalesce.__doc__ = j13_interval_coalesce.__doc__.format(
 )
 
 
+def j14_episode_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution against COALESCED episodes — j12's incident
+    attribution re-run after j13's interval coalescing, the
+    deployment-side fix PLANS.md names for j12's honest adversarial
+    row (pair output is intrinsically quadratic in window density;
+    against disjoint episodes every event matches at most ONE
+    episode, so output is linear in events by construction, at any
+    density). Per event_type: events covered by any episode, distinct
+    episodes touched, and an id checksum over the covered set.
+
+    Shape: (1) j13's per-day islands (parallel across days, no global
+    running max); (2) the driver-side boundary stitch upgraded from
+    counting merges to EMITTING them — it walks the \|days\|-row
+    first/last-episode summary, collects the (day, grp) keys of each
+    cross-midnight chain and its merged interval, and rewrites the
+    episode set as a broadcast anti-join (remove chain members) plus a
+    driver-sized union (add merged episodes) — both sides bounded by
+    \|days\|, never data-sized; (3) j12's bucketed interval equi-join
+    (explode episodes into hour buckets, bucket facts, equi-join +
+    exact range re-check) — per-bucket locality instead of
+    \|facts\|×\|episodes\|, AQE-skew-joinable like any equi-join.
+
+    Oracle: DuckDB global-islands SQL + native IEJoin — parity proves
+    day-decomposition + stitch + bucket join ≡ global coalesce +
+    inequality join. Disjointness is visible in the output itself:
+    COUNT(*) per type equals COUNT(DISTINCT event_id).
+    """
+    events = load_table(spark, sf_dir, "events")
+    eps = _daily_error_episodes(events)
+    day_rows = (
+        eps.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_eps"),
+            F.min_by(F.struct("grp", "cs", "ce"), "cs").alias("first_ep"),
+            F.max_by(F.struct("grp", "cs", "ce"), "cs").alias("last_ep"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    # driver-side stitch over the |days|-row summary: collect each
+    # cross-midnight chain's member keys and its merged interval
+    removed: list[tuple] = []  # (day, grp) keys absorbed into chains
+    merged: list[tuple] = []  # (cs, ce) replacement episodes
+    chain_keys: list[tuple] = []
+    chain_cs = chain_ce = None
+
+    def _close_chain() -> None:
+        if len(chain_keys) >= 2:
+            removed.extend(chain_keys)
+            merged.append((chain_cs, chain_ce))
+
+    for r in day_rows:
+        f, last = r["first_ep"], r["last_ep"]
+        if chain_keys and f["cs"] <= chain_ce:
+            chain_keys.append((r["day"], f["grp"]))
+            chain_ce = max(chain_ce, f["ce"])
+            if r["n_eps"] > 1:
+                _close_chain()
+                chain_keys = [(r["day"], last["grp"])]
+                chain_cs, chain_ce = last["cs"], last["ce"]
+            # single-episode day: the chain stays open into the next
+            # boundary (a multi-midnight chain — each day one episode)
+        else:
+            _close_chain()
+            chain_keys = [(r["day"], last["grp"])]
+            chain_cs, chain_ce = last["cs"], last["ce"]
+    _close_chain()
+    if removed:
+        rem = spark.createDataFrame(removed, "day timestamp, grp long")
+        geps = (
+            eps.join(F.broadcast(rem), ["day", "grp"], "left_anti")
+            .select("cs", "ce")
+            .unionByName(
+                spark.createDataFrame(merged, "cs timestamp, ce timestamp")
+            )
+        )
+    else:
+        geps = eps.select("cs", "ce")
+    pairs = interval_bucket_join(
+        events.select("event_id", "ts", "event_type"),
+        geps.select(
+            F.col("cs").alias("e_start"), F.col("ce").alias("e_end")
+        ),
+        "ts",
+        "e_start",
+        "e_end",
+        trunc="hour",
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.unix_micros("e_start")).alias(
+                "n_episodes_touched"
+            ),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "j12_interval_overlap_join": j12_interval_overlap_join,
     "j13_interval_coalesce": j13_interval_coalesce,
+    "j14_episode_attribution": j14_episode_attribution,
     "j1_broadcast_star_join": j1_broadcast_star_join,
     "j9_bloom_pruned_join": j9_bloom_pruned_join,
     "j2_semi_join": j2_semi_join,
@@ -788,6 +908,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    # j14: global-islands coalesce + DuckDB's native inequality join
+    # (IEJoin) — the declarative spec of the day-decomposed stitch +
+    # bucketed attribution.
+    "j14_episode_attribution": f"""
+        WITH w AS (
+            SELECT ts AS s, ts + INTERVAL {J12_WINDOW_HOURS} HOUR AS e
+            FROM events WHERE event_type = 'error'
+        ), o AS (
+            SELECT s, e,
+                   MAX(e) OVER (ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM w
+        ), g AS (
+            SELECT s, e,
+                   SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                       OVER (ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS grp
+            FROM o
+        ), eps AS (
+            SELECT grp, MIN(s) AS cs, MAX(e) AS ce FROM g GROUP BY grp
+        )
+        SELECT f.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT epoch_us(eps.cs)) AS BIGINT)
+                   AS n_episodes_touched,
+               CAST(SUM(f.event_id) AS BIGINT) AS id_checksum
+        FROM events f JOIN eps
+          ON f.ts >= eps.cs AND f.ts < eps.ce
+        GROUP BY f.event_type ORDER BY f.event_type
+    """,
     # j13: the textbook GLOBAL islands SQL — parity proves the
     # day-partition + driver-stitch decomposition equals the global
     # answer. n_boundary_merges = day-level episode count minus global
