@@ -1086,6 +1086,151 @@ def d15_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d15b_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CUT step — d15 MEASURES duplicated 25-token
+    spans; Lee et al. 2022's operator REMOVES them. Keep-first,
+    corpus-wide, position-level: every occurrence of a duplicated
+    ``D15_K``-token window is cut except the global first (min
+    (doc_id, pos) lexicographic — deterministic on both engines), a
+    token is removed iff some cut window covers it, and the report is
+    the per-language retained-token accounting a release pipeline
+    publishes (docs, tokens, cut/retained tokens, docs touched,
+    retained basis points).
+
+    Scale shape — two disciplines composed: (1) the d16 exact-collapse
+    STAGING: exact-duplicate docs collapse to one representative per
+    content fingerprint BEFORE window explosion, so the all-clones
+    regime never multiplies the corpus-tokens-linear window pass (a
+    non-first clone's windows are all duplicated by its rep's, so its
+    coverage is closed-form: the full windowed span — n tokens when
+    n ≥ K, zero otherwise — exactness argued in-line below); (2) the
+    d15 fingerprint discipline: windows reduce to md5 before anything
+    shuffles, so both corpus-wide exchanges (per-hash occurrence
+    stats, duplicated-set join back) carry 32-byte keys + ints, never
+    window text. Token-coverage union per doc is ONE lead() window
+    over cut starts (fixed width K ⇒ union = Σ min(next−pos, K)),
+    partitioned by doc — bounded by per-doc cut windows, no global
+    sort. The staging is exact: group members share every (window,
+    pos), so the global occurrence count is Σ group-size over rep
+    occurrences and the global canonical min is the min over reps
+    (reps are per-group min ids).
+
+    Oracle: the UNCOLLAPSED global rule in DuckDB — same ladder, md5,
+    keep-first canonical (zero-padded string keys: DuckDB MIN on
+    structs vs Spark min-struct trap), lead() coverage union —
+    proving the collapse is pure plan optimization.
+    """
+    docs = (
+        parallelize_scan(load_table(spark, sf_dir, "documents"))
+        .withColumn("__t", tokens_col(F.col("text")))
+        .withColumn("n", F.size("__t"))
+        .withColumn("fp", content_fp_from_toks(F.col("__t")))
+        # feeds the group build, the rep window pass, and the member
+        # rollup — cache, or the tokenize+md5 lineage executes thrice
+        .cache()
+    )
+    groups = docs.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("gsz")
+    )
+    reps = docs.join(
+        groups.select(F.col("rep_id").alias("doc_id"), "fp", "gsz"),
+        ["fp", "doc_id"],
+    )
+    t = F.col("__t")
+    ladder = F.transform(
+        F.sequence(F.lit(0), F.size(t) - D15_K),
+        lambda i: F.concat_ws(" ", *[t[i + j] for j in range(D15_K)]),
+    )
+    occ = (
+        reps.filter(F.col("n") >= D15_K)
+        .select("doc_id", "gsz", F.posexplode(ladder).alias("pos", "w"))
+        .select("doc_id", "gsz", "pos", F.md5("w").alias("h"))
+    )
+    hs = occ.groupBy("h").agg(
+        # global occurrence count = Σ gsz (each group member repeats
+        # its rep's windows at the same positions)
+        F.sum("gsz").alias("n_occ"),
+        # global keep-first = min over reps (rep = min id of its group)
+        F.min(F.struct("doc_id", "pos")).alias("canon"),
+    )
+    cut = (
+        occ.join(hs, "h")
+        .filter(
+            (F.col("n_occ") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("pos") == F.col("canon.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        cut.withColumn("nxt", F.lead("pos").over(wl))
+        .select(
+            "doc_id",
+            F.when(F.col("nxt").isNull(), F.lit(D15_K))
+            .otherwise(F.least(F.col("nxt") - F.col("pos"), F.lit(D15_K)))
+            .alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("covered"))
+    )
+    rep_doc = (
+        reps.select("doc_id", "lang", "n")
+        .join(cov, "doc_id", "left")
+        .select(
+            "lang",
+            "n",
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered"),
+        )
+    )
+    # a non-first exact clone's windows are ALL cut (its rep precedes
+    # it at every position), so coverage is the full windowed span
+    nonrep_doc = (
+        docs.select("doc_id", "lang", "n", "fp")
+        .join(groups.select("fp", "rep_id"), "fp")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            "lang",
+            "n",
+            F.when(F.col("n") >= D15_K, F.col("n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    per_doc = rep_doc.unionByName(nonrep_doc)
+    out = (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum("covered").alias("cut_tokens"),
+            F.sum((F.col("covered") > 0).cast("long")).alias("n_docs_cut"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "cut_tokens",
+            (F.col("total_tokens") - F.col("cut_tokens")).alias(
+                "retained_tokens"
+            ),
+            "n_docs_cut",
+            F.expr(
+                "CAST(CASE WHEN total_tokens = 0 THEN 10000 ELSE"
+                " (10000 * (total_tokens - cut_tokens)) DIV total_tokens"
+                " END AS BIGINT)"
+            ).alias("retained_bp"),
+        )
+        .orderBy("lang")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, docs)
+
+
 def d16_cluster_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup canonicalization — d8 keeps the MIN-id
     member of each transitive cluster; real pipelines keep the BEST
@@ -1647,6 +1792,7 @@ QUERIES = {
     "d12_segment_boilerplate": d12_segment_boilerplate,
     "d14_contamination_grade": d14_contamination_grade,
     "d15_exact_substring_spans": d15_exact_substring_spans,
+    "d15b_exact_substring_cut": d15b_exact_substring_cut,
 }
 
 # DuckDB twin of d4's SimHash: identical md5-derived 60-bit token
@@ -1798,6 +1944,58 @@ ORACLE = {
                          ELSE 0 END AS BIGINT) AS leak_bp
         FROM pc LEFT JOIN hl USING (category) CROSS JOIN tot
         ORDER BY category
+    """,
+    # d15b: the UNCOLLAPSED global keep-first cut rule — same window
+    # ladder/md5 as d15, canonical occurrence via zero-padded string
+    # keys (DuckDB MIN rejects struct ordering), coverage union via
+    # the same fixed-width lead() arithmetic as the Spark side.
+    "d15b_exact_substring_cut": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), occ AS (
+            SELECT doc_id, lang, u.i - 1 AS pos,
+                   md5(t[u.i+0] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] || ' ' || t[u.i+4] || ' ' || t[u.i+5] || ' ' || t[u.i+6] || ' ' || t[u.i+7] || ' ' || t[u.i+8] || ' ' || t[u.i+9] || ' ' || t[u.i+10] || ' ' || t[u.i+11] || ' ' || t[u.i+12] || ' ' || t[u.i+13] || ' ' || t[u.i+14] || ' ' || t[u.i+15] || ' ' || t[u.i+16] || ' ' || t[u.i+17] || ' ' || t[u.i+18] || ' ' || t[u.i+19] || ' ' || t[u.i+20] || ' ' || t[u.i+21] || ' ' || t[u.i+22] || ' ' || t[u.i+23] || ' ' || t[u.i+24]) AS h
+            FROM toks,
+                 UNNEST(range(1, GREATEST(len(t) - {D15_K - 1}, 0) + 1)) u(i)
+        ), hs AS (
+            SELECT h, COUNT(*) AS n_occ,
+                   MIN(lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
+                       || lpad(CAST(pos AS VARCHAR), 12, '0')) AS canon
+            FROM occ GROUP BY h
+        ), cut AS (
+            SELECT o.doc_id, o.pos
+            FROM occ o JOIN hs USING (h)
+            WHERE hs.n_occ >= 2
+              AND lpad(CAST(o.doc_id AS VARCHAR), 12, '0') || ':'
+                  || lpad(CAST(o.pos AS VARCHAR), 12, '0') <> hs.canon
+        ), cov AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN nxt IS NULL THEN {D15_K}
+                            ELSE LEAST(nxt - pos, {D15_K}) END) AS covered
+            FROM (
+                SELECT doc_id, pos,
+                       LEAD(pos) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS nxt
+                FROM cut
+            ) GROUP BY doc_id
+        ), pd AS (
+            SELECT tk.doc_id, tk.lang, len(tk.t) AS n,
+                   COALESCE(c.covered, 0) AS covered
+            FROM toks tk LEFT JOIN cov c USING (doc_id)
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(covered) AS BIGINT) AS cut_tokens,
+               CAST(SUM(n) - SUM(covered) AS BIGINT) AS retained_tokens,
+               CAST(SUM(CASE WHEN covered > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_cut,
+               CAST(CASE WHEN SUM(n) = 0 THEN 10000
+                         ELSE (10000 * (SUM(n) - SUM(covered))) // SUM(n)
+                    END AS BIGINT) AS retained_bp
+        FROM pd GROUP BY lang ORDER BY lang
     """,
     "d15_exact_substring_spans": f"""
         WITH toks AS (

@@ -785,7 +785,7 @@ j13_interval_coalesce.__doc__ = j13_interval_coalesce.__doc__.format(
 
 
 def j14_episode_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attribution against COALESCED episodes — j12's incident
+    r"""Attribution against COALESCED episodes — j12's incident
     attribution re-run after j13's interval coalescing, the
     deployment-side fix PLANS.md names for j12's honest adversarial
     row (pair output is intrinsically quadratic in window density;

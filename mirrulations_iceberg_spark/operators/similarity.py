@@ -1413,30 +1413,14 @@ X12_K = 5
 X12_MAX_BUCKET = 1_000
 
 
-def x12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN graph over LSH candidates — the input structure for
-    graph-based dedup/clustering (SemDeDup-style cluster pruning, NN
-    descent, duplicate-community detection all start from "each
-    vector's K nearest by cosine"). x1/x5 answer per-QUERY top-k for a
-    bounded query set; this builds the per-NODE neighbor lists for the
-    whole corpus, sub-quadratically.
-
-    Shape: SRP-LSH buckets (x2's seeded hyperplanes) → in-bucket pair
-    generation with the x4 cap → DISTINCT pairs (a pair colliding in
-    several tables must score once, or it would occupy two top-k
-    slots) → symmetrize → exact cosine → per-node top-``X12_K`` via
-    one window (WindowGroupLimit). The driver-visible output is the
-    bounded per-label audit: nodes with neighbors, directed edge
-    count, degree span, and mean kept-neighbor cosine in exact integer
-    ten-thousandths (DECIMAL sums — no float accumulation order).
-
-    At 100 TB: no self-join of the corpus and no all-pairs path — the
-    only quadratic work is inside capped buckets (the x4b-audited
-    trade), shuffles carry (t, bucket) ints and id pairs, and the
-    top-k window keys on vec_id (WindowGroupLimit prunes per
-    partition). Oracle: full replay — buckets, cap, pairs, top-k,
-    rollup — over the same hyperplane literal.
-    """
+def _x12_kept_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list]:
+    """x12's kept k-NN edge set (shared x12/x16 core): SRP-LSH
+    buckets → capped in-bucket pairs → DISTINCT → symmetrize → exact
+    cosine → per-node top-``X12_K`` via one WindowGroupLimit window.
+    Returns (kept(node, nb, label, cos_sim), caches) — caller passes
+    the caches to ``materialize_release``."""
     emb = _embeddings(spark, sf_dir).withColumn("buckets", _bucket_cols()).cache()
     bands = emb.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
     buckets = (
@@ -1474,9 +1458,39 @@ def x12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", _cosine_sim())
     )
     w = Window.partitionBy("node").orderBy(F.desc("cos_sim"), F.asc("nb"))
-    kept = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= X12_K
+    kept = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= X12_K)
+        .select("node", "nb", "label", "cos_sim")
     )
+    return kept, [emb]
+
+
+def x12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over LSH candidates — the input structure for
+    graph-based dedup/clustering (SemDeDup-style cluster pruning, NN
+    descent, duplicate-community detection all start from "each
+    vector's K nearest by cosine"). x1/x5 answer per-QUERY top-k for a
+    bounded query set; this builds the per-NODE neighbor lists for the
+    whole corpus, sub-quadratically.
+
+    Shape: SRP-LSH buckets (x2's seeded hyperplanes) → in-bucket pair
+    generation with the x4 cap → DISTINCT pairs (a pair colliding in
+    several tables must score once, or it would occupy two top-k
+    slots) → symmetrize → exact cosine → per-node top-``X12_K`` via
+    one window (WindowGroupLimit). The driver-visible output is the
+    bounded per-label audit: nodes with neighbors, directed edge
+    count, degree span, and mean kept-neighbor cosine in exact integer
+    ten-thousandths (DECIMAL sums — no float accumulation order).
+
+    At 100 TB: no self-join of the corpus and no all-pairs path — the
+    only quadratic work is inside capped buckets (the x4b-audited
+    trade), shuffles carry (t, bucket) ints and id pairs, and the
+    top-k window keys on vec_id (WindowGroupLimit prunes per
+    partition). Oracle: full replay — buckets, cap, pairs, top-k,
+    rollup — over the same hyperplane literal.
+    """
+    kept, caches = _x12_kept_edges(spark, sf_dir)
     per_node = kept.groupBy("node", "label").agg(
         F.count(F.lit(1)).alias("deg"),
         F.sum(F.round("cos_sim", 4).cast("decimal(8,4)")).alias("s"),
@@ -1504,7 +1518,84 @@ def x12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .util import materialize_release
 
-    return materialize_release(spark, out, emb)
+    return materialize_release(spark, out, *caches)
+
+
+#: x16 community edge floor: kept k-NN edges at or above this cosine
+#: define the duplicate-community graph. On the near-uniform fixture
+#: (best neighbors ≈ 0.37-0.51) 0.32 keeps a few hundred edges — real
+#: embedding corpora run this at 0.9+; the dial is data, the contract
+#: is the same.
+X16_TAU = 0.32
+
+
+def x16_graph_community_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-community dedup over the k-NN graph — the embedding-space
+    twin of d16's keep-best-per-cluster: threshold x12's kept edges at
+    ``X16_TAU`` cosine, take connected components of the resulting
+    near-duplicate graph (transitive closure — A~B, B~C ⇒ one
+    community even when A≁C directly), and keep ONE representative per
+    community by centrality argmax: the member with the highest total
+    kept-neighbor cosine (x12's per-node DECIMAL score — the
+    medoid-ish "best-connected copy", the embedding analogue of d16's
+    quality argmax), ties → min vec_id. Output: one row per
+    community — members, kept vector + its label + score, dropped
+    count.
+
+    Scale shape: everything up to the component step is x12's
+    audited sub-quadratic path (capped LSH buckets, 32-byte shuffles,
+    WindowGroupLimit top-K); the threshold then shrinks the edge set
+    further, and d8's diameter-bounded min-label propagation runs over
+    near-dup communities that are quasi-cliques (2-3 rounds). The
+    argmax is one row_number window over community membership; output
+    is bounded by communities, not corpus.
+
+    Oracle: the shared x12 kept-edge replay + DuckDB recursive-CTE
+    transitive closure + the same DECIMAL centrality argmax.
+    """
+    kept, caches = _x12_kept_edges(spark, sf_dir)
+    # feeds the threshold pairs, the closure, and the scores — cache,
+    # or the bucket/pair/score lineage executes three times
+    kept = kept.cache()
+    near = (
+        kept.filter(F.col("cos_sim") >= X16_TAU)
+        .select(
+            F.least("node", "nb").alias("a"),
+            F.greatest("node", "nb").alias("b"),
+        )
+        .distinct()
+    )
+    from .dedup import connected_components
+
+    cc = connected_components(near, src="a", dst="b")
+    scores = (
+        kept.groupBy("node", "label")
+        .agg(F.sum(F.round("cos_sim", 4).cast("decimal(8,4)")).alias("s"))
+        .withColumnRenamed("label", "vlabel")
+    )
+    memb = cc.select(
+        "node", F.col("label").alias("community")
+    ).join(scores, "node")
+    w = Window.partitionBy("community").orderBy(F.desc("s"), F.asc("node"))
+    ranked = memb.withColumn("rk", F.row_number().over(w))
+    out = (
+        ranked.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("kept_vec"),
+            F.max(F.when(F.col("rk") == 1, F.col("vlabel"))).alias(
+                "kept_label"
+            ),
+            F.max(
+                F.when(F.col("rk") == 1, F.expr("CAST(s * 10000 AS BIGINT)"))
+            ).alias("kept_score_e4"),
+            F.sum((F.col("rk") > 1).cast("long")).alias("n_dropped"),
+        )
+        .orderBy("community")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, kept, *caches)
 
 
 #: x13 sweep points: how many of the 8 LSH tables are consulted.
@@ -1838,21 +1929,21 @@ QUERIES = {
     "x10_mmr_select": x10_mmr_select,
     "x11_ivf_tuning_curve": x11_ivf_tuning_curve,
     "x12_knn_graph": x12_knn_graph,
+    "x16_graph_community_dedup": x16_graph_community_dedup,
 }
 
 
 
-def _x12_sql() -> str:
-    """x12 oracle: full replay — seeded-plane buckets, the x4 cap,
-    distinct symmetric pairs, exact cosine, per-node top-K, per-label
-    rollup with DECIMAL-exact mean in ten-thousandths."""
+def _x12_kept_ctes() -> str:
+    """The shared x12/x16 oracle CTE chain: seeded-plane buckets, the
+    x4 cap, distinct symmetric pairs, exact cosine, per-node top-K —
+    everything through ``kept(node, nb, label, cos_sim)``."""
     cos = (
         f"CASE WHEN cn.norm * nn.norm > 0 THEN "
         f"ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         f"i -> cn.e[i] * nn.e[i])) / (cn.norm * nn.norm), 4) ELSE 0.0 END"
     )
-    return f"""
-        WITH planes AS (
+    return f"""planes AS (
             SELECT {_planes_sql()} AS m
         ), e0 AS (
             SELECT vec_id, label,
@@ -1895,12 +1986,19 @@ def _x12_sql() -> str:
             JOIN n nn ON nn.vec_id = ed.nb
         ), kept AS (
             SELECT * FROM (
-                SELECT node, label, cos_sim,
+                SELECT node, nb, label, cos_sim,
                        ROW_NUMBER() OVER (PARTITION BY node
                                           ORDER BY cos_sim DESC, nb ASC) AS rnk
                 FROM scored
             ) WHERE rnk <= {X12_K}
-        ), per_node AS (
+        )"""
+
+
+def _x12_sql() -> str:
+    """x12 oracle: full replay — the shared kept-edge chain + the
+    per-label rollup with DECIMAL-exact mean in ten-thousandths."""
+    return f"""
+        WITH {_x12_kept_ctes()}, per_node AS (
             SELECT node, label, COUNT(*) AS deg,
                    SUM(CAST(cos_sim AS DECIMAL(8,4))) AS s
             FROM kept GROUP BY 1, 2
@@ -1913,6 +2011,50 @@ def _x12_sql() -> str:
                CAST(CAST(SUM(s) * 10000 AS BIGINT) // SUM(deg) AS BIGINT)
                    AS mean_sim_e4
         FROM per_node GROUP BY label ORDER BY label
+    """
+
+
+def _x16_sql() -> str:
+    """x16 oracle: the shared kept-edge chain + threshold pairs +
+    recursive-CTE transitive closure + the centrality argmax."""
+    return f"""
+        WITH RECURSIVE {_x12_kept_ctes()}, np AS (
+            SELECT DISTINCT LEAST(node, nb) AS a, GREATEST(node, nb) AS b
+            FROM kept WHERE cos_sim >= {X16_TAU}
+        ), cedges AS (
+            SELECT a, b FROM np
+            UNION
+            SELECT b AS a, a AS b FROM np
+        ), reach(a, b) AS (
+            SELECT a, b FROM cedges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+        ), lab AS (
+            SELECT a AS node, LEAST(a, MIN(b)) AS community
+            FROM reach GROUP BY a
+        ), scores AS (
+            SELECT node, label AS vlabel,
+                   SUM(CAST(cos_sim AS DECIMAL(8,4))) AS s
+            FROM kept GROUP BY 1, 2
+        ), memb AS (
+            SELECT l.community, sc.node, sc.vlabel, sc.s
+            FROM lab l JOIN scores sc USING (node)
+        ), ranked AS (
+            SELECT community, node, vlabel, s,
+                   ROW_NUMBER() OVER (PARTITION BY community
+                                      ORDER BY s DESC, node ASC) AS rk
+            FROM memb
+        )
+        SELECT community,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(CASE WHEN rk = 1 THEN node END) AS BIGINT)
+                   AS kept_vec,
+               MAX(CASE WHEN rk = 1 THEN vlabel END) AS kept_label,
+               CAST(MAX(CASE WHEN rk = 1 THEN CAST(s * 10000 AS BIGINT)
+                        END) AS BIGINT) AS kept_score_e4,
+               CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM ranked GROUP BY community ORDER BY community
     """
 
 
@@ -2463,6 +2605,7 @@ ORACLE = {
     "x10_mmr_select": _mmr_oracle(),
     "x11_ivf_tuning_curve": _x11_sql(),
     "x12_knn_graph": _x12_sql(),
+    "x16_graph_community_dedup": _x16_sql(),
     "x9_pq_adc_topk": _X9_SQL,
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,

@@ -817,6 +817,173 @@ def apply_bpe_merge(symbols: Column, a: str, b: str) -> Column:
     )
 
 
+T17B_ITERS = 6  # BPE training rounds to unroll
+
+
+def t17b_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE training — t17 computes iteration 1's statistics;
+    real tokenizer training is N rounds of count → select → apply
+    with the growing merge table applied each round (Sennrich et al.
+    2016). This unrolls ``T17B_ITERS`` rounds over the corpus-weighted
+    vocabulary and returns the learned merge table with per-iteration
+    accounting: the winning pair and its corpus frequency, how many
+    greedy non-overlapping applications it made, the total symbol
+    count after the round, and compression in basis points of the
+    initial symbol count.
+
+    Scale shape (the PLANS.md note t17 promised): each round is ONE
+    bounded aggregate over the DISTINCT-token vocabulary (Heaps-bounded,
+    never raw text) — adjacent-pair counts via zip_with on the symbol
+    arrays, the argmax as TakeOrderedAndProject (orderBy+limit(1), no
+    global sort materialization), the merge applied Spark-side with
+    :func:`apply_bpe_merge` (pure array fold, no UDF) and the result
+    cached per round so round r+1 never replays rounds 1..r. The
+    driver holds only the N winning merges — N·|vocab| total work, the
+    same cost shape as any production BPE trainer's counting phase.
+
+    Oracle: the same N rounds unrolled as chained CTEs (the x10
+    pattern) — symbol sequences as boundary-wrapped strings
+    ``(a)(bc)…`` where DuckDB's left-to-right non-overlapping
+    ``replace('(a)(b)' → '(ab)')`` is exactly the greedy fold (both
+    boundaries of every symbol are delimited, so no cross-symbol false
+    match and no separator-consumption under self-overlap — ``a a a``
+    merges once on both engines).
+    """
+    from .dedup import parallelize_scan as _pscan
+
+    docs = _pscan(load_table(spark, sf_dir, "documents"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    cur = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(chars.alias("syms"), "cnt")
+        .cache()
+    )
+    caches = [cur]
+    total0 = cur.agg(
+        F.sum(F.col("cnt") * F.size("syms")).cast("long")
+    ).collect()[0][0]
+    total_prev = total0
+    rows = []
+    for it in range(1, T17B_ITERS + 1):
+        pair = F.zip_with(
+            F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1),
+            F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("lft"), b.alias("rgt")),
+        )
+        best = (
+            cur.filter(F.size("syms") >= 2)
+            .select("cnt", F.explode(pair).alias("pr"))
+            .groupBy("pr.lft", "pr.rgt")
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # fully merged vocabulary — nothing left to learn
+            break
+        a, b, pc = best[0]["lft"], best[0]["rgt"], best[0]["pc"]
+        nxt = cur.select(
+            apply_bpe_merge(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).cache()
+        caches.append(nxt)
+        total_new = nxt.agg(
+            F.sum(F.col("cnt") * F.size("syms")).cast("long")
+        ).collect()[0][0]
+        rows.append(
+            (
+                it,
+                a,
+                b,
+                a + b,
+                int(pc),
+                int(total_prev - total_new),
+                int(total_new),
+                (10000 * int(total_new)) // int(total0),
+            )
+        )
+        cur = nxt
+        total_prev = total_new
+    out = spark.createDataFrame(
+        rows,
+        "iter int, left_sym string, right_sym string, merged string,"
+        " pair_count long, merges_applied long, total_syms long,"
+        " compression_bp long",
+    )
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def _t17b_sql() -> str:
+    """t17b oracle: ``T17B_ITERS`` BPE rounds unrolled as chained CTEs
+    over boundary-wrapped symbol strings (see the t17b docstring for
+    the replace-equals-greedy-fold argument)."""
+    sym = r"\(([a-z0-9]+)\)"
+    parts = [
+        f"""tok AS (
+            SELECT unnest(regexp_extract_all(lower(text),
+                                             '{TOKEN_PATTERN}')) AS tok
+            FROM documents
+        ), v0 AS (
+            SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS s,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY tok
+        ), t0 AS (
+            SELECT SUM(cnt * len(regexp_extract_all(s, '{sym}', 1)))
+                AS tot FROM v0
+        )"""
+    ]
+    for r in range(1, T17B_ITERS + 1):
+        parts.append(
+            f"""l{r} AS (
+            SELECT s, cnt,
+                   regexp_extract_all(s, '{sym}', 1) AS li
+            FROM v{r - 1}
+        ), p{r} AS (
+            SELECT li[u.i] AS lft, li[u.i + 1] AS rgt,
+                   CAST(SUM(cnt) AS BIGINT) AS pc
+            FROM l{r}, UNNEST(range(1, len(li))) u(i)
+            GROUP BY 1, 2
+        ), b{r} AS (
+            SELECT lft, rgt, pc FROM p{r}
+            ORDER BY pc DESC, lft, rgt LIMIT 1
+        ), v{r} AS (
+            SELECT replace(s, '(' || b.lft || ')(' || b.rgt || ')',
+                           '(' || b.lft || b.rgt || ')') AS s, cnt
+            FROM l{r} CROSS JOIN b{r} b
+        ), t{r} AS (
+            SELECT SUM(cnt * len(regexp_extract_all(s, '{sym}', 1)))
+                AS tot FROM v{r}
+        ), row{r} AS (
+            SELECT CAST({r} AS INT) AS iter,
+                   (SELECT lft FROM b{r}) AS left_sym,
+                   (SELECT rgt FROM b{r}) AS right_sym,
+                   (SELECT lft || rgt FROM b{r}) AS merged,
+                   (SELECT pc FROM b{r}) AS pair_count,
+                   CAST((SELECT tot FROM t{r - 1})
+                        - (SELECT tot FROM t{r}) AS BIGINT)
+                       AS merges_applied,
+                   CAST((SELECT tot FROM t{r}) AS BIGINT) AS total_syms,
+                   CAST((10000 * (SELECT tot FROM t{r}))
+                        // (SELECT tot FROM t0) AS BIGINT)
+                       AS compression_bp
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM row{r}" for r in range(1, T17B_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f"\n        SELECT * FROM ({union}) ORDER BY iter"
+    )
+
+
 T18_BIGRAMS = 4096  # top-B bigram table (broadcast-sized forever)
 T18_BACKOFF = 2.5  # 1/0.4 — the "stupid backoff" discount as a penalty
 
@@ -933,6 +1100,7 @@ def t18_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "t18_backoff_surprisal": t18_backoff_surprisal,
     "t17_bpe_pair_stats": t17_bpe_pair_stats,
+    "t17b_bpe_train_iters": t17b_bpe_train_iters,
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
     "t3_fingerprint": t3_fingerprint,
@@ -1004,6 +1172,7 @@ ORACLE = {
                    AS avg_bits_per_transition
         FROM scored GROUP BY lang ORDER BY lang
     """,
+    "t17b_bpe_train_iters": _t17b_sql(),
     "t17_bpe_pair_stats": f"""
         WITH tok AS (
             SELECT unnest(regexp_extract_all(lower(text),

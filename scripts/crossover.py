@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""DuckDB-vs-Spark crossover rows for LLM-shaped operators.
+
+BASELINE.md's measured crossover curve covers the reference's q1-q8
+scan/agg shapes; this extends it with the operator families this
+engine exists for (VERDICT r10 item #7): d1 (exact dedup — tokenize +
+md5 + hash-agg, CPU-heavy per row) and w1 (top-n per group — the
+window/partition shape). Protocol mirrors the round-7 curve: the SAME
+replicated parquet read by both engines (ids offset per replica,
+payloads repeated), warm = best of 2 back-to-back runs per engine,
+Spark local[32] noop-write action vs DuckDB default-threads fetchall.
+
+Usage::
+
+    python scripts/crossover.py --factors 1,100,1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb  # noqa: E402
+
+from scalestress import ALL_TABLES, ID_COLS, time_query  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mirrulations_iceberg_spark.operators import collect_queries  # noqa: E402
+from mirrulations_iceberg_spark.session import get_spark  # noqa: E402
+
+
+def _replicate(spark, src: str, dst: str, factor: int, tables) -> None:
+    """scalestress.build_corpus's layout, but replication via ONE
+    broadcast crossJoin with range(factor) — a 1000-way unionByName
+    plan is quadratic in the analyzer at the factors this curve
+    needs."""
+    os.makedirs(dst, exist_ok=True)
+    for t in ALL_TABLES:
+        src_path = os.path.join(src, f"{t}.parquet")
+        dst_path = os.path.join(dst, f"{t}.parquet")
+        if not os.path.exists(src_path) or os.path.exists(dst_path):
+            continue
+        if t not in tables:
+            os.symlink(src_path, dst_path)
+            continue
+        base = spark.read.parquet(src_path)
+        spans = {
+            c: (base.agg(F.max(c)).collect()[0][0] or 0) + 1
+            for c in ID_COLS.get(t, ())
+        }
+        rep = base.crossJoin(
+            F.broadcast(spark.range(factor).withColumnRenamed("id", "__r"))
+        )
+        for c, span in spans.items():
+            rep = rep.withColumn(c, F.col(c) + F.col("__r") * F.lit(span))
+        rep.drop("__r").repartition(32).write.mode("overwrite").parquet(
+            dst_path
+        )
+
+#: query -> the one fact table it reads (replicated; the rest symlink)
+TARGETS = {
+    "d1_exact_dedup": "documents",
+    "w1_topn_per_group": "orders",
+}
+
+
+def duck_time(sf_dir: str, sql: str, runs: int = 2) -> float:
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        best = min(best, time.time() - t0)
+    con.close()
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--factors", default="1,100,1000")
+    ap.add_argument("--queries", default=",".join(TARGETS))
+    args = ap.parse_args()
+    queries, oracles = collect_queries()
+    spark = get_spark()
+    names = args.queries.split(",")
+    for factor in [int(f) for f in args.factors.split(",")]:
+        tables = sorted({TARGETS[n] for n in names})
+        tmp = tempfile.mkdtemp(prefix=f"xover{factor}x-")
+        try:
+            _replicate(spark, args.src, tmp, factor, tables)
+            for name in names:
+                t = TARGETS[name]
+                path = os.path.join(tmp, f"{t}.parquet")
+                n_rows = duckdb.sql(
+                    f"SELECT COUNT(*) FROM read_parquet('{path}/*.parquet')"
+                    if os.path.isdir(path)
+                    else f"SELECT COUNT(*) FROM read_parquet('{path}')"
+                ).fetchone()[0]
+                d = duck_time(tmp, oracles[name])
+                s = time_query(spark, queries[name], tmp)
+                print(
+                    f"{name} x{factor} rows={n_rows} duckdb={d:.3f}s "
+                    f"spark={s:.3f}s ratio={s / d:.2f}",
+                    flush=True,
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -76,6 +76,10 @@ SKIP_SWEEP = {
     "m16_layout_scatter_report",  # writes two partitioned layouts
     "e14_release_pipeline",  # caches base reps + LSH sigs, materializes
     "j13_interval_coalesce",  # collects the day summary at construction
+    "j14_episode_attribution",  # collects the day summary (stitch input)
+    "d15b_exact_substring_cut",  # caches the tokenize pass + materializes
+    "x16_graph_community_dedup",  # kept-edge cache + iterative components
+    "t17b_bpe_train_iters",  # N count->select->apply rounds at construction
 }
 
 

@@ -1,0 +1,215 @@
+"""Engineered known-answer tests for the round-11 operators
+(j14 / d15b / x16 / t17b) — invariants that hold by construction and
+would catch a refactor that still happens to match a buggy oracle.
+The oracle-parity sweep (test_oracle_parity.py) covers cross-engine
+equality; these pin the SEMANTICS on fixtures built to exercise each
+operator's decision boundaries (cross-midnight stitching, keep-first
+span cutting, community argmax, merge-table exhaustion)."""
+
+from __future__ import annotations
+
+import os
+
+
+def _write_events_local(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    return sf
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source) — n_chars derived."""
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    """rows: (vec_id, embedding list[float], label)."""
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    return sf
+
+
+def test_j14_engineered_stitched_attribution(spark, tmp_path):
+    """A cross-midnight merged episode [d1 23:30 -> d2 03:00) plus a
+    distant single episode [d5 10:00, 12:00). Events at d2 00:30 and
+    d2 01:15 sit in the STITCH region: an unstitched per-day episode
+    set would count the chain halves as two episodes (touched=3) and
+    double-match 01:15 in the overlap — the assertions below fail in
+    both cases, so this pins the merge, not just containment."""
+    from datetime import datetime
+
+    from mirrulations_iceberg_spark.operators.joins import (
+        j14_episode_attribution,
+    )
+
+    def at(d, h, m=0):
+        return datetime(2024, 1, d, h, m)
+
+    sf = _write_events_local(
+        spark,
+        tmp_path,
+        [
+            (1, at(1, 23, 30), 100, "error", 0.0, "{}"),  # chain start
+            (2, at(2, 1, 0), 101, "error", 0.0, "{}"),    # merges in
+            (3, at(5, 10, 0), 102, "error", 0.0, "{}"),   # lone episode
+            (4, at(1, 23, 45), 103, "view", 1.0, "{}"),   # in ep1
+            (5, at(2, 2, 30), 104, "view", 1.0, "{}"),    # in ep1 tail
+            (6, at(5, 11, 59), 105, "view", 1.0, "{}"),   # in ep2
+            (7, at(5, 13, 0), 106, "click", 1.0, "{}"),   # outside all
+            (8, at(2, 0, 30), 107, "view", 1.0, "{}"),    # stitch region
+            (9, at(2, 1, 15), 108, "view", 1.0, "{}"),    # halves overlap
+        ],
+    )
+    rows = {r["event_type"]: r for r in j14_episode_attribution(spark, sf).collect()}
+    assert set(rows) == {"error", "view"}  # click never matches
+    e = rows["error"]
+    assert (e["n_events"], e["n_episodes_touched"], e["id_checksum"]) == (
+        3, 2, 6,
+    )
+    v = rows["view"]
+    # disjoint episodes: each event counted ONCE (9 would double under
+    # unstitched halves), and the merged chain is ONE episode
+    assert (v["n_events"], v["n_episodes_touched"], v["id_checksum"]) == (
+        5, 2, 4 + 5 + 6 + 8 + 9,
+    )
+
+
+def test_d15b_engineered_keep_first_cut(spark, tmp_path):
+    """Keep-first protects the earliest doc entirely: doc1 (30 unique
+    tokens) is canonical for every duplicated window, doc2 embeds
+    doc1's first 25-token window (fully cut), doc3 is an exact clone
+    of doc1 (fully cut via the collapse staging's closed form), doc4
+    is span-free (10 tokens < K), and the fr doc is untouched."""
+    from mirrulations_iceberg_spark.operators.dedup import (
+        D15_K,
+        d15b_exact_substring_cut,
+    )
+
+    assert D15_K == 25  # fixture arithmetic below assumes it
+    a = [f"a{i}" for i in range(30)]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, " ".join(a), "en", "s"),
+            (2, " ".join(a[:25]), "en", "s"),
+            (3, " ".join(a), "en", "s"),
+            (4, " ".join(f"u{i}" for i in range(10)), "en", "s"),
+            (5, "b0 b1 b2 b3 b4", "fr", "s"),
+        ],
+    )
+    rows = {r["lang"]: r for r in d15b_exact_substring_cut(spark, sf).collect()}
+    en = rows["en"]
+    assert (en["n_docs"], en["total_tokens"]) == (4, 95)
+    assert (en["cut_tokens"], en["retained_tokens"]) == (55, 40)
+    assert en["n_docs_cut"] == 2
+    assert en["retained_bp"] == (10000 * 40) // 95
+    fr = rows["fr"]
+    assert (fr["cut_tokens"], fr["retained_tokens"], fr["retained_bp"]) == (
+        0, 5, 10000,
+    )
+
+
+def test_d15b_partial_overlap_union(spark, tmp_path):
+    """Overlapping cut windows must union, not double-count: doc2
+    repeats doc1's tokens 0..25 (two overlapping duplicated windows at
+    pos 0 and 1 -> covered = min(1, 25) + 25 = 26 of its 28 tokens)."""
+    from mirrulations_iceberg_spark.operators.dedup import (
+        d15b_exact_substring_cut,
+    )
+
+    a = [f"a{i}" for i in range(30)]
+    doc2 = a[:26] + ["q0", "q1"]  # windows at pos 0,1 dup; pos 2,3 novel
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, " ".join(a), "en", "s"), (2, " ".join(doc2), "en", "s")],
+    )
+    rows = {r["lang"]: r for r in d15b_exact_substring_cut(spark, sf).collect()}
+    en = rows["en"]
+    # doc1 fully retained (canonical), doc2 keeps 28 - 26 = 2 tokens
+    assert (en["total_tokens"], en["cut_tokens"]) == (58, 26)
+    assert en["retained_tokens"] == 32 and en["n_docs_cut"] == 1
+
+
+def test_x16_engineered_two_communities(spark, tmp_path):
+    """Two clusters of identical unit vectors on orthogonal axes:
+    in-cluster cosine is exactly 1.0 (>= TAU), cross-cluster 0.0
+    (< TAU), so the communities are the clusters, every member ties on
+    the in-cluster score and the min vec_id wins, and the kept score
+    is deg * 1.0 (cross-cluster 0.0 kept edges add nothing to the
+    DECIMAL sum)."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        EMB_DIM,
+        X12_K,
+        X16_TAU,
+        x16_graph_community_dedup,
+    )
+
+    assert X16_TAU <= 1.0 and X12_K >= 3
+    e0 = [1.0] + [0.0] * (EMB_DIM - 1)
+    e1 = [0.0, 1.0] + [0.0] * (EMB_DIM - 2)
+    rows = [(i, e0, 1) for i in (0, 1, 2)]
+    rows += [(i, e1, 2) for i in (10, 11, 12, 13)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    got = {r["community"]: r for r in x16_graph_community_dedup(spark, sf).collect()}
+    assert set(got) == {0, 10}
+    c0 = got[0]
+    assert (c0["n_members"], c0["kept_vec"], c0["kept_label"]) == (3, 0, 1)
+    assert (c0["kept_score_e4"], c0["n_dropped"]) == (2 * 10000, 2)
+    c1 = got[10]
+    assert (c1["n_members"], c1["kept_vec"], c1["kept_label"]) == (4, 10, 2)
+    assert (c1["kept_score_e4"], c1["n_dropped"]) == (3 * 10000, 3)
+
+
+def test_t17b_engineered_merge_sequence(spark, tmp_path):
+    """Hand-computed 3-round trainer run that then EXHAUSTS the pair
+    table: vocab {abab:2, ab:3, cd:4}. Round 1 learns (a,b) at corpus
+    frequency 7 (greedy: 'abab' applies it twice), round 2 (c,d) at 4,
+    round 3 (ab,ab) at 2; round 4 finds no adjacent pairs and the
+    trainer stops at 3 rows."""
+    from mirrulations_iceberg_spark.operators.text import (
+        t17b_bpe_train_iters,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "abab abab ab ab ab cd cd cd cd", "en", "s")],
+    )
+    rows = t17b_bpe_train_iters(spark, sf).collect()
+    assert len(rows) == 3
+    r1, r2, r3 = rows
+    assert (r1["left_sym"], r1["right_sym"], r1["merged"]) == ("a", "b", "ab")
+    assert (r1["pair_count"], r1["merges_applied"]) == (7, 7)
+    assert (r1["total_syms"], r1["compression_bp"]) == (15, 150000 // 22)
+    assert (r2["left_sym"], r2["right_sym"]) == ("c", "d")
+    assert (r2["pair_count"], r2["total_syms"]) == (4, 11)
+    assert (r3["left_sym"], r3["right_sym"], r3["merged"]) == (
+        "ab", "ab", "abab",
+    )
+    assert (r3["pair_count"], r3["total_syms"]) == (2, 9)
+    assert r3["compression_bp"] == 90000 // 22
