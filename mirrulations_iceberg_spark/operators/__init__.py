@@ -59,31 +59,41 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: re-verification fillers with the deepest green history (r02–r06).
 #:
 #: Round-11 rotation (VERDICT r10 items #1-#6; r10 shipped nothing,
-#: so this executes the outstanding r10 brief): the window = 4 NEW
-#: operators (j14 episode attribution, d15b ExactSubstr cut, x16
-#: graph-community dedup, t17b iterated BPE — never green by
-#: definition) + 2 whose code changed this round and must re-verify
+#: so this executes the outstanding r10 brief, plus three bonus
+#: operators added later in the round): the window = 7 NEW operators
+#: (j14 episode attribution, d15b ExactSubstr cut, x16 graph-community
+#: dedup, t17b iterated BPE, d19 duplicate reweighting, t19 hashed-
+#: feature quality classifier, x17 two-stage PQ rerank — never green
+#: by definition) + 3 whose code changed this round and must re-verify
 #: at the driver (j13: the redundant w.count() scan folded into the
 #: island aggregation; x12: kept-edge core extracted into the shared
-#: _x12_kept_edges helper x16 composes) + ALL 28 r06-stale greens
-#: (last driver-checked four-plus rounds of refactors ago — the
-#: 9bdcc3c shared-helper extraction touched d1/d3/d8's code paths;
-#: list verified against the regenerated LEDGER.md, never memory) +
-#: 16 r07-stale fillers chosen for family spread (agg quantile/pivot,
-#: dedup exact/simhash/apply, format round-trips, bloom join, time
-#: travel, multimodal, sampling, streaming dedup, tf-idf, session
-#: window, ANN brute/IVF). Pre-rotation gate: the full sf0.01 sweep
-#: ran green this session (173 pass / 0 fail) and the six
-#: changed/new entries re-verified at sf0.01 in a targeted pass.
+#: _x12_kept_edges helper x16 composes; x9: fit/encode/ADC extracted
+#: into the shared _pq_codes_qside helper x17 composes) + ALL 28
+#: r06-stale greens (last driver-checked four-plus rounds of refactors
+#: ago — the 9bdcc3c shared-helper extraction touched d1/d3/d8's code
+#: paths; list verified against the regenerated LEDGER.md, never
+#: memory) + 12 r07-stale fillers chosen for family spread (the four
+#: displaced by the bonus operators — a15/d2/g2/x5 — each leave
+#: another family representative in the window and stay in the pytest
+#: sweep + next round's rotation queue). Pre-rotation gate: the full
+#: sf0.01 sweep ran green this session (179 pass / 0 fail) and every
+#: changed/new entry re-verified at sf0.01 in targeted passes; the
+#: exact 50-slot order replayed green via --window-order before
+#: commit.
 DRIVER_WINDOW = (
     # --- NEW round-11 operators (oracle-bearing, never checked)
     "j14_episode_attribution",
     "d15b_exact_substring_cut",
     "x16_graph_community_dedup",
     "t17b_bpe_train_iters",
+    "d19_duplicate_reweight",   # soft dedup: count-once reweighting
+    "t19_quality_classifier",   # hashed-feature linear keep/drop gate
+    "x17_pq_rerank_topk",       # two-stage ANN: ADC shortlist + exact
     # --- code changed in round 11: re-verify at the driver
     "j13_interval_coalesce",  # one-scan window count (VERDICT r10 #2)
     "x12_knn_graph",          # kept-edge core shared with x16
+    "x9_pq_adc_topk",         # fit/encode/ADC extracted into the
+                              # _pq_codes_qside helper x17 composes
     # --- the 28 r06-stale greens, oldest-first (VERDICT r10 #1)
     "a1_count_star",
     "a2_groupby_count",
@@ -115,12 +125,9 @@ DRIVER_WINDOW = (
     "x6_embedding_dedup_apply",
     # --- r07-stale fillers, family spread (next-oldest cohort)
     "a13_pivot",
-    "a15_exact_quantile_twopass",
-    "d2_ngram_jaccard_pairs_diag",
     "d4_simhash",
     "d6_dedup_apply",
     "g1_glob_read",
-    "g2_csv_roundtrip",
     "j9_bloom_pruned_join",
     "m11_time_travel",
     "mm3_frame_sample",
@@ -129,7 +136,6 @@ DRIVER_WINDOW = (
     "t7_tfidf_top_terms",
     "w6_session_window",
     "x1_cosine_topk",
-    "x5_ann_ivf_topk",
 )
 
 

@@ -1772,6 +1772,63 @@ d18_incremental_neardup.__doc__ = d18_incremental_neardup.__doc__.format(
 )
 
 
+def d19_duplicate_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware soft dedup — count-once reweighting instead of
+    dropping: every document is downweighted by its exact-duplicate
+    cluster size (w = 1/|c|, so each distinct CONTENT contributes unit
+    mass no matter how many copies exist, across sources). This is the
+    softer alternative to d6's hard apply when duplication frequency
+    itself carries signal (Web-crawl practice: dedup the loss weight,
+    not the data). Output: per-source raw vs effective mass — docs,
+    tokens, and the downweight factor the sampler multiplies in.
+
+    Cross-engine determinism: weights are integer micro-units
+    (``1000000 DIV |c|`` == ``1000000 // |c|``) — no float division,
+    so sums agree bit-wise; all operands non-negative, so truncating
+    and flooring DIV coincide.
+
+    Scale shape: ONE fingerprint-keyed window count (a single shuffle
+    of (fp, source, n_toks) triples — no join back, no second corpus
+    pass; the tokenize runs once via the named-column ladder), then a
+    per-source hash-agg to a \\|sources\\|-row report. At 100 TB the
+    shuffle payload is 16-byte fingerprints + two small ints per doc.
+    """
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    base = (
+        docs.withColumn("__t", tokens_col(F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            F.size("__t").cast("long").alias("n_toks"),
+            content_fp_from_toks(F.col("__t")).alias("__fp"),
+        )
+    )
+    per = base.withColumn(
+        "csz", F.count(F.lit(1)).over(Window.partitionBy("__fp"))
+    ).withColumn("w_micro", F.expr("1000000 DIV csz"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__fp").alias("n_fps"),
+            F.sum((F.col("csz") > 1).cast("long")).alias("n_dup_docs"),
+            F.sum("w_micro").alias("eff_docs_micro"),
+            F.sum("n_toks").alias("raw_tokens"),
+            F.sum(F.col("n_toks") * F.col("w_micro")).alias(
+                "eff_tokens_micro"
+            ),
+        )
+        .withColumn(
+            "downweight_bp",
+            F.expr(
+                "(10000 * eff_docs_micro)"
+                " DIV greatest(1000000 * n_docs, 1)"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "d18_incremental_neardup": d18_incremental_neardup,
     "d17_split_leakage": d17_split_leakage,
@@ -1793,6 +1850,7 @@ QUERIES = {
     "d14_contamination_grade": d14_contamination_grade,
     "d15_exact_substring_spans": d15_exact_substring_spans,
     "d15b_exact_substring_cut": d15b_exact_substring_cut,
+    "d19_duplicate_reweight": d19_duplicate_reweight,
 }
 
 # DuckDB twin of d4's SimHash: identical md5-derived 60-bit token
@@ -2032,6 +2090,34 @@ ORACLE = {
                    AS fingerprint,
                MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies
         FROM documents GROUP BY fingerprint ORDER BY keep_doc_id
+    """,
+    "d19_duplicate_reweight": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), base AS (
+            SELECT doc_id, source, len(t) AS n_toks,
+                   md5(array_to_string(t, ' ')) AS fp
+            FROM t
+        ), per AS (
+            SELECT source, n_toks, fp,
+                   1000000 // (COUNT(*) OVER (PARTITION BY fp)) AS w_micro,
+                   COUNT(*) OVER (PARTITION BY fp) AS csz
+            FROM base
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps,
+               CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               CAST(SUM(w_micro) AS BIGINT) AS eff_docs_micro,
+               CAST(SUM(n_toks) AS BIGINT) AS raw_tokens,
+               CAST(SUM(n_toks * w_micro) AS BIGINT) AS eff_tokens_micro,
+               CAST((10000 * SUM(w_micro))
+                    // GREATEST(1000000 * COUNT(*), 1) AS BIGINT)
+                   AS downweight_bp
+        FROM per GROUP BY source ORDER BY source
     """,
     "d2_ngram_jaccard_pairs_diag": _EXACT_PAIRS_SQL,
     # d3b: exact-side stats replayed over the same pair set; the

@@ -996,33 +996,19 @@ def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
     return centers
 
 
-def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation —
-    the FAISS-PQ memory-bound scale path: the corpus is stored as
-    ``PQ_M`` 4-bit codes (4 bytes/vector vs 256 bytes of floats, 64×),
-    which is what makes RAM-resident ANN over a 100 TB embedding
-    corpus feasible at all.
+def _pq_codes_qside(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared x9/x17 PQ artifacts — ONE home for the fit/encode/table
+    pipeline (the ``_x12_kept_edges`` discipline: x9 grades raw ADC,
+    x17 composes a rerank stage on top, and the two cannot drift):
 
-    Pipeline, all deterministic and oracle-replayed end-to-end:
-
-    * fit: per-subspace Lloyd codebooks (:func:`_pq_fit_codebooks`);
-    * encode: one pass over the corpus — per subspace, argmin-fold
-      against the ≤128-entry codebook literal (pure projection, no
-      join, no shuffle; codes store codebook POSITIONS so lookups are
-      array indexing);
-    * search (ADC): each query precomputes its distance table
-      d(q_m, centroid) — M·K doubles per query, broadcast — and every
-      corpus code scores as a table-lookup fold. The 8 per-subspace
-      terms are added in ascending-m order on both engines (Spark:
-      sequence fold; DuckDB: list_sum of list(term ORDER BY m)), so
-      the double sum is bit-identical without decimal quantization;
-    * recall: measured in-plan against exact L2 top-k (PQ approximates
-      L2, so the honest baseline is L2, not cosine).
-
-    Output is bounded: one row per query — the ADC top-k id-checksum
-    pins the retrieved SET, recall@k grades it.
+    * ``codes`` — (vec_id, code[PQ_M]) corpus encode: per subspace, an
+      argmin-fold against the ≤128-entry codebook literal (pure
+      projection, no join, no shuffle; codes store codebook POSITIONS
+      so lookups are array indexing);
+    * ``qside`` — (query_id, qe, dtab): each query's full vector plus
+      its precomputed ADC distance table d(q_m, centroid) — M·K
+      doubles per query, broadcast by the callers.
     """
-    emb = _embeddings(spark, sf_dir).cache()
     cb = sorted(
         (r["m"], r["cell"], [float(v) for v in r["center"]])
         for r in _pq_fit_codebooks(emb).collect()
@@ -1094,9 +1080,14 @@ def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dtab"),
     )
-    # ascending-m double fold; the oracle sums list(term ORDER BY m),
-    # so both engines add the 8 doubles in the same order → identical.
-    adc = F.round(
+    return codes, qside
+
+
+def _adc_col():
+    """ADC score over (code, dtab) columns — ascending-m double fold;
+    the oracle sums ``list(term ORDER BY m)``, so both engines add the
+    8 doubles in the same order → identical without quantization."""
+    return F.round(
         F.aggregate(
             F.sequence(F.lit(0), F.lit(PQ_M - 1)),
             F.lit(0.0),
@@ -1107,6 +1098,28 @@ def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
+
+
+def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the FAISS-PQ memory-bound scale path: the corpus is stored as
+    ``PQ_M`` 4-bit codes (4 bytes/vector vs 256 bytes of floats, 64×),
+    which is what makes RAM-resident ANN over a 100 TB embedding
+    corpus feasible at all.
+
+    Pipeline, all deterministic and oracle-replayed end-to-end: fit +
+    encode + per-query distance tables via the shared
+    :func:`_pq_codes_qside`, ADC scoring as a table-lookup fold
+    (:func:`_adc_col`), recall measured in-plan against exact L2 top-k
+    (PQ approximates L2, so the honest baseline is L2, not cosine).
+    x17 composes an exact re-rank stage over the same artifacts.
+
+    Output is bounded: one row per query — the ADC top-k id-checksum
+    pins the retrieved SET, recall@k grades it.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    codes, qside = _pq_codes_qside(emb)
+    adc = _adc_col()
     # broadcast only what ADC reads — query_id + the M×K dtab — not the
     # EMB_DIM-double qe riding in qside (qe is for the exact re-rank
     # subtree only; trimming it cuts the per-task broadcast payload of
@@ -1160,6 +1173,123 @@ def x9_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import materialize_release
 
     return materialize_release(spark, out, emb)
+
+
+#: x17 stage-1 shortlist size: C = 4k candidates per query survive the
+#: compressed scan and get exact re-ranking.
+X17_SHORTLIST = 4 * TOP_K
+
+
+def x17_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — PQ-ADC shortlist, then exact re-rank: the
+    production ANN serving shape (FAISS search-then-refine). Stage 1
+    scans the compressed codes and keeps a C = ``X17_SHORTLIST``
+    candidate shortlist per query by ADC distance; stage 2 fetches
+    FULL-precision vectors for those C candidates only and re-ranks
+    them by exact L2. Output grades BOTH stages against exact top-k —
+    raw ADC recall@k vs reranked recall@k plus the integer hit gain —
+    the measured answer to "how much recall does the refine stage buy
+    at C = 4k?".
+
+    Scale shape: stage 1 is x9's memory-bound compressed scan (4
+    bytes/vector); stage 2 touches C·\\|queries\\| full vectors instead
+    of the corpus — THE point of the composition at 100 TB (an
+    id-lookup at deployment; here a broadcast-hash join of the tiny
+    shortlist against the corpus scan). The shortlist is cached — two
+    consumers (the adc@k head and the re-rank) would otherwise re-run
+    the corpus encode — and the only other corpus-wide work is the
+    exact-truth baseline the grading itself needs.
+
+    Oracle: the shared PQ CTE prefix (fit/encode/ADC — the SQL twin of
+    :func:`_pq_codes_qside`) + the same shortlist/re-rank/recall
+    arithmetic in DuckDB. Recalls are multiples of 1/k, so the rounded
+    ratios carry no cross-engine float risk; the gain is integer hits.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    codes, qside = _pq_codes_qside(emb)
+    scored = (
+        codes.crossJoin(F.broadcast(qside.select("query_id", "dtab")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc", _adc_col())
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    short = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= X17_SHORTLIST)
+        .select("query_id", "vec_id", "rnk")
+        .cache()
+    )
+    adc_topk = short.filter(F.col("rnk") <= TOP_K).select(
+        "query_id", "vec_id"
+    )
+    d2_full = F.round(
+        F.aggregate(
+            F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+        4,
+    )
+    cand = (
+        emb.select("vec_id", "e")
+        .join(F.broadcast(short.select("query_id", "vec_id")), "vec_id")
+        .join(F.broadcast(qside.select("query_id", "qe")), "query_id")
+        .withColumn("l2", d2_full)
+    )
+    wr = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+    rr_topk = (
+        cand.withColumn("r2", F.row_number().over(wr))
+        .filter(F.col("r2") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    exact_scored = (
+        emb.crossJoin(F.broadcast(qside.select("query_id", "qe")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("l2", d2_full)
+    )
+    wx = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+    exact_topk = (
+        exact_scored.withColumn("rnk", F.row_number().over(wx))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("exact_vec_id"))
+    )
+    # one tagged union → ONE left join against the exact baseline →
+    # one aggregation: both stages grade in a single consumption of
+    # every subtree (the x9 count-non-null discipline)
+    tagged = adc_topk.withColumn("stage", F.lit("adc")).unionByName(
+        rr_topk.withColumn("stage", F.lit("rr"))
+    )
+    flag = tagged.join(
+        exact_topk,
+        (tagged.query_id == exact_topk.query_id)
+        & (tagged.vec_id == exact_topk.exact_vec_id),
+        "left",
+    ).select(tagged.query_id, tagged.vec_id, tagged.stage, "exact_vec_id")
+    hit_adc = F.when(
+        (F.col("stage") == "adc") & F.col("exact_vec_id").isNotNull(), 1
+    )
+    hit_rr = F.when(
+        (F.col("stage") == "rr") & F.col("exact_vec_id").isNotNull(), 1
+    )
+    out = (
+        flag.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("stage") == "rr", F.col("vec_id"))).alias(
+                "id_checksum"
+            ),
+            F.round(F.count(hit_adc) / F.lit(float(TOP_K)), 4).alias(
+                "recall_adc"
+            ),
+            F.round(F.count(hit_rr) / F.lit(float(TOP_K)), 4).alias(
+                "recall_rerank"
+            ),
+            (F.count(hit_rr) - F.count(hit_adc)).alias("gain_hits"),
+        )
+        .orderBy("query_id")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb, short)
 
 
 #: x11: nprobe operating points to sweep (≤ IVF_CLUSTERS each).
@@ -1926,6 +2056,7 @@ QUERIES = {
     "x8_range_search": x8_range_search,
     "x7_ann_partitioned_index": x7_ann_partitioned_index,
     "x9_pq_adc_topk": x9_pq_adc_topk,
+    "x17_pq_rerank_topk": x17_pq_rerank_topk,
     "x10_mmr_select": x10_mmr_select,
     "x11_ivf_tuning_curve": x11_ivf_tuning_curve,
     "x12_knn_graph": x12_knn_graph,
@@ -2448,15 +2579,13 @@ def _x9_lloyd_step(src: str, assigned: str, means: str, out: str) -> str:
 )"""
 
 
-#: Full replay of x9's PQ pipeline: shared md5-seeded sample init, per-
-#: subspace unrolled Lloyd, full-corpus encode, ADC scoring with
-#: DECIMAL-quantized per-subspace terms (addition-order-independent),
-#: and recall vs exact L2 top-k. Codes here carry cell ids and ADC
-#: terms come from a (m, cell) join, while Spark stores codebook
-#: positions and indexes a distance table — the same bijection, the
-#: same d² values, so ranking and recall agree exactly.
-_X9_SQL = f"""
-WITH e AS (
+#: Shared x9/x17 oracle prefix — the SQL twin of _pq_codes_qside:
+#: md5-seeded sample init, per-subspace unrolled Lloyd, full-corpus
+#: encode, and ADC scoring through the ``adc`` CTE. Codes here carry
+#: cell ids and ADC terms come from a (m, cell) join, while Spark
+#: stores codebook positions and indexes a distance table — the same
+#: bijection, the same d² values, so ranking and recall agree exactly.
+_X9_PQ_CTES = f"""e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
     FROM embeddings
 ), samp AS (
@@ -2500,14 +2629,10 @@ WITH e AS (
     FROM codes k JOIN c2 c USING (m, cell) CROSS JOIN q
     WHERE k.vec_id <> q.query_id
     GROUP BY q.query_id, k.vec_id
-), pq_topk AS (
-    SELECT query_id, vec_id FROM (
-        SELECT query_id, vec_id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY adc, vec_id) AS rnk
-        FROM adc
-    ) WHERE rnk <= {TOP_K}
-), exact AS (
+)"""
+
+#: Shared exact-L2 truth CTEs (reference q and e from _X9_PQ_CTES).
+_X9_EXACT_CTES = f"""exact AS (
     SELECT q.query_id, e.vec_id,
            ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}), i ->
                (e.e[i] - q.qe[i]) * (e.e[i] - q.qe[i]))), 4) AS l2
@@ -2519,7 +2644,17 @@ WITH e AS (
                                   ORDER BY l2, vec_id) AS rnk
         FROM exact
     ) WHERE rnk <= {TOP_K}
-), hits AS (
+)"""
+
+_X9_SQL = f"""
+WITH {_X9_PQ_CTES}, pq_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rnk
+        FROM adc
+    ) WHERE rnk <= {TOP_K}
+), {_X9_EXACT_CTES}, hits AS (
     SELECT p.query_id, COUNT(*) AS n_hits
     FROM pq_topk p JOIN exact_topk x
       ON p.query_id = x.query_id AND p.vec_id = x.vec_id
@@ -2529,6 +2664,52 @@ SELECT p.query_id, CAST(SUM(p.vec_id) AS BIGINT) AS id_checksum,
        ROUND(COALESCE(MAX(h.n_hits), 0) / {float(TOP_K)}, 4) AS recall_at_k
 FROM pq_topk p LEFT JOIN hits h USING (query_id)
 GROUP BY p.query_id
+"""
+
+#: x17: the shared PQ prefix + shortlist, exact re-rank over the C
+#: candidates only, and the two-stage recall grade.
+_X17_SQL = f"""
+WITH {_X9_PQ_CTES}, short AS (
+    SELECT query_id, vec_id, rnk FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rnk
+        FROM adc
+    ) WHERE rnk <= {X17_SHORTLIST}
+), adc_topk AS (
+    SELECT query_id, vec_id FROM short WHERE rnk <= {TOP_K}
+), rr_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY ROUND(list_sum(list_transform(
+                                      range(1, {EMB_DIM + 1}), i ->
+                                          (e.e[i] - q.qe[i])
+                                          * (e.e[i] - q.qe[i]))), 4),
+                                  s.vec_id) AS r2
+        FROM short s JOIN e ON e.vec_id = s.vec_id
+                     JOIN q ON q.query_id = s.query_id
+    ) WHERE r2 <= {TOP_K}
+), {_X9_EXACT_CTES}, tagged AS (
+    SELECT query_id, vec_id, 'adc' AS stage FROM adc_topk
+    UNION ALL
+    SELECT query_id, vec_id, 'rr' AS stage FROM rr_topk
+), flag AS (
+    SELECT t.query_id, t.vec_id, t.stage, x.vec_id AS hit
+    FROM tagged t LEFT JOIN exact_topk x
+      ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN stage = 'rr' THEN vec_id END) AS BIGINT)
+           AS id_checksum,
+       ROUND(COUNT(CASE WHEN stage = 'adc' THEN hit END)
+             / {float(TOP_K)}, 4) AS recall_adc,
+       ROUND(COUNT(CASE WHEN stage = 'rr' THEN hit END)
+             / {float(TOP_K)}, 4) AS recall_rerank,
+       CAST(COUNT(CASE WHEN stage = 'rr' THEN hit END)
+            - COUNT(CASE WHEN stage = 'adc' THEN hit END) AS BIGINT)
+           AS gain_hits
+FROM flag GROUP BY query_id ORDER BY query_id
 """
 
 
@@ -2607,6 +2788,7 @@ ORACLE = {
     "x12_knn_graph": _x12_sql(),
     "x16_graph_community_dedup": _x16_sql(),
     "x9_pq_adc_topk": _X9_SQL,
+    "x17_pq_rerank_topk": _X17_SQL,
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,
     "x14_cluster_balanced_sample": _X14_SQL,

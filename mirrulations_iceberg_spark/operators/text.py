@@ -1097,7 +1097,91 @@ def t18_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t19 hashed-feature linear classifier: bucket count, the Knuth
+#: multiplicative constant that stands in for trained weights, and the
+#: modulus/shift that center weights on zero (w ∈ [-998, +998]). A
+#: real deployment broadcasts a trained float[BUCKETS] weight array;
+#: deriving w arithmetically from the bucket id keeps the model
+#: deterministic AND gives the oracle a closed form — the Spark-side
+#: plumbing (hash → bucket → weight → fold) is exactly the production
+#: shape either way.
+T19_BUCKETS = 512
+T19_MULT = 2654435761
+T19_MOD = 1997
+T19_SHIFT = 998
+
+
+def t19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped model-based quality filtering — the third rung
+    of the quality ladder after t2's static heuristics and t11's
+    corpus-derived coverage model: a LINEAR classifier over hashed
+    bag-of-features (unigrams + bigrams, the fastText recipe) scores
+    every document, and score ≥ 0 is the keep gate (the GPT-3/CCNet
+    "classify against a quality reference" filtering step). Output:
+    per-source keep rate and exact score mass.
+
+    Scale shape: scoring is a PURE PROJECTION — features hash to
+    ``T19_BUCKETS`` buckets (the shared md5 idiom, so DuckDB replays
+    it), the weight lookup is arithmetic on the bucket id (see the
+    constant block above), and the per-doc score is one array fold.
+    Zero corpus shuffle: the only exchange is the \\|sources\\|-row
+    rollup. At 100 TB this is exactly one codegen'd pass over text.
+
+    Cross-engine determinism: all-integer weights and sums; the only
+    division is non-negative basis-point ``DIV``.
+    """
+    from .dedup import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents")).withColumn(
+        "__t", tokens_col(F.col("text"))
+    )
+    t = F.col("__t")
+    # named-column ladder (the t11/d2 inlining trap): tokens and the
+    # feature array are each computed once per row
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", t[i], t[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def weight(f):
+        # 3 hex chars = 12 md5 bits — all the entropy a 512-bucket
+        # modulus consumes, at a third of the 15-char conv parse cost
+        bucket = (
+            F.conv(F.substring(F.md5(f), 1, 3), 16, 10).cast("long")
+            % T19_BUCKETS
+        )
+        return (bucket * T19_MULT) % T19_MOD - T19_SHIFT
+
+    feats = F.col("__f")
+    score = F.aggregate(
+        feats, F.lit(0).cast("long"), lambda acc, f: acc + weight(f)
+    )
+    scored = docs.withColumn("__f", F.concat(t, bigrams)).select(
+        "doc_id",
+        "source",
+        F.size("__f").cast("long").alias("n_feats"),
+        score.alias("score"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") >= 0).cast("long")).alias("n_keep"),
+            F.sum("score").alias("score_sum"),
+            F.sum("n_feats").alias("n_feats_sum"),
+        )
+        .withColumn(
+            "keep_rate_bp", F.expr("(10000 * n_keep) DIV greatest(n_docs, 1)")
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "t19_quality_classifier": t19_quality_classifier,
     "t18_backoff_surprisal": t18_backoff_surprisal,
     "t17_bpe_pair_stats": t17_bpe_pair_stats,
     "t17b_bpe_train_iters": t17b_bpe_train_iters,
@@ -1125,6 +1209,37 @@ _WINNOW_HASH_SQL = " + ".join(
 )
 
 ORACLE = {
+    "t19_quality_classifier": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), fe AS (
+            SELECT doc_id, source,
+                   t || CASE WHEN len(t) >= 2
+                             THEN list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])
+                             ELSE CAST([] AS VARCHAR[]) END AS f
+            FROM t
+        ), sc AS (
+            SELECT doc_id, source,
+                   CAST(len(f) AS BIGINT) AS n_feats,
+                   CAST(COALESCE(list_sum(list_transform(f, x ->
+                       ((('0x' || substr(md5(x), 1, 3))::BIGINT
+                         % {T19_BUCKETS}) * {T19_MULT}) % {T19_MOD}
+                       - {T19_SHIFT})), 0) AS BIGINT) AS score
+            FROM fe
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+               CAST(SUM(score) AS BIGINT) AS score_sum,
+               CAST(SUM(n_feats) AS BIGINT) AS n_feats_sum,
+               CAST((10000 * SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END))
+                    // GREATEST(COUNT(*), 1) AS BIGINT) AS keep_rate_bp
+        FROM sc GROUP BY source ORDER BY source
+    """,
     "t18_backoff_surprisal": f"""
         WITH tok AS (
             SELECT doc_id, lang,

@@ -213,3 +213,107 @@ def test_t17b_engineered_merge_sequence(spark, tmp_path):
     )
     assert (r3["pair_count"], r3["total_syms"]) == (2, 9)
     assert r3["compression_bp"] == 90000 // 22
+
+
+def test_d19_engineered_reweight(spark, tmp_path):
+    """A 3-copy cluster spanning sources: 'hello world' appears twice
+    in source A and once in source B, so every copy carries
+    1000000 // 3 micro-weight regardless of which source holds it;
+    B's unique 3-token doc keeps full weight. Hand-computed report."""
+    from mirrulations_iceberg_spark.operators.dedup import (
+        d19_duplicate_reweight,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "hello world", "en", "A"),
+            (2, "Hello, WORLD!", "en", "A"),  # same tokens after norm
+            (3, "hello world", "en", "B"),
+            (4, "a b c", "en", "B"),
+        ],
+    )
+    rows = {r["source"]: r for r in d19_duplicate_reweight(spark, sf).collect()}
+    a, b = rows["A"], rows["B"]
+    w3 = 1000000 // 3
+    assert (a["n_docs"], a["n_fps"], a["n_dup_docs"]) == (2, 1, 2)
+    assert a["eff_docs_micro"] == 2 * w3
+    assert (a["raw_tokens"], a["eff_tokens_micro"]) == (4, 4 * w3)
+    assert a["downweight_bp"] == (10000 * 2 * w3) // 2000000
+    assert (b["n_docs"], b["n_fps"], b["n_dup_docs"]) == (2, 2, 1)
+    assert b["eff_docs_micro"] == w3 + 1000000
+    assert (b["raw_tokens"], b["eff_tokens_micro"]) == (
+        5, 2 * w3 + 3 * 1000000,
+    )
+    assert b["downweight_bp"] == (10000 * (w3 + 1000000)) // 2000000
+
+
+def test_t19_engineered_score(spark, tmp_path):
+    """Score replayed feature-by-feature in pure Python (same md5
+    bucket, same Knuth-constant weight): tokens + bigrams of a known
+    doc must sum to exactly the Spark fold's score, and the keep gate
+    is score >= 0."""
+    import hashlib
+
+    from mirrulations_iceberg_spark.operators.text import (
+        T19_BUCKETS,
+        T19_MOD,
+        T19_MULT,
+        T19_SHIFT,
+        t19_quality_classifier,
+    )
+
+    def w(feat: str) -> int:
+        b = int(hashlib.md5(feat.encode()).hexdigest()[:3], 16) % T19_BUCKETS
+        return (b * T19_MULT) % T19_MOD - T19_SHIFT
+
+    toks = ["alpha", "beta", "beta", "42"]
+    feats = toks + [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+    expected = sum(w(f) for f in feats)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "Alpha BETA beta 42!", "en", "A"), (2, "", "en", "B")],
+    )
+    rows = {r["source"]: r for r in t19_quality_classifier(spark, sf).collect()}
+    a = rows["A"]
+    assert (a["n_docs"], a["n_feats_sum"], a["score_sum"]) == (
+        1, len(feats), expected,
+    )
+    assert a["n_keep"] == (1 if expected >= 0 else 0)
+    assert a["keep_rate_bp"] == a["n_keep"] * 10000
+    b = rows["B"]  # empty doc: zero features, score 0, kept
+    assert (b["n_feats_sum"], b["score_sum"], b["n_keep"]) == (0, 0, 1)
+
+
+def test_x17_rerank_recovers_exact_topk(spark, tmp_path):
+    """With the corpus smaller than the shortlist (n - 1 < C), stage 2
+    re-ranks EVERY candidate by exact L2, so reranked top-k must equal
+    exact top-k for every query: recall_rerank == 1.0 and the gain is
+    never negative (adc_topk ⊆ shortlist, same rounded-l2 + vec_id
+    tie-break on both rankings)."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        X17_SHORTLIST,
+        x17_pq_rerank_topk,
+    )
+
+    n = 30
+    assert n - 1 <= X17_SHORTLIST
+    rows = [
+        (
+            i,
+            [float(((i * 7 + j * 13) % 19) / 19.0) for j in range(EMB_DIM)],
+            i % 3,
+        )
+        for i in range(n)
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = x17_pq_rerank_topk(spark, sf).collect()
+    assert len(out) == N_QUERIES
+    for r in out:
+        assert r["recall_rerank"] == 1.0
+        assert r["gain_hits"] >= 0
+        assert r["recall_adc"] <= r["recall_rerank"]
