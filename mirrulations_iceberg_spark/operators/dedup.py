@@ -1787,34 +1787,41 @@ def d19_duplicate_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     so sums agree bit-wise; all operands non-negative, so truncating
     and flooring DIV coincide.
 
-    Scale shape: ONE fingerprint-keyed window count (a single shuffle
-    of (fp, source, n_toks) triples — no join back, no second corpus
-    pass; the tokenize runs once via the named-column ladder), then a
-    per-source hash-agg to a \\|sources\\|-row report. At 100 TB the
-    shuffle payload is 16-byte fingerprints + two small ints per doc.
+    Scale shape — the d17 discipline (expand arithmetically from
+    per-fingerprint-group counts, never revisit per-doc rows): ONE
+    corpus aggregation to the (fp, source) rollup, where the partial
+    agg combines clone copies map-side BEFORE the exchange (the
+    shuffle carries distinct (fp, source) pairs, not docs — a naive
+    per-doc window over fp would shuffle the whole corpus with no
+    combine and could not skew-split a hot fingerprint, e.g. empty
+    docs). Cluster size is then a window over the collapsed frame
+    (a hot fp spans ≤ \\|sources\\| rollup rows), and every output is
+    a per-cluster constant times a rollup count: Σ_docs w = Σ n·w,
+    Σ_docs n_toks·w = Σ tok·w. Output is \\|sources\\| rows.
     """
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    base = (
-        docs.withColumn("__t", tokens_col(F.col("text")))
-        .select(
-            "doc_id",
-            "source",
-            F.size("__t").cast("long").alias("n_toks"),
-            content_fp_from_toks(F.col("__t")).alias("__fp"),
-        )
+    base = docs.withColumn("__t", tokens_col(F.col("text"))).select(
+        "source",
+        F.size("__t").cast("long").alias("n_toks"),
+        content_fp_from_toks(F.col("__t")).alias("__fp"),
     )
-    per = base.withColumn(
-        "csz", F.count(F.lit(1)).over(Window.partitionBy("__fp"))
+    g = base.groupBy("__fp", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_toks").alias("tok")
+    )
+    per = g.withColumn(
+        "csz", F.sum("n").over(Window.partitionBy("__fp"))
     ).withColumn("w_micro", F.expr("1000000 DIV csz"))
     return (
         per.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("__fp").alias("n_fps"),
-            F.sum((F.col("csz") > 1).cast("long")).alias("n_dup_docs"),
-            F.sum("w_micro").alias("eff_docs_micro"),
-            F.sum("n_toks").alias("raw_tokens"),
-            F.sum(F.col("n_toks") * F.col("w_micro")).alias(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(
+                F.when(F.col("csz") > 1, F.col("n")).otherwise(F.lit(0))
+            ).alias("n_dup_docs"),
+            F.sum(F.col("n") * F.col("w_micro")).alias("eff_docs_micro"),
+            F.sum("tok").alias("raw_tokens"),
+            F.sum(F.col("tok") * F.col("w_micro")).alias(
                 "eff_tokens_micro"
             ),
         )
