@@ -702,6 +702,14 @@ def connected_components(
     materialized once up front). Near-dup graphs have tiny diameters —
     clusters are quasi-cliques — so this converges in 2-3 rounds.
 
+    A component whose diameter exceeds ``max_iter`` (possible for
+    chain/filament shapes in x16's thresholded k-NN graphs, unlike
+    d8's quasi-cliques) would otherwise return silently WRONG labels —
+    split communities with duplicate representatives — so
+    non-convergence raises instead: a loud failure the caller answers
+    by raising ``max_iter`` (each extra round is one join + groupBy)
+    or switching to a pointer-jumping variant, never a quiet one.
+
     Returns (node, label) for every node with at least one edge.
     """
     sym = (
@@ -737,6 +745,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+            f" ({changed} labels still changing) — component diameter"
+            " exceeds max_iter; raise max_iter or use pointer jumping"
+        )
     return labels
 
 

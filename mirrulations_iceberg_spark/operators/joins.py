@@ -812,7 +812,10 @@ def j14_episode_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(*) per type equals COUNT(DISTINCT event_id).
     """
     events = load_table(spark, sf_dir, "events")
-    eps = _daily_error_episodes(events)
+    # eps feeds TWO consumers — the |days|-row stitch summary below
+    # and the geps episode set the bucket join reads — cache, or the
+    # events scan + per-day island windows execute twice
+    eps = _daily_error_episodes(events).cache()
     day_rows = (
         eps.groupBy("day")
         .agg(
@@ -872,7 +875,7 @@ def j14_episode_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e_end",
         trunc="hour",
     )
-    return (
+    out = (
         pairs.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -883,6 +886,10 @@ def j14_episode_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    from .util import materialize_release
+
+    # |event_types|-row output: collect it and release the eps cache
+    return materialize_release(spark, out, eps)
 
 
 QUERIES = {

@@ -972,6 +972,11 @@ def _t17b_sql() -> str:
                    CAST((10000 * (SELECT tot FROM t{r}))
                         // (SELECT tot FROM t0) AS BIGINT)
                        AS compression_bp
+            -- pair table exhausted -> b{r} is empty -> no row, the
+            -- SQL twin of the Spark side's `if not best: break`
+            -- (without this, the scalar subqueries above still emit
+            -- one NULL-filled row per remaining round)
+            WHERE EXISTS (SELECT 1 FROM b{r})
         )"""
         )
     union = "\n            UNION ALL ".join(

@@ -80,6 +80,7 @@ SKIP_SWEEP = {
     "d15b_exact_substring_cut",  # caches the tokenize pass + materializes
     "x16_graph_community_dedup",  # kept-edge cache + iterative components
     "t17b_bpe_train_iters",  # N count->select->apply rounds at construction
+    "x17_pq_rerank_topk",  # codebook fit + shortlist cache + materializes
 }
 
 
