@@ -59,24 +59,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: re-verification fillers with the deepest green history (r02–r06).
 #:
 #: Round-11 rotation (VERDICT r10 items #1-#6; r10 shipped nothing,
-#: so this executes the outstanding r10 brief, plus three bonus
-#: operators added later in the round): the window = 7 NEW operators
+#: so this executes the outstanding r10 brief, plus four bonus
+#: operators added later in the round): the window = 8 NEW operators
 #: (j14 episode attribution, d15b ExactSubstr cut, x16 graph-community
 #: dedup, t17b iterated BPE, d19 duplicate reweighting, t19 hashed-
-#: feature quality classifier, x17 two-stage PQ rerank — never green
-#: by definition) + 3 whose code changed this round and must re-verify
-#: at the driver (j13: the redundant w.count() scan folded into the
-#: island aggregation; x12: kept-edge core extracted into the shared
-#: _x12_kept_edges helper x16 composes; x9: fit/encode/ADC extracted
-#: into the shared _pq_codes_qside helper x17 composes) + ALL 28
+#: feature quality classifier, x17 two-stage PQ rerank, x18 IVF-routed
+#: PQ — never green by definition) + 4 whose code changed this round
+#: and must re-verify at the driver (j13: the redundant w.count() scan
+#: folded into the island aggregation; x12: kept-edge core extracted
+#: into the shared _x12_kept_edges helper x16 composes; x9:
+#: fit/encode/ADC extracted into the shared _pq_codes_qside helper
+#: x17/x18 compose; x5: centroid artifacts + assign fold extracted
+#: into the helpers x18 composes) + ALL 28
 #: r06-stale greens (last driver-checked four-plus rounds of refactors
 #: ago — the 9bdcc3c shared-helper extraction touched d1/d3/d8's code
 #: paths; list verified against the regenerated LEDGER.md, never
-#: memory) + 12 r07-stale fillers chosen for family spread (the four
-#: displaced by the bonus operators — a15/d2/g2/x5 — each leave
+#: memory) + 10 r07-stale fillers chosen for family spread (the six
+#: displaced by the bonus operators — a15/d2/d6/g2/x1/x5 — each leave
 #: another family representative in the window and stay in the pytest
-#: sweep + next round's rotation queue). Pre-rotation gate: the full
-#: sf0.01 sweep ran green this session (179 pass / 0 fail) and every
+#: sweep + next round's rotation queue; x5 then re-entered as a
+#: code-changed row when x18 extracted its centroid artifacts). Pre-
+#: rotation gate: the full sf0.01 sweep ran green this session
+#: (180 pass / 0 fail) and every
 #: changed/new entry re-verified at sf0.01 in targeted passes; the
 #: exact 50-slot order replayed green via --window-order before
 #: commit.
@@ -89,11 +93,14 @@ DRIVER_WINDOW = (
     "d19_duplicate_reweight",   # soft dedup: count-once reweighting
     "t19_quality_classifier",   # hashed-feature linear keep/drop gate
     "x17_pq_rerank_topk",       # two-stage ANN: ADC shortlist + exact
+    "x18_ivfpq_topk",           # IVF-routed PQ: the FAISS-IVFPQ shape
     # --- code changed in round 11: re-verify at the driver
     "j13_interval_coalesce",  # one-scan window count (VERDICT r10 #2)
     "x12_knn_graph",          # kept-edge core shared with x16
     "x9_pq_adc_topk",         # fit/encode/ADC extracted into the
-                              # _pq_codes_qside helper x17 composes
+                              # _pq_codes_qside helper x17/x18 compose
+    "x5_ann_ivf_topk",        # centroid artifacts + assign fold
+                              # extracted into the helpers x18 composes
     # --- the 28 r06-stale greens, oldest-first (VERDICT r10 #1)
     "a1_count_star",
     "a2_groupby_count",
@@ -126,7 +133,6 @@ DRIVER_WINDOW = (
     # --- r07-stale fillers, family spread (next-oldest cohort)
     "a13_pivot",
     "d4_simhash",
-    "d6_dedup_apply",
     "g1_glob_read",
     "j9_bloom_pruned_join",
     "m11_time_travel",
@@ -135,7 +141,6 @@ DRIVER_WINDOW = (
     "s6_stream_base_dedup",
     "t7_tfidf_top_terms",
     "w6_session_window",
-    "x1_cosine_topk",
 )
 
 

@@ -673,26 +673,12 @@ def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
     return centers
 
 
-def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: Lloyd coarse quantizer + n-probe search, with in-plan
-    recall@k against exact top-k (the x2 pattern, different index).
-
-    Index build: deterministic sample-fit Lloyd (``_ivf_fit_centroids``)
-    — at 100 TB the corpus assignment is one broadcast of k·dim
-    centroid doubles folded over the corpus scan (a pure projection,
-    no join, no shuffle), and the fit itself runs on a bounded sample.
-    Search: each query probes its IVF_NPROBE nearest cells (ranked via
-    a broadcast centroid table — no driver-side math), candidates are
-    the union of those cells, exact cosine re-ranks. The DuckDB oracle
-    replays the ENTIRE pipeline — seeded init, both Lloyd steps,
-    assignment, probe ranking, re-rank — so index build and search are
-    hash-checked end-to-end (new in round 6; rows-only before).
-    """
-    emb = _embeddings(spark, sf_dir).cache()
-    # Fit executes once: IVF_CLUSTERS rows collect (bounded, like d8's
-    # dimension-sized control flow) and come back as both a literal
-    # (for the fold-based corpus assignment) and a small DataFrame
-    # (for probe ranking).
+def _ivf_centroid_artifacts(spark, emb: DataFrame):
+    """Shared x5/x18 IVF coarse-quantizer artifacts. Fit executes
+    once: IVF_CLUSTERS rows collect (bounded, like d8's
+    dimension-sized control flow) and come back as both a small
+    DataFrame (for probe ranking) and a literal (for the fold-based
+    corpus assignment). Returns (centers, cent_lit)."""
     center_rows = sorted(
         (r["cell"], list(r["center"]))
         for r in _ivf_fit_centroids(emb).collect()
@@ -710,14 +696,22 @@ def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c, vec in center_rows
         ]
     )
-    # argmin fold: first-wins on ties == lowest cell (cells ascend)
+    return centers, cent_lit
+
+
+def _ivf_assign_cell_col(cent_lit):
+    """Corpus cell-assignment column over an ``e`` vector column:
+    argmin fold over the centroid literal — pure projection, no join,
+    no shuffle. First-wins on ties == lowest cell (cells ascend)."""
     acc0 = F.struct(
         F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
     )
 
     def _step(acc, cs):
         d = F.aggregate(
-            F.zip_with(F.col("e"), cs["center"], lambda x, y: (x - y) * (x - y)),
+            F.zip_with(
+                F.col("e"), cs["center"], lambda x, y: (x - y) * (x - y)
+            ),
             F.lit(0.0),
             lambda a, b: a + b,
         )
@@ -727,8 +721,28 @@ def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
         )
 
+    return F.aggregate(cent_lit, acc0, _step)["c"]
+
+
+def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: Lloyd coarse quantizer + n-probe search, with in-plan
+    recall@k against exact top-k (the x2 pattern, different index).
+
+    Index build: deterministic sample-fit Lloyd (``_ivf_fit_centroids``)
+    — at 100 TB the corpus assignment is one broadcast of k·dim
+    centroid doubles folded over the corpus scan (a pure projection,
+    no join, no shuffle), and the fit itself runs on a bounded sample.
+    Search: each query probes its IVF_NPROBE nearest cells (ranked via
+    a broadcast centroid table — no driver-side math), candidates are
+    the union of those cells, exact cosine re-ranks. The DuckDB oracle
+    replays the ENTIRE pipeline — seeded init, both Lloyd steps,
+    assignment, probe ranking, re-rank — so index build and search are
+    hash-checked end-to-end (new in round 6; rows-only before).
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    centers, cent_lit = _ivf_centroid_artifacts(spark, emb)
     assigned = emb.select(
-        "vec_id", "e", "norm", F.aggregate(cent_lit, acc0, _step)["c"].alias("cell")
+        "vec_id", "e", "norm", _ivf_assign_cell_col(cent_lit).alias("cell")
     )
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -996,19 +1010,16 @@ def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
     return centers
 
 
-def _pq_codes_qside(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared x9/x17 PQ artifacts — ONE home for the fit/encode/table
-    pipeline (the ``_x12_kept_edges`` discipline: x9 grades raw ADC,
-    x17 composes a rerank stage on top, and the two cannot drift):
-
-    * ``codes`` — (vec_id, code[PQ_M]) corpus encode: per subspace, an
-      argmin-fold against the ≤128-entry codebook literal (pure
-      projection, no join, no shuffle; codes store codebook POSITIONS
-      so lookups are array indexing);
-    * ``qside`` — (query_id, qe, dtab): each query's full vector plus
-      its precomputed ADC distance table d(q_m, centroid) — M·K
-      doubles per query, broadcast by the callers.
-    """
+def _pq_cb_lit(emb: DataFrame):
+    """Fit the PQ codebooks and build the ONE nested codebook literal,
+    indexed at runtime: ``cb_lit[m][pos] = struct(p, center)``. Both
+    the encode argmin and the query distance table are a single lambda
+    expression parameterized over m (the subspace slice start is a
+    lambda-variable-derived Column), not PQ_M unrolled copies — the
+    unrolled form multiplied plan size and codegen time by M, and a
+    When-chain variant of the argmin embeds the accumulator 3× per
+    centroid (≈3^16 nodes — OOMed the analyzer). A lambda fold is one
+    node; acc is a named variable."""
     cb = sorted(
         (r["m"], r["cell"], [float(v) for v in r["center"]])
         for r in _pq_fit_codebooks(emb).collect()
@@ -1016,16 +1027,7 @@ def _pq_codes_qside(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     by_m: dict[int, list[list[float]]] = {m: [] for m in range(PQ_M)}
     for m, _cell, cen in cb:  # cells ascend within m; positions follow
         by_m[m].append(cen)
-
-    # ONE nested codebook literal, indexed at runtime: cb_lit[m][pos] =
-    # struct(p, center). Both the encode argmin and the query distance
-    # table are a single lambda expression parameterized over m (the
-    # subspace slice start is a lambda-variable-derived Column), not
-    # PQ_M unrolled copies — the unrolled form multiplied plan size and
-    # codegen time by M, and a When-chain variant of the argmin embeds
-    # the accumulator 3× per centroid (≈3^16 nodes — OOMed the
-    # analyzer). A lambda fold is one node; acc is a named variable.
-    cb_lit = F.array(
+    return F.array(
         *[
             F.array(
                 *[
@@ -1040,23 +1042,33 @@ def _pq_codes_qside(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         ]
     )
 
-    def _d2(sub_col, cen_col):
-        return F.aggregate(
-            F.zip_with(sub_col, cen_col, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
 
-    def _sub(col, m):
-        return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+def _pq_sub_d2(sub_col, cen_col):
+    """Squared L2 over one PQ subspace — ascending-dim zip_with fold,
+    the Spark twin of the oracle's ``_x9_sub_d2``."""
+    return F.aggregate(
+        F.zip_with(sub_col, cen_col, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
 
+
+def _pq_slice(col, m):
+    return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _pq_code_col(cb_lit):
+    """(code[PQ_M]) corpus-encode column over an ``e`` vector column:
+    per subspace, an argmin-fold against the ≤128-entry codebook
+    literal — pure projection, no join, no shuffle; codes store
+    codebook POSITIONS so ADC lookups are array indexing."""
     acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("p"))
 
     def _argmin(m):
         # strict < keeps the first (lowest-position) winner on ties —
         # matching the oracle's row_number ORDER BY d2, cell
         def step(acc, cs):
-            d = _d2(_sub("e", m), cs["center"])
+            d = _pq_sub_d2(_pq_slice("e", m), cs["center"])
             better = d < acc["d"]
             return F.struct(
                 F.when(better, d).otherwise(acc["d"]).alias("d"),
@@ -1065,20 +1077,36 @@ def _pq_codes_qside(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
 
         return F.aggregate(F.element_at(cb_lit, m + 1), acc0, step)["p"]
 
-    codes = emb.select(
-        "vec_id",
-        F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _argmin).alias("code"),
+    return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _argmin)
+
+
+def _pq_dtab_col(cb_lit):
+    """Per-query ADC distance table d(q_m, centroid) over a ``qe``
+    vector column — M·K doubles per query, broadcast by callers."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(
+            F.element_at(cb_lit, m + 1),
+            lambda cs: _pq_sub_d2(_pq_slice("qe", m), cs["center"]),
+        ),
     )
+
+
+def _pq_codes_qside(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared x9/x17/x18 PQ artifacts — ONE home for the fit/encode/
+    table pipeline (the ``_x12_kept_edges`` discipline: x9 grades raw
+    ADC, x17 composes a rerank stage, x18 routes the compressed scan
+    through an IVF coarse quantizer, and none can drift):
+
+    * ``codes`` — (vec_id, code[PQ_M]) via :func:`_pq_code_col`;
+    * ``qside`` — (query_id, qe, dtab) via :func:`_pq_dtab_col`.
+    """
+    cb_lit = _pq_cb_lit(emb)
+    codes = emb.select("vec_id", _pq_code_col(cb_lit).alias("code"))
     qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-            lambda m: F.transform(
-                F.element_at(cb_lit, m + 1),
-                lambda cs: _d2(_sub("qe", m), cs["center"]),
-            ),
-        ).alias("dtab"),
+        _pq_dtab_col(cb_lit).alias("dtab"),
     )
     return codes, qside
 
@@ -1290,6 +1318,124 @@ def x17_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import materialize_release
 
     return materialize_release(spark, out, emb, short)
+
+
+def x18_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed PQ ADC search — the FAISS-IVFPQ index layout a
+    100 TB ANN deployment actually ships: an IVF coarse quantizer
+    prunes the corpus to ``IVF_NPROBE`` cells per query and the
+    compressed-code ADC scan runs over those candidates only — x5's
+    routing composed with x9's compression, both via the shared
+    helpers (:func:`_ivf_centroid_artifacts` /
+    :func:`_ivf_assign_cell_col` and :func:`_pq_cb_lit` /
+    :func:`_pq_code_col` / :func:`_pq_dtab_col`), so none of the ANN
+    operators can drift.
+
+    Textbook IVFPQ encodes per-cell RESIDUALS (x − centroid); here PQ
+    encodes raw vectors (codes identical to x9's) — a documented
+    simplification whose cost shows up in the in-plan recall grade,
+    which is the honest contract: the operator reports what the index
+    actually retrieves. Output per query: candidate count (the cost
+    axis), retrieved-set id checksum, recall@k vs exact L2.
+
+    Scale shape: cell and code are computed in ONE corpus projection
+    (both are centroid-literal folds — no join, no shuffle between
+    them); routing is a broadcast join against the queries×nprobe
+    probe table; the per-query candidate count rides the SAME exchange
+    as the top-k window (an unordered count window on the identical
+    partition key), so the corpus is touched exactly once — plus the
+    exact-truth baseline the grading itself needs.
+
+    Oracle: the shared PQ prefix + an i-prefixed replay of x5's Lloyd
+    chain (own seeds CTE with its own LIMIT, so the composition never
+    silently depends on PQ_K == IVF_CLUSTERS) + the same routed-ADC /
+    recall arithmetic.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    cb_lit = _pq_cb_lit(emb)
+    centers, cent_lit = _ivf_centroid_artifacts(spark, emb)
+    base = emb.select(
+        "vec_id",
+        _pq_code_col(cb_lit).alias("code"),
+        _ivf_assign_cell_col(cent_lit).alias("cell"),
+    )
+    qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        _pq_dtab_col(cb_lit).alias("dtab"),
+    )
+    d2c = F.aggregate(
+        F.zip_with("qe", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wp = Window.partitionBy("query_id").orderBy("dist2", "cell")
+    probes = (
+        qside.select("query_id", "qe")
+        .crossJoin(F.broadcast(centers))
+        .withColumn("dist2", d2c)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    scored = (
+        base.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qside.select("query_id", "dtab")), "query_id")
+        .withColumn("adc", _adc_col())
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    wq = Window.partitionBy("query_id")
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wq))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "n_candidates")
+    )
+    d2_full = F.round(
+        F.aggregate(
+            F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+        4,
+    )
+    exact_scored = (
+        emb.crossJoin(F.broadcast(qside.select("query_id", "qe")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("l2", d2_full)
+    )
+    wx = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+    exact_topk = (
+        exact_scored.withColumn("rnk", F.row_number().over(wx))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("exact_vec_id"))
+    )
+    # LEFT join + one aggregation (the x9 discipline): the routed
+    # encode pipeline under topk is consumed exactly once.
+    flagged = topk.join(
+        exact_topk,
+        (topk.query_id == exact_topk.query_id)
+        & (topk.vec_id == exact_topk.exact_vec_id),
+        "left",
+    ).select(
+        topk.query_id, topk.vec_id, topk.n_candidates,
+        exact_topk.exact_vec_id,
+    )
+    out = (
+        flagged.groupBy("query_id")
+        .agg(
+            F.max("n_candidates").alias("n_candidates"),
+            F.sum("vec_id").alias("id_checksum"),
+            F.round(F.count("exact_vec_id") / F.lit(float(TOP_K)), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
 
 
 #: x11: nprobe operating points to sweep (≤ IVF_CLUSTERS each).
@@ -2057,6 +2203,7 @@ QUERIES = {
     "x7_ann_partitioned_index": x7_ann_partitioned_index,
     "x9_pq_adc_topk": x9_pq_adc_topk,
     "x17_pq_rerank_topk": x17_pq_rerank_topk,
+    "x18_ivfpq_topk": x18_ivfpq_topk,
     "x10_mmr_select": x10_mmr_select,
     "x11_ivf_tuning_curve": x11_ivf_tuning_curve,
     "x12_knn_graph": x12_knn_graph,
@@ -2713,6 +2860,66 @@ FROM flag GROUP BY query_id ORDER BY query_id
 """
 
 
+def _x18_sql() -> str:
+    """x18 oracle: the shared PQ prefix + an i-prefixed replay of x5's
+    IVF Lloyd chain (own seeds CTE with its own LIMIT — the
+    composition must not silently depend on PQ_K == IVF_CLUSTERS) +
+    routed ADC (compute-all-then-filter ≡ the Spark side's
+    route-then-score: the same top-k over the same candidate set) +
+    recall vs exact L2."""
+    return f"""
+WITH {_X9_PQ_CTES}, iseeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM samp ORDER BY s, vec_id LIMIT {IVF_CLUSTERS}
+), ic0 AS (
+    SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell,
+           e AS center
+    FROM iseeds
+), {_x5_lloyd_step('ic0', 'ia1', 'im1', 'ic1')},
+{_x5_lloyd_step('ic1', 'ia2', 'im2', 'ic2')}, iassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_x5_d2('e.e', 'c.center')},
+                                  c.cell) AS pr
+        FROM e CROSS JOIN ic2 c
+    ) WHERE pr = 1
+), iprobes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_x5_d2('q.qe', 'c.center')},
+                                  c.cell) AS pr
+        FROM q CROSS JOIN ic2 c
+    ) WHERE pr <= {IVF_NPROBE}
+), radc AS (
+    SELECT a.query_id, a.vec_id, a.adc,
+           COUNT(*) OVER (PARTITION BY a.query_id) AS n_candidates
+    FROM adc a
+    JOIN iassign v ON v.vec_id = a.vec_id
+    JOIN iprobes p ON p.query_id = a.query_id AND p.cell = v.cell
+), pq_topk AS (
+    SELECT query_id, vec_id, n_candidates FROM (
+        SELECT query_id, vec_id, n_candidates,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rnk
+        FROM radc
+    ) WHERE rnk <= {TOP_K}
+), {_X9_EXACT_CTES}, hits AS (
+    SELECT p.query_id, COUNT(*) AS n_hits
+    FROM pq_topk p JOIN exact_topk x
+      ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+    GROUP BY p.query_id
+)
+SELECT p.query_id,
+       CAST(MAX(p.n_candidates) AS BIGINT) AS n_candidates,
+       CAST(SUM(p.vec_id) AS BIGINT) AS id_checksum,
+       ROUND(COALESCE(MAX(h.n_hits), 0) / {float(TOP_K)}, 4) AS recall_at_k
+FROM pq_topk p LEFT JOIN hits h USING (query_id)
+GROUP BY p.query_id ORDER BY p.query_id
+"""
+
+
 _X15_SQL = f"""
 WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2789,6 +2996,7 @@ ORACLE = {
     "x16_graph_community_dedup": _x16_sql(),
     "x9_pq_adc_topk": _X9_SQL,
     "x17_pq_rerank_topk": _X17_SQL,
+    "x18_ivfpq_topk": _x18_sql(),
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,
     "x14_cluster_balanced_sample": _X14_SQL,

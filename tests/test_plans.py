@@ -81,6 +81,7 @@ SKIP_SWEEP = {
     "x16_graph_community_dedup",  # kept-edge cache + iterative components
     "t17b_bpe_train_iters",  # N count->select->apply rounds at construction
     "x17_pq_rerank_topk",  # codebook fit + shortlist cache + materializes
+    "x18_ivfpq_topk",  # PQ + IVF fits at construction + materializes
 }
 
 

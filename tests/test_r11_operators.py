@@ -317,3 +317,41 @@ def test_x17_rerank_recovers_exact_topk(spark, tmp_path):
         assert r["recall_rerank"] == 1.0
         assert r["gain_hits"] >= 0
         assert r["recall_adc"] <= r["recall_rerank"]
+
+
+def test_x18_routing_invariants(spark, tmp_path):
+    """IVF-routed PQ on a deterministic corpus: one row per query, the
+    candidate count is bounded by the corpus (self excluded) and the
+    top-k id checksum is a sum of TOP_K distinct non-self ids; recall
+    is a multiple of 1/k in [0, 1]. Cross-engine equality of the
+    routed set is the oracle sweep's job — this pins the plumbing."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        TOP_K,
+        x18_ivfpq_topk,
+    )
+
+    n = 30
+    rows = [
+        (
+            i,
+            [float(((i * 7 + j * 13) % 19) / 19.0) for j in range(EMB_DIM)],
+            i % 3,
+        )
+        for i in range(n)
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = x18_ivfpq_topk(spark, sf).collect()
+    assert len(out) == N_QUERIES
+    for r in out:
+        assert 1 <= r["n_candidates"] <= n - 1
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert round(r["recall_at_k"] * TOP_K, 6) == int(
+            round(r["recall_at_k"] * TOP_K)
+        )
+        # checksum of TOP_K distinct ids drawn from [0, n) \ {query}
+        lo = sum(range(TOP_K + 1)) - r["query_id"] if r["query_id"] <= TOP_K \
+            else sum(range(TOP_K))
+        hi = sum(range(n - TOP_K, n))
+        assert lo <= r["id_checksum"] <= hi
