@@ -64,21 +64,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (j14 episode attribution, d15b ExactSubstr cut, x16 graph-community
 #: dedup, t17b iterated BPE, d19 duplicate reweighting, t19 hashed-
 #: feature quality classifier, x17 two-stage PQ rerank, x18 IVF-routed
-#: PQ — never green by definition) + 4 whose code changed this round
+#: PQ — never green by definition) + 7 whose code changed this round
 #: and must re-verify at the driver (j13: the redundant w.count() scan
 #: folded into the island aggregation; x12: kept-edge core extracted
 #: into the shared _x12_kept_edges helper x16 composes; x9:
 #: fit/encode/ADC extracted into the shared _pq_codes_qside helper
 #: x17/x18 compose; x5: centroid artifacts + assign fold extracted
-#: into the helpers x18 composes) + ALL 28
+#: into the helpers x18 composes; d13/x11/x14: their verbatim copies
+#: of that fold rewired onto the shared _ivf_assign_fold — review
+#: pass 2's half-applied-discipline finding) + ALL 28
 #: r06-stale greens (last driver-checked four-plus rounds of refactors
 #: ago — the 9bdcc3c shared-helper extraction touched d1/d3/d8's code
 #: paths; list verified against the regenerated LEDGER.md, never
-#: memory) + 10 r07-stale fillers chosen for family spread (the six
-#: displaced by the bonus operators — a15/d2/d6/g2/x1/x5 — each leave
-#: another family representative in the window and stay in the pytest
-#: sweep + next round's rotation queue; x5 then re-entered as a
-#: code-changed row when x18 extracted its centroid artifacts). Pre-
+#: memory) + 7 r07-stale fillers chosen for family spread (the nine
+#: displaced by the bonus operators and the fold-share re-entries —
+#: a13/a15/d2/d6/g2/t7/w6/x1/x5 — each leave another family
+#: representative in the window and stay in the pytest sweep + next
+#: round's rotation queue; x5 then re-entered as a code-changed row
+#: when x18 extracted its centroid artifacts). Pre-
 #: rotation gate: the full sf0.01 sweep ran green this session
 #: (180 pass / 0 fail) and every
 #: changed/new entry re-verified at sf0.01 in targeted passes; the
@@ -101,6 +104,9 @@ DRIVER_WINDOW = (
                               # _pq_codes_qside helper x17/x18 compose
     "x5_ann_ivf_topk",        # centroid artifacts + assign fold
                               # extracted into the helpers x18 composes
+    "d13_semdedup",           # rewired onto the shared IVF fold
+    "x11_ivf_tuning_curve",   # rewired onto the shared IVF fold
+    "x14_cluster_balanced_sample",  # rewired onto the shared IVF fold
     # --- the 28 r06-stale greens, oldest-first (VERDICT r10 #1)
     "a1_count_star",
     "a2_groupby_count",
@@ -131,7 +137,6 @@ DRIVER_WINDOW = (
     "x2_ann_lsh_topk",
     "x6_embedding_dedup_apply",
     # --- r07-stale fillers, family spread (next-oldest cohort)
-    "a13_pivot",
     "d4_simhash",
     "g1_glob_read",
     "j9_bloom_pruned_join",
@@ -139,8 +144,6 @@ DRIVER_WINDOW = (
     "mm3_frame_sample",
     "o7_stratified_sample",
     "s6_stream_base_dedup",
-    "t7_tfidf_top_terms",
-    "w6_session_window",
 )
 
 

@@ -702,16 +702,22 @@ def connected_components(
     materialized once up front). Near-dup graphs have tiny diameters —
     clusters are quasi-cliques — so this converges in 2-3 rounds.
 
-    A component whose diameter exceeds ``max_iter`` (possible for
+    A component whose diameter exceeds the round budget (possible for
     chain/filament shapes in x16's thresholded k-NN graphs, unlike
     d8's quasi-cliques) would otherwise return silently WRONG labels —
-    split communities with duplicate representatives — so
-    non-convergence raises instead: a loud failure the caller answers
-    by raising ``max_iter`` (each extra round is one join + groupBy)
-    or switching to a pointer-jumping variant, never a quiet one.
+    split communities with duplicate representatives — so an
+    UNCONFIRMED fixpoint raises instead: convergence is confirmed only
+    by a zero-change round, so the usable diameter budget is
+    ``max_iter - 1`` (a graph whose labels settle exactly on the last
+    round still raises — a conservative false positive, never a quiet
+    wrong answer). The caller answers by raising ``max_iter`` (each
+    extra round is one join + groupBy) or switching to pointer
+    jumping.
 
     Returns (node, label) for every node with at least one edge.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -747,9 +753,9 @@ def connected_components(
             break
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-            f" ({changed} labels still changing) — component diameter"
-            " exceeds max_iter; raise max_iter or use pointer jumping"
+            "connected_components could not confirm convergence within"
+            f" {max_iter} rounds (last round still changed {changed}"
+            " labels) — raise max_iter or use pointer jumping"
         )
     return labels
 

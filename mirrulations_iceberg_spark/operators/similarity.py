@@ -699,10 +699,14 @@ def _ivf_centroid_artifacts(spark, emb: DataFrame):
     return centers, cent_lit
 
 
-def _ivf_assign_cell_col(cent_lit):
-    """Corpus cell-assignment column over an ``e`` vector column:
-    argmin fold over the centroid literal — pure projection, no join,
-    no shuffle. First-wins on ties == lowest cell (cells ascend)."""
+def _ivf_assign_fold(cent_lit):
+    """Corpus cell-assignment argmin fold over the centroid literal and
+    an ``e`` vector column — pure projection, no join, no shuffle.
+    First-wins on ties == lowest cell (cells ascend). Returns the full
+    (d, c) struct: d13 reads the winning distance too; everyone else
+    takes ``["c"]`` via :func:`_ivf_assign_cell_col`. ONE home for the
+    fold across x5/x11/x14/x18/d13 — a tie-break or literal-shape fix
+    lands once."""
     acc0 = F.struct(
         F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
     )
@@ -721,7 +725,12 @@ def _ivf_assign_cell_col(cent_lit):
             F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
         )
 
-    return F.aggregate(cent_lit, acc0, _step)["c"]
+    return F.aggregate(cent_lit, acc0, _step)
+
+
+def _ivf_assign_cell_col(cent_lit):
+    """The winning-cell column of :func:`_ivf_assign_fold`."""
+    return _ivf_assign_fold(cent_lit)["c"]
 
 
 def x5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,34 +848,8 @@ def d13_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus until the final label-sized hash-agg.
     """
     emb = _embeddings(spark, sf_dir).cache()
-    center_rows = sorted(
-        (r["cell"], list(r["center"]))
-        for r in _ivf_fit_centroids(emb).collect()
-    )
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("cell"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
-            )
-            for c, vec in center_rows
-        ]
-    )
-    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
-
-    def _step(acc, cs):
-        d = F.aggregate(
-            F.zip_with(F.col("e"), cs["center"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-        better = d < acc["d"]
-        return F.struct(
-            F.when(better, d).otherwise(acc["d"]).alias("d"),
-            F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
-        )
-
-    folded = F.aggregate(cent_lit, acc0, _step)
+    _, cent_lit = _ivf_centroid_artifacts(spark, emb)
+    folded = _ivf_assign_fold(cent_lit)
     assigned = emb.select(
         "vec_id",
         "label",
@@ -1493,39 +1476,9 @@ def _x11_build(spark: SparkSession, sf_dir: str):
     (executorRunTime / input bytes via the UI REST API) on exactly the
     query the driver row runs."""
     emb = _embeddings(spark, sf_dir).cache()
-    center_rows = sorted(
-        (r["cell"], list(r["center"]))
-        for r in _ivf_fit_centroids(emb).collect()
-    )
-    centers = spark.createDataFrame(
-        [(c, [float(v) for v in vec]) for c, vec in center_rows],
-        "cell int, center array<double>",
-    )
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("cell"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
-            )
-            for c, vec in center_rows
-        ]
-    )
-    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
-
-    def _step(acc, cs):
-        d = F.aggregate(
-            F.zip_with(F.col("e"), cs["center"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-        better = d < acc["d"]
-        return F.struct(
-            F.when(better, d).otherwise(acc["d"]).alias("d"),
-            F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
-        )
-
+    centers, cent_lit = _ivf_centroid_artifacts(spark, emb)
     assigned = emb.select(
-        "vec_id", "e", "norm", F.aggregate(cent_lit, acc0, _step)["c"].alias("cell")
+        "vec_id", "e", "norm", _ivf_assign_cell_col(cent_lit).alias("cell")
     )
     qrows = _queries_side(emb)
     d2 = F.aggregate(
@@ -1998,36 +1951,10 @@ def x14_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical ROW_NUMBER quota.
     """
     emb = _embeddings(spark, sf_dir).cache()
-    center_rows = sorted(
-        (r["cell"], list(r["center"]))
-        for r in _ivf_fit_centroids(emb).collect()
-    )
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("cell"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
-            )
-            for c, vec in center_rows
-        ]
-    )
-    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
-
-    def _step(acc, cs):
-        d = F.aggregate(
-            F.zip_with(F.col("e"), cs["center"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-        better = d < acc["d"]
-        return F.struct(
-            F.when(better, d).otherwise(acc["d"]).alias("d"),
-            F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
-        )
-
+    _, cent_lit = _ivf_centroid_artifacts(spark, emb)
     assigned = emb.select(
         "vec_id",
-        F.aggregate(cent_lit, acc0, _step)["c"].alias("cell"),
+        _ivf_assign_cell_col(cent_lit).alias("cell"),
         F.md5(
             F.concat(F.lit(f"{X14_SEED}:"), F.col("vec_id").cast("string"))
         ).alias("skey"),
@@ -2412,17 +2339,22 @@ def _x5_d2(a: str, b: str) -> str:
     )
 
 
-def _x5_lloyd_step(src_centers: str, assigned: str, means: str, out: str) -> str:
+def _x5_lloyd_step(
+    src_centers: str, assigned: str, means: str, out: str,
+    samp: str = "samp",
+) -> str:
     """One unrolled Lloyd iteration as DuckDB CTEs (assign → decimal-
     exact per-dim mean → rebuilt centroid list). Unrolled rather than a
     recursive CTE because IVF_LLOYD_ITERS is a fixed constant — the
-    same reason the Spark fit has no convergence test."""
+    same reason the Spark fit has no convergence test. ``samp`` names
+    the fit-sample CTE — x18's composed oracle supplies its own
+    IVF_SAMPLE_MOD sample instead of the ambient PQ one."""
     return f"""{assigned} AS (
     SELECT cell, e FROM (
         SELECT s.e, c.cell,
                row_number() OVER (PARTITION BY s.vec_id
                                   ORDER BY {_x5_d2('s.e', 'c.center')}, c.cell) AS pr
-        FROM samp s CROSS JOIN {src_centers} c
+        FROM {samp} s CROSS JOIN {src_centers} c
     ) WHERE pr = 1
 ), {means} AS (
     SELECT cell, t.i AS dim,
@@ -2862,21 +2794,24 @@ FROM flag GROUP BY query_id ORDER BY query_id
 
 def _x18_sql() -> str:
     """x18 oracle: the shared PQ prefix + an i-prefixed replay of x5's
-    IVF Lloyd chain (own seeds CTE with its own LIMIT — the
-    composition must not silently depend on PQ_K == IVF_CLUSTERS) +
-    routed ADC (compute-all-then-filter ≡ the Spark side's
-    route-then-score: the same top-k over the same candidate set) +
-    recall vs exact L2."""
+    IVF Lloyd chain (own isamp/iseeds CTEs with their own
+    IVF_SAMPLE_MOD / IVF_CLUSTERS constants — the composition must not
+    silently depend on PQ_SAMPLE_MOD == IVF_SAMPLE_MOD or
+    PQ_K == IVF_CLUSTERS) + routed ADC (compute-all-then-filter ≡ the
+    Spark side's route-then-score: the same top-k over the same
+    candidate set) + recall vs exact L2."""
     return f"""
-WITH {_X9_PQ_CTES}, iseeds AS (
+WITH {_X9_PQ_CTES}, isamp AS (
+    SELECT vec_id, e FROM e WHERE vec_id % {IVF_SAMPLE_MOD} = 0
+), iseeds AS (
     SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
-    FROM samp ORDER BY s, vec_id LIMIT {IVF_CLUSTERS}
+    FROM isamp ORDER BY s, vec_id LIMIT {IVF_CLUSTERS}
 ), ic0 AS (
     SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell,
            e AS center
     FROM iseeds
-), {_x5_lloyd_step('ic0', 'ia1', 'im1', 'ic1')},
-{_x5_lloyd_step('ic1', 'ia2', 'im2', 'ic2')}, iassign AS (
+), {_x5_lloyd_step('ic0', 'ia1', 'im1', 'ic1', samp='isamp')},
+{_x5_lloyd_step('ic1', 'ia2', 'im2', 'ic2', samp='isamp')}, iassign AS (
     SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
