@@ -673,21 +673,17 @@ def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
     return centers
 
 
-def _ivf_centroid_artifacts(spark, emb: DataFrame):
-    """Shared x5/x18 IVF coarse-quantizer artifacts. Fit executes
-    once: IVF_CLUSTERS rows collect (bounded, like d8's
-    dimension-sized control flow) and come back as both a small
-    DataFrame (for probe ranking) and a literal (for the fold-based
-    corpus assignment). Returns (centers, cent_lit)."""
+def _ivf_cent_lit(emb: DataFrame):
+    """Fit the IVF coarse quantizer and return the centroid literal
+    for the fold-based corpus assignment. Fit executes once:
+    IVF_CLUSTERS rows collect (bounded, like d8's dimension-sized
+    control flow). Callers that never rank probes (d13, x14) use this
+    directly and skip the centers DataFrame."""
     center_rows = sorted(
         (r["cell"], list(r["center"]))
         for r in _ivf_fit_centroids(emb).collect()
     )
-    centers = spark.createDataFrame(
-        [(c, [float(v) for v in vec]) for c, vec in center_rows],
-        "cell int, center array<double>",
-    )
-    cent_lit = F.array(
+    return center_rows, F.array(
         *[
             F.struct(
                 F.lit(c).alias("cell"),
@@ -695,6 +691,17 @@ def _ivf_centroid_artifacts(spark, emb: DataFrame):
             )
             for c, vec in center_rows
         ]
+    )
+
+
+def _ivf_centroid_artifacts(spark, emb: DataFrame):
+    """Shared x5/x11/x18 IVF coarse-quantizer artifacts: the centroid
+    literal plus a small DataFrame of the same centroids (for probe
+    ranking). Returns (centers, cent_lit)."""
+    center_rows, cent_lit = _ivf_cent_lit(emb)
+    centers = spark.createDataFrame(
+        [(c, [float(v) for v in vec]) for c, vec in center_rows],
+        "cell int, center array<double>",
     )
     return centers, cent_lit
 
@@ -848,7 +855,7 @@ def d13_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus until the final label-sized hash-agg.
     """
     emb = _embeddings(spark, sf_dir).cache()
-    _, cent_lit = _ivf_centroid_artifacts(spark, emb)
+    _, cent_lit = _ivf_cent_lit(emb)
     folded = _ivf_assign_fold(cent_lit)
     assigned = emb.select(
         "vec_id",
@@ -1330,9 +1337,10 @@ def x18_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-truth baseline the grading itself needs.
 
     Oracle: the shared PQ prefix + an i-prefixed replay of x5's Lloyd
-    chain (own seeds CTE with its own LIMIT, so the composition never
-    silently depends on PQ_K == IVF_CLUSTERS) + the same routed-ADC /
-    recall arithmetic.
+    chain with its OWN isamp/iseeds CTEs (own IVF_SAMPLE_MOD and
+    IVF_CLUSTERS constants, so the composition never silently depends
+    on PQ_SAMPLE_MOD == IVF_SAMPLE_MOD or PQ_K == IVF_CLUSTERS) + the
+    same routed-ADC / recall arithmetic.
     """
     emb = _embeddings(spark, sf_dir).cache()
     cb_lit = _pq_cb_lit(emb)
@@ -1951,7 +1959,7 @@ def x14_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical ROW_NUMBER quota.
     """
     emb = _embeddings(spark, sf_dir).cache()
-    _, cent_lit = _ivf_centroid_artifacts(spark, emb)
+    _, cent_lit = _ivf_cent_lit(emb)
     assigned = emb.select(
         "vec_id",
         _ivf_assign_cell_col(cent_lit).alias("cell"),

@@ -29,3 +29,17 @@ def test_connected_components_early_stop(spark):
     df = spark.createDataFrame(clique, "src long, dst long")
     got = {r.node: r.label for r in connected_components(df, max_iter=2).collect()}
     assert set(got.values()) == {0}
+
+
+def test_connected_components_unconfirmed_fixpoint_raises(spark):
+    """A path needing more change-rounds than the budget must raise
+    (never return silently partial labels), and max_iter < 1 is a
+    ValueError, not a NameError from the unbound loop variable."""
+    import pytest
+
+    path = [(i, i + 1) for i in range(9)]  # diameter ~9
+    df = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(RuntimeError, match="confirm convergence"):
+        connected_components(df, max_iter=3)
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(df, max_iter=0)
