@@ -59,12 +59,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: re-verification fillers with the deepest green history (r02–r06).
 #:
 #: Round-11 rotation (VERDICT r10 items #1-#6; r10 shipped nothing,
-#: so this executes the outstanding r10 brief, plus four bonus
-#: operators added later in the round): the window = 8 NEW operators
+#: so this executes the outstanding r10 brief, plus five bonus
+#: operators added later in the round): the window = 9 NEW operators
 #: (j14 episode attribution, d15b ExactSubstr cut, x16 graph-community
 #: dedup, t17b iterated BPE, d19 duplicate reweighting, t19 hashed-
 #: feature quality classifier, x17 two-stage PQ rerank, x18 IVF-routed
-#: PQ — never green by definition) + 7 whose code changed this round
+#: PQ, o11 Neyman allocation — never green by definition) + 7 whose code changed this round
 #: and must re-verify at the driver (j13: the redundant w.count() scan
 #: folded into the island aggregation; x12: kept-edge core extracted
 #: into the shared _x12_kept_edges helper x16 composes; x9:
@@ -76,17 +76,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: r06-stale greens (last driver-checked four-plus rounds of refactors
 #: ago — the 9bdcc3c shared-helper extraction touched d1/d3/d8's code
 #: paths; list verified against the regenerated LEDGER.md, never
-#: memory) + 7 r07-stale fillers chosen for family spread (the nine
+#: memory) + 6 r07-stale fillers chosen for family spread (the ten
 #: displaced by the bonus operators and the fold-share re-entries —
-#: a13/a15/d2/d6/g2/t7/w6/x1/x5 — each leave another family
+#: a13/a15/d2/d4/d6/g2/t7/w6/x1/x5 — each leave another family
 #: representative in the window and stay in the pytest sweep + next
 #: round's rotation queue; x5 then re-entered as a code-changed row
 #: when x18 extracted its centroid artifacts). Pre-
 #: rotation gate: the full sf0.01 sweep ran green this session
-#: (180 pass / 0 fail) and every
-#: changed/new entry re-verified at sf0.01 in targeted passes; the
-#: exact 50-slot order replayed green via --window-order before
-#: commit.
+#: (181 pass / 0 fail) and every changed/new entry re-verified at
+#: sf0.01 in targeted passes; the exact 50-slot order replayed green
+#: via --window-order before commit.
 DRIVER_WINDOW = (
     # --- NEW round-11 operators (oracle-bearing, never checked)
     "j14_episode_attribution",
@@ -97,6 +96,7 @@ DRIVER_WINDOW = (
     "t19_quality_classifier",   # hashed-feature linear keep/drop gate
     "x17_pq_rerank_topk",       # two-stage ANN: ADC shortlist + exact
     "x18_ivfpq_topk",           # IVF-routed PQ: the FAISS-IVFPQ shape
+    "o11_neyman_allocation",    # variance-optimal sample design
     # --- code changed in round 11: re-verify at the driver
     "j13_interval_coalesce",  # one-scan window count (VERDICT r10 #2)
     "x12_knn_graph",          # kept-edge core shared with x16
@@ -137,7 +137,6 @@ DRIVER_WINDOW = (
     "x2_ann_lsh_topk",
     "x6_embedding_dedup_apply",
     # --- r07-stale fillers, family spread (next-oldest cohort)
-    "d4_simhash",
     "g1_glob_read",
     "j9_bloom_pruned_join",
     "m11_time_travel",

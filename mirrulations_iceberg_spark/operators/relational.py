@@ -116,6 +116,7 @@ def f1b_indexed_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ONE split convention across the repo: this IS d10/e9/m14's constant
 #: (imported, not shadowed — retuning the convention moves them all).
 from .dedup import D10_DELTA_MOD as F1C_DELTA_MOD  # noqa: E402
+from .text import TOKEN_PATTERN  # noqa: E402  (o11's oracle twin)
 
 
 def f1c_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,6 +870,87 @@ def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: o11: total sample budget as a corpus fraction — n_total = N DIV 10.
+O11_BUDGET_DIV = 10
+
+
+def o11_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11: variance-optimal (Neyman) stratified sample DESIGN — the
+    survey-sampling allocation the o-family was missing: o7 draws
+    proportional fractions, o10 draws fixed quotas, o11 computes how
+    MANY rows each stratum deserves when the budget is fixed and
+    strata differ in spread: n_h ∝ N_h·S_h (bigger allocations to
+    strata whose token counts vary more, the minimum-variance design
+    for estimating the corpus mean). Output per source: the Neyman
+    allocation vs the proportional one and the shift between them —
+    the design table a measurement pipeline materializes before o10
+    draws the rows.
+
+    Exact-integer arithmetic end to end: N_h²·Var_h = N_h·Σy² − (Σy)²
+    is an exact integer, so the Neyman weight N_h·S_h =
+    isqrt(N_h·Σy² − (Σy)²) needs no float variance — the float sqrt
+    appears only inside an isqrt whose ±1 CASE corrections pin the
+    exact floor on both engines (exact while the radicand casts to
+    double losslessly, i.e. < 2^53; a 100 TB deployment widens the
+    moments to DECIMAL(38,0) and the correction loop to ±2).
+
+    Scale shape: ONE corpus aggregation to per-stratum moments
+    (count/sum/sum-of-squares — map-side partial combine, the
+    d17/d19 rollup discipline), then every allocation step is window
+    math over the \\|sources\\|-row frame. Nothing corpus-sized
+    shuffles.
+    """
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.size(tokens_col(F.col("text"))).cast("long")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+    )
+    per = (
+        per.withColumn("ssq", F.expr("n_docs * syy - sy * sy"))
+        .withColumn(
+            "s0",
+            F.expr("CAST(FLOOR(SQRT(CAST(ssq AS DOUBLE))) AS BIGINT)"),
+        )
+        .withColumn(
+            "neyman_w",
+            F.expr(
+                "s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= ssq THEN 1"
+                " ELSE 0 END)"
+                " - (CASE WHEN s0 * s0 > ssq THEN 1 ELSE 0 END)"
+            ),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = (
+        per.withColumn("n_corpus", F.sum("n_docs").over(w))
+        .withColumn("w_total", F.sum("neyman_w").over(w))
+        .withColumn("n_sample", F.expr(f"n_corpus DIV {O11_BUDGET_DIV}"))
+    )
+    return (
+        tot.select(
+            "source",
+            "n_docs",
+            F.col("sy").alias("raw_tokens"),
+            "neyman_w",
+            F.expr(
+                "least((n_sample * neyman_w) DIV greatest(w_total, 1),"
+                " n_docs)"
+            ).alias("alloc_neyman"),
+            F.expr(
+                "(n_sample * n_docs) DIV greatest(n_corpus, 1)"
+            ).alias("alloc_prop"),
+        )
+        .withColumn("shift", F.expr("alloc_neyman - alloc_prop"))
+        .orderBy("source")
+    )
+
+
 def o9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9: deterministic WEIGHTED sampling — importance sampling for
     data curation (upweight long/high-quality docs) with o8's
@@ -991,6 +1073,7 @@ QUERIES = {
     "o8_hash_split": o8_hash_split,
     "o9_weighted_sample": o9_weighted_sample,
     "o10_stratified_quota_sample": o10_stratified_quota_sample,
+    "o11_neyman_allocation": o11_neyman_allocation,
     "c9_ts_minmax": c9_ts_minmax,
     "f1_like_substring": f1_like_substring,
     "f1b_indexed_substring": f1b_indexed_substring,
@@ -1101,6 +1184,52 @@ ORACLE = {
                CAST(SUM(n_chars) AS BIGINT) AS sample_chars
         FROM ranked WHERE (rn - 1) % 10 = 0
         GROUP BY lang ORDER BY lang
+    """,
+    "o11_neyman_allocation": f"""
+        WITH y AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(lower(text),
+                                               '{TOKEN_PATTERN}'))
+                        AS BIGINT) AS y
+            FROM documents
+        ), per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM y GROUP BY source
+        ), rad AS (
+            SELECT source, n_docs, sy,
+                   n_docs * syy - sy * sy AS ssq,
+                   CAST(FLOOR(SQRT(CAST(n_docs * syy - sy * sy AS DOUBLE)))
+                        AS BIGINT) AS s0
+            FROM per
+        ), wts AS (
+            SELECT source, n_docs, sy,
+                   s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= ssq THEN 1
+                              ELSE 0 END)
+                      - (CASE WHEN s0 * s0 > ssq THEN 1 ELSE 0 END)
+                       AS neyman_w
+            FROM rad
+        ), tot AS (
+            SELECT *,
+                   SUM(n_docs) OVER () AS n_corpus,
+                   SUM(neyman_w) OVER () AS w_total,
+                   (SUM(n_docs) OVER ()) // {O11_BUDGET_DIV} AS n_sample
+            FROM wts
+        )
+        SELECT source, n_docs,
+               sy AS raw_tokens,
+               CAST(neyman_w AS BIGINT) AS neyman_w,
+               CAST(LEAST((n_sample * neyman_w) // GREATEST(w_total, 1),
+                          n_docs) AS BIGINT) AS alloc_neyman,
+               CAST((n_sample * n_docs) // GREATEST(n_corpus, 1) AS BIGINT)
+                   AS alloc_prop,
+               CAST(LEAST((n_sample * neyman_w) // GREATEST(w_total, 1),
+                          n_docs)
+                    - (n_sample * n_docs) // GREATEST(n_corpus, 1)
+                    AS BIGINT) AS shift
+        FROM tot ORDER BY source
     """,
     "o10_stratified_quota_sample": f"""
         WITH keyed AS (

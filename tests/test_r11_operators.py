@@ -355,3 +355,27 @@ def test_x18_routing_invariants(spark, tmp_path):
             else sum(range(TOP_K))
         hi = sum(range(n - TOP_K, n))
         assert lo <= r["id_checksum"] <= hi
+
+
+def test_o11_neyman_favors_spread_stratum(spark, tmp_path):
+    """Hand-computed design table: stratum A is perfectly uniform
+    (zero variance -> Neyman weight 0), stratum B spreads 1..10 tokens
+    (N*Syy - Sy^2 = 10*385 - 55^2 = 825, isqrt = 28), so the whole
+    budget (n_sample = 20 // 10 = 2) moves to B while proportional
+    allocation splits it 1/1."""
+    from mirrulations_iceberg_spark.operators.relational import (
+        o11_neyman_allocation,
+    )
+
+    docs = [(i, "t0 t1 t2 t3 t4", "en", "A") for i in range(10)] + [
+        (100 + i, " ".join(f"w{k}" for k in range(i + 1)), "en", "B")
+        for i in range(10)  # 1..10 tokens
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {r["source"]: r for r in o11_neyman_allocation(spark, sf).collect()}
+    a, b = rows["A"], rows["B"]
+    assert (a["n_docs"], a["raw_tokens"], a["neyman_w"]) == (10, 50, 0)
+    assert (b["n_docs"], b["raw_tokens"], b["neyman_w"]) == (10, 55, 28)
+    assert (a["alloc_neyman"], b["alloc_neyman"]) == (0, 2)
+    assert (a["alloc_prop"], b["alloc_prop"]) == (1, 1)
+    assert (a["shift"], b["shift"]) == (-1, 1)
