@@ -1930,6 +1930,14 @@ _EXACT_PAIRS_SQL = f"""
         ORDER BY doc_a, doc_b
     """
 
+def _d15_win_concat(idx: str) -> str:
+    """The D15_K-token window concat for the d15/d15b DuckDB oracles,
+    generated from D15_K the same way the UNNEST range bound is — so
+    retuning D15_K can never desynchronize the oracle's window width
+    from the Spark side (ADVICE r11)."""
+    return " || ' ' || ".join(f"t[{idx}+{j}]" for j in range(D15_K))
+
+
 ORACLE = {
     # d18: uncollapsed exact cross-Jaccard (delta×base postings join —
     # valid by d3's recall-1 argument) + identical per-lang arithmetic;
@@ -2041,7 +2049,7 @@ ORACLE = {
             FROM documents
         ), occ AS (
             SELECT doc_id, lang, u.i - 1 AS pos,
-                   md5(t[u.i+0] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] || ' ' || t[u.i+4] || ' ' || t[u.i+5] || ' ' || t[u.i+6] || ' ' || t[u.i+7] || ' ' || t[u.i+8] || ' ' || t[u.i+9] || ' ' || t[u.i+10] || ' ' || t[u.i+11] || ' ' || t[u.i+12] || ' ' || t[u.i+13] || ' ' || t[u.i+14] || ' ' || t[u.i+15] || ' ' || t[u.i+16] || ' ' || t[u.i+17] || ' ' || t[u.i+18] || ' ' || t[u.i+19] || ' ' || t[u.i+20] || ' ' || t[u.i+21] || ' ' || t[u.i+22] || ' ' || t[u.i+23] || ' ' || t[u.i+24]) AS h
+                   md5({_d15_win_concat('u.i')}) AS h
             FROM toks,
                  UNNEST(range(1, GREATEST(len(t) - {D15_K - 1}, 0) + 1)) u(i)
         ), hs AS (
@@ -2091,7 +2099,7 @@ ORACLE = {
             SELECT doc_id, lang,
                    md5(unnest(list_distinct(list_transform(
                        range(1, GREATEST(len(t) - {D15_K - 1}, 0) + 1),
-                       i -> t[i+0] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8] || ' ' || t[i+9] || ' ' || t[i+10] || ' ' || t[i+11] || ' ' || t[i+12] || ' ' || t[i+13] || ' ' || t[i+14] || ' ' || t[i+15] || ' ' || t[i+16] || ' ' || t[i+17] || ' ' || t[i+18] || ' ' || t[i+19] || ' ' || t[i+20] || ' ' || t[i+21] || ' ' || t[i+22] || ' ' || t[i+23] || ' ' || t[i+24])))) AS h
+                       i -> {_d15_win_concat('i')})))) AS h
             FROM toks
         ), c AS (
             SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h

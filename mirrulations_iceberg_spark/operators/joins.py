@@ -608,6 +608,19 @@ def j10_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J12_WINDOW_HOURS = 2  # incident-window width
 
+# The j13/j14 driver-side cross-midnight stitch inspects only each
+# day's FIRST and LAST episode, which is exact only while a chain can
+# cross at most one midnight — i.e. while the window width is shorter
+# than the day partition unit. Fail loudly at import if the dial is
+# ever retuned past that precondition (ADVICE r11).
+if not J12_WINDOW_HOURS < 24:
+    raise ValueError(
+        "J12_WINDOW_HOURS must stay < 24: the j13/j14 cross-midnight "
+        "stitch merges at most one episode per day boundary, which is "
+        "exact only when the incident window is narrower than the "
+        "per-day partition unit (see _daily_error_episodes)."
+    )
+
 
 def j12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-×-large interval OVERLAP join on the driver surface —

@@ -909,9 +909,22 @@ def o11_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y).alias("sy"),
         F.sum(y * y).alias("syy"),
     )
+    # The ±1-corrected isqrt is exact only while the radicand casts to
+    # double losslessly (< 2^53); past that the allocation would drift
+    # silently. Guard in-plan so the documented boundary fails loudly
+    # instead (ADVICE r11) — zero cost on the happy path, no extra
+    # action: the CASE rides the same |sources|-row projection.
+    per = per.withColumn(
+        "ssq",
+        F.expr(
+            "CASE WHEN n_docs * syy - sy * sy >= 9007199254740992"
+            " THEN raise_error('o11: N_h*Σy²−(Σy)² ≥ 2^53 — widen the"
+            " moments to DECIMAL(38,0) and the isqrt correction to ±2')"
+            " ELSE n_docs * syy - sy * sy END"
+        ),
+    )
     per = (
-        per.withColumn("ssq", F.expr("n_docs * syy - sy * sy"))
-        .withColumn(
+        per.withColumn(
             "s0",
             F.expr("CAST(FLOOR(SQRT(CAST(ssq AS DOUBLE))) AS BIGINT)"),
         )
