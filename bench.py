@@ -220,6 +220,29 @@ def main() -> None:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
+    # Version the detail snapshot per round (VERDICT r11 item #5):
+    # BENCH_r{N}.json's summary aggregates per family, so round-over-
+    # round per-query diffs need the detail file — and BENCH_DETAIL.json
+    # alone is mutable (each run overwrites it). The upcoming round
+    # number is 1 + the highest driver-committed BENCH_r*.json, so the
+    # detail lands beside the summary the driver writes at round close.
+    try:
+        import glob as _glob
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(_REPO, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        if rounds:
+            versioned = os.path.join(
+                _REPO, f"BENCH_DETAIL_r{max(rounds) + 1:02d}.json"
+            )
+            with open(versioned, "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not version BENCH_DETAIL: {exc}", file=sys.stderr)
 
     # Reading the s-family subtotal across rounds (VERDICT r6 item #8):
     # the six streaming queries carry ~2-3 s EACH of fixed Structured

@@ -86,63 +86,79 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (181 pass / 0 fail) and every changed/new entry re-verified at
 #: sf0.01 in targeted passes; the exact 50-slot order replayed green
 #: via --window-order before commit.
+#: Round-12 rotation (VERDICT r11 item #1): the window = 2 NEW
+#: operators (x18b residual IVFPQ, x19 build/serve split — never green
+#: by definition) + 4 whose code changed this round and must re-verify
+#: at the driver (o11: the 2^53 radicand guard now rides the ssq
+#: projection; x9/x17/x18: the shared _pq_code_col/_pq_dtab_col/
+#: _adc_col helpers gained column-name parameters for x18b — defaults
+#: keep the plans identical, but identical-by-argument is exactly the
+#: claim the gate exists to attest) + ALL 38 r07-stale greens (last
+#: driver-checked five rounds of refactors ago; list verified against
+#: the regenerated LEDGER.md, never memory) + 6 r08-stale fillers for
+#: family spread (the flagship e2 plus one each from the j/f/c/w/u
+#: families, none otherwise represented in the r07 cohort). The 47-me-
+#: mber r08 cohort's remainder is next round's rotation queue.
+#: Pre-rotation gate: the full sf0.01 sweep ran green this session
+#: (181 pass / 0 fail) BEFORE the new operators landed; x18b/x19 and
+#: the four changed entries re-verified at sf0.01 in targeted passes;
+#: the exact 50-slot order replayed green via --window-order before
+#: commit.
 DRIVER_WINDOW = (
-    # --- NEW round-11 operators (oracle-bearing, never checked)
-    "j14_episode_attribution",
-    "d15b_exact_substring_cut",
-    "x16_graph_community_dedup",
-    "t17b_bpe_train_iters",
-    "d19_duplicate_reweight",   # soft dedup: count-once reweighting
-    "t19_quality_classifier",   # hashed-feature linear keep/drop gate
-    "x17_pq_rerank_topk",       # two-stage ANN: ADC shortlist + exact
-    "x18_ivfpq_topk",           # IVF-routed PQ: the FAISS-IVFPQ shape
-    "o11_neyman_allocation",    # variance-optimal sample design
-    # --- code changed in round 11: re-verify at the driver
-    "j13_interval_coalesce",  # one-scan window count (VERDICT r10 #2)
-    "x12_knn_graph",          # kept-edge core shared with x16
-    "x9_pq_adc_topk",         # fit/encode/ADC extracted into the
-                              # _pq_codes_qside helper x17/x18 compose
-    "x5_ann_ivf_topk",        # centroid artifacts + assign fold
-                              # extracted into the helpers x18 composes
-    "d13_semdedup",           # rewired onto the shared IVF fold
-    "x11_ivf_tuning_curve",   # rewired onto the shared IVF fold
-    "x14_cluster_balanced_sample",  # rewired onto the shared IVF fold
-    # --- the 28 r06-stale greens, oldest-first (VERDICT r10 #1)
-    "a1_count_star",
-    "a2_groupby_count",
-    "a3_multikey_groupby",
-    "a4_avg_length",
-    "a5_numeric_stats",
-    "a8_null_profile",
-    "a12_rollup",
-    "c_json_extract",
-    "c_scalar_suite",
-    "d1_exact_dedup",
-    "d3_minhash_lsh_pairs",
-    "d8_dedup_components",
-    "e4_pack_sequences",
-    "e5_mixture_sample",
-    "e6_budget_select",
-    "e7_epoch_shuffle",
-    "f1_like_substring",
-    "m6_profile",
-    "m10_skew_report",
-    "q1_count_total",
-    "q3_with_attachments",
-    "q8_complex_filter",
-    "q9_comments_per_document",
-    "s1_stream_windowed_counts",
-    "t1_token_stats",
-    "w7_ntile_deciles",
-    "x2_ann_lsh_topk",
-    "x6_embedding_dedup_apply",
-    # --- r07-stale fillers, family spread (next-oldest cohort)
-    "g1_glob_read",
-    "j9_bloom_pruned_join",
-    "m11_time_travel",
-    "mm3_frame_sample",
-    "o7_stratified_sample",
-    "s6_stream_base_dedup",
+    # --- NEW round-12 operators (oracle-bearing, never checked)
+    "x18b_ivfpq_residual_topk",  # residual vs raw PQ, both recalls
+    "x19_ivfpq_build_serve",     # offline build / pruned online serve
+    # --- code changed in round 12: re-verify at the driver
+    "o11_neyman_allocation",     # in-plan 2^53 radicand guard
+    "x9_pq_adc_topk",            # _pq_* helpers gained vec params
+    "x17_pq_rerank_topk",        # (defaults identical; re-attest)
+    "x18_ivfpq_topk",
+    # --- the 38 r07-stale greens (VERDICT r11 #1), family-grouped
+    "a13_pivot",
+    "a15_exact_quantile_twopass",
+    "a5b_approx_stats",
+    "d12_segment_boilerplate",
+    "d2_ngram_jaccard_pairs_diag",
+    "d2b_cap_report",
+    "d3b_minhash_accuracy",
+    "d4_simhash",
+    "d5_simhash_pairs",
+    "d6_dedup_apply",
+    "e3_shard_assign",
+    "g2_csv_roundtrip",
+    "g3_jsonl_roundtrip",
+    "g4_orc_roundtrip",
+    "m12_vacuum_orphans",
+    "mm1_media_manifest",
+    "mm4_audio_rms",
+    "mm5_resize_thumbs",
+    "o8_hash_split",
+    "t10_pii_redact",
+    "t12_vocab_growth",
+    "t5_lang_profile",
+    "t7_tfidf_top_terms",
+    "t8_repetition_ratio",
+    "t9_token_counts",
+    "u4_except_all",
+    "u5_intersect_all",
+    "w10_trailing_window_value",
+    "w11_funnel_steps",
+    "w3_lag_delta",
+    "w6_session_window",
+    "w8_decayed_engagement",
+    "w9_users_to_date",
+    "x1_cosine_topk",
+    "x3_label_centroid_sim",
+    "x4_embedding_neardup_pairs_diag",
+    "x4b_bucket_cap_report",
+    "x8_range_search",
+    # --- r08-stale fillers, family spread (next-oldest cohort)
+    "e2_training_pipeline",  # flagship batch-curation pipeline
+    "j6_asof_join",
+    "f2_is_not_null",
+    "c9_ts_minmax",
+    "w1_topn_per_group",
+    "u1_union_base_delta",
 )
 
 

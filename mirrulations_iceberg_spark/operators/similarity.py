@@ -1047,18 +1047,19 @@ def _pq_slice(col, m):
     return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
 
 
-def _pq_code_col(cb_lit):
-    """(code[PQ_M]) corpus-encode column over an ``e`` vector column:
-    per subspace, an argmin-fold against the ≤128-entry codebook
-    literal — pure projection, no join, no shuffle; codes store
-    codebook POSITIONS so ADC lookups are array indexing."""
+def _pq_code_col(cb_lit, vec="e"):
+    """(code[PQ_M]) corpus-encode column over the ``vec`` vector column
+    (default ``e``; x18b passes its residual column): per subspace, an
+    argmin-fold against the ≤128-entry codebook literal — pure
+    projection, no join, no shuffle; codes store codebook POSITIONS so
+    ADC lookups are array indexing."""
     acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("p"))
 
     def _argmin(m):
         # strict < keeps the first (lowest-position) winner on ties —
         # matching the oracle's row_number ORDER BY d2, cell
         def step(acc, cs):
-            d = _pq_sub_d2(_pq_slice("e", m), cs["center"])
+            d = _pq_sub_d2(_pq_slice(vec, m), cs["center"])
             better = d < acc["d"]
             return F.struct(
                 F.when(better, d).otherwise(acc["d"]).alias("d"),
@@ -1070,14 +1071,15 @@ def _pq_code_col(cb_lit):
     return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _argmin)
 
 
-def _pq_dtab_col(cb_lit):
-    """Per-query ADC distance table d(q_m, centroid) over a ``qe``
-    vector column — M·K doubles per query, broadcast by callers."""
+def _pq_dtab_col(cb_lit, vec="qe"):
+    """Per-query ADC distance table d(q_m, centroid) over the ``vec``
+    vector column (default ``qe``; x18b passes a per-probe query
+    residual) — M·K doubles per row, broadcast by callers."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         lambda m: F.transform(
             F.element_at(cb_lit, m + 1),
-            lambda cs: _pq_sub_d2(_pq_slice("qe", m), cs["center"]),
+            lambda cs: _pq_sub_d2(_pq_slice(vec, m), cs["center"]),
         ),
     )
 
@@ -1101,17 +1103,19 @@ def _pq_codes_qside(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     return codes, qside
 
 
-def _adc_col():
-    """ADC score over (code, dtab) columns — ascending-m double fold;
-    the oracle sums ``list(term ORDER BY m)``, so both engines add the
-    8 doubles in the same order → identical without quantization."""
+def _adc_col(code="code", dtab="dtab"):
+    """ADC score over (``code``, ``dtab``) columns — ascending-m double
+    fold; the oracle sums ``list(term ORDER BY m)``, so both engines
+    add the 8 doubles in the same order → identical without
+    quantization. x18b scores the same candidate row twice (raw and
+    residual codes) by naming the column pair."""
     return F.round(
         F.aggregate(
             F.sequence(F.lit(0), F.lit(PQ_M - 1)),
             F.lit(0.0),
             lambda acc, m: acc
             + F.element_at(
-                F.element_at("dtab", m + 1), F.element_at("code", m + 1) + 1
+                F.element_at(dtab, m + 1), F.element_at(code, m + 1) + 1
             ),
         ),
         4,
@@ -1427,6 +1431,333 @@ def x18_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import materialize_release
 
     return materialize_release(spark, out, emb)
+
+
+def x18b_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVFPQ vs raw-vector IVFPQ, same routing, one
+    scan — the measurement x18 owed (its docstring documents the
+    raw-vector simplification; this operator prices it): textbook
+    IVFPQ (Jégou et al. 2011, the FAISS default) quantizes the
+    RESIDUAL x − centroid(cell), which concentrates the code
+    distribution around 0 and buys recall at identical bytes/vector.
+    Both ADC rankings run over the IDENTICAL candidate set (one IVF
+    routing), so ``recall_residual − recall_raw`` is a controlled
+    experiment at equal nprobe — the number that decides whether x18's
+    simplification is free.
+
+    Scale shape: the corpus is touched once — cell assignment, raw
+    code, residual, and residual code are all centroid-/codebook-
+    literal folds in one projection lineage (no join between them; the
+    two-step select keeps the assign fold and the centroid lookup
+    single-evaluation instead of inlining them into every argmin
+    step). Query residuals live on the probe table (|queries|·nprobe
+    rows — each probed cell gets its own distance table, the textbook
+    per-cell ADC), broadcast like x18's probes. The two rankings are
+    two row_number sorts over ONE exchange (same partition key), and
+    both recalls ride the same left join against the exact-L2 truth.
+
+    Oracle: the shared raw-PQ prefix + x18's i-prefixed IVF replay +
+    an r-prefixed replay of the PQ Lloyd chain over residual
+    subvectors (``_x9_lloyd_step(subs='rsubs')``), then the routed
+    double-ADC / double-recall arithmetic.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    centers, cent_lit = _ivf_centroid_artifacts(spark, emb)
+    cb_raw = _pq_cb_lit(emb)
+    # Residual corpus: cell via the shared assign fold, centroid via a
+    # literal lookup BY CELL (cells may be sparse after empty-cell
+    # drops, so position ≠ cell id — filter, not element_at).
+    assigned = emb.select(
+        "vec_id", "e", _ivf_assign_cell_col(cent_lit).alias("cell")
+    )
+    ccen = F.element_at(
+        F.filter(cent_lit, lambda s: s["cell"] == F.col("cell")), 1
+    )["center"]
+    res = assigned.select(
+        "vec_id",
+        "cell",
+        "e",
+        F.zip_with("e", ccen, lambda x, y: x - y).alias("r"),
+    )
+    cb_res = _pq_cb_lit(res.select("vec_id", F.col("r").alias("e")))
+    base = res.select(
+        "vec_id",
+        "cell",
+        _pq_code_col(cb_raw).alias("code_raw"),
+        _pq_code_col(cb_res, vec="r").alias("code_res"),
+    )
+    qraw = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        _pq_dtab_col(cb_raw).alias("dtab_raw"),
+    )
+    d2c = F.aggregate(
+        F.zip_with("qe", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wp = Window.partitionBy("query_id").orderBy("dist2", "cell")
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .crossJoin(F.broadcast(centers))
+        .withColumn("dist2", d2c)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("qe", "center", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    probes_d = probes.select(
+        "query_id", "cell", _pq_dtab_col(cb_res, vec="qr").alias("dtab_res")
+    )
+    scored = (
+        base.join(F.broadcast(probes_d), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qraw.select("query_id", "dtab_raw")), "query_id")
+        .withColumn("adc_res", _adc_col(code="code_res", dtab="dtab_res"))
+        .withColumn("adc_raw", _adc_col(code="code_raw", dtab="dtab_raw"))
+    )
+    wq = Window.partitionBy("query_id")
+    w_res = Window.partitionBy("query_id").orderBy("adc_res", "vec_id")
+    w_raw = Window.partitionBy("query_id").orderBy("adc_raw", "vec_id")
+    topk = (
+        scored.withColumn("rnk_res", F.row_number().over(w_res))
+        .withColumn("rnk_raw", F.row_number().over(w_raw))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wq))
+        .filter(
+            (F.col("rnk_res") <= TOP_K) | (F.col("rnk_raw") <= TOP_K)
+        )
+        .select(
+            "query_id", "vec_id", "rnk_res", "rnk_raw", "n_candidates"
+        )
+    )
+    d2_full = F.round(
+        F.aggregate(
+            F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+        4,
+    )
+    exact_scored = (
+        emb.crossJoin(F.broadcast(qraw.select("query_id", "qe")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("l2", d2_full)
+    )
+    wx = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+    exact_topk = (
+        exact_scored.withColumn("rnk", F.row_number().over(wx))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("exact_vec_id"))
+    )
+    flagged = topk.join(
+        exact_topk,
+        (topk.query_id == exact_topk.query_id)
+        & (topk.vec_id == exact_topk.exact_vec_id),
+        "left",
+    ).select(
+        topk.query_id,
+        topk.vec_id,
+        topk.rnk_res,
+        topk.rnk_raw,
+        topk.n_candidates,
+        exact_topk.exact_vec_id,
+    )
+    in_res = F.col("rnk_res") <= TOP_K
+    in_raw = F.col("rnk_raw") <= TOP_K
+    hit_res = F.count(F.when(in_res, F.col("exact_vec_id")))
+    hit_raw = F.count(F.when(in_raw, F.col("exact_vec_id")))
+    out = (
+        flagged.groupBy("query_id")
+        .agg(
+            F.max("n_candidates").alias("n_candidates"),
+            F.sum(F.when(in_res, F.col("vec_id")))
+            .cast("long")
+            .alias("id_checksum"),
+            F.round(hit_raw / F.lit(float(TOP_K)), 4).alias("recall_raw"),
+            F.round(hit_res / F.lit(float(TOP_K)), 4).alias(
+                "recall_residual"
+            ),
+            (hit_res - hit_raw).cast("long").alias("delta_hits"),
+        )
+        .orderBy("query_id")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
+
+
+def x19_ivfpq_build_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE-build / ONLINE-serve IVFPQ — the production split x18
+    lacks (VERDICT r11 #3): x18 re-fits centroids and codebooks inside
+    the query; every deployed ANN system instead BUILDS once (write
+    the centroids, the codebooks, and the coded corpus partitioned by
+    IVF cell) and SERVES by reading ONLY the probed cells. Build phase
+    here: fit → persist three parquet artifacts (``centroids`` 16
+    rows, ``codebooks`` M·K rows, ``index`` coded corpus
+    hive-partitioned by ``cell``, repartitioned first so the layout is
+    one file per cell, not tasks×cells shards). Serve phase: rebuild
+    the two bounded literals from the ARTIFACTS (parquet round-trips
+    doubles bit-exactly, so serve never touches the fit lineage), rank
+    probe cells, and join the probe table against the partitioned
+    index — Spark plans DYNAMIC PARTITION PRUNING on ``cell``
+    (plan-asserted in tests/test_operators.py), so each search reads
+    ~nprobe/IVF_CLUSTERS of the index bytes.
+
+    The literal-construction snippets are duplicated from
+    ``_pq_cb_lit`` / ``_ivf_cent_lit`` deliberately: those helpers fit
+    in-line and feed six green operators — x19's copies read frozen
+    artifacts instead, and sharing them this round would have put the
+    whole ANN family back through the rotation gate for a pure
+    refactor.
+
+    Contract: serve-from-artifacts returns EXACTLY x18's in-line-fit
+    answer (same routing, same codes, same grade) — the oracle is
+    x18's SQL verbatim, and the equality is the proof the split is
+    lossless.
+    """
+    import shutil
+    import tempfile
+
+    emb = _embeddings(spark, sf_dir).cache()
+    base_dir = tempfile.mkdtemp(prefix="miis_x19_")
+    try:
+        # ---- BUILD (offline, once) -------------------------------
+        _pq_fit_codebooks(emb).write.parquet(f"{base_dir}/codebooks")
+        _ivf_fit_centroids(emb).write.parquet(f"{base_dir}/centroids")
+        cb_rows = sorted(
+            (r["m"], r["cell"], [float(v) for v in r["center"]])
+            for r in spark.read.parquet(f"{base_dir}/codebooks").collect()
+        )
+        by_m: dict[int, list[list[float]]] = {m: [] for m in range(PQ_M)}
+        for m, _cell, cen in cb_rows:
+            by_m[m].append(cen)
+        cb_lit = F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(pos).alias("p"),
+                            F.array(*[F.lit(v) for v in cen]).alias(
+                                "center"
+                            ),
+                        )
+                        for pos, cen in enumerate(by_m[m])
+                    ]
+                )
+                for m in range(PQ_M)
+            ]
+        )
+        cent_rows = sorted(
+            (r["cell"], [float(v) for v in r["center"]])
+            for r in spark.read.parquet(f"{base_dir}/centroids").collect()
+        )
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("cell"),
+                    F.array(*[F.lit(v) for v in vec]).alias("center"),
+                )
+                for c, vec in cent_rows
+            ]
+        )
+        centers = spark.createDataFrame(
+            cent_rows, "cell int, center array<double>"
+        )
+        emb.select(
+            "vec_id",
+            _pq_code_col(cb_lit).alias("code"),
+            _ivf_assign_cell_col(cent_lit).alias("cell"),
+        ).repartition("cell").write.partitionBy("cell").parquet(
+            f"{base_dir}/index"
+        )
+        # ---- SERVE (online, per query batch) ---------------------
+        idx = spark.read.parquet(f"{base_dir}/index")
+        qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            _pq_dtab_col(cb_lit).alias("dtab"),
+        )
+        d2c = F.aggregate(
+            F.zip_with("qe", "center", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        wp = Window.partitionBy("query_id").orderBy("dist2", "cell")
+        probes = (
+            qside.select("query_id", "qe")
+            .crossJoin(F.broadcast(centers))
+            .withColumn("dist2", d2c)
+            .withColumn("pr", F.row_number().over(wp))
+            .filter(F.col("pr") <= IVF_NPROBE)
+            .select("query_id", "cell")
+        )
+        scored = (
+            idx.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .join(
+                F.broadcast(qside.select("query_id", "dtab")), "query_id"
+            )
+            .withColumn("adc", _adc_col())
+        )
+        wk = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+        wq = Window.partitionBy("query_id")
+        topk = (
+            scored.withColumn("rnk", F.row_number().over(wk))
+            .withColumn("n_candidates", F.count(F.lit(1)).over(wq))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "vec_id", "n_candidates")
+        )
+        d2_full = F.round(
+            F.aggregate(
+                F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            4,
+        )
+        exact_scored = (
+            emb.crossJoin(F.broadcast(qside.select("query_id", "qe")))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("l2", d2_full)
+        )
+        wx = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+        exact_topk = (
+            exact_scored.withColumn("rnk", F.row_number().over(wx))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("exact_vec_id"))
+        )
+        flagged = topk.join(
+            exact_topk,
+            (topk.query_id == exact_topk.query_id)
+            & (topk.vec_id == exact_topk.exact_vec_id),
+            "left",
+        ).select(
+            topk.query_id,
+            topk.vec_id,
+            topk.n_candidates,
+            exact_topk.exact_vec_id,
+        )
+        out = (
+            flagged.groupBy("query_id")
+            .agg(
+                F.max("n_candidates").alias("n_candidates"),
+                F.sum("vec_id").alias("id_checksum"),
+                F.round(
+                    F.count("exact_vec_id") / F.lit(float(TOP_K)), 4
+                ).alias("recall_at_k"),
+            )
+            .orderBy("query_id")
+        )
+        from .util import materialize_release
+
+        # materialize BEFORE the scratch artifacts are removed
+        return materialize_release(spark, out, emb)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
 
 
 #: x11: nprobe operating points to sweep (≤ IVF_CLUSTERS each).
@@ -2139,6 +2470,8 @@ QUERIES = {
     "x9_pq_adc_topk": x9_pq_adc_topk,
     "x17_pq_rerank_topk": x17_pq_rerank_topk,
     "x18_ivfpq_topk": x18_ivfpq_topk,
+    "x18b_ivfpq_residual_topk": x18b_ivfpq_residual_topk,
+    "x19_ivfpq_build_serve": x19_ivfpq_build_serve,
     "x10_mmr_select": x10_mmr_select,
     "x11_ivf_tuning_curve": x11_ivf_tuning_curve,
     "x12_knn_graph": x12_knn_graph,
@@ -2646,15 +2979,20 @@ def _x9_sub_d2(sub: str, center: str) -> str:
     )
 
 
-def _x9_lloyd_step(src: str, assigned: str, means: str, out: str) -> str:
+def _x9_lloyd_step(
+    src: str, assigned: str, means: str, out: str, subs: str = "subs"
+) -> str:
     """One unrolled per-subspace Lloyd iteration (the _x5_lloyd_step
-    shape with the m key threaded through assign/mean/rebuild)."""
+    shape with the m key threaded through assign/mean/rebuild).
+    ``subs`` names the fit-sample subvector CTE — x18b's composed
+    oracle supplies its own residual subvectors instead of the ambient
+    raw ones."""
     return f"""{assigned} AS (
     SELECT m, cell, sub FROM (
         SELECT s.m, s.sub, s.vec_id, c.cell,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                                   ORDER BY {_x9_sub_d2('s.sub', 'c.center')}, c.cell) AS pr
-        FROM subs s JOIN {src} c USING (m)
+        FROM {subs} s JOIN {src} c USING (m)
     ) WHERE pr = 1
 ), {means} AS (
     SELECT m, cell, t.i AS dim,
@@ -2863,6 +3201,134 @@ GROUP BY p.query_id ORDER BY p.query_id
 """
 
 
+def _x18b_sql() -> str:
+    """x18b oracle: the shared raw-PQ prefix (codes + all-pairs ADC) +
+    x18's i-prefixed IVF replay + an r-prefixed residual-PQ chain —
+    residual vectors from (e − probed-cell centroid), their own
+    md5-seeded seeds/Lloyd over ``rsubs``, full-corpus residual encode
+    — then one candidate CTE feeding BOTH rankings and both recalls.
+    The residual ADC term expands the query residual inline
+    (``(qe[j] − cell_center[j]) − code_center[i]``), the exact
+    expression order of the Spark side's zip_with-then-dtab fold."""
+    sub_hi = PQ_SUBDIM
+    res_term = (
+        f"(q.qe[k.m * {sub_hi} + i] - cc.center[k.m * {sub_hi} + i])"
+        f" - rc.center[i]"
+    )
+    return f"""
+WITH {_X9_PQ_CTES}, isamp AS (
+    SELECT vec_id, e FROM e WHERE vec_id % {IVF_SAMPLE_MOD} = 0
+), iseeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM isamp ORDER BY s, vec_id LIMIT {IVF_CLUSTERS}
+), ic0 AS (
+    SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell,
+           e AS center
+    FROM iseeds
+), {_x5_lloyd_step('ic0', 'ia1', 'im1', 'ic1', samp='isamp')},
+{_x5_lloyd_step('ic1', 'ia2', 'im2', 'ic2', samp='isamp')}, iassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_x5_d2('e.e', 'c.center')},
+                                  c.cell) AS pr
+        FROM e CROSS JOIN ic2 c
+    ) WHERE pr = 1
+), iprobes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_x5_d2('q.qe', 'c.center')},
+                                  c.cell) AS pr
+        FROM q CROSS JOIN ic2 c
+    ) WHERE pr <= {IVF_NPROBE}
+), rese AS (
+    SELECT v.vec_id, v.cell,
+           list_transform(range(1, {EMB_DIM + 1}),
+                          i -> e.e[i] - c.center[i]) AS e
+    FROM iassign v JOIN e USING (vec_id) JOIN ic2 c USING (cell)
+), rsamp AS (
+    SELECT vec_id, e FROM rese WHERE vec_id % {PQ_SAMPLE_MOD} = 0
+), rsubs AS (
+    SELECT vec_id, t.m AS m,
+           e[(t.m * {sub_hi} + 1):(t.m * {sub_hi} + {sub_hi})] AS sub
+    FROM rsamp CROSS JOIN range(0, {PQ_M}) t(m)
+), rseeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM rsamp ORDER BY s, vec_id LIMIT {PQ_K}
+), rc0 AS (
+    SELECT t.m AS m, r.cell,
+           r.e[(t.m * {sub_hi} + 1):(t.m * {sub_hi} + {sub_hi})] AS center
+    FROM (SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell, e
+          FROM rseeds) r
+    CROSS JOIN range(0, {PQ_M}) t(m)
+), {_x9_lloyd_step('rc0', 'ra1', 'rm1', 'rc1', subs='rsubs')},
+{_x9_lloyd_step('rc1', 'ra2', 'rm2', 'rc2', subs='rsubs')}, rfull AS (
+    SELECT vec_id, t.m AS m,
+           e[(t.m * {sub_hi} + 1):(t.m * {sub_hi} + {sub_hi})] AS sub
+    FROM rese CROSS JOIN range(0, {PQ_M}) t(m)
+), rcodes AS (
+    SELECT vec_id, m, cell FROM (
+        SELECT f.vec_id, f.m, c.cell,
+               row_number() OVER (PARTITION BY f.vec_id, f.m
+                                  ORDER BY {_x9_sub_d2('f.sub', 'c.center')}, c.cell) AS pr
+        FROM rfull f JOIN rc2 c USING (m)
+    ) WHERE pr = 1
+), cand AS (
+    SELECT p.query_id, v.vec_id, v.cell
+    FROM iassign v JOIN iprobes p ON p.cell = v.cell
+    WHERE v.vec_id <> p.query_id
+), ncand AS (
+    SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+), radc_res AS (
+    SELECT cd.query_id, cd.vec_id,
+           ROUND(list_sum(list(
+               list_sum(list_transform(range(1, {sub_hi + 1}), i ->
+                   ({res_term}) * ({res_term})))
+               ORDER BY k.m)), 4) AS adc_res
+    FROM cand cd
+    JOIN rcodes k ON k.vec_id = cd.vec_id
+    JOIN rc2 rc ON rc.m = k.m AND rc.cell = k.cell
+    JOIN ic2 cc ON cc.cell = cd.cell
+    JOIN q ON q.query_id = cd.query_id
+    GROUP BY cd.query_id, cd.vec_id
+), radc_raw AS (
+    SELECT c.query_id, c.vec_id, a.adc AS adc_raw
+    FROM cand c JOIN adc a
+      ON a.query_id = c.query_id AND a.vec_id = c.vec_id
+), ranked AS (
+    SELECT r.query_id, r.vec_id,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY r.adc_res, r.vec_id) AS rnk_res,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY w.adc_raw, r.vec_id) AS rnk_raw
+    FROM radc_res r JOIN radc_raw w
+      ON w.query_id = r.query_id AND w.vec_id = r.vec_id
+), keepers AS (
+    SELECT query_id, vec_id, rnk_res, rnk_raw FROM ranked
+    WHERE rnk_res <= {TOP_K} OR rnk_raw <= {TOP_K}
+), {_X9_EXACT_CTES}, flag AS (
+    SELECT k.query_id, k.vec_id, k.rnk_res, k.rnk_raw,
+           x.vec_id AS hit
+    FROM keepers k LEFT JOIN exact_topk x
+      ON x.query_id = k.query_id AND x.vec_id = k.vec_id
+)
+SELECT f.query_id,
+       CAST(MAX(n.n_candidates) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN f.rnk_res <= {TOP_K} THEN f.vec_id END)
+            AS BIGINT) AS id_checksum,
+       ROUND(COUNT(CASE WHEN f.rnk_raw <= {TOP_K} THEN f.hit END)
+             / {float(TOP_K)}, 4) AS recall_raw,
+       ROUND(COUNT(CASE WHEN f.rnk_res <= {TOP_K} THEN f.hit END)
+             / {float(TOP_K)}, 4) AS recall_residual,
+       CAST(COUNT(CASE WHEN f.rnk_res <= {TOP_K} THEN f.hit END)
+            - COUNT(CASE WHEN f.rnk_raw <= {TOP_K} THEN f.hit END)
+            AS BIGINT) AS delta_hits
+FROM flag f JOIN ncand n USING (query_id)
+GROUP BY f.query_id ORDER BY f.query_id
+"""
+
+
 _X15_SQL = f"""
 WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2940,6 +3406,10 @@ ORACLE = {
     "x9_pq_adc_topk": _X9_SQL,
     "x17_pq_rerank_topk": _X17_SQL,
     "x18_ivfpq_topk": _x18_sql(),
+    "x18b_ivfpq_residual_topk": _x18b_sql(),
+    # x19 serves from persisted artifacts; the contract is exact
+    # equality with x18's in-line fit, so the oracle IS x18's SQL.
+    "x19_ivfpq_build_serve": _x18_sql(),
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,
     "x14_cluster_balanced_sample": _X14_SQL,

@@ -70,6 +70,10 @@ def _replicate(spark, src: str, dst: str, factor: int, tables) -> None:
 TARGETS = {
     "d1_exact_dedup": "documents",
     "w1_topn_per_group": "orders",
+    # ANN row (VERDICT r11 item #8): the PQ fit→encode→ADC pipeline —
+    # corpus-linear encode on both engines, so the ratio isolates
+    # engine overhead on the x-family's dominant shape.
+    "x9_pq_adc_topk": "embeddings",
 }
 
 

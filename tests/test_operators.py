@@ -251,6 +251,56 @@ def test_d13_semdedup_removes_exemplar_clones(spark, tmp_path):
     assert 19 <= n_removed <= 19 * IVF_CLUSTERS
 
 
+def test_x19_serve_scan_is_partition_pruned(spark, tmp_path):
+    """x19's online half must read only probed cells: the coded corpus
+    is hive-partitioned by IVF cell, and the probe-table join plans
+    dynamic partition pruning (same contract as x7, coarser key).
+    Reproduces the operator's exact serve-join shape on a scratch
+    index."""
+    from pyspark.sql import functions as F
+
+    from mirrulations_iceberg_spark.operators.similarity import (
+        N_QUERIES,
+        _embeddings,
+        _ivf_assign_cell_col,
+        _ivf_cent_lit,
+    )
+
+    emb = _embeddings(spark, SF_DIR)
+    _, cent_lit = _ivf_cent_lit(emb)
+    path = str(tmp_path / "index")
+    emb.select(
+        "vec_id", _ivf_assign_cell_col(cent_lit).alias("cell")
+    ).repartition("cell").write.partitionBy("cell").parquet(path)
+    idx = spark.read.parquet(path)
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _ivf_assign_cell_col(cent_lit).alias("cell"),
+    )
+    plan = (
+        idx.join(F.broadcast(probes), "cell")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruningexpression" in plan
+
+
+def test_x19_serve_equals_x18_inline_fit(spark):
+    """The offline/online split is lossless: serving from persisted
+    artifacts returns exactly the in-line-fit answer (parquet round-
+    trips the fit doubles bit-exactly, so routing, codes, and the
+    grade all agree row for row)."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        x18_ivfpq_topk,
+        x19_ivfpq_build_serve,
+    )
+
+    a = sorted(map(tuple, x18_ivfpq_topk(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, x19_ivfpq_build_serve(spark, SF_DIR).collect()))
+    assert a == b
+
+
 def test_x7_index_scan_is_partition_pruned(spark, tmp_path):
     """The persisted ANN index must be read with dynamic partition
     pruning: the query-bucket join prunes the scan to probed

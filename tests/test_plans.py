@@ -50,6 +50,7 @@ SKIP_SWEEP = {
     "m9_partition_overwrite",  # runs write jobs at construction
     "s3_stream_sessions",  # runs a streaming job at construction
     "x7_ann_partitioned_index",  # writes + reads a scratch index
+    "x19_ivfpq_build_serve",  # writes + reads the IVFPQ artifacts
     "g2_csv_roundtrip",  # sink→source round trips run write jobs
     "g3_jsonl_roundtrip",
     "g4_orc_roundtrip",
@@ -82,6 +83,7 @@ SKIP_SWEEP = {
     "t17b_bpe_train_iters",  # N count->select->apply rounds at construction
     "x17_pq_rerank_topk",  # codebook fit + shortlist cache + materializes
     "x18_ivfpq_topk",  # PQ + IVF fits at construction + materializes
+    "x18b_ivfpq_residual_topk",  # IVF + 2 PQ fits + materializes
 }
 
 

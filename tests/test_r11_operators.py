@@ -357,6 +357,49 @@ def test_x18_routing_invariants(spark, tmp_path):
         assert lo <= r["id_checksum"] <= hi
 
 
+def test_x18b_raw_path_reproduces_x18(spark, tmp_path):
+    """x18b runs raw-PQ and residual-PQ ADC over the IDENTICAL routed
+    candidate set — so its raw-side columns must reproduce x18 exactly
+    on the same fixture (same IVF routing, same raw codebooks/codes):
+    n_candidates equal per query and recall_raw == x18's recall_at_k.
+    Also pins internal consistency: delta_hits is exactly
+    TOP_K · (recall_residual − recall_raw), and the id checksum sums
+    TOP_K distinct non-self ids."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        TOP_K,
+        x18_ivfpq_topk,
+        x18b_ivfpq_residual_topk,
+    )
+
+    n = 30
+    rows = [
+        (
+            i,
+            [float(((i * 7 + j * 13) % 19) / 19.0) for j in range(EMB_DIM)],
+            i % 3,
+        )
+        for i in range(n)
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    base = {r["query_id"]: r for r in x18_ivfpq_topk(spark, sf).collect()}
+    out = x18b_ivfpq_residual_topk(spark, sf).collect()
+    assert len(out) == N_QUERIES
+    for r in out:
+        b = base[r["query_id"]]
+        assert r["n_candidates"] == b["n_candidates"]
+        assert r["recall_raw"] == b["recall_at_k"]
+        assert 0.0 <= r["recall_residual"] <= 1.0
+        assert r["delta_hits"] == round(
+            (r["recall_residual"] - r["recall_raw"]) * TOP_K
+        )
+        lo = sum(range(TOP_K + 1)) - r["query_id"] if r["query_id"] <= TOP_K \
+            else sum(range(TOP_K))
+        hi = sum(range(n - TOP_K, n))
+        assert lo <= r["id_checksum"] <= hi
+
+
 def test_o11_neyman_favors_spread_stratum(spark, tmp_path):
     """Hand-computed design table: stratum A is perfectly uniform
     (zero variance -> Neyman weight 0), stratum B spreads 1..10 tokens
