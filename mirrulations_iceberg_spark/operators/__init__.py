@@ -155,10 +155,11 @@ DRIVER_WINDOW = (
     # --- r08-stale fillers, family spread (next-oldest cohort)
     "e2_training_pipeline",  # flagship batch-curation pipeline
     "j6_asof_join",
-    "f2_is_not_null",
+    "t17b_bpe_train_iters",  # code changed r12: per-round lineage
+                             # truncation (cache -> localCheckpoint)
     "c9_ts_minmax",
     "w1_topn_per_group",
-    "u1_union_base_delta",
+    "s4_stream_dedup",  # code changed r12: dir-source single-filing
 )
 
 

@@ -27,6 +27,7 @@ is covered in ``tests/test_streaming_semantics.py``.
 
 from __future__ import annotations
 
+import os
 import threading
 import uuid
 from contextlib import contextmanager
@@ -256,8 +257,24 @@ def s4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="miis_s4_")
     try:
         src = f"{sf_dir}/events.parquet"
-        for i in range(3):
-            shutil.copyfile(src, f"{base}/delivery{i}.parquet")
+        if os.path.isdir(src):
+            # Replicated corpora (scalestress) land as multi-file
+            # directories. Each delivery must stay ONE micro-batch:
+            # the watermark advances between batches, so a delivery
+            # split across triggers would drop its own tail as late
+            # data — single-file it first.
+            import glob
+
+            spark.read.parquet(src).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{base}/.one")
+            (part,) = glob.glob(f"{base}/.one/part-*.parquet")
+            for i in range(3):
+                shutil.copyfile(part, f"{base}/delivery{i}.parquet")
+            shutil.rmtree(f"{base}/.one", ignore_errors=True)
+        else:
+            for i in range(3):
+                shutil.copyfile(src, f"{base}/delivery{i}.parquet")
         schema = spark.read.parquet(src).schema
         stream = normalize_event_ts(
             spark.readStream.schema(schema)

@@ -837,9 +837,16 @@ def t17b_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays, the argmax as TakeOrderedAndProject (orderBy+limit(1), no
     global sort materialization), the merge applied Spark-side with
     :func:`apply_bpe_merge` (pure array fold, no UDF) and the result
-    cached per round so round r+1 never replays rounds 1..r. The
-    driver holds only the N winning merges — N·|vocab| total work, the
-    same cost shape as any production BPE trainer's counting phase.
+    LOCAL-CHECKPOINTED per round so round r+1 never replays rounds
+    1..r — checkpoint, not cache: a cache truncates execution but NOT
+    the logical plan, so at N rounds the analyzer re-walks an
+    r-deep plan every round (O(N²) driver time — measured 6.6 s/round
+    and climbing at N=16, dead before N=64; with lineage truncation
+    the marginal round is flat, see PLANS.md round-12 N-scaling). At
+    production scale the same truncation is a reliable checkpoint or
+    a vocab-table write per K rounds. The driver holds only the N
+    winning merges — N·|vocab| total work, the same cost shape as any
+    production BPE trainer's counting phase.
 
     Oracle: the same N rounds unrolled as chained CTEs (the x10
     pattern) — symbol sequences as boundary-wrapped strings
@@ -861,9 +868,8 @@ def t17b_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(chars.alias("syms"), "cnt")
-        .cache()
+        .localCheckpoint()
     )
-    caches = [cur]
     total0 = cur.agg(
         F.sum(F.col("cnt") * F.size("syms")).cast("long")
     ).collect()[0][0]
@@ -887,10 +893,11 @@ def t17b_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not best:  # fully merged vocabulary — nothing left to learn
             break
         a, b, pc = best[0]["lft"], best[0]["rgt"], best[0]["pc"]
+        prev = cur
         nxt = cur.select(
             apply_bpe_merge(F.col("syms"), a, b).alias("syms"), "cnt"
-        ).cache()
-        caches.append(nxt)
+        ).localCheckpoint()
+        prev.unpersist(blocking=False)
         total_new = nxt.agg(
             F.sum(F.col("cnt") * F.size("syms")).cast("long")
         ).collect()[0][0]
@@ -908,15 +915,13 @@ def t17b_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = nxt
         total_prev = total_new
-    out = spark.createDataFrame(
+    cur.unpersist(blocking=False)
+    return spark.createDataFrame(
         rows,
         "iter int, left_sym string, right_sym string, merged string,"
         " pair_count long, merges_applied long, total_syms long,"
         " compression_bp long",
     )
-    for c in caches:
-        c.unpersist()
-    return out
 
 
 def _t17b_sql() -> str:
