@@ -86,24 +86,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (181 pass / 0 fail) and every changed/new entry re-verified at
 #: sf0.01 in targeted passes; the exact 50-slot order replayed green
 #: via --window-order before commit.
-#: Round-12 rotation (VERDICT r11 item #1): the window = 2 NEW
-#: operators (x18b residual IVFPQ, x19 build/serve split — never green
-#: by definition) + 4 whose code changed this round and must re-verify
-#: at the driver (o11: the 2^53 radicand guard now rides the ssq
-#: projection; x9/x17/x18: the shared _pq_code_col/_pq_dtab_col/
-#: _adc_col helpers gained column-name parameters for x18b — defaults
-#: keep the plans identical, but identical-by-argument is exactly the
-#: claim the gate exists to attest) + ALL 38 r07-stale greens (last
-#: driver-checked five rounds of refactors ago; list verified against
-#: the regenerated LEDGER.md, never memory) + 6 r08-stale fillers for
-#: family spread (the flagship e2 plus one each from the j/f/c/w/u
-#: families, none otherwise represented in the r07 cohort). The 47-me-
-#: mber r08 cohort's remainder is next round's rotation queue.
-#: Pre-rotation gate: the full sf0.01 sweep ran green this session
-#: (181 pass / 0 fail) BEFORE the new operators landed; x18b/x19 and
-#: the four changed entries re-verified at sf0.01 in targeted passes;
-#: the exact 50-slot order replayed green via --window-order before
-#: commit.
+#: Round-12 rotation (VERDICT r11 item #1): the window = 3 NEW
+#: operators (x18b residual IVFPQ, x19 build/serve split, m18 z-order
+#: design — never green by definition) + 6 whose code changed this
+#: round and must re-verify at the driver (o11: the 2^53 radicand
+#: guard now rides the ssq projection; x9/x17/x18: the shared
+#: _pq_code_col/_pq_dtab_col/_adc_col helpers gained column-name
+#: parameters for x18b — defaults keep the plans identical, but
+#: identical-by-argument is exactly the claim the gate exists to
+#: attest; s4: directory-source single-filing for scale-stress; t17b:
+#: per-round cache → localCheckpoint lineage truncation) + ALL 38
+#: r07-stale greens (last driver-checked five rounds of refactors
+#: ago; list verified against the regenerated LEDGER.md, never
+#: memory) + 3 r08-stale fillers for family spread (the flagship e2,
+#: j6, w1). The r08 cohort's remainder (44) is next round's rotation
+#: queue. Pre-rotation gate: the full sf0.01 sweep ran green this
+#: session (181 pass / 0 fail) BEFORE the new operators landed; every
+#: new/changed entry re-verified at sf0.01 in targeted passes; the
+#: exact 50-slot order replayed green via --window-order before each
+#: commit that touched the window.
 DRIVER_WINDOW = (
     # --- NEW round-12 operators (oracle-bearing, never checked)
     "x18b_ivfpq_residual_topk",  # residual vs raw PQ, both recalls
@@ -157,7 +158,7 @@ DRIVER_WINDOW = (
     "j6_asof_join",
     "t17b_bpe_train_iters",  # code changed r12: per-round lineage
                              # truncation (cache -> localCheckpoint)
-    "c9_ts_minmax",
+    "m18_zorder_design",     # NEW r12: multi-dim layout design report
     "w1_topn_per_group",
     "s4_stream_dedup",  # code changed r12: dir-source single-filing
 )

@@ -999,7 +999,169 @@ def m16_layout_scatter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+#: m18 Z-order geometry: bits per dimension (levels = 2^B per dim,
+#: z-values in [0, 4^B)) and the virtual placement-unit count.
+M18_BITS = 4
+M18_LEVELS = 1 << M18_BITS
+M18_FILES = 16
+
+
+def m18_zorder_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout DESIGN report — the decision input for
+    multi-dimensional clustering (Delta ``OPTIMIZE ZORDER BY`` /
+    Iceberg ``rewrite_data_files`` with a z-sort order), the 2-D
+    generalization of m16's single-key audit: for a probe predicate
+    that constrains BOTH ``lang`` and a length range, how many
+    placement units (and rows) must the scan touch when the table is
+    laid out (a) z-ordered on (lang, length-level) — bit-interleaved
+    Morton codes, (b) 1-D clustered on length alone, (c) in insertion
+    (doc_id) order? Each layout assigns every row to one of
+    ``M18_FILES`` fixed-width virtual units; zone maps (per-unit
+    min/max of both dims) decide touchability exactly the way
+    parquet row-group stats do. m16 proves pruning on REAL files for
+    one key; m18 computes the multi-dim design table a maintenance
+    job consults before paying for the rewrite — o11's design-before-
+    execute discipline applied to storage layout.
+
+    Everything is exact integer arithmetic so both engines agree
+    bit-for-bit: the categorical dim is the rank of ``lang`` in the
+    sorted distinct set SCALED to the full B-bit word
+    (``rank·(2^B−1) DIV (|langs|−1)``) — scaling matters: raw ranks
+    of a low-cardinality dim leave the word's high bits always-zero,
+    so after ``z DIV files`` keeps only z's high bits the categorical
+    contributes NOTHING and z-order degenerates to a coarser copy of
+    the 1-D layout (caught by the engineered test before shipping;
+    the standard Morton-code prescription is equal effective bit
+    width per dim). The numeric dim is a fixed-width level
+    ``((n_chars − min)·2^B) DIV (span+1)``; the z-value interleaves
+    the two 4-bit words (length bits even, lang bits odd); unit ids
+    are fixed-width range partitions of z / level / id-span (NO sort,
+    no NTILE — the single-partition global-window trap stays out of
+    the plan). The probe is data-derived and deterministic: the
+    alphabetically first lang × the second length-span quartile.
+
+    Scale shape: one bounded stats row + the |langs| literal feed a
+    pure projection (dims, z, three unit ids); ``stack`` melts each
+    row into its three (layout, unit) placements, and ONE hash-agg
+    with map-side combine reduces 3·N rows to the 3×``M18_FILES``
+    zone-map rollup — everything after is arithmetic on ≤48 rows. At
+    100 TB the report costs one corpus scan; the rewrite it prices
+    costs a full shuffle — which is exactly why the report runs
+    first.
+
+    Oracle: the identical integer pipeline in SQL (langs ranked by
+    ``row_number`` over the distinct set, the same DIV/bit-shift
+    z-interleave, three UNION ALL placements, the same zone-map
+    intersection test).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.min(F.col("n_chars").cast("long")).alias("mn"),
+        F.max(F.col("n_chars").cast("long")).alias("mx"),
+        F.min("doc_id").alias("id0"),
+        F.max("doc_id").alias("id1"),
+    ).collect()[0]
+    mn, mx = int(stats["mn"]), int(stats["mx"])
+    id0, id1 = int(stats["id0"]), int(stats["id1"])
+    span1 = mx - mn + 1
+    idspan1 = id1 - id0 + 1
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+    probe_lang_id = 0  # alphabetically first lang
+    probe_lo = mn + (mx - mn) // 4
+    probe_hi = mn + (mx - mn) // 2
+    lang_rank = (
+        F.array_position(
+            F.array(*[F.lit(l) for l in langs]), F.col("lang")
+        ).cast("int")
+        - 1
+    )
+    # scale the rank to the full B-bit word (see docstring); with one
+    # lang the dim is constant 0 and the DIV-by-zero never constructs
+    lang_lvl = (
+        F.expr(
+            f"CAST((lang_rank * {M18_LEVELS - 1})"
+            f" DIV {max(len(langs) - 1, 1)} AS INT)"
+        )
+        if len(langs) > 1
+        else F.lit(0)
+    )
+    z_terms = " + ".join(
+        f"(shiftleft((shiftright(lvl, {i}) & 1), {2 * i}))"
+        f" + (shiftleft((shiftright(lang_id, {i}) & 1), {2 * i + 1}))"
+        for i in range(M18_BITS)
+    )
+    dims = (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            lang_rank.alias("lang_rank"),
+            F.expr(
+                f"CAST(((CAST(n_chars AS BIGINT) - {mn}) * {M18_LEVELS})"
+                f" DIV {span1} AS INT)"
+            ).alias("lvl"),
+        )
+        .withColumn("lang_id", lang_lvl)
+        .withColumn("z", F.expr(z_terms))
+    )
+    zmax1 = 1 << (2 * M18_BITS)  # z spans [0, 4^B) exactly
+    placed = dims.select(
+        "lang_id",
+        "n_chars",
+        (
+            (F.col("lang_id") == probe_lang_id)
+            & F.col("n_chars").between(probe_lo, probe_hi)
+        )
+        .cast("long")
+        .alias("hit"),
+        F.expr(
+            f"stack(3,"
+            f" 'a_zorder',    CAST((z * {M18_FILES}) DIV {zmax1} AS INT),"
+            f" 'b_bylen',     CAST(lvl AS INT),"
+            f" 'c_insertion', CAST(((doc_id - {id0}) * {M18_FILES})"
+            f"                     DIV {idspan1} AS INT)"
+            f") AS (layout, unit)"
+        ),
+    )
+    zones = placed.groupBy("layout", "unit").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("hit").alias("n_hits"),
+        F.min("lang_id").alias("lg0"),
+        F.max("lang_id").alias("lg1"),
+        F.min("n_chars").alias("ch0"),
+        F.max("n_chars").alias("ch1"),
+    )
+    touched = (
+        (F.col("lg0") <= probe_lang_id)
+        & (F.col("lg1") >= probe_lang_id)
+        & (F.col("ch0") <= probe_hi)
+        & (F.col("ch1") >= probe_lo)
+    )
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum(touched.cast("long")).cast("long").alias("units_touched"),
+            F.sum(F.when(touched, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_hits").cast("long").alias("rows_matching"),
+        )
+        .withColumn(
+            "waste_bp",
+            F.expr(
+                "CASE WHEN rows_scanned > 0 THEN"
+                " (10000 * (rows_scanned - rows_matching)) DIV rows_scanned"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+        .orderBy("layout")
+    )
+
+
 QUERIES = {
+    "m18_zorder_design": m18_zorder_design,
     "m16_layout_scatter_report": m16_layout_scatter_report,
     "m15_cdc_merge": m15_cdc_merge,
     "s13_schema_evolution": s13_schema_evolution,
@@ -1050,7 +1212,99 @@ _M6_UNION = "\n        UNION ALL\n".join(
     for c in _ORDERS_COLS
 )
 
+def _m18_sql() -> str:
+    """m18 oracle: the identical integer z-design pipeline — langs
+    ranked over the distinct set, the same DIV level/unit arithmetic,
+    the bit-interleave generated from M18_BITS exactly like the Spark
+    expression (one generator per engine, same loop)."""
+    z_terms = " + ".join(
+        f"(((lvl >> {i}) & 1) << {2 * i})"
+        f" + (((lang_id >> {i}) & 1) << {2 * i + 1})"
+        for i in range(M18_BITS)
+    )
+    zmax1 = 1 << (2 * M18_BITS)
+    touched = (
+        "lg0 <= 0 AND lg1 >= 0 AND ch0 <= (SELECT hi FROM pr)"
+        " AND ch1 >= (SELECT lo FROM pr)"
+    )
+    return f"""
+        WITH st AS (
+            SELECT CAST(MIN(n_chars) AS BIGINT) AS mn,
+                   CAST(MAX(n_chars) AS BIGINT) AS mx,
+                   MIN(doc_id) AS id0, MAX(doc_id) AS id1
+            FROM documents
+        ), lr0 AS (
+            SELECT lang,
+                   CAST(row_number() OVER (ORDER BY lang) - 1 AS INT)
+                       AS lang_rank
+            FROM (SELECT DISTINCT lang FROM documents)
+        ), lr AS (
+            -- rank scaled to the full B-bit word (the Spark side's
+            -- lang_lvl); single-lang corpora pin the dim to 0
+            SELECT lang,
+                   CAST(CASE WHEN (SELECT COUNT(*) FROM lr0) > 1
+                             THEN (lang_rank * {M18_LEVELS - 1})
+                                  // ((SELECT COUNT(*) FROM lr0) - 1)
+                             ELSE 0 END AS INT) AS lang_id
+            FROM lr0
+        ), pr AS (
+            SELECT mn + (mx - mn) // 4 AS lo,
+                   mn + (mx - mn) // 2 AS hi
+            FROM st
+        ), d AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   lr.lang_id,
+                   CAST(((CAST(n_chars AS BIGINT) - st.mn)
+                         * {M18_LEVELS}) // (st.mx - st.mn + 1) AS INT)
+                       AS lvl,
+                   st.id0, st.id1
+            FROM documents JOIN lr USING (lang) CROSS JOIN st
+        ), zz AS (
+            SELECT doc_id, n_chars, lang_id, lvl, id0, id1,
+                   {z_terms} AS z
+            FROM d
+        ), placed AS (
+            SELECT 'a_zorder' AS layout,
+                   CAST((z * {M18_FILES}) // {zmax1} AS INT) AS unit,
+                   lang_id, n_chars FROM zz
+            UNION ALL
+            SELECT 'b_bylen', CAST(lvl AS INT), lang_id, n_chars FROM zz
+            UNION ALL
+            SELECT 'c_insertion',
+                   CAST(((doc_id - id0) * {M18_FILES})
+                        // (id1 - id0 + 1) AS INT),
+                   lang_id, n_chars FROM zz
+        ), zones AS (
+            SELECT layout, unit, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN lang_id = 0
+                             AND n_chars BETWEEN (SELECT lo FROM pr)
+                                             AND (SELECT hi FROM pr)
+                            THEN 1 ELSE 0 END) AS n_hits,
+                   MIN(lang_id) AS lg0, MAX(lang_id) AS lg1,
+                   MIN(n_chars) AS ch0, MAX(n_chars) AS ch1
+            FROM placed GROUP BY layout, unit
+        ), agg AS (
+            SELECT layout,
+                   CAST(COUNT(*) AS BIGINT) AS n_units,
+                   CAST(SUM(CASE WHEN {touched} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS units_touched,
+                   CAST(SUM(CASE WHEN {touched} THEN n_rows ELSE 0 END)
+                        AS BIGINT) AS rows_scanned,
+                   CAST(SUM(n_hits) AS BIGINT) AS rows_matching
+            FROM zones GROUP BY layout
+        )
+        SELECT layout, n_units, units_touched, rows_scanned,
+               rows_matching,
+               CAST(CASE WHEN rows_scanned > 0
+                         THEN (10000 * (rows_scanned - rows_matching))
+                              // rows_scanned
+                         ELSE 0 END AS BIGINT) AS waste_bp
+        FROM agg ORDER BY layout
+    """
+
+
 ORACLE = {
+    "m18_zorder_design": _m18_sql(),
     # m16: the scattered layout's unit set is a pure function of the
     # data (md5-nibble shard of doc_id); units_clustered = 1 is the
     # clustering invariant the measured read must reproduce.

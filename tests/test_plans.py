@@ -75,6 +75,7 @@ SKIP_SWEEP = {
     "e13_cluster_aware_split",  # LSH pair gen + iterative components
     "d18_incremental_neardup",  # caches signatures + materializes
     "m16_layout_scatter_report",  # writes two partitioned layouts
+    "m18_zorder_design",  # collects bounded stats at construction
     "e14_release_pipeline",  # caches base reps + LSH sigs, materializes
     "j13_interval_coalesce",  # collects the day summary at construction
     "j14_episode_attribution",  # collects the day summary (stitch input)

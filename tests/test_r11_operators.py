@@ -400,6 +400,49 @@ def test_x18b_raw_path_reproduces_x18(spark, tmp_path):
         assert lo <= r["id_checksum"] <= hi
 
 
+def test_m18_zorder_design_orders_layouts(spark, tmp_path):
+    """Engineered corpus where the three layouts MUST separate: ids
+    interleave langs and lengths (so insertion-order zone maps cover
+    everything → full scan), lengths spread uniformly (so 1-D length
+    clustering prunes the length range but carries both langs), and
+    the z-interleave isolates the (lang, length) quadrant. Also pins
+    the exact match count (recomputed in Python from the operator's
+    own published formulas) and the waste_bp arithmetic."""
+    from mirrulations_iceberg_spark.operators.maintenance import (
+        m18_zorder_design,
+    )
+
+    n = 128
+    docs = [
+        (i, "x" * ((i * 37) % 128 + 10), "aa" if i % 2 == 0 else "bb", "S")
+        for i in range(n)
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = {r["layout"]: r for r in m18_zorder_design(spark, sf).collect()}
+    assert set(rows) == {"a_zorder", "b_bylen", "c_insertion"}
+    lens = [len(t) for _, t, _, _ in docs]
+    mn, mx = min(lens), max(lens)
+    lo, hi = mn + (mx - mn) // 4, mn + (mx - mn) // 2
+    expect_match = sum(
+        1 for _, t, lg, _ in docs if lg == "aa" and lo <= len(t) <= hi
+    )
+    assert expect_match > 0
+    for r in rows.values():
+        assert r["rows_matching"] == expect_match
+        assert r["rows_scanned"] >= r["rows_matching"]
+        assert r["waste_bp"] == (
+            10000 * (r["rows_scanned"] - r["rows_matching"])
+        ) // r["rows_scanned"]
+    ins = rows["c_insertion"]
+    assert ins["units_touched"] == ins["n_units"]  # id order prunes nothing
+    assert ins["rows_scanned"] == n
+    assert (
+        rows["a_zorder"]["rows_scanned"]
+        < rows["b_bylen"]["rows_scanned"]
+        < ins["rows_scanned"]
+    )
+
+
 def test_o11_neyman_favors_spread_stratum(spark, tmp_path):
     """Hand-computed design table: stratum A is perfectly uniform
     (zero variance -> Neyman weight 0), stratum B spreads 1..10 tokens
