@@ -86,10 +86,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: (181 pass / 0 fail) and every changed/new entry re-verified at
 #: sf0.01 in targeted passes; the exact 50-slot order replayed green
 #: via --window-order before commit.
-#: Round-12 rotation (VERDICT r11 item #1): the window = 3 NEW
+#: Round-12 rotation (VERDICT r11 item #1): the window = 4 NEW
 #: operators (x18b residual IVFPQ, x19 build/serve split, m18 z-order
-#: design — never green by definition) + 6 whose code changed this
-#: round and must re-verify at the driver (o11: the 2^53 radicand
+#: design, x20 filtered ANN — never green by definition) + 6 whose
+#: code changed this round and must re-verify at the driver (o11: the 2^53 radicand
 #: guard now rides the ssq projection; x9/x17/x18: the shared
 #: _pq_code_col/_pq_dtab_col/_adc_col helpers gained column-name
 #: parameters for x18b — defaults keep the plans identical, but
@@ -98,9 +98,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: per-round cache → localCheckpoint lineage truncation) + ALL 38
 #: r07-stale greens (last driver-checked five rounds of refactors
 #: ago; list verified against the regenerated LEDGER.md, never
-#: memory) + 3 r08-stale fillers for family spread (the flagship e2,
-#: j6, w1). The r08 cohort's remainder (44) is next round's rotation
-#: queue. Pre-rotation gate: the full sf0.01 sweep ran green this
+#: memory) + 2 r08-stale fillers (the flagship e2 and w1). The r08
+#: cohort's remainder (45) is next round's rotation queue. Pre-rotation gate: the full sf0.01 sweep ran green this
 #: session (181 pass / 0 fail) BEFORE the new operators landed; every
 #: new/changed entry re-verified at sf0.01 in targeted passes; the
 #: exact 50-slot order replayed green via --window-order before each
@@ -155,7 +154,7 @@ DRIVER_WINDOW = (
     "x8_range_search",
     # --- r08-stale fillers, family spread (next-oldest cohort)
     "e2_training_pipeline",  # flagship batch-curation pipeline
-    "j6_asof_join",
+    "x20_filtered_ann_topk",  # NEW r12: metadata-filtered ANN
     "t17b_bpe_train_iters",  # code changed r12: per-round lineage
                              # truncation (cache -> localCheckpoint)
     "m18_zorder_design",     # NEW r12: multi-dim layout design report

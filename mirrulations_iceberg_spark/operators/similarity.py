@@ -1760,6 +1760,179 @@ def x19_ivfpq_build_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+#: x20: post-filter over-retrieval factor — the unfiltered shortlist
+#: is EXPAND·k deep before the metadata filter is applied.
+X20_EXPAND = 2
+
+
+def x20_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED ANN — the serving reality every production
+    vector store handles (FAISS IDSelector, Milvus/Vespa filtered
+    search) and the x-family's missing shape: top-k *among vectors
+    whose label matches the query's* (category-matched retrieval).
+    Two deployment strategies are graded against the same truth in
+    one scan:
+
+    * **pre-filter** (in-scan): the label predicate rides the routed
+      candidate scan, ADC ranks only matching candidates — full k
+      output, compute proportional to matching candidates;
+    * **post-filter**: the unfiltered ADC shortlist of ``EXPAND·k``
+      is filtered afterwards — the naive composition; its recall
+      decays with filter selectivity because matching neighbors
+      below the expanded shortlist are unreachable.
+
+    Truth is exact L2 top-k within the filtered target set, and
+    recall denominators are ``|exact top-k|`` (≤ k when a label has
+    few members) so sparse labels grade correctly on both engines.
+    Output per query: matched-candidate count (pre-filter compute
+    axis), post-filter survivor count (wasted-compute axis), both
+    recalls, and the pre-filter id checksum.
+
+    Scale shape: ONE scored frame (x18's routing joins + the label
+    column carried through) feeds both strategies — the pre-filter
+    ranking is a filter + one row_number, the post-filter ranking is
+    two row_numbers on the same partition key, so everything rides a
+    single exchange; the filtered exact baseline exists only to grade.
+
+    Oracle: x18's composed SQL prefix + a label join on each side of
+    the routed ADC + the two-stage ranking replayed verbatim.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    centers, cent_lit = _ivf_centroid_artifacts(spark, emb)
+    cb_lit = _pq_cb_lit(emb)
+    base = emb.select(
+        "vec_id",
+        "label",
+        _pq_code_col(cb_lit).alias("code"),
+        _ivf_assign_cell_col(cent_lit).alias("cell"),
+    )
+    qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("qlabel"),
+        _pq_dtab_col(cb_lit).alias("dtab"),
+    )
+    d2c = F.aggregate(
+        F.zip_with("qe", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wp = Window.partitionBy("query_id").orderBy("dist2", "cell")
+    probes = (
+        qside.select("query_id", "qe")
+        .crossJoin(F.broadcast(centers))
+        .withColumn("dist2", d2c)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    scored = (
+        base.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(qside.select("query_id", "qlabel", "dtab")),
+            "query_id",
+        )
+        .withColumn("adc", _adc_col())
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    wq = Window.partitionBy("query_id")
+    matches = F.col("label") == F.col("qlabel")
+    pre = (
+        scored.filter(matches)
+        .withColumn("rnk", F.row_number().over(wk))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wq))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "n_candidates")
+    )
+    post = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= X20_EXPAND * TOP_K)
+        .filter(matches)
+        .withColumn("rnk2", F.row_number().over(wk))
+        .withColumn("n_kept_post", F.count(F.lit(1)).over(wq))
+        .filter(F.col("rnk2") <= TOP_K)
+        .select("query_id", "vec_id", "n_kept_post")
+    )
+    d2_full = F.round(
+        F.aggregate(
+            F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+        4,
+    )
+    exact_scored = (
+        emb.crossJoin(
+            F.broadcast(qside.select("query_id", "qe", "qlabel"))
+        )
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .withColumn("l2", d2_full)
+    )
+    wx = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+    exact_topk = (
+        exact_scored.withColumn("rnk", F.row_number().over(wx))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("exact_vec_id"))
+    )
+    truth_n = exact_topk.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    pre_f = pre.join(
+        exact_topk,
+        (pre.query_id == exact_topk.query_id)
+        & (pre.vec_id == exact_topk.exact_vec_id),
+        "left",
+    ).select(
+        pre.query_id, pre.vec_id, pre.n_candidates,
+        exact_topk.exact_vec_id,
+    )
+    post_f = post.join(
+        exact_topk,
+        (post.query_id == exact_topk.query_id)
+        & (post.vec_id == exact_topk.exact_vec_id),
+        "left",
+    ).select(
+        post.query_id, post.n_kept_post, exact_topk.exact_vec_id
+    )
+    pre_agg = pre_f.groupBy("query_id").agg(
+        F.max("n_candidates").alias("n_candidates"),
+        F.sum("vec_id").cast("long").alias("id_checksum"),
+        F.count("exact_vec_id").alias("__hits_pre"),
+    )
+    post_agg = post_f.groupBy("query_id").agg(
+        F.max("n_kept_post").alias("n_kept_post"),
+        F.count("exact_vec_id").alias("__hits_post"),
+    )
+    out = (
+        pre_agg.join(post_agg, "query_id", "left")
+        .join(F.broadcast(truth_n), "query_id")
+        .select(
+            "query_id",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            "id_checksum",
+            F.coalesce(F.col("n_kept_post"), F.lit(0))
+            .cast("long")
+            .alias("n_kept_post"),
+            F.round(F.col("__hits_pre") / F.col("n_truth"), 4).alias(
+                "recall_pre"
+            ),
+            F.round(
+                F.coalesce(F.col("__hits_post"), F.lit(0))
+                / F.col("n_truth"),
+                4,
+            ).alias("recall_post"),
+        )
+        .orderBy("query_id")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
+
+
 #: x11: nprobe operating points to sweep (≤ IVF_CLUSTERS each).
 X11_NPROBE_SWEEP = (1, 2, 4, 8)
 
@@ -2472,6 +2645,7 @@ QUERIES = {
     "x18_ivfpq_topk": x18_ivfpq_topk,
     "x18b_ivfpq_residual_topk": x18b_ivfpq_residual_topk,
     "x19_ivfpq_build_serve": x19_ivfpq_build_serve,
+    "x20_filtered_ann_topk": x20_filtered_ann_topk,
     "x10_mmr_select": x10_mmr_select,
     "x11_ivf_tuning_curve": x11_ivf_tuning_curve,
     "x12_knn_graph": x12_knn_graph,
@@ -3329,6 +3503,117 @@ GROUP BY f.query_id ORDER BY f.query_id
 """
 
 
+def _x20_sql() -> str:
+    """x20 oracle: the shared PQ prefix + x18's i-prefixed IVF replay
+    + label joins on both sides of the routed ADC, then the pre-filter
+    ranking (filter → rank) and the post-filter ranking (rank →
+    shortlist → filter → re-rank) replayed verbatim; recalls divide by
+    the per-query filtered-truth size."""
+    return f"""
+WITH {_X9_PQ_CTES}, lab AS (
+    SELECT vec_id, label FROM embeddings
+), ql AS (
+    SELECT q.query_id, l.label AS qlabel
+    FROM q JOIN lab l ON l.vec_id = q.query_id
+), isamp AS (
+    SELECT vec_id, e FROM e WHERE vec_id % {IVF_SAMPLE_MOD} = 0
+), iseeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM isamp ORDER BY s, vec_id LIMIT {IVF_CLUSTERS}
+), ic0 AS (
+    SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell,
+           e AS center
+    FROM iseeds
+), {_x5_lloyd_step('ic0', 'ia1', 'im1', 'ic1', samp='isamp')},
+{_x5_lloyd_step('ic1', 'ia2', 'im2', 'ic2', samp='isamp')}, iassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_x5_d2('e.e', 'c.center')},
+                                  c.cell) AS pr
+        FROM e CROSS JOIN ic2 c
+    ) WHERE pr = 1
+), iprobes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_x5_d2('q.qe', 'c.center')},
+                                  c.cell) AS pr
+        FROM q CROSS JOIN ic2 c
+    ) WHERE pr <= {IVF_NPROBE}
+), radc AS (
+    SELECT a.query_id, a.vec_id, a.adc, lb.label, ql.qlabel
+    FROM adc a
+    JOIN iassign v ON v.vec_id = a.vec_id
+    JOIN iprobes p ON p.query_id = a.query_id AND p.cell = v.cell
+    JOIN lab lb ON lb.vec_id = a.vec_id
+    JOIN ql ON ql.query_id = a.query_id
+), pre AS (
+    SELECT query_id, vec_id,
+           COUNT(*) OVER (PARTITION BY query_id) AS n_candidates,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS rnk
+    FROM radc WHERE label = qlabel
+), post AS (
+    SELECT query_id, vec_id,
+           COUNT(*) OVER (PARTITION BY query_id) AS n_kept_post,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS rnk2
+    FROM (
+        SELECT query_id, vec_id, adc, label, qlabel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rnk
+        FROM radc
+    ) WHERE rnk <= {X20_EXPAND * TOP_K} AND label = qlabel
+), exactf AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}), i ->
+               (e.e[i] - q.qe[i]) * (e.e[i] - q.qe[i]))), 4) AS l2
+    FROM e CROSS JOIN q
+    JOIN lab lb ON lb.vec_id = e.vec_id
+    JOIN ql ON ql.query_id = q.query_id
+    WHERE e.vec_id <> q.query_id AND lb.label = ql.qlabel
+), exact_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY l2, vec_id) AS rnk
+        FROM exactf
+    ) WHERE rnk <= {TOP_K}
+), truth_n AS (
+    SELECT query_id, COUNT(*) AS n_truth FROM exact_topk GROUP BY query_id
+), pre_agg AS (
+    SELECT p.query_id,
+           MAX(p.n_candidates) AS n_candidates,
+           SUM(CASE WHEN p.rnk <= {TOP_K} THEN p.vec_id END)
+               AS id_checksum,
+           COUNT(CASE WHEN p.rnk <= {TOP_K} THEN x.vec_id END)
+               AS hits_pre
+    FROM pre p LEFT JOIN exact_topk x
+      ON x.query_id = p.query_id AND x.vec_id = p.vec_id
+    GROUP BY p.query_id
+), post_agg AS (
+    SELECT p.query_id,
+           MAX(p.n_kept_post) AS n_kept_post,
+           COUNT(CASE WHEN p.rnk2 <= {TOP_K} THEN x.vec_id END)
+               AS hits_post
+    FROM post p LEFT JOIN exact_topk x
+      ON x.query_id = p.query_id AND x.vec_id = p.vec_id
+    GROUP BY p.query_id
+)
+SELECT a.query_id,
+       CAST(a.n_candidates AS BIGINT) AS n_candidates,
+       CAST(a.id_checksum AS BIGINT) AS id_checksum,
+       CAST(COALESCE(b.n_kept_post, 0) AS BIGINT) AS n_kept_post,
+       ROUND(a.hits_pre / t.n_truth, 4) AS recall_pre,
+       ROUND(COALESCE(b.hits_post, 0) / t.n_truth, 4) AS recall_post
+FROM pre_agg a
+LEFT JOIN post_agg b ON b.query_id = a.query_id
+JOIN truth_n t ON t.query_id = a.query_id
+ORDER BY a.query_id
+"""
+
+
 _X15_SQL = f"""
 WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -3410,6 +3695,7 @@ ORACLE = {
     # x19 serves from persisted artifacts; the contract is exact
     # equality with x18's in-line fit, so the oracle IS x18's SQL.
     "x19_ivfpq_build_serve": _x18_sql(),
+    "x20_filtered_ann_topk": _x20_sql(),
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,
     "x14_cluster_balanced_sample": _X14_SQL,

@@ -85,6 +85,7 @@ SKIP_SWEEP = {
     "x17_pq_rerank_topk",  # codebook fit + shortlist cache + materializes
     "x18_ivfpq_topk",  # PQ + IVF fits at construction + materializes
     "x18b_ivfpq_residual_topk",  # IVF + 2 PQ fits + materializes
+    "x20_filtered_ann_topk",  # IVF + PQ fits + materializes
 }
 
 

@@ -400,6 +400,43 @@ def test_x18b_raw_path_reproduces_x18(spark, tmp_path):
         assert lo <= r["id_checksum"] <= hi
 
 
+def test_x20_prefilter_dominates_postfilter(spark, tmp_path):
+    """Engineered corpus where post-filtering MUST lose recall: two
+    labels interleave in vector space, so any unfiltered shortlist of
+    2k holds ~half wrong-label rows and the filtered survivors cannot
+    reach k for most queries — while the pre-filter path ranks ONLY
+    matching candidates and keeps full-k output. Pins: per-query
+    recall_pre >= recall_post, n_kept_post <= 2k survivors bound,
+    recalls are fractions of the per-query truth size, and the
+    pre-filter checksum sums distinct non-self matching ids."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        TOP_K,
+        X20_EXPAND,
+        x20_filtered_ann_topk,
+    )
+
+    n = 60
+    rows = [
+        (
+            i,
+            [float(((i * 7 + j * 13) % 19) / 19.0) for j in range(EMB_DIM)],
+            i % 2,
+        )
+        for i in range(n)
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = x20_filtered_ann_topk(spark, sf).collect()
+    assert 0 < len(out) <= N_QUERIES
+    for r in out:
+        assert r["recall_pre"] >= r["recall_post"]
+        assert 0 <= r["n_kept_post"] <= X20_EXPAND * TOP_K
+        assert 0.0 <= r["recall_post"] <= r["recall_pre"] <= 1.0
+        assert r["n_candidates"] >= 1
+        assert r["id_checksum"] >= 0
+
+
 def test_m18_zorder_design_orders_layouts(spark, tmp_path):
     """Engineered corpus where the three layouts MUST separate: ids
     interleave langs and lengths (so insertion-order zone maps cover
