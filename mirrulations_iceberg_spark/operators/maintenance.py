@@ -1109,8 +1109,13 @@ def m18_zorder_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     placed = dims.select(
         "lang_id",
         "n_chars",
+        # hit tests the RAW rank: at ≥17 langs the scaled word maps
+        # rank 1 onto 0 as well, and a scaled-value compare would
+        # count wrong-lang rows as probe matches (review r12). The
+        # zone-map touch test below stays in scaled space — there a
+        # collision only makes pruning conservative, never wrong.
         (
-            (F.col("lang_id") == probe_lang_id)
+            (F.col("lang_rank") == probe_lang_id)
             & F.col("n_chars").between(probe_lo, probe_hi)
         )
         .cast("long")
@@ -1240,8 +1245,11 @@ def _m18_sql() -> str:
             FROM (SELECT DISTINCT lang FROM documents)
         ), lr AS (
             -- rank scaled to the full B-bit word (the Spark side's
-            -- lang_lvl); single-lang corpora pin the dim to 0
-            SELECT lang,
+            -- lang_lvl); single-lang corpora pin the dim to 0. The
+            -- raw rank rides along: probe hits test IT (scaled words
+            -- collide at >= 17 langs; zone tests stay scaled, where
+            -- a collision is only conservative)
+            SELECT lang, lang_rank,
                    CAST(CASE WHEN (SELECT COUNT(*) FROM lr0) > 1
                              THEN (lang_rank * {M18_LEVELS - 1})
                                   // ((SELECT COUNT(*) FROM lr0) - 1)
@@ -1253,30 +1261,31 @@ def _m18_sql() -> str:
             FROM st
         ), d AS (
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-                   lr.lang_id,
+                   lr.lang_id, lr.lang_rank,
                    CAST(((CAST(n_chars AS BIGINT) - st.mn)
                          * {M18_LEVELS}) // (st.mx - st.mn + 1) AS INT)
                        AS lvl,
                    st.id0, st.id1
             FROM documents JOIN lr USING (lang) CROSS JOIN st
         ), zz AS (
-            SELECT doc_id, n_chars, lang_id, lvl, id0, id1,
+            SELECT doc_id, n_chars, lang_id, lang_rank, lvl, id0, id1,
                    {z_terms} AS z
             FROM d
         ), placed AS (
             SELECT 'a_zorder' AS layout,
                    CAST((z * {M18_FILES}) // {zmax1} AS INT) AS unit,
-                   lang_id, n_chars FROM zz
+                   lang_id, lang_rank, n_chars FROM zz
             UNION ALL
-            SELECT 'b_bylen', CAST(lvl AS INT), lang_id, n_chars FROM zz
+            SELECT 'b_bylen', CAST(lvl AS INT), lang_id, lang_rank,
+                   n_chars FROM zz
             UNION ALL
             SELECT 'c_insertion',
                    CAST(((doc_id - id0) * {M18_FILES})
                         // (id1 - id0 + 1) AS INT),
-                   lang_id, n_chars FROM zz
+                   lang_id, lang_rank, n_chars FROM zz
         ), zones AS (
             SELECT layout, unit, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN lang_id = 0
+                   SUM(CASE WHEN lang_rank = 0
                              AND n_chars BETWEEN (SELECT lo FROM pr)
                                              AND (SELECT hi FROM pr)
                             THEN 1 ELSE 0 END) AS n_hits,

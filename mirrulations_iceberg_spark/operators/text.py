@@ -893,11 +893,16 @@ def t17b_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not best:  # fully merged vocabulary — nothing left to learn
             break
         a, b, pc = best[0]["lft"], best[0]["rgt"], best[0]["pc"]
-        prev = cur
+        # Superseded rounds' checkpoint blocks are reclaimed by the
+        # ContextCleaner once `cur` rebinds (Dataset.unpersist only
+        # speaks to the CacheManager and is a silent no-op for a
+        # localCheckpoint's internally-persisted RDD — review r12);
+        # each block set is one Heaps-bounded vocab, so the transient
+        # overlap is small. At production N, checkpoint every K
+        # rounds to a reliable store instead.
         nxt = cur.select(
             apply_bpe_merge(F.col("syms"), a, b).alias("syms"), "cnt"
         ).localCheckpoint()
-        prev.unpersist(blocking=False)
         total_new = nxt.agg(
             F.sum(F.col("cnt") * F.size("syms")).cast("long")
         ).collect()[0][0]
@@ -915,7 +920,6 @@ def t17b_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = nxt
         total_prev = total_new
-    cur.unpersist(blocking=False)
     return spark.createDataFrame(
         rows,
         "iter int, left_sym string, right_sym string, merged string,"

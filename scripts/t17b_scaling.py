@@ -30,15 +30,14 @@ from mirrulations_iceberg_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def run_at(spark, n: int) -> tuple[float, list[float]]:
-    """Run t17b at T17B_ITERS=n; return (total_sec, per_round_sec).
+def run_at(spark, n: int) -> tuple[float, int]:
+    """Run t17b at T17B_ITERS=n; return (total_sec, rounds_completed).
 
-    Per-round walls are recovered by timing each loop pass through a
-    monkeypatched ``collect`` boundary — simplest honest probe: we
-    re-run the operator body via the public function and measure the
-    whole call, then derive the bend from totals across N values
-    (total(N) is additive in rounds, so successive differences ARE the
-    per-round costs)."""
+    rounds_completed (the output row count) can be < n when the
+    vocabulary fully merges early — marginal costs divide by the
+    ROUNDS ACTUALLY RUN, not the requested n. total(N) is additive in
+    rounds, so successive differences between runs ARE the per-round
+    costs."""
     old = text.T17B_ITERS
     text.T17B_ITERS = n
     try:
@@ -57,15 +56,15 @@ def main() -> int:
     args = ap.parse_args()
     spark = get_spark()
     run_at(spark, 2)  # warm: JVM, scan cache, codegen
-    prev_n, prev_wall = None, None
+    prev_rounds, prev_wall = None, None
     for n in [int(x) for x in args.iters.split(",")]:
-        wall, n_rows = run_at(spark, n)
-        line = f"t17b N={n} rounds={n_rows} wall={wall:.2f}s"
-        if prev_n is not None and n > prev_n:
-            per_round = (wall - prev_wall) / (n - prev_n)
+        wall, n_rounds = run_at(spark, n)
+        line = f"t17b N={n} rounds={n_rounds} wall={wall:.2f}s"
+        if prev_rounds is not None and n_rounds > prev_rounds:
+            per_round = (wall - prev_wall) / (n_rounds - prev_rounds)
             line += f" marginal_per_round={per_round:.3f}s"
         print(line, flush=True)
-        prev_n, prev_wall = n, wall
+        prev_rounds, prev_wall = n_rounds, wall
     return 0
 
 
