@@ -1068,7 +1068,17 @@ def m18_zorder_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = sorted(
         r["lang"] for r in docs.select("lang").distinct().collect()
     )
-    probe_lang_id = 0  # alphabetically first lang
+    # The probe lang lives in TWO coordinate systems: the hit test
+    # compares raw ranks (exact at any cardinality), the zone touched
+    # test compares scaled words (the space zone maps store). Both
+    # values are derived here from the one rank so retuning the probe
+    # to a non-first lang keeps the two tests consistent.
+    probe_rank = 0  # alphabetically first lang
+    probe_scaled = (
+        (probe_rank * (M18_LEVELS - 1)) // max(len(langs) - 1, 1)
+        if len(langs) > 1
+        else 0
+    )
     probe_lo = mn + (mx - mn) // 4
     probe_hi = mn + (mx - mn) // 2
     lang_rank = (
@@ -1115,7 +1125,7 @@ def m18_zorder_design(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zone-map touch test below stays in scaled space — there a
         # collision only makes pruning conservative, never wrong.
         (
-            (F.col("lang_rank") == probe_lang_id)
+            (F.col("lang_rank") == probe_rank)
             & F.col("n_chars").between(probe_lo, probe_hi)
         )
         .cast("long")
@@ -1138,8 +1148,8 @@ def m18_zorder_design(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("ch1"),
     )
     touched = (
-        (F.col("lg0") <= probe_lang_id)
-        & (F.col("lg1") >= probe_lang_id)
+        (F.col("lg0") <= probe_scaled)
+        & (F.col("lg1") >= probe_scaled)
         & (F.col("ch0") <= probe_hi)
         & (F.col("ch1") >= probe_lo)
     )
@@ -1228,6 +1238,11 @@ def _m18_sql() -> str:
         for i in range(M18_BITS)
     )
     zmax1 = 1 << (2 * M18_BITS)
+    # the two 0 literals live in different coordinate systems: the
+    # zone compare (here) is the SCALED word, the hit compare (zones
+    # CTE) is the RAW rank — both are 0 only because the probe is the
+    # first lang; a retuned probe must scale the zone-side literal
+    # exactly like the Spark side's probe_scaled
     touched = (
         "lg0 <= 0 AND lg1 >= 0 AND ch0 <= (SELECT hi FROM pr)"
         " AND ch1 >= (SELECT lo FROM pr)"

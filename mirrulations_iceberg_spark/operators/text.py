@@ -893,13 +893,15 @@ def t17b_bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not best:  # fully merged vocabulary — nothing left to learn
             break
         a, b, pc = best[0]["lft"], best[0]["rgt"], best[0]["pc"]
-        # Superseded rounds' checkpoint blocks are reclaimed by the
-        # ContextCleaner once `cur` rebinds (Dataset.unpersist only
-        # speaks to the CacheManager and is a silent no-op for a
-        # localCheckpoint's internally-persisted RDD — review r12);
-        # each block set is one Heaps-bounded vocab, so the transient
-        # overlap is small. At production N, checkpoint every K
-        # rounds to a reliable store instead.
+        # Superseded rounds' checkpoint blocks are reclaimed lazily:
+        # Dataset.unpersist only speaks to the CacheManager and is a
+        # silent no-op for a localCheckpoint's internally-persisted
+        # RDD (review r12), and the ContextCleaner frees blocks only
+        # when driver GC collects the RDD reference — on a big heap
+        # all N Heaps-bounded vocab copies may coexist for the run.
+        # That bounds memory at N·|vocab| rows, fine at fixture N; at
+        # production N, checkpoint every K rounds to a reliable store
+        # (which truncates AND frees deterministically) instead.
         nxt = cur.select(
             apply_bpe_merge(F.col("syms"), a, b).alias("syms"), "cnt"
         ).localCheckpoint()

@@ -6,9 +6,12 @@ bends as the vocabulary shrinks and the per-round work is dominated by
 job-scheduling latency rather than data.
 
 Protocol: same session, warm (one throwaway N=2 run first), then one
-timed run per N with per-round wall clocks captured; prints per-N
-total seconds and the mean of the LAST 5 rounds (the steady-state
-per-round floor).
+timed whole run per N; the steady-state per-round floor is the
+successive-difference marginal (Δwall/Δrounds-completed) between
+consecutive N values, printed on each line after the first. The
+marginal is suppressed when a run exhausts the vocabulary early
+(rounds < N): the exhausted run pays one extra empty-argmax probe the
+completed run never ran, which would inflate the marginal.
 
 Usage::
 
@@ -60,7 +63,9 @@ def main() -> int:
     for n in [int(x) for x in args.iters.split(",")]:
         wall, n_rounds = run_at(spark, n)
         line = f"t17b N={n} rounds={n_rounds} wall={wall:.2f}s"
-        if prev_rounds is not None and n_rounds > prev_rounds:
+        if n_rounds < n:
+            line += " (vocab exhausted early; marginal suppressed)"
+        elif prev_rounds is not None and n_rounds > prev_rounds:
             per_round = (wall - prev_wall) / (n_rounds - prev_rounds)
             line += f" marginal_per_round={per_round:.3f}s"
         print(line, flush=True)

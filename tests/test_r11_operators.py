@@ -480,6 +480,30 @@ def test_m18_zorder_design_orders_layouts(spark, tmp_path):
     )
 
 
+def test_m18_raw_rank_probe_at_high_lang_cardinality(spark, tmp_path):
+    """At ≥17 langs the scaled B-bit word maps rank 1 onto 0 as well
+    (1·15 DIV 19 = 0 at 20 langs), so a scaled-value hit test would
+    count rank-1 rows as probe matches on BOTH engines and parity
+    could never catch it. 20 langs, every doc the same length (the
+    whole corpus sits inside the probe's length range): matches must
+    equal exactly the docs of the alphabetically FIRST lang."""
+    from mirrulations_iceberg_spark.operators.maintenance import (
+        m18_zorder_design,
+    )
+
+    langs = [f"l{chr(ord('a') + i)}" for i in range(20)]  # la..lt
+    docs = [
+        (i, "x" * 50, langs[i % 20], "S") for i in range(200)
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = m18_zorder_design(spark, sf).collect()
+    per_lang = 200 // 20
+    for r in rows:
+        # a scaled-compare regression would report 2*per_lang here
+        # (rank 0 AND rank 1 both scale to word 0)
+        assert r["rows_matching"] == per_lang, r
+
+
 def test_o11_neyman_favors_spread_stratum(spark, tmp_path):
     """Hand-computed design table: stratum A is perfectly uniform
     (zero variance -> Neyman weight 0), stratum B spreads 1..10 tokens
