@@ -230,8 +230,14 @@ def main() -> None:
     # exists precisely so sandboxed runs (tests/test_bench_contract.py
     # at sf0.001, ad-hoc sweeps) never clobber the committed bank —
     # the versioned snapshot must honor the same boundary (review r12).
+    # Same for SPARK_GRAFT_SF_DIR: an sf0.001/sf0.01 sweep with only
+    # the data dir overridden must not bank off-scale numbers as the
+    # upcoming round's detail (ADVICE r12).
     try:
-        if "SPARK_GRAFT_DETAIL_PATH" not in os.environ:
+        if (
+            "SPARK_GRAFT_DETAIL_PATH" not in os.environ
+            and "SPARK_GRAFT_SF_DIR" not in os.environ
+        ):
             import glob as _glob
             import re as _re
 

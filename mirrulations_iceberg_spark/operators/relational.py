@@ -874,6 +874,48 @@ def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 O11_BUDGET_DIV = 10
 
 
+def _o11_with_ssq(per: DataFrame) -> DataFrame:
+    """Attach o11's exact radicand ``ssq = n_docs·syy − sy²`` with the
+    2^53 loud-failure guard.
+
+    The ±1-corrected isqrt downstream is exact only while the radicand
+    casts to double losslessly (< 2^53); past that the allocation would
+    drift silently, so the boundary fails loudly in-plan (ADVICE r11) —
+    zero cost on the happy path, no extra action: the CASE rides the
+    same |sources|-row projection. The radicand itself is evaluated in
+    DECIMAL (ADVICE r12): with ANSI off, BIGINT ``n_docs·syy`` wraps
+    past 2^63 — e.g. when ``n_docs·syy`` and ``sy²`` are both huge but
+    nearly equal — and a wrapped (possibly negative) value would sail
+    under the very comparison the guard exists for. DECIMAL(19,0)
+    holds any BIGINT; the product's DECIMAL(38,0) holds any BIGINT²
+    (max ~8.5e37 < 1e38), so the decimal path cannot itself overflow.
+    The guarded value is cast back to BIGINT, exact because it is
+    proven < 2^53. Split out of o11 so the boundary arithmetic is unit-
+    testable on crafted moments without synthesizing a 2^53 corpus.
+    """
+    return (
+        per.withColumn(
+            "ssq_dec",
+            F.expr(
+                "CAST(n_docs AS DECIMAL(19,0))"
+                " * CAST(syy AS DECIMAL(19,0))"
+                " - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))"
+            ),
+        )
+        .withColumn(
+            "ssq",
+            F.expr(
+                "CASE WHEN ssq_dec >= 9007199254740992"
+                " THEN raise_error('o11: N_h*Σy²−(Σy)² ≥ 2^53 — widen"
+                " the moments to DECIMAL(38,0) and the isqrt correction"
+                " to ±2')"
+                " ELSE CAST(ssq_dec AS BIGINT) END"
+            ),
+        )
+        .drop("ssq_dec")
+    )
+
+
 def o11_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11: variance-optimal (Neyman) stratified sample DESIGN — the
     survey-sampling allocation the o-family was missing: o7 draws
@@ -909,20 +951,7 @@ def o11_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y).alias("sy"),
         F.sum(y * y).alias("syy"),
     )
-    # The ±1-corrected isqrt is exact only while the radicand casts to
-    # double losslessly (< 2^53); past that the allocation would drift
-    # silently. Guard in-plan so the documented boundary fails loudly
-    # instead (ADVICE r11) — zero cost on the happy path, no extra
-    # action: the CASE rides the same |sources|-row projection.
-    per = per.withColumn(
-        "ssq",
-        F.expr(
-            "CASE WHEN n_docs * syy - sy * sy >= 9007199254740992"
-            " THEN raise_error('o11: N_h*Σy²−(Σy)² ≥ 2^53 — widen the"
-            " moments to DECIMAL(38,0) and the isqrt correction to ±2')"
-            " ELSE n_docs * syy - sy * sy END"
-        ),
-    )
+    per = _o11_with_ssq(per)
     per = (
         per.withColumn(
             "s0",

@@ -1907,19 +1907,33 @@ def x20_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_kept_post").alias("n_kept_post"),
         F.count("exact_vec_id").alias("__hits_post"),
     )
+    # Drive the final select from truth_n, not pre_agg (ADVICE r12): a
+    # query whose ROUTED candidate set contains zero same-label rows
+    # has no pre_agg row, and an inner/pre-driven join would silently
+    # drop it — the exact worst-case pre-filter miss this operator
+    # exists to surface. truth_n is the complete key set (pre rows are
+    # same-label routed candidates, so pre nonempty ⇒ a same-label
+    # vector exists ⇒ exact filtered truth nonempty); left-join both
+    # aggregates onto it and COALESCE counts/recalls to 0.
     out = (
-        pre_agg.join(post_agg, "query_id", "left")
-        .join(F.broadcast(truth_n), "query_id")
+        truth_n.join(F.broadcast(pre_agg), "query_id", "left")
+        .join(F.broadcast(post_agg), "query_id", "left")
         .select(
             "query_id",
-            F.col("n_candidates").cast("long").alias("n_candidates"),
-            "id_checksum",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("id_checksum"), F.lit(0))
+            .cast("long")
+            .alias("id_checksum"),
             F.coalesce(F.col("n_kept_post"), F.lit(0))
             .cast("long")
             .alias("n_kept_post"),
-            F.round(F.col("__hits_pre") / F.col("n_truth"), 4).alias(
-                "recall_pre"
-            ),
+            F.round(
+                F.coalesce(F.col("__hits_pre"), F.lit(0))
+                / F.col("n_truth"),
+                4,
+            ).alias("recall_pre"),
             F.round(
                 F.coalesce(F.col("__hits_post"), F.lit(0))
                 / F.col("n_truth"),
@@ -3601,16 +3615,16 @@ WITH {_X9_PQ_CTES}, lab AS (
       ON x.query_id = p.query_id AND x.vec_id = p.vec_id
     GROUP BY p.query_id
 )
-SELECT a.query_id,
-       CAST(a.n_candidates AS BIGINT) AS n_candidates,
-       CAST(a.id_checksum AS BIGINT) AS id_checksum,
+SELECT t.query_id,
+       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(a.id_checksum, 0) AS BIGINT) AS id_checksum,
        CAST(COALESCE(b.n_kept_post, 0) AS BIGINT) AS n_kept_post,
-       ROUND(a.hits_pre / t.n_truth, 4) AS recall_pre,
+       ROUND(COALESCE(a.hits_pre, 0) / t.n_truth, 4) AS recall_pre,
        ROUND(COALESCE(b.hits_post, 0) / t.n_truth, 4) AS recall_post
-FROM pre_agg a
-LEFT JOIN post_agg b ON b.query_id = a.query_id
-JOIN truth_n t ON t.query_id = a.query_id
-ORDER BY a.query_id
+FROM truth_n t
+LEFT JOIN pre_agg a ON a.query_id = t.query_id
+LEFT JOIN post_agg b ON b.query_id = t.query_id
+ORDER BY t.query_id
 """
 
 
