@@ -104,62 +104,77 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: new/changed entry re-verified at sf0.01 in targeted passes; the
 #: exact 50-slot order replayed green via --window-order before each
 #: commit that touched the window.
+#: Round-13 rotation (VERDICT r11 #1's trajectory, continued): the
+#: window = 4 NEW operators (w16 CUSUM changepoint, d20 per-source
+#: MinHash overlap sketch, x21 IVFPQ incremental upsert, e15 dataset-
+#: card report — never green by definition) + 2 whose code changed
+#: this round and must re-verify at the driver (o11: the radicand
+#: guard now evaluates in DECIMAL — ADVICE r12; x20: output driven
+#: from the filtered-truth key set with COALESCEd left joins — ADVICE
+#: r12, oracle updated identically) + 44 of the 45 remaining r08-stale
+#: greens (last driver-checked five rounds of refactors ago; list
+#: verified against the regenerated LEDGER.md, never memory) —
+#: w5_sessionize, the cohort member with the DEEPEST green history
+#: (r03/r04/r05/r06/r08, the established displacement criterion),
+#: yields its slot to e15 and heads r14's rotation queue. Pre-rotation
+#: gate: the full sf0.01 sweep ran green this session (185 pass /
+#: 2 rows-only / 0 fail) with the o11/x20 fixes in, each new operator
+#: verified at sf0.01 on first contact, and the exact 50-slot order
+#: replayed green via --window-order before commit.
 DRIVER_WINDOW = (
-    # --- NEW round-12 operators (oracle-bearing, never checked)
-    "x18b_ivfpq_residual_topk",  # residual vs raw PQ, both recalls
-    "x19_ivfpq_build_serve",     # offline build / pruned online serve
-    # --- code changed in round 12: re-verify at the driver
-    "o11_neyman_allocation",     # in-plan 2^53 radicand guard
-    "x9_pq_adc_topk",            # _pq_* helpers gained vec params
-    "x17_pq_rerank_topk",        # (defaults identical; re-attest)
-    "x18_ivfpq_topk",
-    # --- the 38 r07-stale greens (VERDICT r11 #1), family-grouped
-    "a13_pivot",
-    "a15_exact_quantile_twopass",
-    "a5b_approx_stats",
-    "d12_segment_boilerplate",
-    "d2_ngram_jaccard_pairs_diag",
-    "d2b_cap_report",
-    "d3b_minhash_accuracy",
-    "d4_simhash",
-    "d5_simhash_pairs",
-    "d6_dedup_apply",
-    "e3_shard_assign",
-    "g2_csv_roundtrip",
-    "g3_jsonl_roundtrip",
-    "g4_orc_roundtrip",
-    "m12_vacuum_orphans",
-    "mm1_media_manifest",
-    "mm4_audio_rms",
-    "mm5_resize_thumbs",
-    "o8_hash_split",
-    "t10_pii_redact",
-    "t12_vocab_growth",
-    "t5_lang_profile",
-    "t7_tfidf_top_terms",
-    "t8_repetition_ratio",
-    "t9_token_counts",
-    "u4_except_all",
-    "u5_intersect_all",
-    "w10_trailing_window_value",
-    "w11_funnel_steps",
-    "w3_lag_delta",
-    "w6_session_window",
-    "w8_decayed_engagement",
-    "w9_users_to_date",
-    "x1_cosine_topk",
-    "x3_label_centroid_sim",
-    "x4_embedding_neardup_pairs_diag",
-    "x4b_bucket_cap_report",
-    "x8_range_search",
-    # --- r08-stale fillers, family spread (next-oldest cohort)
-    "e2_training_pipeline",  # flagship batch-curation pipeline
-    "x20_filtered_ann_topk",  # NEW r12: metadata-filtered ANN
-    "t17b_bpe_train_iters",  # code changed r12: per-round lineage
-                             # truncation (cache -> localCheckpoint)
-    "m18_zorder_design",     # NEW r12: multi-dim layout design report
-    "w1_topn_per_group",
-    "s4_stream_dedup",  # code changed r12: dir-source single-filing
+    # --- NEW round-13 operators (oracle-bearing, never checked)
+    "w16_cusum_changepoint",      # two-sided CUSUM over daily volumes
+    "d20_minhash_source_sketch",  # one-pass source sketch + grade
+    "x21_ivfpq_upsert_topk",      # frozen-model incremental upsert
+    "e15_dataset_card",           # grouping-sets release-stats card
+    # --- code changed in round 13: re-verify at the driver
+    "o11_neyman_allocation",      # DECIMAL radicand guard (ADVICE r12)
+    "x20_filtered_ann_topk",      # truth-driven output (ADVICE r12)
+    # --- 44 of the 45 r08-stale greens (w5 -> r14 queue)
+    "a10_date_histogram",
+    "a12b_cube",
+    "a14_histogram",
+    "a16_grouping_sets",
+    "a6_count_distinct",
+    "a7_boolean_sum",
+    "a9_value_counts",
+    "c11_from_json_typed",
+    "c9_ts_minmax",
+    "d14_contamination_grade",
+    "d9_decontaminate",
+    "e1_docket_pipeline",
+    "e8_temperature_mixture",
+    "f2_is_not_null",
+    "f3_boolean_filter",
+    "j10_bucketed_colocated_join",
+    "j11_salted_skew_join",
+    "j2_semi_join",
+    "j3_anti_join",
+    "j4_fact_fact_join",
+    "j5_left_outer_join",
+    "j6_asof_join",
+    "j7_range_join",
+    "j8_full_outer_join",
+    "m3_delta_append",
+    "m4_compaction",
+    "m9_partition_overwrite",
+    "o2_top_dates",
+    "o4_peak_day",
+    "o6_systematic_sample",
+    "o9_weighted_sample",
+    "t11_bigram_coverage",
+    "t15_freq_spectrum",
+    "t2_quality_score",
+    "t3_fingerprint",
+    "t4_token_index_lookup",
+    "t6_winnow_fingerprints",
+    "u1_union_base_delta",
+    "u2_intersect",
+    "u3_except",
+    "w12_retention_cohorts",
+    "w13_sequence_with_negation",
+    "w2_running_sum",
+    "w4_rank_in_partition",
 )
 
 

@@ -1436,6 +1436,150 @@ def t16_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(docs.sparkSession, out, per_src)
 
 
+D20_K = 16  # MinHash slots per source sketch
+
+
+def d20_minhash_source_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE MinHash sketches + the pairwise overlap ESTIMATE they
+    support, graded in-plan against t16's exact Jaccard — the scale
+    path for the source-overlap matrix. t16's exact answer needs the
+    distinct (source, fingerprint) posting set: one corpus-sized
+    distinct shuffle plus a group-and-pair pass. At 100 TB the
+    operational pattern is instead Broder's sketch: ``D20_K`` min-hash
+    slots per source, built in ONE corpus pass with NO distinct
+    shuffle at all — min over a multiset equals min over its distinct
+    set, so the slot minima ride a plain map-side-combining groupBy.
+    Each snapshot/shard persists its |sources|·K sketch; any two
+    sketches estimate Jaccard as the slot-agreement fraction without
+    touching either corpus again (how CC snapshot overlap is actually
+    audited).
+
+    The exact posting-set pipeline still runs HERE as the grading
+    baseline (the x-family discipline: an estimator ships with its
+    in-plan truth), reusing t16's shapes — distinct (source, fp), one
+    group-and-pair pass (fanout bounded by |sources|), never a
+    postings self-join. Output is driven from the SKETCH pair table
+    (all |sources|·(|sources|−1)/2 pairs) with the exact counts
+    left-joined and COALESCEd, so zero-overlap pairs — the estimator's
+    worst case — stay visible instead of vanishing (the x20 lesson).
+
+    Slot hashes are ``md5(j || ':' || shingle)`` — K string hashes per
+    shingle instance, identical in both engines. (The per-doc MinHash
+    in :func:`minhash_signatures` derives its k hashes from one
+    xxhash64 via reseeding, which DuckDB can't replay; the per-source
+    sketch is hash-checked END to END, so it pays K md5s for exact
+    cross-engine parity. A production deployment would switch to the
+    Kirsch-Mitzenmacher two-hash scheme — same one-pass plan shape.)
+
+    Integer output: counts and basis points (``(10000·x) DIV y``);
+    ``err_bp = est − exact`` signed, the sketch-quality column.
+    """
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.withColumn("__toks", tokens_col(F.col("text")))
+        .select(
+            "source",
+            F.explode(shingles_from_tokens(F.col("__toks"))).alias("sh"),
+        )
+        .cache()
+    )
+    sig = sh.groupBy("source").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(
+                f"s{j}"
+            )
+            for j in range(D20_K)
+        ]
+    )
+    eq_slots = sum(
+        F.when(F.col(f"a.s{j}") == F.col(f"b.s{j}"), 1).otherwise(0)
+        for j in range(D20_K)
+    )
+    est = (
+        sig.alias("a")
+        .join(
+            F.broadcast(sig.alias("b")),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            eq_slots.cast("long").alias("eq_slots"),
+        )
+    )
+    # exact grading baseline — t16's posting-set shapes
+    per_src = sh.select("source", F.md5("sh").alias("fp")).distinct().cache()
+    counts = per_src.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    srcs = (
+        per_src.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    inter = (
+        srcs.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
+    )
+    out = (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(F.broadcast(ca), "src_a")
+        .join(F.broadcast(cb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            "eq_slots",
+        )
+        .withColumn(
+            "jaccard_bp",
+            F.expr(
+                "(10000 * n_common)"
+                " DIV greatest(n_a + n_b - n_common, 1)"
+            ),
+        )
+        .withColumn(
+            "jaccard_est_bp", F.expr(f"(10000 * eq_slots) DIV {D20_K}")
+        )
+        .withColumn(
+            "err_bp", F.col("jaccard_est_bp") - F.col("jaccard_bp")
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            "eq_slots",
+            "jaccard_bp",
+            "jaccard_est_bp",
+            "err_bp",
+        )
+        .orderBy("src_a", "src_b")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, sh, per_src)
+
+
 def _o8_split_col(id_col):
     """o8's deterministic train/holdout rule (first md5 nibble < 'd'),
     shared so the leakage audit classifies with EXACTLY the split the
@@ -1878,6 +2022,7 @@ QUERIES = {
     "d15_exact_substring_spans": d15_exact_substring_spans,
     "d15b_exact_substring_cut": d15b_exact_substring_cut,
     "d19_duplicate_reweight": d19_duplicate_reweight,
+    "d20_minhash_source_sketch": d20_minhash_source_sketch,
 }
 
 # DuckDB twin of d4's SimHash: identical md5-derived 60-bit token
@@ -2505,6 +2650,59 @@ ORACLE = {
         JOIN cnt ca ON ca.source = pr.src_a
         JOIN cnt cb ON cb.source = pr.src_b
         ORDER BY src_a, src_b
+    """,
+    "d20_minhash_source_sketch": f"""
+        WITH toks AS (
+            SELECT source, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), sh AS (
+            SELECT source,
+                   unnest(list_distinct(list_transform(range(1, GREATEST(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+            FROM toks
+        ), sig AS (
+            SELECT source,
+                   {", ".join(
+                       f"MIN(md5('{j}:' || shingle)) AS s{j}"
+                       for j in range(D20_K)
+                   )}
+            FROM sh GROUP BY source
+        ), est AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   {" + ".join(
+                       f"(CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END)"
+                       for j in range(D20_K)
+                   )} AS eq_slots
+            FROM sig a JOIN sig b ON a.source < b.source
+        ), ps AS (
+            SELECT DISTINCT source, md5(shingle) AS fp FROM sh
+        ), cnt AS (
+            SELECT source, COUNT(*) AS n_sh FROM ps GROUP BY 1
+        ), pr AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   COUNT(*) AS n_common
+            FROM ps a JOIN ps b USING (fp)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT e.src_a, e.src_b,
+               CAST(ca.n_sh AS BIGINT) AS n_a,
+               CAST(cb.n_sh AS BIGINT) AS n_b,
+               CAST(COALESCE(pr.n_common, 0) AS BIGINT) AS n_common,
+               CAST(e.eq_slots AS BIGINT) AS eq_slots,
+               (10000 * COALESCE(pr.n_common, 0))
+                   // GREATEST(ca.n_sh + cb.n_sh - COALESCE(pr.n_common, 0), 1)
+                   AS jaccard_bp,
+               (10000 * e.eq_slots) // {D20_K} AS jaccard_est_bp,
+               (10000 * e.eq_slots) // {D20_K}
+                   - (10000 * COALESCE(pr.n_common, 0))
+                     // GREATEST(ca.n_sh + cb.n_sh - COALESCE(pr.n_common, 0), 1)
+                   AS err_bp
+        FROM est e
+        LEFT JOIN pr ON pr.src_a = e.src_a AND pr.src_b = e.src_b
+        JOIN cnt ca ON ca.source = e.src_a
+        JOIN cnt cb ON cb.source = e.src_b
+        ORDER BY e.src_a, e.src_b
     """,
     # d3/d4: engine-native hash functions — no ANSI-SQL oracle (driver
     # records rows-only checks; d2 is the oracle-checked exact twin).

@@ -1237,6 +1237,7 @@ def e13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..etl.workload import DRIVER_ORACLE as _WORKLOAD_ORACLE  # noqa: E402
 from .dedup import D10_DELTA_MOD as _D10_MOD  # noqa: E402
+from .text import TOKEN_PATTERN as _TOKEN_PATTERN  # noqa: E402
 from .dedup import SHINGLE_K as _SHINGLE_K  # noqa: E402
 from .text import ALPHA_RATIO_BP_SQL_DUCK as _ALPHA_BP  # noqa: E402
 from .text import TOKEN_PATTERN as _TOKEN_PATTERN  # noqa: E402
@@ -1397,7 +1398,66 @@ def e11_epoch_cap_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e15_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD report — the release-notes table every corpus drop
+    ships (HF dataset cards, Dolma/RedPajama release stats): per
+    (source, lang) detail plus per-source subtotals plus the corpus
+    grand total — one GROUPING SETS pass, NOT three scans — each row
+    carrying size (docs, tokens, integer mean), exact duplication
+    (``COUNT(DISTINCT fp)`` against the shared d1 content identity;
+    ``dup_bp`` = the share of rows whose fingerprint repeats inside
+    the group), and quality-gate passage (the e2 ``E2_MIN_TOKENS``
+    gate, in basis points).
+
+    Scale shape: ONE corpus scan projects (source, lang, n_toks, fp);
+    the Expand triples rows (the a16 grouping-sets machinery) and the
+    distinct-fp count is the only corpus-cardinality aggregation —
+    exact here because the card is the artifact of record; a 100 TB
+    run swaps ``COUNT(DISTINCT fp)`` for ``approx_count_distinct``
+    (HLL) when ±2% is acceptable, changing one expression. Grouping
+    flags are emitted per column (0/1) rather than a packed
+    grouping_id, whose bit order is engine-specific (the a16 lesson).
+
+    Oracle: the identical GROUPING SETS statement in DuckDB over the
+    same fingerprint projection.
+    """
+    from ..tables import load_table
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    per = docs.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_toks"),
+        _content_fp(toks).alias("fp"),
+    )
+    per.createOrReplaceTempView("e15_docs")
+    return spark.sql(
+        f"""
+        SELECT source, lang,
+               CAST(grouping(source) AS INT) AS g_source,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT fp) AS n_unique,
+               (10000 * (COUNT(*) - COUNT(DISTINCT fp))) DIV COUNT(*)
+                   AS dup_bp,
+               SUM(n_toks) AS n_tokens,
+               SUM(n_toks) DIV COUNT(*) AS mean_tokens,
+               SUM(CASE WHEN n_toks >= {E2_MIN_TOKENS} THEN 1 ELSE 0 END)
+                   AS n_gated,
+               (10000 * SUM(CASE WHEN n_toks >= {E2_MIN_TOKENS}
+                                 THEN 1 ELSE 0 END)) DIV COUNT(*)
+                   AS gated_bp
+        FROM e15_docs
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        ORDER BY g_source, g_lang, source, lang
+        """
+    )
+
+
 QUERIES = {
+    "e15_dataset_card": e15_dataset_card,
     "e10_curriculum_schedule": e10_curriculum_schedule,
     "e11_epoch_cap_allocation": e11_epoch_cap_allocation,
     "e12_packing_curve": e12_packing_curve,
@@ -1418,6 +1478,35 @@ QUERIES = {
     **_WORKLOAD_QUERIES,
 }
 ORACLE = {
+    "e15_dataset_card": f"""
+        WITH per AS (
+            SELECT source, lang,
+                   CAST(len(regexp_extract_all(lower(text),
+                                               '{_TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_toks,
+                   md5(array_to_string(regexp_extract_all(lower(text),
+                                                          '{_TOKEN_PATTERN}'),
+                                       ' ')) AS fp
+            FROM documents
+        )
+        SELECT source, lang,
+               CAST(GROUPING(source) AS INT) AS g_source,
+               CAST(GROUPING(lang) AS INT) AS g_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+               CAST((10000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*)
+                    AS BIGINT) AS dup_bp,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_toks) // COUNT(*) AS BIGINT) AS mean_tokens,
+               CAST(SUM(CASE WHEN n_toks >= {E2_MIN_TOKENS} THEN 1 ELSE 0
+                             END) AS BIGINT) AS n_gated,
+               CAST((10000 * SUM(CASE WHEN n_toks >= {E2_MIN_TOKENS}
+                                      THEN 1 ELSE 0 END)) // COUNT(*)
+                    AS BIGINT) AS gated_bp
+        FROM per
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        ORDER BY g_source, g_lang, source, lang
+    """,
     "e10_curriculum_schedule": f"""
         WITH staged AS (
             SELECT doc_id,

@@ -1760,6 +1760,143 @@ def x19_ivfpq_build_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+#: x21: the late-arriving slice — vec_id % MOD == RES (20% of the
+#: corpus) arrives AFTER the index was built on the other 80%.
+X21_DELTA_MOD = 5
+X21_DELTA_RES = 3
+
+
+def x21_ivfpq_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index upsert — the maintenance path every deployed
+    ANN system runs between refits (FAISS ``add()``, Milvus growing
+    segments): the IVFPQ model (centroids + codebooks) is FROZEN from
+    a fit over the BASE corpus (``vec_id % 5 != 3``); the late
+    20% delta is folded in by assigning + encoding it with that frozen
+    model — O(delta) work, no refit, no touch of the base codes — and
+    queries serve over the merged index immediately.
+
+    What the operator grades (in-plan, the x-family discipline):
+    recall@k vs exact L2 over the FULL corpus — the frozen-model
+    drift question ("is the stale quantizer still routing/encoding
+    well enough, or is it refit time?") — plus ``n_delta_topk``, how
+    many of each query's retrieved top-k are delta rows: proof the
+    upsert actually serves the new data rather than orphaning it.
+
+    Scale shape: identical to x18's serving plan — cell and code are
+    ONE corpus projection over broadcast literals (at 100 TB the
+    incremental run projects only the delta partition and appends to
+    x19's cell-partitioned artifacts; here the full-corpus projection
+    doubles as the merged index), routing is a broadcast probe join,
+    and the candidate count rides the top-k exchange. The fit folds
+    over the base sample only — the delta never enters Lloyd.
+
+    Oracle: a self-contained replay — the PQ prefix and the
+    i-prefixed IVF chain with their fit samples drawn FROM THE BASE
+    subset (deliberately duplicated from ``_X9_PQ_CTES`` rather than
+    parameterizing the shared string, which would have put the whole
+    green ANN family back through the rotation gate — the x19
+    precedent), encode/serve over the full corpus, recall vs full
+    exact truth.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    base_rows = emb.filter(
+        F.col("vec_id") % X21_DELTA_MOD != X21_DELTA_RES
+    )
+    cb_lit = _pq_cb_lit(base_rows)  # frozen: fit sees base only
+    centers, cent_lit = _ivf_centroid_artifacts(spark, base_rows)
+    merged = emb.select(
+        "vec_id",
+        _pq_code_col(cb_lit).alias("code"),
+        _ivf_assign_cell_col(cent_lit).alias("cell"),
+    )
+    qside = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        _pq_dtab_col(cb_lit).alias("dtab"),
+    )
+    d2c = F.aggregate(
+        F.zip_with("qe", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wp = Window.partitionBy("query_id").orderBy("dist2", "cell")
+    probes = (
+        qside.select("query_id", "qe")
+        .crossJoin(F.broadcast(centers))
+        .withColumn("dist2", d2c)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "cell")
+    )
+    scored = (
+        merged.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qside.select("query_id", "dtab")), "query_id")
+        .withColumn("adc", _adc_col())
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    wq = Window.partitionBy("query_id")
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wq))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "n_candidates",
+            (
+                F.col("vec_id") % X21_DELTA_MOD == X21_DELTA_RES
+            ).cast("long").alias("is_delta"),
+        )
+    )
+    d2_full = F.round(
+        F.aggregate(
+            F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+        4,
+    )
+    exact_scored = (
+        emb.crossJoin(F.broadcast(qside.select("query_id", "qe")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("l2", d2_full)
+    )
+    wx = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+    exact_topk = (
+        exact_scored.withColumn("rnk", F.row_number().over(wx))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("exact_vec_id"))
+    )
+    flagged = topk.join(
+        exact_topk,
+        (topk.query_id == exact_topk.query_id)
+        & (topk.vec_id == exact_topk.exact_vec_id),
+        "left",
+    ).select(
+        topk.query_id,
+        topk.vec_id,
+        topk.n_candidates,
+        topk.is_delta,
+        exact_topk.exact_vec_id,
+    )
+    out = (
+        flagged.groupBy("query_id")
+        .agg(
+            F.max("n_candidates").alias("n_candidates"),
+            F.sum("vec_id").alias("id_checksum"),
+            F.sum("is_delta").alias("n_delta_topk"),
+            F.round(
+                F.count("exact_vec_id") / F.lit(float(TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb)
+
+
 #: x20: post-filter over-retrieval factor — the unfiltered shortlist
 #: is EXPAND·k deep before the metadata filter is applied.
 X20_EXPAND = 2
@@ -2660,6 +2797,7 @@ QUERIES = {
     "x18b_ivfpq_residual_topk": x18b_ivfpq_residual_topk,
     "x19_ivfpq_build_serve": x19_ivfpq_build_serve,
     "x20_filtered_ann_topk": x20_filtered_ann_topk,
+    "x21_ivfpq_upsert_topk": x21_ivfpq_upsert_topk,
     "x10_mmr_select": x10_mmr_select,
     "x11_ivf_tuning_curve": x11_ivf_tuning_curve,
     "x12_knn_graph": x12_knn_graph,
@@ -3517,6 +3655,117 @@ GROUP BY f.query_id ORDER BY f.query_id
 """
 
 
+def _x21_sql() -> str:
+    """x21 oracle: a self-contained replay of the PQ prefix and x18's
+    i-prefixed IVF chain with both fit samples drawn FROM THE BASE
+    subset (``b``), full-corpus encode/serve, and the delta-share
+    column. The prefix text is deliberately duplicated from
+    ``_X9_PQ_CTES`` / ``_x18_sql`` instead of parameterizing the
+    shared strings — a fit-source parameter on those would have put
+    x9/x17/x18/x18b/x20 back through the rotation gate for a pure
+    refactor (the x19 literal-construction precedent)."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), b AS (
+    SELECT vec_id, e FROM e
+    WHERE vec_id % {X21_DELTA_MOD} <> {X21_DELTA_RES}
+), samp AS (
+    SELECT vec_id, e FROM b WHERE vec_id % {PQ_SAMPLE_MOD} = 0
+), subs AS (
+    SELECT vec_id, t.m AS m,
+           e[(t.m * {PQ_SUBDIM} + 1):(t.m * {PQ_SUBDIM} + {PQ_SUBDIM})] AS sub
+    FROM samp CROSS JOIN range(0, {PQ_M}) t(m)
+), seeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM samp ORDER BY s, vec_id LIMIT {PQ_K}
+), c0 AS (
+    SELECT t.m AS m, r.cell,
+           r.e[(t.m * {PQ_SUBDIM} + 1):(t.m * {PQ_SUBDIM} + {PQ_SUBDIM})] AS center
+    FROM (SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell, e
+          FROM seeds) r
+    CROSS JOIN range(0, {PQ_M}) t(m)
+), {_x9_lloyd_step('c0', 'a1', 'm1', 'c1')},
+{_x9_lloyd_step('c1', 'a2', 'm2', 'c2')}, fullsubs AS (
+    SELECT vec_id, t.m AS m,
+           e[(t.m * {PQ_SUBDIM} + 1):(t.m * {PQ_SUBDIM} + {PQ_SUBDIM})] AS sub
+    FROM e CROSS JOIN range(0, {PQ_M}) t(m)
+), codes AS (
+    SELECT vec_id, m, cell FROM (
+        SELECT f.vec_id, f.m, c.cell,
+               row_number() OVER (PARTITION BY f.vec_id, f.m
+                                  ORDER BY {_x9_sub_d2('f.sub', 'c.center')}, c.cell) AS pr
+        FROM fullsubs f JOIN c2 c USING (m)
+    ) WHERE pr = 1
+), q AS (
+    SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < {N_QUERIES}
+), adc AS (
+    SELECT q.query_id, k.vec_id,
+           ROUND(list_sum(list(
+               list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), i ->
+                   (q.qe[k.m * {PQ_SUBDIM} + i] - c.center[i])
+                   * (q.qe[k.m * {PQ_SUBDIM} + i] - c.center[i])))
+               ORDER BY k.m)), 4) AS adc
+    FROM codes k JOIN c2 c USING (m, cell) CROSS JOIN q
+    WHERE k.vec_id <> q.query_id
+    GROUP BY q.query_id, k.vec_id
+), isamp AS (
+    SELECT vec_id, e FROM b WHERE vec_id % {IVF_SAMPLE_MOD} = 0
+), iseeds AS (
+    SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS s
+    FROM isamp ORDER BY s, vec_id LIMIT {IVF_CLUSTERS}
+), ic0 AS (
+    SELECT row_number() OVER (ORDER BY s, vec_id) - 1 AS cell,
+           e AS center
+    FROM iseeds
+), {_x5_lloyd_step('ic0', 'ia1', 'im1', 'ic1', samp='isamp')},
+{_x5_lloyd_step('ic1', 'ia2', 'im2', 'ic2', samp='isamp')}, iassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_x5_d2('e.e', 'c.center')},
+                                  c.cell) AS pr
+        FROM e CROSS JOIN ic2 c
+    ) WHERE pr = 1
+), iprobes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_x5_d2('q.qe', 'c.center')},
+                                  c.cell) AS pr
+        FROM q CROSS JOIN ic2 c
+    ) WHERE pr <= {IVF_NPROBE}
+), radc AS (
+    SELECT a.query_id, a.vec_id, a.adc,
+           COUNT(*) OVER (PARTITION BY a.query_id) AS n_candidates
+    FROM adc a
+    JOIN iassign v ON v.vec_id = a.vec_id
+    JOIN iprobes p ON p.query_id = a.query_id AND p.cell = v.cell
+), pq_topk AS (
+    SELECT query_id, vec_id, n_candidates FROM (
+        SELECT query_id, vec_id, n_candidates,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rnk
+        FROM radc
+    ) WHERE rnk <= {TOP_K}
+), {_X9_EXACT_CTES}, hits AS (
+    SELECT p.query_id, COUNT(*) AS n_hits
+    FROM pq_topk p JOIN exact_topk x
+      ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+    GROUP BY p.query_id
+)
+SELECT p.query_id,
+       CAST(MAX(p.n_candidates) AS BIGINT) AS n_candidates,
+       CAST(SUM(p.vec_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CASE WHEN p.vec_id % {X21_DELTA_MOD} = {X21_DELTA_RES}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_topk,
+       ROUND(COALESCE(MAX(h.n_hits), 0) / {float(TOP_K)}, 4) AS recall_at_k
+FROM pq_topk p LEFT JOIN hits h USING (query_id)
+GROUP BY p.query_id ORDER BY p.query_id
+"""
+
+
 def _x20_sql() -> str:
     """x20 oracle: the shared PQ prefix + x18's i-prefixed IVF replay
     + label joins on both sides of the routed ADC, then the pre-filter
@@ -3710,6 +3959,7 @@ ORACLE = {
     # equality with x18's in-line fit, so the oracle IS x18's SQL.
     "x19_ivfpq_build_serve": _x18_sql(),
     "x20_filtered_ann_topk": _x20_sql(),
+    "x21_ivfpq_upsert_topk": _x21_sql(),
     "x5_ann_ivf_topk": _X5_SQL,
     "d13_semdedup": _D13_SQL,
     "x14_cluster_balanced_sample": _X14_SQL,

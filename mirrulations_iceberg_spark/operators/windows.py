@@ -646,8 +646,143 @@ def w11_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, result, *cached)
 
 
+W16_TRAIN_DAYS = 14  # baseline window: first N days per event_type
+W16_H = 4  # decision interval: flag when CUSUM exceeds H·sigma
+
+
+def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection over daily event volumes —
+    the ingest-monitoring operator a 100 TB pipeline runs on every
+    source feed (Page 1954; the classic mean-shift detector): per
+    ``event_type``, a baseline mean/σ from the first
+    ``W16_TRAIN_DAYS`` days, then cumulative-sum drift statistics over
+    the monitored days with flags where the statistic crosses
+    ``W16_H·σ``.
+
+    The CUSUM recursion ``S_t = max(0, S_{t-1} + d_t)`` is not a
+    window function, but its closed form is: with prefix sums
+    ``P_t = Σ_{j≤t} d_j`` and ``P_0 = 0``,
+    ``S_t = P_t − min(0, min_{j≤t} P_j)`` — one running SUM plus one
+    running MIN per side, both plain cumulative windows, so the whole
+    detector stays declarative in BOTH engines (no recursion, no UDF,
+    no iteration).
+
+    Exact integer arithmetic end to end: every deviation is scaled by
+    ``2·n_train`` — ``d⁺ = 2n·x − 2·Σx_train − σ_n`` is
+    ``2n·(x − μ − σ/2)`` (the textbook k = σ/2 slack) with
+    ``σ_n = n·σ = isqrt(n·Σx² − (Σx)²)`` the o11 exact-isqrt pattern
+    (±1-corrected floor; the radicand is evaluated in DECIMAL and
+    guarded < 2^53 so a count scale that would silently degrade the
+    floor fails loudly instead — at 100 TB daily volumes, widen the
+    moments to DECIMAL(38,0)). The flag threshold ``H·σ`` lands in the
+    same scale as ``2·H·σ_n``. No floats anywhere.
+
+    Scale shape: ONE events scan to (type, day) counts — map-side
+    partial combine, the m14-drift rollup discipline — then every
+    window runs over the |types|·|days| design table. Nothing
+    event-sized shuffles; the monitored output is |types|·(days −
+    train) rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wday = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.withColumn("dn", F.row_number().over(wday))
+    train = (
+        ranked.filter(F.col("dn") <= W16_TRAIN_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum("n_events").alias("st"),
+            F.sum(F.col("n_events") * F.col("n_events")).alias("stt"),
+        )
+        .withColumn(
+            "rad",
+            F.expr(
+                "CASE WHEN CAST(n_train AS DECIMAL(19,0))"
+                " * CAST(stt AS DECIMAL(19,0))"
+                " - CAST(st AS DECIMAL(19,0)) * CAST(st AS DECIMAL(19,0))"
+                " >= 9007199254740992"
+                " THEN raise_error('w16: n·Σx²−(Σx)² ≥ 2^53 — widen the"
+                " moments to DECIMAL(38,0)')"
+                " ELSE CAST(CAST(n_train AS DECIMAL(19,0))"
+                " * CAST(stt AS DECIMAL(19,0))"
+                " - CAST(st AS DECIMAL(19,0)) * CAST(st AS DECIMAL(19,0))"
+                " AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "s0", F.expr("CAST(FLOOR(SQRT(CAST(rad AS DOUBLE))) AS BIGINT)")
+        )
+        .withColumn(
+            "sigma_n",
+            F.expr(
+                "s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= rad THEN 1 ELSE 0"
+                " END) - (CASE WHEN s0 * s0 > rad THEN 1 ELSE 0 END)"
+            ),
+        )
+        .select("event_type", "n_train", "st", "sigma_n")
+    )
+    mon = (
+        ranked.filter(F.col("dn") > W16_TRAIN_DAYS)
+        .join(F.broadcast(train), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            (
+                2 * F.col("n_train") * F.col("n_events")
+                - 2 * F.col("st")
+                - F.col("sigma_n")
+            ).alias("dpos"),
+            (
+                2 * F.col("st")
+                - 2 * F.col("n_train") * F.col("n_events")
+                - F.col("sigma_n")
+            ).alias("dneg"),
+            "sigma_n",
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        mon.withColumn("ppos", F.sum("dpos").over(wcum))
+        .withColumn("pneg", F.sum("dneg").over(wcum))
+        .withColumn(
+            "cusum_pos",
+            F.col("ppos") - F.least(F.lit(0), F.min("ppos").over(wcum)),
+        )
+        .withColumn(
+            "cusum_neg",
+            F.col("pneg") - F.least(F.lit(0), F.min("pneg").over(wcum)),
+        )
+        .withColumn("threshold", 2 * F.lit(W16_H) * F.col("sigma_n"))
+    )
+    return cum.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("cusum_pos").cast("long").alias("cusum_pos"),
+        F.col("cusum_neg").cast("long").alias("cusum_neg"),
+        F.col("threshold").cast("long").alias("threshold"),
+        F.expr(
+            "CAST(CASE WHEN cusum_pos > threshold THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("flag_up"),
+        F.expr(
+            "CAST(CASE WHEN cusum_neg > threshold THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("flag_down"),
+    ).orderBy("event_type", "day")
+
+
 QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
+    "w16_cusum_changepoint": w16_cusum_changepoint,
     "w11_funnel_steps": w11_funnel_steps,
     "w12_retention_cohorts": w12_retention_cohorts,
     "w13_sequence_with_negation": w13_sequence_with_negation,
@@ -665,6 +800,72 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w16_cusum_changepoint": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS dn
+            FROM daily
+        ), train AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_train,
+                   CAST(SUM(n_events) AS BIGINT) AS st,
+                   CAST(SUM(n_events * n_events) AS BIGINT) AS stt
+            FROM ranked WHERE dn <= {W16_TRAIN_DAYS} GROUP BY 1
+        ), sig AS (
+            SELECT event_type, n_train, st,
+                   s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= rad THEN 1
+                              ELSE 0 END)
+                      - (CASE WHEN s0 * s0 > rad THEN 1 ELSE 0 END)
+                       AS sigma_n
+            FROM (
+                SELECT *, n_train * stt - st * st AS rad,
+                       CAST(FLOOR(SQRT(CAST(n_train * stt - st * st
+                                            AS DOUBLE))) AS BIGINT) AS s0
+                FROM train
+            )
+        ), mon AS (
+            SELECT r.event_type, r.day, r.n_events,
+                   2 * s.n_train * r.n_events - 2 * s.st - s.sigma_n
+                       AS dpos,
+                   2 * s.st - 2 * s.n_train * r.n_events - s.sigma_n
+                       AS dneg,
+                   s.sigma_n
+            FROM ranked r JOIN sig s USING (event_type)
+            WHERE r.dn > {W16_TRAIN_DAYS}
+        ), pre AS (
+            SELECT *,
+                   SUM(dpos) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS ppos,
+                   SUM(dneg) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS pneg
+            FROM mon
+        ), cum AS (
+            SELECT *,
+                   ppos - LEAST(0, MIN(ppos) OVER (PARTITION BY event_type
+                                                   ORDER BY day
+                                                   ROWS UNBOUNDED PRECEDING))
+                       AS cusum_pos,
+                   pneg - LEAST(0, MIN(pneg) OVER (PARTITION BY event_type
+                                                   ORDER BY day
+                                                   ROWS UNBOUNDED PRECEDING))
+                       AS cusum_neg,
+                   2 * {W16_H} * sigma_n AS threshold
+            FROM pre
+        )
+        SELECT event_type, day, n_events,
+               CAST(cusum_pos AS BIGINT) AS cusum_pos,
+               CAST(cusum_neg AS BIGINT) AS cusum_neg,
+               CAST(threshold AS BIGINT) AS threshold,
+               CAST(CASE WHEN cusum_pos > threshold THEN 1 ELSE 0 END
+                    AS BIGINT) AS flag_up,
+               CAST(CASE WHEN cusum_neg > threshold THEN 1 ELSE 0 END
+                    AS BIGINT) AS flag_down
+        FROM cum ORDER BY event_type, day
+    """,
     "w15_ohlc_downsample": f"""
         WITH e AS (
             SELECT event_type,

@@ -86,6 +86,8 @@ SKIP_SWEEP = {
     "x18_ivfpq_topk",  # PQ + IVF fits at construction + materializes
     "x18b_ivfpq_residual_topk",  # IVF + 2 PQ fits + materializes
     "x20_filtered_ann_topk",  # IVF + PQ fits + materializes
+    "x21_ivfpq_upsert_topk",  # base-subset IVF + PQ fits + materializes
+    "d20_minhash_source_sketch",  # caches shingles + posting set
 }
 
 

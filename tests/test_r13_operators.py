@@ -1,0 +1,230 @@
+"""Engineered known-answer tests for the round-13 operators
+(w16 CUSUM changepoint / d20 per-source MinHash sketch / x21 IVFPQ
+incremental upsert) — invariants that hold by construction, pinning
+the semantics the oracle-parity sweep can't distinguish from a
+consistently-wrong twin (mean-shift alarm day, sketch agreement on
+identical/disjoint sources, upsert actually serving delta rows)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    return sf
+
+
+def test_w16_flags_mean_shift_not_stable_series(spark, tmp_path):
+    """Type 'shift': 14 train days at exactly 10/day (sigma = 0), then
+    a jump to 20/day — the CUSUM must flag the FIRST monitored day and
+    stay flagged. Type 'flat': constant rate throughout — sigma = 0
+    and every deviation is 0, so `cusum > threshold` (strict) never
+    fires: a constant series is NOT an anomaly."""
+    from mirrulations_iceberg_spark.operators.windows import (
+        W16_TRAIN_DAYS,
+        w16_cusum_changepoint,
+    )
+
+    rows, eid = [], 0
+    for d in range(W16_TRAIN_DAYS + 3):
+        day = datetime.datetime(2024, 1, 1 + d, 12, 0, 0)
+        n_shift = 10 if d < W16_TRAIN_DAYS else 20
+        for k in range(n_shift):
+            rows.append((eid, day, k, "shift", 1.0, "{}"))
+            eid += 1
+        for k in range(10):
+            rows.append((eid, day, k, "flat", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = w16_cusum_changepoint(spark, sf).collect()
+    by = {(r["event_type"], str(r["day"])): r for r in out}
+    # monitored days only: 3 per type
+    assert len(out) == 6
+    shift_days = sorted(k[1] for k in by if k[0] == "shift")
+    # sigma=0 -> threshold 0; d+ = 2*14*20 - 2*140 = 280 per day
+    for i, d in enumerate(shift_days):
+        r = by[("shift", d)]
+        assert r["threshold"] == 0
+        assert r["cusum_pos"] == 280 * (i + 1)
+        assert r["flag_up"] == 1
+        assert r["flag_down"] == 0
+    for d in shift_days:
+        r = by[("flat", d)]
+        assert (r["cusum_pos"], r["cusum_neg"]) == (0, 0)
+        assert r["flag_up"] == 0 and r["flag_down"] == 0
+
+
+def test_w16_closed_form_equals_recursion(spark, tmp_path):
+    """The window closed form S_t = P_t - min(0, min P_j) must equal
+    the textbook recursion S_t = max(0, S_{t-1} + d_t) on a varied
+    series — replayed here in Python from the same integers."""
+    from mirrulations_iceberg_spark.operators.windows import (
+        W16_TRAIN_DAYS,
+        w16_cusum_changepoint,
+    )
+
+    counts = [12, 8, 11, 9, 13, 7, 10, 12, 9, 11, 10, 8, 13, 9,
+              15, 4, 18, 2, 16, 5]
+    rows, eid = [], 0
+    for d, n in enumerate(counts):
+        day = datetime.datetime(2024, 2, 1 + d, 6, 0, 0)
+        for k in range(n):
+            rows.append((eid, day, k, "varied", None, None))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = sorted(
+        w16_cusum_changepoint(spark, sf).collect(), key=lambda r: r["day"]
+    )
+    train = counts[:W16_TRAIN_DAYS]
+    n = len(train)
+    st, stt = sum(train), sum(x * x for x in train)
+    import math
+
+    sigma_n = math.isqrt(n * stt - st * st)
+    s_pos = s_neg = 0
+    for r, x in zip(out, counts[W16_TRAIN_DAYS:]):
+        s_pos = max(0, s_pos + (2 * n * x - 2 * st - sigma_n))
+        s_neg = max(0, s_neg + (2 * st - 2 * n * x - sigma_n))
+        assert r["n_events"] == x
+        assert r["cusum_pos"] == s_pos, r
+        assert r["cusum_neg"] == s_neg, r
+        assert r["threshold"] == 8 * sigma_n  # 2*H*sigma_n, H=4
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+def test_d20_sketch_identical_and_disjoint_sources(spark, tmp_path):
+    """Identical sources agree on every MinHash slot (estimate 10000
+    bp, exact 10000 bp, err 0); disjoint sources agree on none
+    (estimate 0, exact 0) — and the zero-overlap pair is PRESENT in
+    the output (sketch-driven left join), not dropped."""
+    from mirrulations_iceberg_spark.operators.dedup import (
+        D20_K,
+        d20_minhash_source_sketch,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_c = "one two three four five six seven eight nine"
+    docs = [
+        (1, text_a, "A"),
+        (2, "alpha beta gamma delta", "A"),
+        (11, text_a, "B"),  # B == A exactly (same shingle set)
+        (12, "alpha beta gamma delta", "B"),
+        (21, text_c, "C"),  # C disjoint from both
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    out = {(r["src_a"], r["src_b"]): r for r in
+           d20_minhash_source_sketch(spark, sf).collect()}
+    assert sorted(out) == [("A", "B"), ("A", "C"), ("B", "C")]
+    ab = out[("A", "B")]
+    assert ab["n_a"] == ab["n_b"] == ab["n_common"]
+    assert ab["eq_slots"] == D20_K
+    assert ab["jaccard_bp"] == ab["jaccard_est_bp"] == 10000
+    assert ab["err_bp"] == 0
+    for pair in (("A", "C"), ("B", "C")):
+        r = out[pair]
+        assert r["n_common"] == 0
+        assert r["eq_slots"] == 0
+        assert r["jaccard_bp"] == r["jaccard_est_bp"] == 0
+
+
+def test_e15_dataset_card_levels(spark, tmp_path):
+    """Hand-computed card: within-source dup, CROSS-source dup that
+    only the grand total can see, and the token gate. Source A: three
+    docs, two identical (30 tokens each, gated), one short (5 tokens,
+    ungated). Source B: one doc IDENTICAL to A's duplicate (gated).
+    Detail rows count within-group distincts; the grand total dedups
+    across sources (n_unique=2 over 4 docs)."""
+    from mirrulations_iceberg_spark.operators.etl import e15_dataset_card
+
+    long_text = " ".join(f"tok{i}" for i in range(30))
+    docs = [
+        (1, long_text, "A"),
+        (2, long_text, "A"),
+        (3, "just five little tokens here", "A"),
+        (11, long_text, "B"),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = e15_dataset_card(spark, sf).collect()
+    by = {(r["g_source"], r["g_lang"], r["source"], r["lang"]): r
+          for r in rows}
+    # (source, lang) detail + per-source subtotal + grand total
+    assert len(rows) == 2 + 2 + 1
+    a = by[(0, 0, "A", "en")]
+    assert (a["n_docs"], a["n_unique"], a["dup_bp"]) == (3, 2, 3333)
+    assert (a["n_gated"], a["gated_bp"]) == (2, 6666)
+    assert a["n_tokens"] == 65 and a["mean_tokens"] == 21
+    b = by[(0, 0, "B", "en")]
+    assert (b["n_docs"], b["n_unique"], b["dup_bp"]) == (1, 1, 0)
+    # per-source subtotal == detail here (single lang per source)
+    assert by[(0, 1, "A", None)]["n_unique"] == 2
+    total = by[(1, 1, None, None)]
+    assert (total["n_docs"], total["n_unique"]) == (4, 2)
+    assert total["dup_bp"] == 5000  # 2 of 4 rows are repeats
+    assert total["n_gated"] == 3
+
+
+def test_x21_upsert_serves_delta_rows(spark, tmp_path):
+    """Delta vectors (vec_id % 5 == 3) placed EXACTLY at query 0's
+    position: same position -> same frozen-model cell and identical
+    codes, so they are routed into query 0's probed cell and their ADC
+    distance is minimal — the retrieved top-k MUST contain them. Pins
+    that the upsert actually serves late-arriving data instead of
+    orphaning it, and that the exact truth (full corpus) counts them
+    as hits."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        TOP_K,
+        x21_ivfpq_upsert_topk,
+    )
+
+    clones = {8, 13, 23}  # % 5 == 3 -> delta; near query 0
+    n = 60
+    rows = []
+    for i in range(n):
+        if i == 0 or i in clones:
+            vec = [5.0] * EMB_DIM
+        else:
+            vec = [float(((i * 7 + j * 13) % 19) / 19.0)
+                   for j in range(EMB_DIM)]
+        rows.append((i, vec, i % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    out = {r["query_id"]: r for r in
+           x21_ivfpq_upsert_topk(spark, sf).collect()}
+    assert sorted(out) == list(range(N_QUERIES))
+    q0 = out[0]
+    assert q0["n_delta_topk"] >= len(clones)
+    assert q0["recall_at_k"] >= len(clones) / TOP_K
+    for q in range(N_QUERIES):
+        assert 0 <= out[q]["n_delta_topk"] <= TOP_K
+        assert 0.0 <= out[q]["recall_at_k"] <= 1.0
