@@ -1237,7 +1237,6 @@ def e13_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..etl.workload import DRIVER_ORACLE as _WORKLOAD_ORACLE  # noqa: E402
 from .dedup import D10_DELTA_MOD as _D10_MOD  # noqa: E402
-from .text import TOKEN_PATTERN as _TOKEN_PATTERN  # noqa: E402
 from .dedup import SHINGLE_K as _SHINGLE_K  # noqa: E402
 from .text import ALPHA_RATIO_BP_SQL_DUCK as _ALPHA_BP  # noqa: E402
 from .text import TOKEN_PATTERN as _TOKEN_PATTERN  # noqa: E402
@@ -1405,9 +1404,11 @@ def e15_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total — one GROUPING SETS pass, NOT three scans — each row
     carrying size (docs, tokens, integer mean), exact duplication
     (``COUNT(DISTINCT fp)`` against the shared d1 content identity;
-    ``dup_bp`` = the share of rows whose fingerprint repeats inside
-    the group), and quality-gate passage (the e2 ``E2_MIN_TOKENS``
-    gate, in basis points).
+    ``dup_bp`` = the share of rows that are EXCESS copies of a
+    fingerprint already counted once inside the group —
+    ``(n_docs − n_unique)/n_docs`` in basis points, i.e. what exact
+    dedup would delete), and quality-gate passage (the e2
+    ``E2_MIN_TOKENS`` gate, in basis points).
 
     Scale shape: ONE corpus scan projects (source, lang, n_toks, fp);
     the Expand triples rows (the a16 grouping-sets machinery) and the
@@ -1422,15 +1423,19 @@ def e15_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fingerprint projection.
     """
     from ..tables import load_table
+    from .dedup import parallelize_scan
     from .text import tokens_col
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    per = docs.select(
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    # Project the token array into a named column ONCE (the documented
+    # convention — Catalyst re-evaluates inline expressions at every
+    # reference, and tokenize is the expensive producer here; review
+    # r13 caught the inline double-evaluation).
+    per = docs.withColumn("__toks", tokens_col(F.col("text"))).select(
         "source",
         "lang",
-        F.size(toks).alias("n_toks"),
-        _content_fp(toks).alias("fp"),
+        F.size("__toks").alias("n_toks"),
+        _content_fp(F.col("__toks")).alias("fp"),
     )
     per.createOrReplaceTempView("e15_docs")
     return spark.sql(

@@ -1880,14 +1880,36 @@ def x21_ivfpq_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.is_delta,
         exact_topk.exact_vec_id,
     )
+    per_q = flagged.groupBy("query_id").agg(
+        F.max("n_candidates").alias("n_candidates"),
+        F.sum("vec_id").alias("id_checksum"),
+        F.sum("is_delta").alias("n_delta_topk"),
+        F.count("exact_vec_id").alias("__hits"),
+    )
+    # Drive the output from the query key set (the x20 lesson, caught
+    # in this round's review): a query alone in all its probed cells
+    # has no routed candidates and would otherwise vanish instead of
+    # reporting n_candidates = 0 / recall 0 — the exact frozen-
+    # quantizer drift signal the operator exists to surface. The
+    # oracle drives from q identically.
     out = (
-        flagged.groupBy("query_id")
-        .agg(
-            F.max("n_candidates").alias("n_candidates"),
-            F.sum("vec_id").alias("id_checksum"),
-            F.sum("is_delta").alias("n_delta_topk"),
+        qside.select("query_id")
+        .join(F.broadcast(per_q), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("id_checksum"), F.lit(0))
+            .cast("long")
+            .alias("id_checksum"),
+            F.coalesce(F.col("n_delta_topk"), F.lit(0))
+            .cast("long")
+            .alias("n_delta_topk"),
             F.round(
-                F.count("exact_vec_id") / F.lit(float(TOP_K)), 4
+                F.coalesce(F.col("__hits"), F.lit(0))
+                / F.lit(float(TOP_K)),
+                4,
             ).alias("recall_at_k"),
         )
         .orderBy("query_id")
@@ -3755,14 +3777,23 @@ WITH e AS (
       ON p.query_id = x.query_id AND p.vec_id = x.vec_id
     GROUP BY p.query_id
 )
-SELECT p.query_id,
-       CAST(MAX(p.n_candidates) AS BIGINT) AS n_candidates,
-       CAST(SUM(p.vec_id) AS BIGINT) AS id_checksum,
-       CAST(SUM(CASE WHEN p.vec_id % {X21_DELTA_MOD} = {X21_DELTA_RES}
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_topk,
-       ROUND(COALESCE(MAX(h.n_hits), 0) / {float(TOP_K)}, 4) AS recall_at_k
-FROM pq_topk p LEFT JOIN hits h USING (query_id)
-GROUP BY p.query_id ORDER BY p.query_id
+, perq AS (
+    SELECT p.query_id,
+           MAX(p.n_candidates) AS n_candidates,
+           SUM(p.vec_id) AS id_checksum,
+           SUM(CASE WHEN p.vec_id % {X21_DELTA_MOD} = {X21_DELTA_RES}
+                    THEN 1 ELSE 0 END) AS n_delta_topk,
+           COALESCE(MAX(h.n_hits), 0) AS n_hits
+    FROM pq_topk p LEFT JOIN hits h USING (query_id)
+    GROUP BY p.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(k.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(k.id_checksum, 0) AS BIGINT) AS id_checksum,
+       CAST(COALESCE(k.n_delta_topk, 0) AS BIGINT) AS n_delta_topk,
+       ROUND(COALESCE(k.n_hits, 0) / {float(TOP_K)}, 4) AS recall_at_k
+FROM q LEFT JOIN perq k USING (query_id)
+ORDER BY q.query_id
 """
 
 

@@ -689,13 +689,28 @@ def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     wday = Window.partitionBy("event_type").orderBy("day")
     ranked = daily.withColumn("dn", F.row_number().over(wday))
-    train = (
-        ranked.filter(F.col("dn") <= W16_TRAIN_DAYS)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_train"),
-            F.sum("n_events").alias("st"),
-            F.sum(F.col("n_events") * F.col("n_events")).alias("stt"),
+    # Train moments as whole-partition windows over the SAME ranked
+    # lineage (review r13: a groupBy-train + join-back recomputed the
+    # daily rollup — two events scans; the conditional windows share
+    # wday's partitioning, so this stays ONE scan, one exchange, and
+    # the design table never leaves its partition).
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    in_train = F.col("dn") <= W16_TRAIN_DAYS
+    with_tr = (
+        ranked.withColumn(
+            "n_train",
+            F.sum(F.when(in_train, 1).otherwise(0)).over(wall),
+        )
+        .withColumn(
+            "st", F.sum(F.when(in_train, F.col("n_events"))).over(wall)
+        )
+        .withColumn(
+            "stt",
+            F.sum(
+                F.when(in_train, F.col("n_events") * F.col("n_events"))
+            ).over(wall),
         )
         .withColumn(
             "rad",
@@ -722,27 +737,22 @@ def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " END) - (CASE WHEN s0 * s0 > rad THEN 1 ELSE 0 END)"
             ),
         )
-        .select("event_type", "n_train", "st", "sigma_n")
     )
-    mon = (
-        ranked.filter(F.col("dn") > W16_TRAIN_DAYS)
-        .join(F.broadcast(train), "event_type")
-        .select(
-            "event_type",
-            "day",
-            "n_events",
-            (
-                2 * F.col("n_train") * F.col("n_events")
-                - 2 * F.col("st")
-                - F.col("sigma_n")
-            ).alias("dpos"),
-            (
-                2 * F.col("st")
-                - 2 * F.col("n_train") * F.col("n_events")
-                - F.col("sigma_n")
-            ).alias("dneg"),
-            "sigma_n",
-        )
+    mon = with_tr.filter(F.col("dn") > W16_TRAIN_DAYS).select(
+        "event_type",
+        "day",
+        "n_events",
+        (
+            2 * F.col("n_train") * F.col("n_events")
+            - 2 * F.col("st")
+            - F.col("sigma_n")
+        ).alias("dpos"),
+        (
+            2 * F.col("st")
+            - 2 * F.col("n_train") * F.col("n_events")
+            - F.col("sigma_n")
+        ).alias("dneg"),
+        "sigma_n",
     )
     wcum = (
         Window.partitionBy("event_type")
