@@ -74,6 +74,10 @@ TARGETS = {
     # corpus-linear encode on both engines, so the ratio isolates
     # engine overhead on the x-family's dominant shape.
     "x9_pq_adc_topk": "embeddings",
+    # Sketch row (r13): 16 min-of-md5 aggregators over the exploded
+    # shingle stream + the exact posting-set grade — the string-hash
+    # aggregation shape (d1 is one md5/doc; this is K per shingle).
+    "d20_minhash_source_sketch": "documents",
 }
 
 
