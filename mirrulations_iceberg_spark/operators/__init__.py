@@ -105,18 +105,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: exact 50-slot order replayed green via --window-order before each
 #: commit that touched the window.
 #: Round-13 rotation (VERDICT r11 #1's trajectory, continued): the
-#: window = 4 NEW operators (w16 CUSUM changepoint, d20 per-source
+#: window = 5 NEW operators (w16 CUSUM changepoint, d20 per-source
 #: MinHash overlap sketch, x21 IVFPQ incremental upsert, e15 dataset-
-#: card report — never green by definition) + 2 whose code changed
+#: card report, t20 BPE corpus encode — never green by definition)
+#: + 2 whose code changed
 #: this round and must re-verify at the driver (o11: the radicand
 #: guard now evaluates in DECIMAL — ADVICE r12; x20: output driven
 #: from the filtered-truth key set with COALESCEd left joins — ADVICE
-#: r12, oracle updated identically) + 44 of the 45 remaining r08-stale
+#: r12, oracle updated identically) + 43 of the 45 remaining r08-stale
 #: greens (last driver-checked five rounds of refactors ago; list
 #: verified against the regenerated LEDGER.md, never memory) —
-#: w5_sessionize, the cohort member with the DEEPEST green history
-#: (r03/r04/r05/r06/r08, the established displacement criterion),
-#: yields its slot to e15 and heads r14's rotation queue. Pre-rotation
+#: w5_sessionize and f2_is_not_null, the two cohort members with the
+#: DEEPEST green histories (5 banked green rounds each, the
+#: established displacement criterion), yield their slots to e15 and
+#: t20 and head r14's rotation queue. Pre-rotation
 #: gate: the full sf0.01 sweep ran green this session (185 pass /
 #: 2 rows-only / 0 fail) with the o11/x20 fixes in, each new operator
 #: verified at sf0.01 on first contact, and the exact 50-slot order
@@ -127,6 +129,7 @@ DRIVER_WINDOW = (
     "d20_minhash_source_sketch",  # one-pass source sketch + grade
     "x21_ivfpq_upsert_topk",      # frozen-model incremental upsert
     "e15_dataset_card",           # grouping-sets release-stats card
+    "t20_bpe_encode_corpus",      # BPE-encode via the learned merges
     # --- code changed in round 13: re-verify at the driver
     "o11_neyman_allocation",      # DECIMAL radicand guard (ADVICE r12)
     "x20_filtered_ann_topk",      # truth-driven output (ADVICE r12)
@@ -144,7 +147,6 @@ DRIVER_WINDOW = (
     "d9_decontaminate",
     "e1_docket_pipeline",
     "e8_temperature_mixture",
-    "f2_is_not_null",
     "f3_boolean_filter",
     "j10_bucketed_colocated_join",
     "j11_salted_skew_join",

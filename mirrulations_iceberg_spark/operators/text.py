@@ -1196,7 +1196,187 @@ def t19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T20_ITERS = 6  # merges to learn before encoding (= t17b's N)
+
+
+def t20_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned BPE merge table — the
+    inference half t17/t17b train for, and the stage a real pipeline
+    runs corpus-wide before mixture math (token budgets, packing,
+    per-source fertility audits all count LEARNED units, not
+    whitespace words). Trains ``T20_ITERS`` merges exactly as t17b
+    does, then reports per source: words, BPE units, characters,
+    fertility (units per word, bp) and mean unit length (chars per
+    unit, bp) — the table that decides whether a tokenizer underserves
+    a source (fertility drift is the standard multilingual-equity
+    audit).
+
+    The scale insight that makes corpus-wide encoding cheap: BPE
+    merges NEVER cross token boundaries, so the corpus is encoded by
+    encoding each DISTINCT token once — the merge fold runs over the
+    Heaps-bounded vocabulary (same table the trainer already owns,
+    with ``tok`` threaded through), and the corpus-sized side is ONE
+    (source, tok) count join against that broadcast vocabulary. Raw
+    text is scanned once; no merge ever touches a document row.
+
+    The trainer loop is deliberately self-contained rather than
+    refactored out of t17b — sharing it would put green t17b back
+    through the rotation gate for a pure refactor (the x19/x21
+    precedent). If the pair table exhausts before ``T20_ITERS`` the
+    operator raises rather than silently encoding with a shorter
+    table (the oracle's chained CTEs have no break path).
+
+    Oracle: t17b's boundary-wrapped replay with ``tok`` carried
+    through the rounds, then the same vocabulary join and per-source
+    integer arithmetic.
+    """
+    from .dedup import parallelize_scan as _pscan
+
+    docs = _pscan(load_table(spark, sf_dir, "documents"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    per_src = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    vocab = (
+        per_src.groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("tok", chars.alias("syms"), "cnt")
+        .localCheckpoint()
+    )
+    for _ in range(T20_ITERS):
+        pair = F.zip_with(
+            F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1),
+            F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("lft"), b.alias("rgt")),
+        )
+        best = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("cnt", F.explode(pair).alias("pr"))
+            .groupBy("pr.lft", "pr.rgt")
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise RuntimeError(
+                "t20: pair table exhausted before"
+                f" {T20_ITERS} merges — reduce T20_ITERS"
+            )
+        a, b = best[0]["lft"], best[0]["rgt"]
+        vocab = vocab.select(
+            "tok", apply_bpe_merge(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).localCheckpoint()
+    units = vocab.select(
+        "tok",
+        F.size("syms").alias("units"),
+        F.length("tok").alias("chars"),
+    )
+    return (
+        per_src.join(F.broadcast(units), "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("units"))
+            .cast("long")
+            .alias("n_units"),
+            F.sum(F.col("cnt") * F.col("chars"))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_units",
+            "n_chars",
+            F.expr("(10000 * n_units) DIV greatest(n_words, 1)").alias(
+                "fertility_bp"
+            ),
+            F.expr("(10000 * n_chars) DIV greatest(n_units, 1)").alias(
+                "chars_per_unit_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _t20_sql() -> str:
+    """t20 oracle: t17b's chained boundary-wrapped rounds with ``tok``
+    threaded through (deliberate textual twin — see the t20 docstring
+    for why the trainer is not refactored out of t17b), then the
+    vocabulary join and per-source integer stats."""
+    sym = r"\(([a-z0-9]+)\)"
+    parts = [
+        f"""tok AS (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text),
+                                             '{TOKEN_PATTERN}')) AS tok
+            FROM documents
+        ), pst AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY 1, 2
+        ), v0 AS (
+            SELECT tok, regexp_replace(tok, '(.)', '(\\1)', 'g') AS s,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM pst GROUP BY tok
+        )"""
+    ]
+    for r in range(1, T20_ITERS + 1):
+        parts.append(
+            f"""l{r} AS (
+            SELECT tok, s, cnt,
+                   regexp_extract_all(s, '{sym}', 1) AS li
+            FROM v{r - 1}
+        ), p{r} AS (
+            SELECT li[u.i] AS lft, li[u.i + 1] AS rgt,
+                   CAST(SUM(cnt) AS BIGINT) AS pc
+            FROM l{r}, UNNEST(range(1, len(li))) u(i)
+            GROUP BY 1, 2
+        ), b{r} AS (
+            SELECT lft, rgt FROM p{r}
+            ORDER BY pc DESC, lft, rgt LIMIT 1
+        ), v{r} AS (
+            SELECT tok,
+                   replace(s, '(' || b.lft || ')(' || b.rgt || ')',
+                           '(' || b.lft || b.rgt || ')') AS s, cnt
+            FROM l{r} CROSS JOIN b{r} b
+        )"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""", enc AS (
+            SELECT tok,
+                   CAST(len(regexp_extract_all(s, '{sym}', 1))
+                        AS BIGINT) AS units,
+                   CAST(len(tok) AS BIGINT) AS chars
+            FROM v{T20_ITERS}
+        )
+        SELECT p.source,
+               CAST(SUM(p.cnt) AS BIGINT) AS n_words,
+               CAST(SUM(p.cnt * e.units) AS BIGINT) AS n_units,
+               CAST(SUM(p.cnt * e.chars) AS BIGINT) AS n_chars,
+               CAST((10000 * SUM(p.cnt * e.units))
+                    // GREATEST(SUM(p.cnt), 1) AS BIGINT) AS fertility_bp,
+               CAST((10000 * SUM(p.cnt * e.chars))
+                    // GREATEST(SUM(p.cnt * e.units), 1) AS BIGINT)
+                   AS chars_per_unit_bp
+        FROM pst p JOIN enc e USING (tok)
+        GROUP BY p.source ORDER BY p.source
+    """
+    )
+
+
 QUERIES = {
+    "t20_bpe_encode_corpus": t20_bpe_encode_corpus,
     "t19_quality_classifier": t19_quality_classifier,
     "t18_backoff_surprisal": t18_backoff_surprisal,
     "t17_bpe_pair_stats": t17_bpe_pair_stats,
@@ -1304,6 +1484,7 @@ ORACLE = {
         FROM scored GROUP BY lang ORDER BY lang
     """,
     "t17b_bpe_train_iters": _t17b_sql(),
+    "t20_bpe_encode_corpus": _t20_sql(),
     "t17_bpe_pair_stats": f"""
         WITH tok AS (
             SELECT unnest(regexp_extract_all(lower(text),

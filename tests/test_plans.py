@@ -88,6 +88,7 @@ SKIP_SWEEP = {
     "x20_filtered_ann_topk",  # IVF + PQ fits + materializes
     "x21_ivfpq_upsert_topk",  # base-subset IVF + PQ fits + materializes
     "d20_minhash_source_sketch",  # caches shingles + posting set
+    "t20_bpe_encode_corpus",  # N train rounds at construction
 }
 
 

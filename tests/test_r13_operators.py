@@ -186,6 +186,68 @@ def test_e15_dataset_card_levels(spark, tmp_path):
     assert total["n_gated"] == 3
 
 
+def test_t20_encode_matches_python_bpe_replay(spark, tmp_path):
+    """Independent Python replay of the whole trainer + encoder (the
+    w16-recursion-test pattern): count weighted adjacent pairs over
+    the distinct-token vocabulary, pick max with (count desc, lft,
+    rgt) tie-break, apply the greedy left-to-right non-overlapping
+    merge, six rounds; then per-source stats from the token multiset.
+    Also pins the boundary invariant: a source of single-char tokens
+    can never merge, so units == words == chars there."""
+    from mirrulations_iceberg_spark.operators.text import (
+        T20_ITERS,
+        t20_bpe_encode_corpus,
+    )
+
+    docs = [
+        (1, "zzzz zzzz zzzz wxyz wxyz abcdef", "A"),
+        (2, "zzzz wxyz abcdef abcdef ghij", "A"),
+        (3, "q z w x q z", "B"),  # single-char tokens: unmergeable
+        (4, "zzzz ghij wxyz q", "C"),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    out = {r["source"]: r for r in t20_bpe_encode_corpus(spark, sf).collect()}
+
+    # --- Python twin ---
+    toks_by_src: dict[str, list[str]] = {}
+    for _i, text, src in docs:
+        toks_by_src.setdefault(src, []).extend(text.split())
+    from collections import Counter
+
+    vocab_counts = Counter(t for ts in toks_by_src.values() for t in ts)
+    syms = {t: list(t) for t in vocab_counts}
+    for _ in range(T20_ITERS):
+        pairs: Counter = Counter()
+        for t, s in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += vocab_counts[t]
+        assert pairs, "fixture must support T20_ITERS merges"
+        (a, b), _c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for t, s in syms.items():
+            acc: list[str] = []
+            for x in s:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            syms[t] = acc
+    for src, ts in toks_by_src.items():
+        n_words = len(ts)
+        n_units = sum(len(syms[t]) for t in ts)
+        n_chars = sum(len(t) for t in ts)
+        r = out[src]
+        assert r["n_words"] == n_words, src
+        assert r["n_units"] == n_units, src
+        assert r["n_chars"] == n_chars, src
+        assert r["fertility_bp"] == (10000 * n_units) // n_words
+        assert r["chars_per_unit_bp"] == (10000 * n_chars) // n_units
+    b = out["B"]
+    assert b["n_units"] == b["n_words"] == b["n_chars"] == 6
+    assert out["A"]["n_units"] < out["A"]["n_chars"]  # merges applied
+
+
 def test_x21_upsert_serves_delta_rows(spark, tmp_path):
     """Delta vectors (vec_id % 5 == 3) placed EXACTLY at query 0's
     position: same position -> same frozen-model cell and identical
