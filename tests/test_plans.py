@@ -134,6 +134,24 @@ def test_projection_queries_have_no_exchange(spark):
         assert "Exchange" not in _plan(spark, name), name
 
 
+def test_w16_single_events_scan(spark):
+    """w16's review-r13 contract: the train moments ride windows on
+    the SAME ranked lineage — one events scan, one rollup exchange,
+    one window exchange. A regression to the groupBy-train +
+    join-back draft doubles the scan count."""
+    plan = _plan(spark, "w16_cusum_changepoint")
+    assert plan.count("events.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_e15_single_expand_pass(spark):
+    """e15's GROUPING SETS levels come from ONE Expand over one scan —
+    not three scans unioned."""
+    plan = _plan(spark, "e15_dataset_card")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("Expand") >= 1
+
+
 def test_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in _plan(spark, "x1_cosine_topk")
     assert "WindowGroupLimit" in _plan(spark, "t7_tfidf_top_terms")
