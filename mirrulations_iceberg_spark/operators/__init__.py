@@ -115,10 +115,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: r12, oracle updated identically) + 43 of the 45 remaining r08-stale
 #: greens (last driver-checked five rounds of refactors ago; list
 #: verified against the regenerated LEDGER.md, never memory) —
-#: w5_sessionize and f2_is_not_null, the two cohort members with the
-#: DEEPEST green histories (5 banked green rounds each, the
-#: established displacement criterion), yield their slots to e15 and
-#: t20 and head r14's rotation queue. Pre-rotation
+#: w5_sessionize and f2_is_not_null yield their slots to e15 and t20
+#: and head r14's rotation queue — both picked from the cohort's
+#: 10-way tie at the deepest green history (5 banked rounds) by
+#: family redundancy: each leaves same-family siblings in the window
+#: (w2/w4/w12/w13 for w5; f3 for f2), so no family's live attestation
+#: thins. Pre-rotation
 #: gate: the full sf0.01 sweep ran green this session (185 pass /
 #: 2 rows-only / 0 fail) with the o11/x20 fixes in, each new operator
 #: verified at sf0.01 on first contact, and the exact 50-slot order

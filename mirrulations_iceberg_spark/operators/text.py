@@ -1196,7 +1196,7 @@ def t19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T20_ITERS = 6  # merges to learn before encoding (= t17b's N)
+T20_ITERS = T17B_ITERS  # encode with exactly the table t17b trains
 
 
 def t20_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
