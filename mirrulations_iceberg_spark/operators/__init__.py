@@ -105,21 +105,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: exact 50-slot order replayed green via --window-order before each
 #: commit that touched the window.
 #: Round-13 rotation (VERDICT r11 #1's trajectory, continued): the
-#: window = 5 NEW operators (w16 CUSUM changepoint, d20 per-source
+#: window = 6 NEW operators (w16 CUSUM changepoint, d20 per-source
 #: MinHash overlap sketch, x21 IVFPQ incremental upsert, e15 dataset-
-#: card report, t20 BPE corpus encode — never green by definition)
-#: + 2 whose code changed
+#: card report, t20 BPE corpus encode, s8 streamed CUSUM with w16's
+#: oracle verbatim as the stream/batch parity proof — never green by
+#: definition) + 2 whose code changed
 #: this round and must re-verify at the driver (o11: the radicand
 #: guard now evaluates in DECIMAL — ADVICE r12; x20: output driven
 #: from the filtered-truth key set with COALESCEd left joins — ADVICE
-#: r12, oracle updated identically) + 43 of the 45 remaining r08-stale
+#: r12, oracle updated identically) + 42 of the 45 remaining r08-stale
 #: greens (last driver-checked five rounds of refactors ago; list
 #: verified against the regenerated LEDGER.md, never memory) —
-#: w5_sessionize and f2_is_not_null yield their slots to e15 and t20
-#: and head r14's rotation queue — both picked from the cohort's
-#: 10-way tie at the deepest green history (5 banked rounds) by
-#: family redundancy: each leaves same-family siblings in the window
-#: (w2/w4/w12/w13 for w5; f3 for f2), so no family's live attestation
+#: w5_sessionize, f2_is_not_null, and a9_value_counts yield their
+#: slots to e15, t20, and s8 and head r14's rotation queue — all
+#: picked from the cohort's 10-way tie at the deepest green history
+#: (5 banked rounds) by family redundancy: each leaves same-family
+#: siblings in the window (w2/w4/w12/w13 for w5; f3 for f2;
+#: a6/a7/a10/a12b/a14/a16 for a9), so no family's live attestation
 #: thins. Pre-rotation
 #: gate: the full sf0.01 sweep ran green this session (185 pass /
 #: 2 rows-only / 0 fail) with the o11/x20 fixes in, each new operator
@@ -132,6 +134,7 @@ DRIVER_WINDOW = (
     "x21_ivfpq_upsert_topk",      # frozen-model incremental upsert
     "e15_dataset_card",           # grouping-sets release-stats card
     "t20_bpe_encode_corpus",      # BPE-encode via the learned merges
+    "s8_stream_cusum",            # streamed w16: parity-proved alarm
     # --- code changed in round 13: re-verify at the driver
     "o11_neyman_allocation",      # DECIMAL radicand guard (ADVICE r12)
     "x20_filtered_ann_topk",      # truth-driven output (ADVICE r12)
@@ -142,7 +145,6 @@ DRIVER_WINDOW = (
     "a16_grouping_sets",
     "a6_count_distinct",
     "a7_boolean_sum",
-    "a9_value_counts",
     "c11_from_json_typed",
     "c9_ts_minmax",
     "d14_contamination_grade",

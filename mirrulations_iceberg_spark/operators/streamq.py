@@ -537,8 +537,47 @@ def s7_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+def s8_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED ingest monitoring — w16's CUSUM changepoint detector
+    fed by the STREAMING engine: file source → complete-mode stateful
+    (event_type, day) count — the state a monitoring deployment keeps
+    incrementally as events arrive, bounded at |types|·|days| rows
+    regardless of event volume — → memory sink, then the exact
+    shared :func:`~.windows.w16_detect` window algebra over the
+    drained rollup. The oracle IS w16's SQL verbatim, so the driver
+    row proves stream/batch parity end-to-end (the s6/d10 pattern:
+    one algorithm, two feeders, one oracle) — the alarm a streaming
+    monitor raises is bit-identical to the batch backfill's.
+    """
+    import os
+
+    from .windows import w16_detect
+
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        # Replicated corpora (scalestress) land as multi-file
+        # directories; the shared _events_stream globs for a FILE named
+        # events.parquet and would stream zero rows. Stream the
+        # directory itself instead (the s4 precedent — handled locally
+        # so green s1/s5 don't re-enter the gate for this).
+        from ..tables import ensure_events_read_conf, normalize_event_ts
+
+        ensure_events_read_conf(spark)
+        schema = spark.read.parquet(src).schema
+        events = normalize_event_ts(
+            spark.readStream.schema(schema).parquet(src)
+        )
+    else:
+        events = _events_stream(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return w16_detect(_run_to_table(daily, "s8_sink"))
+
+
 QUERIES = {
     "s7_stream_cdc_upsert": s7_stream_cdc_upsert,
+    "s8_stream_cusum": s8_stream_cusum,
     "s1_stream_windowed_counts": s1_stream_windowed_counts,
     "s2_incremental_ingest": s2_incremental_ingest,
     "s3_stream_sessions": s3_stream_sessions,
@@ -565,8 +604,17 @@ def _s7_oracle() -> str:
     return MAINT_ORACLE["m15_cdc_merge"]
 
 
+def _s8_oracle() -> str:
+    """s8's oracle is w16's SQL VERBATIM — equality against the batch
+    detector's oracle is the stream/batch parity proof."""
+    from .windows import ORACLE as _W
+
+    return _W["w16_cusum_changepoint"]
+
+
 ORACLE = {
     "s7_stream_cdc_upsert": _s7_oracle(),
+    "s8_stream_cusum": _s8_oracle(),
     "s6_stream_base_dedup": _s6_oracle(),
     "s5_stream_attribution": """
         WITH c AS (

@@ -687,6 +687,14 @@ def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    return w16_detect(daily)
+
+
+def w16_detect(daily: DataFrame) -> DataFrame:
+    """w16's detector over ANY (event_type, day, n_events) table — the
+    post-rollup window algebra, shared with s8's streamed rollup (the
+    d10/s6 pattern: one algorithm, batch and streaming feeders, one
+    oracle proving parity)."""
     wday = Window.partitionBy("event_type").orderBy("day")
     ranked = daily.withColumn("dn", F.row_number().over(wday))
     # Train moments as whole-partition windows over the SAME ranked

@@ -89,6 +89,7 @@ SKIP_SWEEP = {
     "x21_ivfpq_upsert_topk",  # base-subset IVF + PQ fits + materializes
     "d20_minhash_source_sketch",  # caches shingles + posting set
     "t20_bpe_encode_corpus",  # N train rounds at construction
+    "s8_stream_cusum",  # runs a streaming job at construction
 }
 
 

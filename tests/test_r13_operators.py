@@ -12,6 +12,13 @@ import os
 
 
 def _write_events(spark, tmp_path, rows):
+    """Write events as a single FILE named events.parquet (not a
+    directory): the streaming file source reads the sf_dir with
+    ``pathGlobFilter=events.parquet``, which matches file names — a
+    directory-shaped table would stream zero rows (the s4 lesson)."""
+    import glob
+    import shutil
+
     df = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -19,9 +26,11 @@ def _write_events(spark, tmp_path, rows):
     )
     sf = str(tmp_path / "sf")
     os.makedirs(sf, exist_ok=True)
-    df.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(sf, "events.parquet")
-    )
+    staging = str(tmp_path / "stage_events")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(sf, "events.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
     return sf
 
 
@@ -148,6 +157,35 @@ def test_d20_sketch_identical_and_disjoint_sources(spark, tmp_path):
         assert r["n_common"] == 0
         assert r["eq_slots"] == 0
         assert r["jaccard_bp"] == r["jaccard_est_bp"] == 0
+
+
+def test_s8_stream_equals_w16_batch(spark, tmp_path):
+    """Stream/batch parity, row for row: the streamed rollup fed
+    through the SHARED w16_detect must equal the batch detector on the
+    same fixture — including the engineered mean shift's alarm rows
+    (the d10/s6 parity discipline, extended to the monitoring path)."""
+    from mirrulations_iceberg_spark.operators.streamq import s8_stream_cusum
+    from mirrulations_iceberg_spark.operators.windows import (
+        W16_TRAIN_DAYS,
+        w16_cusum_changepoint,
+    )
+
+    rows, eid = [], 0
+    for d in range(W16_TRAIN_DAYS + 3):
+        day = datetime.datetime(2024, 3, 1 + d, 12, 0, 0)
+        n = 10 if d < W16_TRAIN_DAYS else 25
+        for k in range(n):
+            rows.append((eid, day, k, "shift", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    batch = sorted(
+        (tuple(r) for r in w16_cusum_changepoint(spark, sf).collect())
+    )
+    stream = sorted(
+        (tuple(r) for r in s8_stream_cusum(spark, sf).collect())
+    )
+    assert stream == batch
+    assert any(r[-2] == 1 for r in batch)  # the shift actually alarms
 
 
 def test_e15_dataset_card_levels(spark, tmp_path):
