@@ -494,3 +494,65 @@ def test_t13_no_rounding_boundary_exposure(spark):
         worst = min(worst, dist)
     # 1e-9 is ~7 orders of magnitude above 1-ulp log2 divergence
     assert worst > 1e-9, f"bits value {worst} too close to a rounding boundary"
+
+
+def _py_cusum(counts: list[int], train: int, h: int):
+    """Plain-Python replay of w16_detect's arithmetic (the textbook
+    recursion, NOT the closed form) for one series."""
+    import math
+
+    tr = counts[:train]
+    n = len(tr)
+    st_, stt = sum(tr), sum(x * x for x in tr)
+    sigma_n = math.isqrt(n * stt - st_ * st_)
+    out, s_pos, s_neg = [], 0, 0
+    for x in counts[train:]:
+        s_pos = max(0, s_pos + (2 * n * x - 2 * st_ - sigma_n))
+        s_neg = max(0, s_neg + (2 * st_ - 2 * n * x - sigma_n))
+        out.append((x, s_pos, s_neg, 2 * h * sigma_n))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=15, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_w16_closed_form_property(spark, series):
+    """The window closed form S_t = P_t - min(0, min P_j) equals the
+    max(0, S+d) recursion for ARBITRARY non-negative integer series —
+    every hypothesis-drawn series rides one Spark job as its own
+    event_type partition, so the property costs one action per
+    example (the shared-job discipline of this file)."""
+    import datetime
+
+    from mirrulations_iceberg_spark.operators.windows import (
+        W16_H,
+        W16_TRAIN_DAYS,
+        w16_detect,
+    )
+
+    rows = []
+    for si, counts in enumerate(series):
+        for d, c in enumerate(counts):
+            rows.append(
+                (f"s{si}", datetime.date(2024, 1, 1)
+                 + datetime.timedelta(days=d), c)
+            )
+    daily = spark.createDataFrame(
+        rows, "event_type string, day date, n_events long"
+    )
+    got = {}
+    for r in w16_detect(daily).collect():
+        got.setdefault(r["event_type"], []).append(
+            (r["n_events"], r["cusum_pos"], r["cusum_neg"], r["threshold"])
+        )
+    for si, counts in enumerate(series):
+        assert got.get(f"s{si}", []) == _py_cusum(
+            counts, W16_TRAIN_DAYS, W16_H
+        ), f"series {si}: {counts}"
