@@ -135,15 +135,21 @@ DRIVER_WINDOW = (
     "e15_dataset_card",           # grouping-sets release-stats card
     "t20_bpe_encode_corpus",      # BPE-encode via the learned merges
     "s8_stream_cusum",            # streamed w16: parity-proved alarm
+    "x22_binary_hamming_topk",    # 1-bit sign codes, packed Hamming
+    "w17_seasonal_robust_anomaly",  # per-dow median/MAD outlier flags
+    # (x22/w17 landed late in round 13; a6_count_distinct and
+    # a10_date_histogram — 5 banked green rounds each, with
+    # a7/a12b/a14/a16 still holding the a-family's live attestation —
+    # yield their slots and join w5/f2/a9 at the head of r14's
+    # rotation queue.)
     # --- code changed in round 13: re-verify at the driver
     "o11_neyman_allocation",      # DECIMAL radicand guard (ADVICE r12)
     "x20_filtered_ann_topk",      # truth-driven output (ADVICE r12)
-    # --- 44 of the 45 r08-stale greens (w5 -> r14 queue)
-    "a10_date_histogram",
+    # --- 42 of the 45 r08-stale greens (w5 -> r14 queue; a6/a10
+    #     displaced late-round by x22/w17)
     "a12b_cube",
     "a14_histogram",
     "a16_grouping_sets",
-    "a6_count_distinct",
     "a7_boolean_sum",
     "c11_from_json_typed",
     "c9_ts_minmax",

@@ -2799,8 +2799,164 @@ def x15_sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, emb, recon)
 
 
+#: Hamming shortlist width: 5·k candidates survive the binary stage
+#: and reach the exact rerank — the recall/cost dial (x2's role for
+#: LSH). At 500 fixture vectors this prunes 90% of the corpus; the
+#: ratio, not the absolute, is what carries to a 100 TB index.
+X22_SHORTLIST = 5 * TOP_K
+#: Sign bits are packed 32 per BIGINT lane (EMB_DIM=64 → 2 lanes).
+#: 32, not 64: bit 63 would land on the sign bit, and BIGINT shift
+#: overflow semantics differ across engines (Java wraps silently,
+#: DuckDB's ``**``+CAST raises past int64) — 2³¹ stays positive and
+#: exact in both.
+X22_LANES = EMB_DIM // 32
+
+
+def x22_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantization + packed-bit Hamming search — the
+    THIRD production vector-compression point next to x9's PQ (sub-byte
+    codes, table lookups) and x15's SQ8 (one byte/dim): ONE BIT per
+    dimension, 8 B per 64-dim vector vs 512 B fp64 — the 64× memory
+    press that lets a 100 TB embedding corpus sit in cluster RAM, and
+    the shape modern vector stores ship as "binary quantization" with
+    an exact-rerank stage on top.
+
+    Quantizer: bit_d = (v_d > mid_d) with mid_d the per-dim MIDRANGE
+    (lo+hi)/2 — midrange, not mean, deliberately: MIN/MAX are
+    order-independent, so the threshold is bit-identical cross-engine,
+    where a float AVG would differ in the last ulp by summation order
+    and could flip the sign of a value sitting on the boundary. Bits
+    pack into ``X22_LANES`` positive BIGINT lanes; Hamming distance is
+    then ``bit_count(s0 XOR q0) + bit_count(s1 XOR q1)`` — pure
+    integer-register work inside whole-stage codegen, no array
+    traversal at scoring time (the fold runs once per vector at
+    index-build, never per pair).
+
+    Plan shape: the quantizer fit is ONE 64-row min/max aggregate
+    (map-side partial) re-injected as a literal array — the broadcast-
+    the-model x6/x15 discipline. Signatures are a single corpus scan,
+    cached (the persisted binary index artifact in a deployment).
+    Scoring is that artifact crossJoin the ≤N_QUERIES broadcast rows;
+    the Hamming top-``X22_SHORTLIST`` is ``row_number() <= C`` —
+    WindowGroupLimit trims map-side, so the exchange carries ≤
+    C·partitions rows — and only those C rows pay the exact-cosine
+    rerank. Output per query: top-k id-checksum, recall@k vs the
+    in-plan exact ranking, and the top-k Hamming mass (how far the
+    retrieved set sits from the query in code space — the drift
+    diagnostic for re-fitting the thresholds).
+
+    Oracle: the full fit→pack→Hamming→shortlist→rerank→recall pipeline
+    replayed in DuckDB (lanes via an integer SUM over a stats cross
+    join — integer, so order-free; ``xor``/``bit_count`` built-ins).
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    stats = (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )  # EMB_DIM rows — bounded by dimensionality, never by corpus
+    mid = [(r["lo"] + r["hi"]) / 2 for r in stats]  # IEEE = SQL (lo+hi)/2
+    mid_arr = F.array(*[F.lit(float(m)) for m in mid])
+
+    def _lane(lane: int):
+        base = lane * 32
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(32)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.element_at(F.col("e"), (j + F.lit(base)).cast("int"))
+                > F.element_at(mid_arr, (j + F.lit(base)).cast("int")),
+                # 2^(j-1) via double pow, exact to 2^31 — matches the
+                # oracle's CAST(2**(j-1) AS BIGINT) bit-for-bit
+                F.pow(F.lit(2.0), (j - F.lit(1)).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    # cache: the signature artifact is referenced by the query side AND
+    # the corpus side of the Hamming join — without a materialization
+    # point CollapseProject re-runs the 32-element pack fold at every
+    # reference (the x11/x15 interpreted higher-order-function trap).
+    # In a deployment this frame IS the persisted binary index.
+    sigs = emb.select(
+        "vec_id",
+        "e",
+        "norm",
+        *[_lane(l).alias(f"s{l}") for l in range(X22_LANES)],
+    ).cache()
+    qside = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+        *[F.col(f"s{l}").alias(f"q{l}") for l in range(X22_LANES)],
+    )
+    hamming = F.bit_count(F.col("s0").bitwiseXOR(F.col("q0")))
+    for l in range(1, X22_LANES):
+        hamming = hamming + F.bit_count(
+            F.col(f"s{l}").bitwiseXOR(F.col(f"q{l}"))
+        )
+    ham = (
+        sigs.crossJoin(F.broadcast(qside))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("hamming", hamming)
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    short = ham.withColumn("hrnk", F.row_number().over(wh)).filter(
+        F.col("hrnk") <= X22_SHORTLIST
+    )
+    rerank = short.withColumn("cos_sim", _cosine_sim())
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    bin_topk = (
+        rerank.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "hamming")
+    )
+    exact_scored = (
+        emb.crossJoin(F.broadcast(_queries_side(emb)))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _cosine_sim())
+    )
+    exact_topk = _rank_topk(exact_scored).select(
+        "query_id", F.col("vec_id").alias("exact_vec_id")
+    )
+    hits = bin_topk.join(
+        exact_topk,
+        (bin_topk.query_id == exact_topk.query_id)
+        & (bin_topk.vec_id == exact_topk.exact_vec_id),
+        "left_semi",
+    )
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    out = (
+        bin_topk.groupBy("query_id")
+        .agg(
+            F.sum("vec_id").alias("id_checksum"),
+            F.sum("hamming").alias("hamming_sum"),
+        )
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("id_checksum").cast("long").alias("id_checksum"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 4
+            ).alias("recall_at_k"),
+            F.col("hamming_sum").cast("long").alias("hamming_sum"),
+        )
+        .orderBy("query_id")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, emb, sigs)
+
+
 QUERIES = {
     "x15_sq_int8_recall": x15_sq_int8_recall,
+    "x22_binary_hamming_topk": x22_binary_hamming_topk,
     "x1_cosine_topk": x1_cosine_topk,
     "x2_ann_lsh_topk": x2_ann_lsh_topk,
     "x13_lsh_recall_curve": x13_lsh_recall_curve,
@@ -3976,8 +4132,87 @@ ORDER BY p.query_id
 """
 
 
+_X22_SQL = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), stats AS (
+    SELECT t.i AS i, (MIN(e.e[t.i]) + MAX(e.e[t.i])) / 2 AS mid
+    FROM e CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+    GROUP BY t.i
+), lanes AS (
+    SELECT e.vec_id,
+           CAST(SUM(CASE WHEN s.i <= 32 AND e.e[s.i] > s.mid
+                         THEN CAST(2 ** (s.i - 1) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s0,
+           CAST(SUM(CASE WHEN s.i > 32 AND e.e[s.i] > s.mid
+                         THEN CAST(2 ** (s.i - 33) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s1
+    FROM e CROSS JOIN stats s
+    GROUP BY e.vec_id
+), n AS (
+    SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+    FROM e
+), sig AS (
+    SELECT n.vec_id, n.e, n.norm, l.s0, l.s1
+    FROM n JOIN lanes l USING (vec_id)
+), q AS (
+    SELECT vec_id AS query_id, e AS qe, norm AS qnorm, s0 AS q0, s1 AS q1
+    FROM sig WHERE vec_id < {N_QUERIES}
+), ham AS (
+    SELECT q.query_id, s.vec_id, s.e, s.norm, q.qe, q.qnorm,
+           bit_count(xor(s.s0, q.q0)) + bit_count(xor(s.s1, q.q1)) AS hamming
+    FROM sig s CROSS JOIN q WHERE s.vec_id <> q.query_id
+), short AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, vec_id) AS hrnk
+        FROM ham
+    ) WHERE hrnk <= {X22_SHORTLIST}
+), rerank AS (
+    SELECT query_id, vec_id, hamming,
+           CASE WHEN norm * qnorm > 0
+                THEN ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                                   i -> e[i] * qe[i]))
+                           / (norm * qnorm), 4)
+                ELSE 0.0 END AS cos_sim
+    FROM short
+), bin_topk AS (
+    SELECT query_id, vec_id, hamming FROM (
+        SELECT query_id, vec_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM rerank
+    ) WHERE rnk <= {TOP_K}
+), exact AS (
+    SELECT q.query_id, n.vec_id,
+           {_COS} AS cos_sim
+    FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
+), exact_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM exact
+    ) WHERE rnk <= {TOP_K}
+), hits AS (
+    SELECT p.query_id, COUNT(*) AS n_hits
+    FROM bin_topk p JOIN exact_topk x
+      ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+    GROUP BY p.query_id
+)
+SELECT p.query_id, CAST(SUM(p.vec_id) AS BIGINT) AS id_checksum,
+       ROUND(COALESCE(MAX(h.n_hits), 0) / {float(TOP_K)}, 4) AS recall_at_k,
+       CAST(SUM(p.hamming) AS BIGINT) AS hamming_sum
+FROM bin_topk p LEFT JOIN hits h USING (query_id)
+GROUP BY p.query_id
+ORDER BY p.query_id
+"""
+
+
 ORACLE = {
     "x15_sq_int8_recall": _X15_SQL,
+    "x22_binary_hamming_topk": _X22_SQL,
     "x10_mmr_select": _mmr_oracle(),
     "x11_ivf_tuning_curve": _x11_sql(),
     "x12_knn_graph": _x12_sql(),

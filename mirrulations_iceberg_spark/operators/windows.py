@@ -798,9 +798,107 @@ def w16_detect(daily: DataFrame) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+W17_TRAIN_DAYS = 21  # 3 ISO weeks: every day-of-week gets 3 baseline samples
+W17_K = 3  # flag when |x − median| > K·MAD (robust z-score > K)
+
+
+def w17_seasonal_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware robust anomaly detection over daily event
+    volumes — w16's CUSUM flags sustained mean SHIFTS; this flags
+    single-day OUTLIERS against a day-of-week baseline (weekend dips
+    are not anomalies; a Tuesday at Saturday volume is). Per
+    ``(event_type, iso_dow)``: baseline median and MAD (median absolute
+    deviation — the robust σ that one historic outlier can't inflate,
+    which is the point: a mean/σ baseline trained on data containing
+    the very anomalies you hunt is self-blinding) over the first
+    ``W17_TRAIN_DAYS`` observed days, then each later day flags when
+    ``|x − med| > K·MAD``.
+
+    Exact integer algebra end to end — the w16 discipline, adapted to
+    medians: both engines interpolate the even-count median to a
+    half-integer, so ``med2 = 2·median(n)`` and ``mad4 = 2·median(2·|2n
+    − med2|/2) = 2·median(dev2)`` are exact BIGINTs (a ×2-scaled
+    integer median is a+b — exactly representable, no float drift),
+    and the flag is the pure integer comparison ``2·dev2 > K·mad4`` ≡
+    ``|x − med| > K·MAD``. MAD = 0 (constant baseline) flags any
+    deviation — correct for a flat feed, and the strict ``>`` keeps an
+    exactly-on-baseline day quiet.
+
+    Scale shape: ONE events scan → (type, day) map-side-combined
+    counts; everything after runs on the |types|·|days| design table —
+    one exchange for the per-type day rank, one for the (type, dow)
+    cells, with both medians (conditional, null-skipping) as
+    whole-partition window aggregates over the SAME cell partitioning
+    (no join-back, no second scan — the w16 review lesson). Monitored
+    days whose (type, dow) cell has no baseline row are dropped (with
+    contiguous feeds and TRAIN a multiple of 7 the cell is never
+    empty; a production gap-y feed would LEFT-join a calendar spine
+    first — w14's gap-fill is that operator).
+
+    Cross-engine parity notes: Spark ``weekday(day)+1`` == DuckDB
+    ``isodow(day)`` (Mon=1…Sun=7), and Spark ``percentile(x, 0.5)``
+    == DuckDB ``median(x)`` (both exact-interpolating, both
+    null-skipping over the CASE-gated train rows; verified on even
+    and odd counts).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wday = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.withColumn("dn", F.row_number().over(wday)).withColumn(
+        "dow", F.expr("CAST(weekday(day) + 1 AS BIGINT)")
+    )
+    wcell = Window.partitionBy("event_type", "dow")
+    med2 = (
+        (
+            F.lit(2)
+            * F.expr(
+                f"percentile(CASE WHEN dn <= {W17_TRAIN_DAYS}"
+                " THEN n_events END, 0.5)"
+            ).over(wcell)
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    base = ranked.select("*", med2).withColumn(
+        "dev2_tr",
+        F.when(
+            F.col("dn") <= W17_TRAIN_DAYS,
+            F.abs(2 * F.col("n_events") - F.col("med2")),
+        ),
+    )
+    mad4 = (
+        (F.lit(2) * F.expr("percentile(dev2_tr, 0.5)").over(wcell))
+        .cast("long")
+        .alias("mad4")
+    )
+    scored = base.select("*", mad4)
+    return (
+        scored.filter(
+            (F.col("dn") > W17_TRAIN_DAYS) & F.col("med2").isNotNull()
+        )
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            "n_events",
+            "med2",
+            "mad4",
+            F.abs(2 * F.col("n_events") - F.col("med2")).alias("dev2"),
+            F.expr(
+                f"CAST(CASE WHEN 2 * abs(2 * n_events - med2)"
+                f" > {W17_K} * mad4 THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("flag"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 QUERIES = {
     "w1_topn_per_group": w1_topn_per_group,
     "w16_cusum_changepoint": w16_cusum_changepoint,
+    "w17_seasonal_robust_anomaly": w17_seasonal_robust_anomaly,
     "w11_funnel_steps": w11_funnel_steps,
     "w12_retention_cohorts": w12_retention_cohorts,
     "w13_sequence_with_negation": w13_sequence_with_negation,
@@ -818,6 +916,43 @@ QUERIES = {
 }
 
 ORACLE = {
+    "w17_seasonal_robust_anomaly": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day) AS dn,
+                   CAST(isodow(day) AS BIGINT) AS dow
+            FROM daily
+        ), base AS (
+            SELECT *,
+                   CAST(2 * median(CASE WHEN dn <= {W17_TRAIN_DAYS}
+                                        THEN n_events END)
+                            OVER (PARTITION BY event_type, dow)
+                        AS BIGINT) AS med2
+            FROM ranked
+        ), dev AS (
+            SELECT *, CASE WHEN dn <= {W17_TRAIN_DAYS}
+                           THEN abs(2 * n_events - med2) END AS dev2_tr
+            FROM base
+        ), madded AS (
+            SELECT *,
+                   CAST(2 * median(dev2_tr)
+                            OVER (PARTITION BY event_type, dow)
+                        AS BIGINT) AS mad4
+            FROM dev
+        )
+        SELECT event_type, day, dow, n_events, med2, mad4,
+               abs(2 * n_events - med2) AS dev2,
+               CAST(CASE WHEN 2 * abs(2 * n_events - med2)
+                              > {W17_K} * mad4 THEN 1 ELSE 0 END
+                    AS BIGINT) AS flag
+        FROM madded
+        WHERE dn > {W17_TRAIN_DAYS} AND med2 IS NOT NULL
+        ORDER BY event_type, day
+    """,
     "w16_cusum_changepoint": f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,

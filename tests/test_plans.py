@@ -70,6 +70,7 @@ SKIP_SWEEP = {
     "x13_lsh_recall_curve",  # caches + materializes the bucket projection
     "d17_split_leakage",  # collapse + LSH pair gen + materialize
     "x15_sq_int8_recall",  # collects the 64-row quantizer fit + materializes
+    "x22_binary_hamming_topk",  # collects the 64-row midrange fit + materializes
     "t17_bpe_pair_stats",  # caches + materializes the vocab table
     "s7_stream_cdc_upsert",  # runs a streaming job at construction
     "e13_cluster_aware_split",  # LSH pair gen + iterative components
@@ -143,6 +144,17 @@ def test_w16_single_events_scan(spark):
     plan = _plan(spark, "w16_cusum_changepoint")
     assert plan.count("events.parquet") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_w17_single_events_scan(spark):
+    """w17's contract: one events scan into the (type, day) rollup;
+    the day-rank window and BOTH conditional medians run on the design
+    table — the rollup exchange, the per-type rank exchange, and one
+    (type, dow) exchange shared by the two median windows. A
+    join-back baseline (groupBy train + rejoin) would re-scan events."""
+    plan = _plan(spark, "w17_seasonal_robust_anomaly")
+    assert plan.count("events.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
 
 
 def test_e15_single_expand_pass(spark):

@@ -328,3 +328,105 @@ def test_x21_upsert_serves_delta_rows(spark, tmp_path):
     for q in range(N_QUERIES):
         assert 0 <= out[q]["n_delta_topk"] <= TOP_K
         assert 0.0 <= out[q]["recall_at_k"] <= 1.0
+
+
+def test_x22_sign_clusters_perfect_recall(spark, tmp_path):
+    """Each query gets TOP_K exact clones (identical vector -> identical
+    sign code, Hamming 0, cosine 1.0) inside a corpus of mixed-sign
+    noise. The binary stage must shortlist the clones (Hamming 0 beats
+    everything), the rerank must return exactly them (cos 1.0, vec_id
+    tie-break), so recall@k == 1.0, hamming_sum == 0, and the
+    id-checksum equals the clone-id sum — pinning that the packed-lane
+    XOR distance actually orders candidates and that opposite-sign
+    vectors (Hamming 64) never displace true neighbors."""
+    from mirrulations_iceberg_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        TOP_K,
+        x22_binary_hamming_topk,
+    )
+
+    def qvec(q):
+        # distinct sign pattern per query (distinct periodicity q+2 —
+        # NOT a shared modulus: multipliers coprime to one modulus
+        # collapse to the same pattern), magnitude 0.5
+        return [0.5 if j % (q + 2) != 0 else -0.5 for j in range(EMB_DIM)]
+
+    rows, clone_ids = [], {}
+    for q in range(N_QUERIES):
+        rows.append((q, qvec(q), q))
+        ids = list(range(10 + 10 * q, 10 + 10 * q + TOP_K))
+        clone_ids[q] = ids
+        for i in ids:
+            rows.append((i, qvec(q), q))
+    for i in range(70, 100):  # mixed-sign noise, deterministic
+        vec = [((i * 31 + j * 17) % 23 - 11) / 11.0 for j in range(EMB_DIM)]
+        rows.append((i, vec, 9))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    out = {r["query_id"]: r for r in
+           x22_binary_hamming_topk(spark, sf).collect()}
+    assert sorted(out) == list(range(N_QUERIES))
+    for q in range(N_QUERIES):
+        assert out[q]["recall_at_k"] == 1.0
+        assert out[q]["hamming_sum"] == 0
+        assert out[q]["id_checksum"] == sum(clone_ids[q])
+
+
+def test_w17_seasonal_baseline_and_mad_robustness(spark, tmp_path):
+    """Type 'season': weekday volume 10, weekend volume 4, constant per
+    dow — a monitored Saturday at 4 must stay quiet (a global-mean
+    detector would flag every weekend) and an injected Wednesday spike
+    must flag. Type 'robust': one train-day outlier (100 vs 10) — the
+    MEDIAN baseline must stay 10 (med2 == 20) and monitored days at 10
+    stay quiet, pinning that MAD/median shrug off the historic outlier
+    a mean/sigma baseline would absorb."""
+    from mirrulations_iceberg_spark.operators.windows import (
+        W17_TRAIN_DAYS,
+        w17_seasonal_robust_anomaly,
+    )
+
+    start = datetime.datetime(2024, 1, 1, 12, 0, 0)  # a Monday
+    n_days = 35
+    spike_day = 30  # a Wednesday (day index 30 -> Jan 31... recompute below)
+    rows, eid = [], 0
+    # pick the first monitored Wednesday: dow(index) = index % 7 (0=Mon)
+    spike_day = next(
+        d for d in range(W17_TRAIN_DAYS, n_days) if d % 7 == 2
+    )
+    outlier_train_day = 2  # a Wednesday inside train, 'robust' type
+    for d in range(n_days):
+        day = start + datetime.timedelta(days=d)
+        dow = d % 7  # 0=Mon .. 6=Sun
+        n_season = 4 if dow >= 5 else 10
+        if d == spike_day:
+            n_season = 25
+        for k in range(n_season):
+            rows.append((eid, day, k, "season", 1.0, "{}"))
+            eid += 1
+        n_robust = 100 if d == outlier_train_day else 10
+        for k in range(n_robust):
+            rows.append((eid, day, k, "robust", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = w17_seasonal_robust_anomaly(spark, sf).collect()
+    season = {r["day"].day + 31 * (r["day"].month - 1): r
+              for r in out if r["event_type"] == "season"}
+    robust = [r for r in out if r["event_type"] == "robust"]
+    assert len(out) == 2 * (n_days - W17_TRAIN_DAYS)
+    for key, r in season.items():
+        d = key - 1  # day index from Jan 1
+        if d == spike_day:
+            assert r["flag"] == 1 and r["n_events"] == 25
+        else:
+            assert r["flag"] == 0, f"false alarm on day index {d}"
+    # median baseline ignored the train outlier: every robust cell is 10
+    for r in robust:
+        assert r["med2"] == 20
+        assert r["flag"] == 0
