@@ -137,11 +137,14 @@ DRIVER_WINDOW = (
     "s8_stream_cusum",            # streamed w16: parity-proved alarm
     "x22_binary_hamming_topk",    # 1-bit sign codes, packed Hamming
     "w17_seasonal_robust_anomaly",  # per-dow median/MAD outlier flags
-    # (x22/w17 landed late in round 13; a6_count_distinct and
-    # a10_date_histogram — 5 banked green rounds each, with
-    # a7/a12b/a14/a16 still holding the a-family's live attestation —
-    # yield their slots and join w5/f2/a9 at the head of r14's
-    # rotation queue.)
+    "m19_snapshot_diff",          # manifest-pruned changelog classes
+    "e16_incremental_card",       # IVM card refresh vs full recompute
+    # (x22/w17/m19/e16 landed late in round 13; a6_count_distinct,
+    # a10_date_histogram, o2_top_dates, and u1_union_base_delta — 5
+    # banked green rounds each, with a7/a12b/a14/a16 (a-family),
+    # o4/o6/o9 (o-family), and u2/u3 (u-family) still holding live
+    # attestation — yield their slots and join w5/f2/a9 at the head
+    # of r14's rotation queue.)
     # --- code changed in round 13: re-verify at the driver
     "o11_neyman_allocation",      # DECIMAL radicand guard (ADVICE r12)
     "x20_filtered_ann_topk",      # truth-driven output (ADVICE r12)
@@ -170,7 +173,6 @@ DRIVER_WINDOW = (
     "m3_delta_append",
     "m4_compaction",
     "m9_partition_overwrite",
-    "o2_top_dates",
     "o4_peak_day",
     "o6_systematic_sample",
     "o9_weighted_sample",
@@ -180,7 +182,6 @@ DRIVER_WINDOW = (
     "t3_fingerprint",
     "t4_token_index_lookup",
     "t6_winnow_fingerprints",
-    "u1_union_base_delta",
     "u2_intersect",
     "u3_except",
     "w12_retention_cohorts",

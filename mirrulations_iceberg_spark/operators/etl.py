@@ -1461,8 +1461,111 @@ def e15_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e16_incremental_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of the dataset card — the refresh
+    path a 100 TB release pipeline actually runs: e15 recomputes the
+    card from the corpus; e16 maintains it from a DELTA (adds +
+    deletes) against a persisted auxiliary state, touching O(state +
+    delta) rows instead of re-scanning the corpus, and grades itself
+    against the full recompute in the same plan.
+
+    The interesting aggregate is the non-additive one: docs and tokens
+    roll forward by simple signed sums, but ``COUNT(DISTINCT fp)``
+    cannot be maintained from the card alone — the textbook IVM answer
+    is carried here as the auxiliary state ``(source, lang, fp) →
+    (cnt, toks)``: adds apply +1, deletes −1, groups whose count
+    reaches 0 vanish (the fingerprint left the corpus), and the
+    distinct count is just the surviving group count. That state is
+    |distinct fp| rows — the persisted artifact a deployment keeps
+    next to the card, exactly how materialized-view engines maintain
+    COUNT(DISTINCT).
+
+    Fixture split (deterministic, so both paths are oracle-replayed):
+    base S1 = doc_id%5 ≠ 4; adds = %5 == 4; deletes = S1 rows with
+    %7 == 3. Output per (source, lang): the incrementally-maintained
+    docs/tokens/distinct plus ``consistent`` = 1 iff the incremental
+    result equals the full recompute on S2 — driven from a FULL OUTER
+    join of the two paths, so a group present in only one path
+    surfaces as consistent = 0 instead of vanishing (the x20 lesson).
+
+    The tokenize projection is computed ONCE into a cached frame (the
+    aux state + per-doc projection are the deployment's persisted
+    artifacts; the four CTE references would otherwise re-run the
+    regex per reference — the documented CollapseProject trap).
+    """
+    from ..tables import load_table
+    from .dedup import parallelize_scan
+    from .text import tokens_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    per = (
+        docs.withColumn("__toks", tokens_col(F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size("__toks").alias("n_toks"),
+            _content_fp(F.col("__toks")).alias("fp"),
+        )
+        .cache()
+    )
+    per.createOrReplaceTempView("e16_docs")
+    out = spark.sql(
+        """
+        WITH s1 AS (SELECT * FROM e16_docs WHERE doc_id % 5 != 4),
+        adds AS (SELECT * FROM e16_docs WHERE doc_id % 5 = 4),
+        dels AS (SELECT * FROM s1 WHERE doc_id % 7 = 3),
+        a1 AS (
+            SELECT source, lang, fp, COUNT(*) AS cnt, SUM(n_toks) AS toks
+            FROM s1 GROUP BY 1, 2, 3
+        ),
+        d AS (
+            SELECT source, lang, fp, 1 AS cnt, n_toks AS toks FROM adds
+            UNION ALL
+            SELECT source, lang, fp, -1, -n_toks FROM dels
+        ),
+        a2 AS (
+            SELECT source, lang, fp, SUM(cnt) AS cnt, SUM(toks) AS toks
+            FROM (SELECT * FROM a1 UNION ALL SELECT * FROM d)
+            GROUP BY 1, 2, 3
+            HAVING SUM(cnt) > 0
+        ),
+        inc AS (
+            SELECT source, lang, SUM(cnt) AS n_docs, SUM(toks) AS n_tokens,
+                   COUNT(*) AS n_unique
+            FROM a2 GROUP BY 1, 2
+        ),
+        s2 AS (
+            SELECT * FROM s1 WHERE doc_id % 7 != 3
+            UNION ALL SELECT * FROM adds
+        ),
+        refull AS (
+            SELECT source, lang, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+                   COUNT(DISTINCT fp) AS n_unique
+            FROM s2 GROUP BY 1, 2
+        )
+        SELECT COALESCE(i.source, f.source) AS source,
+               COALESCE(i.lang, f.lang) AS lang,
+               CAST(COALESCE(i.n_docs, 0) AS BIGINT) AS n_docs,
+               CAST(COALESCE(i.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(i.n_unique, 0) AS BIGINT) AS n_unique,
+               CAST(CASE WHEN i.n_docs = f.n_docs
+                          AND i.n_tokens = f.n_tokens
+                          AND i.n_unique = f.n_unique
+                     THEN 1 ELSE 0 END AS BIGINT) AS consistent
+        FROM inc i FULL OUTER JOIN refull f
+          ON i.source = f.source AND i.lang = f.lang
+        ORDER BY source, lang
+        """
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, per)
+
+
 QUERIES = {
     "e15_dataset_card": e15_dataset_card,
+    "e16_incremental_card": e16_incremental_card,
     "e10_curriculum_schedule": e10_curriculum_schedule,
     "e11_epoch_cap_allocation": e11_epoch_cap_allocation,
     "e12_packing_curve": e12_packing_curve,
@@ -1483,6 +1586,62 @@ QUERIES = {
     **_WORKLOAD_QUERIES,
 }
 ORACLE = {
+    "e16_incremental_card": f"""
+        WITH per AS (
+            SELECT doc_id, source, lang,
+                   CAST(len(regexp_extract_all(lower(text),
+                                               '{_TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_toks,
+                   md5(array_to_string(regexp_extract_all(lower(text),
+                                                          '{_TOKEN_PATTERN}'),
+                                       ' ')) AS fp
+            FROM documents
+        ),
+        s1 AS (SELECT * FROM per WHERE doc_id % 5 != 4),
+        adds AS (SELECT * FROM per WHERE doc_id % 5 = 4),
+        dels AS (SELECT * FROM s1 WHERE doc_id % 7 = 3),
+        a1 AS (
+            SELECT source, lang, fp, COUNT(*) AS cnt, SUM(n_toks) AS toks
+            FROM s1 GROUP BY 1, 2, 3
+        ),
+        d AS (
+            SELECT source, lang, fp, 1 AS cnt, n_toks AS toks FROM adds
+            UNION ALL
+            SELECT source, lang, fp, -1, -n_toks FROM dels
+        ),
+        a2 AS (
+            SELECT source, lang, fp, SUM(cnt) AS cnt, SUM(toks) AS toks
+            FROM (SELECT * FROM a1 UNION ALL SELECT * FROM d)
+            GROUP BY 1, 2, 3
+            HAVING SUM(cnt) > 0
+        ),
+        inc AS (
+            SELECT source, lang, SUM(cnt) AS n_docs, SUM(toks) AS n_tokens,
+                   COUNT(*) AS n_unique
+            FROM a2 GROUP BY 1, 2
+        ),
+        s2 AS (
+            SELECT * FROM s1 WHERE doc_id % 7 != 3
+            UNION ALL SELECT * FROM adds
+        ),
+        refull AS (
+            SELECT source, lang, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+                   COUNT(DISTINCT fp) AS n_unique
+            FROM s2 GROUP BY 1, 2
+        )
+        SELECT COALESCE(i.source, f.source) AS source,
+               COALESCE(i.lang, f.lang) AS lang,
+               CAST(COALESCE(i.n_docs, 0) AS BIGINT) AS n_docs,
+               CAST(COALESCE(i.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(i.n_unique, 0) AS BIGINT) AS n_unique,
+               CAST(CASE WHEN i.n_docs = f.n_docs
+                          AND i.n_tokens = f.n_tokens
+                          AND i.n_unique = f.n_unique
+                     THEN 1 ELSE 0 END AS BIGINT) AS consistent
+        FROM inc i FULL OUTER JOIN refull f
+          ON i.source = f.source AND i.lang = f.lang
+        ORDER BY source, lang
+    """,
     "e15_dataset_card": f"""
         WITH per AS (
             SELECT source, lang,

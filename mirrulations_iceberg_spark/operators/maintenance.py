@@ -1175,8 +1175,135 @@ def m18_zorder_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-extension: snapshot-to-snapshot diff — the changelog read
+    between two table versions (Iceberg's incremental
+    ``create_changelog_view`` / Delta CDF) on the m11 manifest
+    mechanism. Given snapshots S1 and S2 of a copy-on-write table,
+    report per change class (added / deleted / changed / unchanged)
+    the row count and id-checksum — the audit every incremental
+    consumer (downstream dedup, index upsert, CDC mirror) runs before
+    trusting a delta feed.
+
+    The 100 TB shape is the point: files present in BOTH manifests are
+    byte-identical on both sides, so their rows are provably unchanged
+    WITHOUT a join — one metadata set-intersection prunes them to a
+    single count/checksum scan (Iceberg's incremental read does
+    exactly this at the manifest level). Only the symmetric-difference
+    files — the rewritten and added ones, i.e. O(delta), never
+    O(corpus) — enter the FULL OUTER join that classifies row fates.
+    A naive corpus×corpus self-join diff would shuffle both snapshots
+    in full; this plan shuffles only what the commit touched.
+
+    Fixture (deterministic mod splits, so the whole lifecycle is
+    oracle-checked): S1 = three files A (doc_id%4==0), B (%4==1),
+    C (%4==2). Commit 2 rewrites B copy-on-write — %3==0 rows get a
+    new ``lang`` (changed), %3==1 rows are dropped (deleted), %3==2
+    rows carry over verbatim (unchanged via the JOIN path, proving
+    payload compare works) — and adds file D (%4==3). Manifest 2 =
+    {A, C, B', D}; A and C flow through the shared-file fast path
+    (unchanged via the PRUNE path — both unchanged routes exercised).
+    """
+    import json as _json
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = _tmpdir()
+    try:
+        buckets = {
+            "A": docs.filter(F.col("doc_id") % 4 == 0),
+            "B": docs.filter(F.col("doc_id") % 4 == 1),
+            "C": docs.filter(F.col("doc_id") % 4 == 2),
+        }
+        files: dict[str, list[str]] = {}
+        for name, df in buckets.items():
+            d = os.path.join(base, f"file-{name}")
+            write_parquet(df, d, n_files=1)
+            files[name] = sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        # commit 2: copy-on-write rewrite of B + append of D
+        b = buckets["B"]
+        b_rewritten = b.filter(F.col("doc_id") % 3 != 1).withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+        d_new = docs.filter(F.col("doc_id") % 4 == 3)
+        for name, df in (("Bp", b_rewritten), ("D", d_new)):
+            d = os.path.join(base, f"file-{name}")
+            write_parquet(df, d, n_files=1)
+            files[name] = sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        manifests = {
+            "1": files["A"] + files["B"] + files["C"],
+            "2": files["A"] + files["Bp"] + files["C"] + files["D"],
+        }
+        for snap, paths in manifests.items():
+            with open(os.path.join(base, f"manifest-{snap}.json"), "w") as fh:
+                _json.dump({"snapshot": snap, "files": paths}, fh)
+        # --- the diff proper: resolve manifests fresh from disk
+        with open(os.path.join(base, "manifest-1.json")) as fh:
+            m1 = _json.load(fh)["files"]
+        with open(os.path.join(base, "manifest-2.json")) as fh:
+            m2 = _json.load(fh)["files"]
+        shared = sorted(set(m1) & set(m2))
+        only1 = sorted(set(m1) - set(m2))
+        only2 = sorted(set(m2) - set(m1))
+        # prune path: shared files are unchanged by construction of
+        # immutable data files — one scan, no join
+        sh = (
+            spark.read.parquet(*shared)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("ck"))
+            .collect()[0]
+        )
+        # join path: only the delta files on each side
+        s1 = spark.read.parquet(*only1).select(
+            F.col("doc_id"), F.col("lang").alias("lang1")
+        )
+        s2 = spark.read.parquet(*only2).select(
+            F.col("doc_id"), F.col("lang").alias("lang2")
+        )
+        fate = (
+            s1.join(s2, "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                F.when(F.col("lang1").isNull(), F.lit("added"))
+                .when(F.col("lang2").isNull(), F.lit("deleted"))
+                .when(F.col("lang1") != F.col("lang2"), F.lit("changed"))
+                .otherwise(F.lit("unchanged"))
+                .alias("change_type"),
+            )
+            .groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("ck"),
+            )
+            .collect()
+        )
+        agg = {r["change_type"]: (int(r["n"]), int(r["ck"])) for r in fate}
+        un_n, un_ck = agg.get("unchanged", (0, 0))
+        rows = [
+            ("added", *agg.get("added", (0, 0))),
+            ("changed", *agg.get("changed", (0, 0))),
+            ("deleted", *agg.get("deleted", (0, 0))),
+            ("unchanged", un_n + int(sh["n"]), un_ck + int(sh["ck"])),
+        ]
+        return spark.createDataFrame(
+            rows, "change_type string, n_rows long, id_checksum long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
     "m18_zorder_design": m18_zorder_design,
+    "m19_snapshot_diff": m19_snapshot_diff,
     "m16_layout_scatter_report": m16_layout_scatter_report,
     "m15_cdc_merge": m15_cdc_merge,
     "s13_schema_evolution": s13_schema_evolution,
@@ -1329,6 +1456,32 @@ def _m18_sql() -> str:
 
 ORACLE = {
     "m18_zorder_design": _m18_sql(),
+    # m19: ground truth derived from the deterministic mod splits —
+    # the operator computes the same classes from real manifest reads
+    # + a delta-only full-outer join, so the two paths are independent.
+    "m19_snapshot_diff": """
+        WITH d AS (
+            SELECT doc_id, doc_id % 4 AS m4, doc_id % 3 AS m3
+            FROM documents
+        )
+        SELECT 'added' AS change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_checksum
+        FROM d WHERE m4 = 3
+        UNION ALL
+        SELECT 'changed', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+        FROM d WHERE m4 = 1 AND m3 = 0
+        UNION ALL
+        SELECT 'deleted', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+        FROM d WHERE m4 = 1 AND m3 = 1
+        UNION ALL
+        SELECT 'unchanged', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+        FROM d WHERE m4 IN (0, 2) OR (m4 = 1 AND m3 = 2)
+        ORDER BY change_type
+    """,
     # m16: the scattered layout's unit set is a pure function of the
     # data (md5-nibble shard of doc_id); units_clustered = 1 is the
     # clustering invariant the measured read must reproduce.

@@ -78,6 +78,10 @@ TARGETS = {
     # shingle stream + the exact posting-set grade — the string-hash
     # aggregation shape (d1 is one md5/doc; this is K per shingle).
     "d20_minhash_source_sketch": "documents",
+    # Binary-quantization row (r13): pack folds once per vector, then
+    # pure integer bit_count(XOR) scoring — the most codegen-friendly
+    # ANN shape, so the earliest-crossover candidate.
+    "x22_binary_hamming_topk": "embeddings",
 }
 
 

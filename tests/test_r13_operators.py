@@ -430,3 +430,81 @@ def test_w17_seasonal_baseline_and_mad_robustness(spark, tmp_path):
     for r in robust:
         assert r["med2"] == 20
         assert r["flag"] == 0
+
+
+def test_m19_diff_classes_hand_computed(spark, tmp_path):
+    """12 docs, ids 0..11: S1 holds %4 in {0,1,2} (ids 0..11 minus
+    {3,7,11}), commit 2 rewrites the %4==1 file (ids 1,5,9: %3==0 ->
+    changed is {9}, %3==1 -> deleted is {1}, %3==2 -> {5} carries
+    verbatim) and appends {3,7,11}. Every class and checksum is
+    hand-checkable, and the unchanged row must MERGE the join path
+    ({5}) with the shared-file prune path ({0,2,4,6,8,10})."""
+    from mirrulations_iceberg_spark.operators.maintenance import (
+        m19_snapshot_diff,
+    )
+
+    docs = [(i, f"text {i}", "en", "src", 6) for i in range(12)]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = {r["change_type"]: r for r in m19_snapshot_diff(spark, sf).collect()}
+    assert out["added"]["n_rows"] == 3
+    assert out["added"]["id_checksum"] == 3 + 7 + 11
+    assert out["changed"]["n_rows"] == 1
+    assert out["changed"]["id_checksum"] == 9
+    assert out["deleted"]["n_rows"] == 1
+    assert out["deleted"]["id_checksum"] == 1
+    assert out["unchanged"]["n_rows"] == 7  # {0,2,4,6,8,10} + {5}
+    assert out["unchanged"]["id_checksum"] == 0 + 2 + 4 + 6 + 8 + 10 + 5
+
+
+def test_e16_ivm_handles_full_fp_deletion(spark, tmp_path):
+    """IVM distinct maintenance: ids 3 and 10 (both doc_id%7==3 ->
+    deleted) are the ONLY copies of one text, so their fingerprint
+    must VANISH from n_unique (aux-state count reaches 0); id 17's
+    twin survives via id 1; add id 9 duplicates id 2 (n_docs grows,
+    n_unique doesn't); add id 4 is novel. Hand-computed final card:
+    6 docs, 17 tokens, 5 unique, consistent = 1 — a recompute
+    disguised as IVM would still pass `consistent`, but keeping
+    dead fingerprints in state would not."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        e16_incremental_card,
+    )
+
+    texts = {
+        0: "zero zero zero",
+        1: "dup text beta",
+        2: "base text delta",
+        3: "dup text alpha",
+        5: "five five",
+        10: "dup text alpha",
+        17: "dup text beta",
+        4: "new text gamma",   # add (%5==4), novel fp
+        9: "base text delta",  # add (%5==4), duplicates id 2
+    }
+    docs = [(i, t, "en", "src", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = e16_incremental_card(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source"], r["lang"]) == ("src", "en")
+    assert r["n_docs"] == 6
+    assert r["n_tokens"] == 17
+    assert r["n_unique"] == 5
+    assert r["consistent"] == 1
