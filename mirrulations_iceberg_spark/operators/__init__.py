@@ -139,10 +139,12 @@ DRIVER_WINDOW = (
     "w17_seasonal_robust_anomaly",  # per-dow median/MAD outlier flags
     "m19_snapshot_diff",          # manifest-pruned changelog classes
     "e16_incremental_card",       # IVM card refresh vs full recompute
-    # (x22/w17/m19/e16 landed late in round 13; a6_count_distinct,
-    # a10_date_histogram, o2_top_dates, and u1_union_base_delta — 5
-    # banked green rounds each, with a7/a12b/a14/a16 (a-family),
-    # o4/o6/o9 (o-family), and u2/u3 (u-family) still holding live
+    "mm6_phash_neardup",          # aHash + banded Hamming image dedup
+    # (x22/w17/m19/e16/mm6 landed late in round 13; a6_count_distinct,
+    # a10_date_histogram, o2_top_dates, u1_union_base_delta, and
+    # j6_asof_join — 5 banked green rounds each, with a7/a12b/a14/a16
+    # (a-family), o4/o6/o9 (o-family), u2/u3 (u-family), and
+    # j2/j3/j4/j5/j7/j8/j10/j11 (j-family) still holding live
     # attestation — yield their slots and join w5/f2/a9 at the head
     # of r14's rotation queue.)
     # --- code changed in round 13: re-verify at the driver
@@ -167,7 +169,6 @@ DRIVER_WINDOW = (
     "j3_anti_join",
     "j4_fact_fact_join",
     "j5_left_outer_join",
-    "j6_asof_join",
     "j7_range_join",
     "j8_full_outer_join",
     "m3_delta_append",

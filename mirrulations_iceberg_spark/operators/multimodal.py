@@ -315,8 +315,182 @@ def mm4_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM6_CELLS = 64  # aHash grid: 64 strided sample cells -> 64 sign bits
+#: Near-dup Hamming threshold over the 64-bit hash. A true re-encode
+#: of the same image lands within a few bits (the pytest pins 0 for a
+#: byte-identical copy and <= radius for a lightly-corrupted one);
+#: the synthetic corpus has no re-encodes — its closest natural pairs
+#: sit at h ≈ 10-13 — so the fixture radius is set to surface that
+#: nearest tail and keep the driver row non-empty. Production tunes
+#: this to 3-6; the banding guarantee (pigeonhole over 4 bands) holds
+#: for h <= 3 at any setting.
+MM6_RADIUS = 12
+
+
+def _ahash_lanes(payloads: pd.Series) -> pd.DataFrame:
+    """STUB DECODE for mm6: deterministic average-hash over a strided
+    byte sample — the 8×8-luma-grid aHash shape with the real decoder
+    swapped for the byte stream (with PIL installed, replace the cell
+    extraction with `Image.resize((8, 8)).convert('L')` and the rest —
+    packing, banding, Hamming — is unchanged). Cell i (1-based) is the
+    byte at offset ((i−1)·n) // 64; a bit is set when its cell exceeds
+    the integer-floor mean; bits pack 32 per positive BIGINT lane (the
+    x22 layout, so the Hamming join reuses bit_count(XOR))."""
+    s0s, s1s = [], []
+    for p in payloads:
+        n = len(p)
+        if n == 0:
+            s0s.append(0)
+            s1s.append(0)
+            continue
+        cells = [p[((i - 1) * n) // MM6_CELLS] for i in range(1, MM6_CELLS + 1)]
+        mf = sum(cells) // MM6_CELLS
+        s0s.append(sum(1 << (i - 1) for i in range(1, 33) if cells[i - 1] > mf))
+        s1s.append(sum(1 << (i - 33) for i in range(33, 65) if cells[i - 1] > mf))
+    return pd.DataFrame({"s0": s0s, "s1": s1s})
+
+
+def mm6_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the image payloads
+    — the visual twin of d3's text MinHash: every production image
+    corpus dedups by a perceptual hash (aHash/pHash/dHash), because
+    byte-identical dedup (mm1's md5) misses re-encodes and resizes.
+
+    Pipeline: stub decode → 64-bit aHash per image (mapInPandas, one
+    Arrow batch in, two BIGINT lanes out — a pure projection, no
+    shuffle); then the SCALE path: the hash splits into 4 bands of 16
+    bits, and candidates come from 4 equi-joins on band values, never
+    an all-pairs product. By pigeonhole a pair within Hamming radius 3
+    ALWAYS shares an intact band (≤3 differing bits corrupt ≤3 of 4
+    bands); at wider radii banding is a high-recall filter rather
+    than a guarantee — the standard LSH-for-Hamming trade, and the
+    recall/cost dial is the band count.
+
+    Identical hashes EXACT-COLLAPSE into clusters before anything
+    quadratic runs (the d15b/d16 staging): re-uploads and replicas —
+    the dominant duplication mode in a real image corpus — become one
+    cluster row each, the band join sees only DISTINCT hashes (cost
+    bounded by unique content, invariant under duplication), and
+    exact Hamming (`bit_count(XOR)` per lane — integer codegen) keeps
+    cluster pairs ≤ radius. Output: one self-row per exact-hash
+    cluster of size > 1 (``media_id_a == media_id_b``, hamming 0,
+    n = members) plus one row per near-dup CLUSTER pair with both
+    member counts — replication-invariant where a per-image pair list
+    is clone-quadratic (the naive shape measured 44.5× at
+    100×-clones before this collapse); a consumer expands member
+    pairs only where it must.
+
+    Oracle: decode + hash + banding + Hamming replayed in DuckDB
+    (`ord(substr(...))` strided cells — the mm5 byte-parity idiom —
+    integer lane sums, `xor`/`bit_count`).
+    """
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lanes = _ahash_lanes(pdf["payload"])
+            yield pd.concat(
+                [pdf[["media_id"]].reset_index(drop=True), lanes], axis=1
+            )
+
+    lanes = media.mapInPandas(run, "media_id long, s0 long, s1 long")
+    # Exact-collapse FIRST (the d15b/d16 lesson): identical hashes —
+    # which is what replicated/re-uploaded images are — collapse to
+    # one cluster row before anything quadratic runs. The band join
+    # then operates on DISTINCT hashes, so its cost is bounded by
+    # unique content and is invariant under duplication; measured
+    # 44.5× at 100×-clones for the naive per-image pair list vs ~1×
+    # for this shape.
+    clusters = (
+        lanes.groupBy("s0", "s1")
+        .agg(
+            F.min("media_id").alias("rep"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .cache()
+    )
+    self_rows = clusters.filter(F.col("n") > 1).select(
+        F.col("rep").alias("media_id_a"),
+        F.col("rep").alias("media_id_b"),
+        F.lit(0).cast("long").alias("hamming"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+    )
+    bands = clusters.select(
+        "rep",
+        "s0",
+        "s1",
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"),
+                    F.expr("s0 % 65536").alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    F.expr("s0 DIV 65536").alias("bv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("bi"),
+                    F.expr("s1 % 65536").alias("bv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("bi"),
+                    F.expr("s1 DIV 65536").alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select(
+        "rep", "s0", "s1", "n",
+        F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("id_a"),
+            F.col("b.rep").alias("id_b"),
+            F.col("a.s0").alias("a0"),
+            F.col("a.s1").alias("a1"),
+            F.col("b.s0").alias("b0"),
+            F.col("b.s1").alias("b1"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    near_rows = (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+            + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1"))),
+        )
+        .filter(F.col("hamming") <= MM6_RADIUS)
+        .select(
+            F.col("id_a").alias("media_id_a"),
+            F.col("id_b").alias("media_id_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+            "n_a",
+            "n_b",
+        )
+    )
+    out = self_rows.unionByName(near_rows).orderBy(
+        "media_id_a", "media_id_b"
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, clusters)
+
+
 QUERIES = {
     "mm1_media_manifest": mm1_media_manifest,
+    "mm6_phash_neardup": mm6_phash_neardup,
     "mm2_feature_stats": mm2_feature_stats,
     "mm3_frame_sample": mm3_frame_sample,
     "mm4_audio_rms": mm4_audio_rms,
@@ -329,6 +503,63 @@ _KIND = """
 """
 
 ORACLE = {
+    "mm6_phash_neardup": f"""
+        WITH media AS (
+            SELECT doc_id AS media_id, text, LENGTH(text) AS n
+            FROM documents
+            WHERE {_KIND} = 'image'
+        ), cells AS (
+            SELECT media_id,
+                   list_transform(range(1, {MM6_CELLS + 1}), i ->
+                       ord(substr(text,
+                           CAST(((i - 1) * n) // {MM6_CELLS} AS INT) + 1,
+                           1))) AS c
+            FROM media WHERE n > 0
+        ), meaned AS (
+            SELECT media_id, c, list_sum(c) // {MM6_CELLS} AS mf FROM cells
+        ), lanes AS (
+            SELECT media_id,
+                   CAST(list_sum(list_transform(range(1, 33), i ->
+                       CASE WHEN c[i] > mf THEN CAST(2 ** (i - 1) AS BIGINT)
+                            ELSE 0 END)) AS BIGINT) AS s0,
+                   CAST(list_sum(list_transform(range(33, 65), i ->
+                       CASE WHEN c[i] > mf THEN CAST(2 ** (i - 33) AS BIGINT)
+                            ELSE 0 END)) AS BIGINT) AS s1
+            FROM meaned
+            UNION ALL
+            SELECT media_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM media WHERE n = 0
+        ), clusters AS (
+            SELECT s0, s1, MIN(media_id) AS rep,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lanes GROUP BY s0, s1
+        ), bands AS (
+            SELECT rep, s0, s1, n, 0 AS bi, s0 % 65536 AS bv FROM clusters
+            UNION ALL
+            SELECT rep, s0, s1, n, 1, s0 // 65536 FROM clusters
+            UNION ALL
+            SELECT rep, s0, s1, n, 2, s1 % 65536 FROM clusters
+            UNION ALL
+            SELECT rep, s0, s1, n, 3, s1 // 65536 FROM clusters
+        ), cand AS (
+            SELECT DISTINCT a.rep AS id_a, b.rep AS id_b,
+                   a.s0 AS a0, a.s1 AS a1, b.s0 AS b0, b.s1 AS b1,
+                   a.n AS n_a, b.n AS n_b
+            FROM bands a JOIN bands b
+              ON a.bi = b.bi AND a.bv = b.bv AND a.rep < b.rep
+        )
+        SELECT rep AS media_id_a, rep AS media_id_b,
+               CAST(0 AS BIGINT) AS hamming, n AS n_a, n AS n_b
+        FROM clusters WHERE n > 1
+        UNION ALL
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                    AS BIGINT), n_a, n_b
+        FROM cand
+        WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+              <= {MM6_RADIUS}
+        ORDER BY media_id_a, media_id_b
+    """,
     # mm5: the strided thumbnail reproduced byte-for-byte — thumb byte i
     # (1-based) samples source byte ((i-1)·n)//64; empty payloads yield
     # 64 zero bytes (checksum 0). Position weight i makes the checksum

@@ -508,3 +508,82 @@ def test_e16_ivm_handles_full_fp_deletion(spark, tmp_path):
     assert r["n_tokens"] == 17
     assert r["n_unique"] == 5
     assert r["consistent"] == 1
+
+
+def test_mm6_reencode_caught_unrelated_not(spark, tmp_path):
+    """A byte-identical 'image' must pair at Hamming 0; a lightly
+    corrupted copy (ONE band-0 cell pushed across the mean, with the
+    CELL-sum repaid at other sampled cells that each stay strictly on
+    their own side of the mean — so the mean floor is bit-for-bit
+    unchanged and exactly one hash bit flips, inside band 0, making
+    band candidacy pigeonhole-guaranteed) must pair at Hamming 1; two
+    anti-correlated block images (aaa..zzz vs zzz..aaa -> complementary
+    sign patterns, Hamming 64) must NOT pair. Output must be exactly
+    the two true pairs."""
+    from mirrulations_iceberg_spark.operators.multimodal import (
+        MM6_RADIUS,
+        mm6_phash_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight") * 1
+    n = len(base)
+    cells_pos = [((i - 1) * n) // 64 for i in range(1, 65)]
+    assert len(set(cells_pos)) == 64  # distinct byte positions
+    vals = [ord(base[p]) for p in cells_pos]
+    mf = sum(vals) // 64
+    # flip exactly one band-0 cell (below mean -> '~'), repaying the
+    # cell-sum at above-mean cells that keep a >mf+1 margin, so the
+    # mean floor and every other bit are unchanged
+    i0 = next(i for i in range(16) if vals[i] <= mf)
+    delta = 126 - vals[i0]
+    s = list(base)
+    s[cells_pos[i0]] = "~"
+    rem = delta
+    for i in range(64):
+        if i == i0 or rem <= 0:
+            continue
+        slack = vals[i] - (mf + 2)
+        if slack > 0:
+            take = min(slack, rem)
+            s[cells_pos[i]] = chr(vals[i] - take)
+            rem -= take
+    assert rem == 0, "could not repay the cell-sum delta"
+    corrupted = "".join(s)
+    new_vals = [ord(corrupted[p]) for p in cells_pos]
+    assert sum(new_vals) == sum(vals)  # mean floor bit-identical
+    flips = sum(
+        1 for a, b in zip(vals, new_vals) if (a > mf) != (b > mf)
+    )
+    assert flips == 1
+    texts = {
+        0: base,
+        30: base,            # byte-identical re-encode
+        60: corrupted,       # light corruption, same byte sum
+        90: "a" * 50 + "z" * 50,
+        120: "z" * 50 + "a" * 50,
+    }
+    docs = [(i, t, "en", "src0", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = {(r["media_id_a"], r["media_id_b"]): r
+           for r in mm6_phash_neardup(spark, sf).collect()}
+    # exact-hash cluster {0, 30} collapses to ONE self-row (rep 0,
+    # 2 members); the corrupted copy pairs against the CLUSTER rep
+    # with both member counts — never a per-image pair expansion
+    self_row = out[(0, 0)]
+    assert self_row["hamming"] == 0
+    assert self_row["n_a"] == self_row["n_b"] == 2
+    near = out[(0, 60)]
+    assert near["hamming"] == 1
+    assert near["hamming"] <= MM6_RADIUS
+    assert (near["n_a"], near["n_b"]) == (2, 1)
+    assert set(out) == {(0, 0), (0, 60)}
