@@ -150,8 +150,9 @@ DRIVER_WINDOW = (
     # --- code changed in round 13: re-verify at the driver
     "o11_neyman_allocation",      # DECIMAL radicand guard (ADVICE r12)
     "x20_filtered_ann_topk",      # truth-driven output (ADVICE r12)
-    # --- 42 of the 45 r08-stale greens (w5 -> r14 queue; a6/a10
-    #     displaced late-round by x22/w17)
+    # --- 37 of the 45 r08-stale greens (w5/f2/a9 -> r14 queue at
+    #     rotation; a6/a10/o2/u1/j6 displaced late-round by
+    #     x22/w17/m19/e16/mm6 — the list in the header comment above)
     "a12b_cube",
     "a14_histogram",
     "a16_grouping_sets",

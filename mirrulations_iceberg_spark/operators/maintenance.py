@@ -1215,24 +1215,21 @@ def m19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "C": docs.filter(F.col("doc_id") % 4 == 2),
         }
         files: dict[str, list[str]] = {}
-        for name, df in buckets.items():
-            d = os.path.join(base, f"file-{name}")
-            write_parquet(df, d, n_files=1)
-            files[name] = sorted(
-                os.path.join(d, f)
-                for f in os.listdir(d)
-                if f.endswith(".parquet")
-            )
-        # commit 2: copy-on-write rewrite of B + append of D
+        # commit 2: copy-on-write rewrite of B + append of D. The
+        # rewrite marker is a prefix of the existing value (never a
+        # sentinel that could collide with a real lang), so 'changed'
+        # rows differ from their S1 payload for ANY lang domain,
+        # including NULL (review r13).
         b = buckets["B"]
         b_rewritten = b.filter(F.col("doc_id") % 3 != 1).withColumn(
             "lang",
-            F.when(F.col("doc_id") % 3 == 0, F.lit("xx")).otherwise(
-                F.col("lang")
-            ),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("rw:"), F.coalesce("lang", F.lit(""))),
+            ).otherwise(F.col("lang")),
         )
         d_new = docs.filter(F.col("doc_id") % 4 == 3)
-        for name, df in (("Bp", b_rewritten), ("D", d_new)):
+        for name, df in {**buckets, "Bp": b_rewritten, "D": d_new}.items():
             d = os.path.join(base, f"file-{name}")
             write_parquet(df, d, n_files=1)
             files[name] = sorted(
@@ -1262,20 +1259,30 @@ def m19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("ck"))
             .collect()[0]
         )
-        # join path: only the delta files on each side
+        # join path: only the delta files on each side. Presence is
+        # carried as explicit flags — classifying on payload nullness
+        # would misread a legitimately-NULL column as row absence —
+        # and the payload compare is null-safe (review r13).
         s1 = spark.read.parquet(*only1).select(
-            F.col("doc_id"), F.col("lang").alias("lang1")
+            F.col("doc_id"),
+            F.col("lang").alias("lang1"),
+            F.lit(1).alias("in1"),
         )
         s2 = spark.read.parquet(*only2).select(
-            F.col("doc_id"), F.col("lang").alias("lang2")
+            F.col("doc_id"),
+            F.col("lang").alias("lang2"),
+            F.lit(1).alias("in2"),
         )
         fate = (
             s1.join(s2, "doc_id", "full_outer")
             .select(
                 "doc_id",
-                F.when(F.col("lang1").isNull(), F.lit("added"))
-                .when(F.col("lang2").isNull(), F.lit("deleted"))
-                .when(F.col("lang1") != F.col("lang2"), F.lit("changed"))
+                F.when(F.col("in1").isNull(), F.lit("added"))
+                .when(F.col("in2").isNull(), F.lit("deleted"))
+                .when(
+                    ~F.col("lang1").eqNullSafe(F.col("lang2")),
+                    F.lit("changed"),
+                )
                 .otherwise(F.lit("unchanged"))
                 .alias("change_type"),
             )
