@@ -140,11 +140,13 @@ DRIVER_WINDOW = (
     "m19_snapshot_diff",          # manifest-pruned changelog classes
     "e16_incremental_card",       # IVM card refresh vs full recompute
     "mm6_phash_neardup",          # aHash + banded Hamming image dedup
-    # (x22/w17/m19/e16/mm6 landed late in round 13; a6_count_distinct,
-    # a10_date_histogram, o2_top_dates, u1_union_base_delta, and
-    # j6_asof_join — 5 banked green rounds each, with a7/a12b/a14/a16
-    # (a-family), o4/o6/o9 (o-family), u2/u3 (u-family), and
-    # j2/j3/j4/j5/j7/j8/j10/j11 (j-family) still holding live
+    "t21_chunk_documents",        # overlapping RAG/packing chunker
+    # (x22/w17/m19/e16/mm6/t21 landed late in round 13;
+    # a6_count_distinct, a10_date_histogram, o2_top_dates,
+    # u1_union_base_delta, j6_asof_join, and e1_docket_pipeline — 5
+    # banked green rounds each, with a7/a12b/a14/a16 (a-family),
+    # o4/o6/o9 (o-family), u2/u3 (u-family), j2/j3/j4/j5/j7/j8/j10/
+    # j11 (j-family), and e8/e15/e16 (e-family) still holding live
     # attestation — yield their slots and join w5/f2/a9 at the head
     # of r14's rotation queue.)
     # --- code changed in round 13: re-verify at the driver
@@ -161,7 +163,6 @@ DRIVER_WINDOW = (
     "c9_ts_minmax",
     "d14_contamination_grade",
     "d9_decontaminate",
-    "e1_docket_pipeline",
     "e8_temperature_mixture",
     "f3_boolean_filter",
     "j10_bucketed_colocated_join",

@@ -1375,7 +1375,72 @@ def _t20_sql() -> str:
     )
 
 
+T21_SIZE = 64  # tokens per chunk — the RAG/pretraining context window
+T21_STRIDE = 48  # chunk step; SIZE − STRIDE = 16 tokens of overlap
+
+
+def t21_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document CHUNKING — the transformation every RAG index and most
+    pretraining packers run first: split each document into overlapping
+    ``T21_SIZE``-token windows at ``T21_STRIDE``-token steps, emitting
+    one provenance-carrying row per chunk (doc_id, chunk ordinal,
+    token start offset, chunk length, content fingerprint). Overlap
+    (SIZE − STRIDE tokens) is what keeps answers that straddle a
+    boundary retrievable; the fingerprint is the d1 identity at chunk
+    granularity, feeding chunk-level dedup downstream.
+
+    Scale shape: a pure projection + generate — tokenize once, explode
+    the per-doc start-offset sequence, slice the token array per
+    start. Zero key shuffles, zero joins, no global sort
+    (plan-asserted: no hash or range exchange; the only Exchange is
+    parallelize_scan's fixture-only round-robin fan-out): output
+    parallelism is the scan's, so this runs at full width on any
+    corpus size; both the driver and oracle compares are
+    order-insensitive, so unordered output — the production write
+    contract — is also the test contract.
+
+    Chunk math: starts are 1, 1+STRIDE, 1+2·STRIDE, … ≤ n, so every
+    token lands in ≥1 chunk, the final chunk may be short (slice
+    clamps at n on both engines — verified), and chunk_id =
+    (start−1)/STRIDE is pure arithmetic — no window function, no
+    ordinality dependence, identical cross-engine.
+    """
+    from .dedup import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    per = (
+        docs.withColumn("__toks", tokens_col(F.col("text")))
+        .withColumn("n", F.size("__toks"))
+        .filter(F.col("n") > 0)
+    )
+    chunks = per.select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(T21_STRIDE))
+        ).alias("start_tok"),
+    ).select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / T21_STRIDE)
+        .cast("long")
+        .alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.slice("__toks", F.col("start_tok"), F.lit(T21_SIZE)).alias("c"),
+    )
+    # No orderBy: a global sort would add the operator's ONLY exchange,
+    # and both the driver compare and the oracle compare are
+    # order-insensitive — unordered output is the production contract.
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.size("c").cast("long").alias("n_chunk_toks"),
+        F.md5(F.concat_ws(" ", "c")).alias("chunk_fp"),
+    )
+
+
 QUERIES = {
+    "t21_chunk_documents": t21_chunk_documents,
     "t20_bpe_encode_corpus": t20_bpe_encode_corpus,
     "t19_quality_classifier": t19_quality_classifier,
     "t18_backoff_surprisal": t18_backoff_surprisal,
@@ -1405,6 +1470,32 @@ _WINNOW_HASH_SQL = " + ".join(
 )
 
 ORACLE = {
+    "t21_chunk_documents": f"""
+        WITH per AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, toks, len(toks) AS n
+            FROM per WHERE len(toks) > 0
+        ), starts AS (
+            SELECT doc_id, toks, n, CAST(s.start_tok AS BIGINT) AS start_tok
+            FROM sized, UNNEST(range(1, n + 1, {T21_STRIDE}))
+                 AS s(start_tok)
+        )
+        SELECT doc_id,
+               CAST((start_tok - 1) // {T21_STRIDE} AS BIGINT) AS chunk_id,
+               start_tok,
+               CAST(len(list_slice(toks, CAST(start_tok AS INT),
+                                   CAST(start_tok AS INT) + {T21_SIZE - 1}))
+                    AS BIGINT) AS n_chunk_toks,
+               md5(array_to_string(
+                   list_slice(toks, CAST(start_tok AS INT),
+                              CAST(start_tok AS INT) + {T21_SIZE - 1}),
+                   ' ')) AS chunk_fp
+        FROM starts
+        ORDER BY doc_id, chunk_id
+    """,
     "t19_quality_classifier": f"""
         WITH t AS (
             SELECT doc_id, source,

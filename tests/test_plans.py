@@ -139,6 +139,17 @@ def test_projection_queries_have_no_exchange(spark):
         assert "Exchange" not in _plan(spark, name), name
 
 
+def test_t21_chunking_never_shuffles_by_key(spark):
+    """t21 is projection + Generate: no hash or range exchange (no
+    groupBy/join/sort) may appear. The only allowed Exchange is
+    parallelize_scan's fixture-only RoundRobin fan-out, which is a
+    no-op on a production multi-row-group layout."""
+    plan = _plan(spark, "t21_chunk_documents")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Generate explode" in plan
+
+
 def test_w16_single_events_scan(spark):
     """w16's review-r13 contract: the train moments ride windows on
     the SAME ranked lineage — one events scan, one rollup exchange,

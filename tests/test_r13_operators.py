@@ -587,3 +587,61 @@ def test_mm6_reencode_caught_unrelated_not(spark, tmp_path):
     assert near["hamming"] <= MM6_RADIUS
     assert (near["n_a"], near["n_b"]) == (2, 1)
     assert set(out) == {(0, 0), (0, 60)}
+
+
+def test_t21_chunk_math_and_overlap(spark, tmp_path):
+    """A 100-token doc chunks at starts 1/49/97 with sizes 64/52/4;
+    consecutive chunks overlap by exactly SIZE-STRIDE tokens; a
+    shorter-than-one-window doc yields a single full-coverage chunk;
+    and reconstructing the windows in Python reproduces each chunk
+    fingerprint (tokenizer parity with the shared TOKEN_PATTERN)."""
+    import hashlib
+    import re
+
+    from mirrulations_iceberg_spark.operators.text import (
+        T21_SIZE,
+        T21_STRIDE,
+        TOKEN_PATTERN,
+        t21_chunk_documents,
+    )
+
+    long_text = " ".join(f"tok{i}" for i in range(100))
+    short_text = "just a few little tokens here"
+    docs = [
+        (1, long_text, "en", "src0", len(long_text)),
+        (2, short_text, "en", "src0", len(short_text)),
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = sorted(
+        (tuple(r) for r in t21_chunk_documents(spark, sf).collect())
+    )
+    by_doc = {}
+    for doc_id, chunk_id, start, n, fp in out:
+        by_doc.setdefault(doc_id, []).append((chunk_id, start, n, fp))
+    assert [(c, s, n) for c, s, n, _ in by_doc[1]] == [
+        (0, 1, 64), (1, 49, 52), (2, 97, 4)
+    ]
+    assert [(c, s, n) for c, s, n, _ in by_doc[2]] == [(0, 1, 6)]
+    # fingerprints reproduce from an independent Python replay
+    for doc_id, text in ((1, long_text), (2, short_text)):
+        toks = re.findall(TOKEN_PATTERN, text.lower())
+        for chunk_id, start, n, fp in by_doc[doc_id]:
+            window = toks[start - 1 : start - 1 + T21_SIZE]
+            assert len(window) == n
+            expect = hashlib.md5(" ".join(window).encode()).hexdigest()
+            assert fp == expect
+    # overlap invariant: chunk k+1 re-covers the last SIZE-STRIDE
+    # tokens of chunk k whenever it exists
+    starts = [s for _, s, _, _ in by_doc[1]]
+    for a, b in zip(starts, starts[1:]):
+        assert b - a == T21_STRIDE
+        assert a + T21_SIZE - b == T21_SIZE - T21_STRIDE
