@@ -870,6 +870,83 @@ def o8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+O12_TRAIN_DAYS = 21  # train window: first N observed days
+O12_EMBARGO_DAYS = 2  # purge gap between train end and test start
+
+
+def o12_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-extension: leakage-safe TEMPORAL train/test split with an
+    embargo gap, plus the leakage AUDIT — o8 splits by hash (valid
+    when rows are exchangeable); time-ordered data (events, market
+    ticks, user logs) must split by TIME or the model trains on the
+    future, and an ``O12_EMBARGO_DAYS`` purge between train end and
+    test start keeps boundary-straddling activity (sessions, label
+    horizons) out of both sides — the purged/embargoed split of
+    financial ML practice.
+
+    The split alone is not the deliverable; the AUDIT is: entity-level
+    leakage survives any row-level time split (the same user appearing
+    in train AND test leaks user-specific signal), so the output
+    reports, per event_type, the event counts per side plus
+    ``u_both`` (users present in both train and test) and ``leak_bp``
+    — the number that tells you whether this corpus needs a BY-USER
+    split instead. Boundaries derive from the data (min observed day
+    + offsets), not wall-clock, so the operator is deterministic on
+    any fixture.
+
+    Scale shape: ONE events scan → per-(type, user) flag/count
+    aggregate (map-side combine) → per-type rollup. Two key shuffles,
+    both on aggregated rows; nothing event-sized crosses twice; the
+    driver-side ``min(day)`` is a 1-row bounded collect (the x15
+    fit-literal discipline).
+    """
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    d0 = ev.agg(F.min("day").alias("d0")).collect()[0]["d0"]
+    train_end = F.date_add(F.lit(d0), O12_TRAIN_DAYS - 1)
+    test_start = F.date_add(F.lit(d0), O12_TRAIN_DAYS + O12_EMBARGO_DAYS)
+    flagged = ev.select(
+        "event_type",
+        "user_id",
+        F.when(F.col("day") <= train_end, 1).otherwise(0).alias("is_tr"),
+        F.when(
+            (F.col("day") > train_end) & (F.col("day") < test_start), 1
+        )
+        .otherwise(0)
+        .alias("is_em"),
+        F.when(F.col("day") >= test_start, 1).otherwise(0).alias("is_te"),
+    )
+    per_user = flagged.groupBy("event_type", "user_id").agg(
+        F.sum("is_tr").alias("n_tr"),
+        F.sum("is_em").alias("n_em"),
+        F.sum("is_te").alias("n_te"),
+        F.max("is_tr").alias("in_tr"),
+        F.max("is_te").alias("in_te"),
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("n_tr").cast("long").alias("n_train"),
+            F.sum("n_em").cast("long").alias("n_embargo"),
+            F.sum("n_te").cast("long").alias("n_test"),
+            F.sum("in_tr").cast("long").alias("u_train"),
+            F.sum("in_te").cast("long").alias("u_test"),
+            F.sum(F.col("in_tr") * F.col("in_te"))
+            .cast("long")
+            .alias("u_both"),
+        )
+        .withColumn(
+            "leak_bp",
+            F.expr(
+                "CAST((10000 * u_both) DIV GREATEST(u_test, 1) AS BIGINT)"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: o11: total sample budget as a corpus fraction — n_total = N DIV 10.
 O11_BUDGET_DIV = 10
 
@@ -1113,6 +1190,7 @@ QUERIES = {
     "o6_systematic_sample": o6_systematic_sample,
     "o7_stratified_sample": o7_stratified_sample,
     "o8_hash_split": o8_hash_split,
+    "o12_temporal_embargo_split": o12_temporal_embargo_split,
     "o9_weighted_sample": o9_weighted_sample,
     "o10_stratified_quota_sample": o10_stratified_quota_sample,
     "o11_neyman_allocation": o11_neyman_allocation,
@@ -1331,6 +1409,39 @@ ORACLE = {
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY 1 ORDER BY split
+    """,
+    "o12_temporal_embargo_split": f"""
+        WITH ev AS (
+            SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+                   (SELECT MIN(CAST(ts AS DATE)) FROM events) AS d0
+            FROM events
+        ), flagged AS (
+            SELECT event_type, user_id,
+                   CASE WHEN day <= d0 + {O12_TRAIN_DAYS - 1}
+                        THEN 1 ELSE 0 END AS is_tr,
+                   CASE WHEN day > d0 + {O12_TRAIN_DAYS - 1}
+                         AND day < d0 + {O12_TRAIN_DAYS + O12_EMBARGO_DAYS}
+                        THEN 1 ELSE 0 END AS is_em,
+                   CASE WHEN day >= d0 + {O12_TRAIN_DAYS + O12_EMBARGO_DAYS}
+                        THEN 1 ELSE 0 END AS is_te
+            FROM ev
+        ), per_user AS (
+            SELECT event_type, user_id,
+                   SUM(is_tr) AS n_tr, SUM(is_em) AS n_em,
+                   SUM(is_te) AS n_te,
+                   MAX(is_tr) AS in_tr, MAX(is_te) AS in_te
+            FROM flagged GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(SUM(n_tr) AS BIGINT) AS n_train,
+               CAST(SUM(n_em) AS BIGINT) AS n_embargo,
+               CAST(SUM(n_te) AS BIGINT) AS n_test,
+               CAST(SUM(in_tr) AS BIGINT) AS u_train,
+               CAST(SUM(in_te) AS BIGINT) AS u_test,
+               CAST(SUM(in_tr * in_te) AS BIGINT) AS u_both,
+               CAST((10000 * SUM(in_tr * in_te))
+                    // GREATEST(SUM(in_te), 1) AS BIGINT) AS leak_bp
+        FROM per_user GROUP BY event_type ORDER BY event_type
     """,
     "c9_ts_minmax": """
         SELECT event_type,

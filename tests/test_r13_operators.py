@@ -645,3 +645,32 @@ def test_t21_chunk_math_and_overlap(spark, tmp_path):
     for a, b in zip(starts, starts[1:]):
         assert b - a == T21_STRIDE
         assert a + T21_SIZE - b == T21_SIZE - T21_STRIDE
+
+
+def test_o12_embargo_boundaries_and_leak_audit(spark, tmp_path):
+    """d0 = Jan 1 -> train ends Jan 21, embargo Jan 22-23, test from
+    Jan 24 (boundaries derive from the data's min day, not wall
+    clock). User 1 trains only, user 2 spans train AND test (the
+    leaky one), user 3 tests only, user 4 acts only inside the
+    embargo — so u_both counts exactly user 2, leak_bp is 5000, and
+    the embargo events belong to neither side."""
+    from mirrulations_iceberg_spark.operators.relational import (
+        o12_temporal_embargo_split,
+    )
+
+    def ev(eid, day, user):
+        return (eid, datetime.datetime(2024, 1, day, 12, 0, 0), user,
+                "x", 1.0, "{}")
+
+    rows = [ev(i, d, 1) for i, d in enumerate([1, 2, 3, 4, 5])]
+    rows += [ev(10, 1, 2), ev(11, 28, 2)]
+    rows += [ev(20, 28, 3)]
+    rows += [ev(30, 22, 4)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = o12_temporal_embargo_split(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] == "x"
+    assert (r["n_train"], r["n_embargo"], r["n_test"]) == (6, 1, 2)
+    assert (r["u_train"], r["u_test"], r["u_both"]) == (2, 2, 1)
+    assert r["leak_bp"] == 5000
