@@ -154,9 +154,10 @@ DRIVER_WINDOW = (
     # --- code changed in round 13: re-verify at the driver
     "o11_neyman_allocation",      # DECIMAL radicand guard (ADVICE r12)
     "x20_filtered_ann_topk",      # truth-driven output (ADVICE r12)
-    # --- 37 of the 45 r08-stale greens (w5/f2/a9 -> r14 queue at
-    #     rotation; a6/a10/o2/u1/j6 displaced late-round by
-    #     x22/w17/m19/e16/mm6 — the list in the header comment above)
+    # --- 35 of the 45 r08-stale greens (w5/f2/a9 -> r14 queue at
+    #     rotation; a6/a10/o2/u1/j6/e1/o4 displaced late-round by
+    #     x22/w17/m19/e16/mm6/t21/o12 — the list in the header
+    #     comment above)
     "a12b_cube",
     "a14_histogram",
     "a16_grouping_sets",
