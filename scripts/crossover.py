@@ -82,6 +82,10 @@ TARGETS = {
     # pure integer bit_count(XOR) scoring — the most codegen-friendly
     # ANN shape, so the earliest-crossover candidate.
     "x22_binary_hamming_topk": "embeddings",
+    # Chunking row (r13): regex tokenize + explode + slice + md5 per
+    # chunk — the CPU-dense zero-shuffle projection shape (d1's
+    # family, with a generator and per-chunk hashing on top).
+    "t21_chunk_documents": "documents",
 }
 
 

@@ -556,3 +556,116 @@ def test_w16_closed_form_property(spark, series):
         assert got.get(f"s{si}", []) == _py_cusum(
             counts, W16_TRAIN_DAYS, W16_H
         ), f"series {si}: {counts}"
+
+
+@given(
+    st.lists(st.integers(1, 50), min_size=30, max_size=30)
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_w17_matches_python_reference(spark, counts):
+    """w17 vs an independent plain-Python per-dow median/MAD replay on
+    arbitrary daily volumes: med2/mad4/dev2/flag must match exactly —
+    including the MAD=0 (constant cell) and even-count half-integer
+    median cases the scaled-integer algebra exists for."""
+    import os
+    import shutil
+    import statistics
+    import tempfile
+
+    from mirrulations_iceberg_spark.operators.windows import (
+        W17_K,
+        W17_TRAIN_DAYS,
+        w17_seasonal_robust_anomaly,
+    )
+
+    # Python reference: days are contiguous from Monday 2024-01-01,
+    # so dn = i+1 and iso dow = i % 7 + 1
+    want = []
+    for i in range(W17_TRAIN_DAYS, 30):
+        dow = i % 7 + 1
+        train = [counts[j] for j in range(W17_TRAIN_DAYS)
+                 if j % 7 + 1 == dow]
+        med2 = round(2 * statistics.median(train))
+        dev2s = [abs(2 * c - med2) for c in train]
+        mad4 = round(2 * statistics.median(dev2s))
+        dev2 = abs(2 * counts[i] - med2)
+        flag = 1 if 2 * dev2 > W17_K * mad4 else 0
+        want.append(("p", i, dow, counts[i], med2, mad4, dev2, flag))
+
+    base = tempfile.mkdtemp(prefix="miis_prop_w17_")
+    try:
+        rows, eid = [], 0
+        for i, n in enumerate(counts):
+            day = 1 + i  # January 2024: days 1..30
+            for k in range(n):
+                rows.append(
+                    (eid, f"2024-01-{day:02d} 06:00:00", k, "p", 1.0, "{}")
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(
+            os.path.join(base, "events.parquet")
+        )
+        got = [
+            (r["event_type"], r["day"].day - 1, r["dow"], r["n_events"],
+             r["med2"], r["mad4"], r["dev2"], r["flag"])
+            for r in w17_seasonal_robust_anomaly(spark, base).collect()
+        ]
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@given(st.lists(TEXTS, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_t21_chunks_match_python_reference(spark, texts):
+    """t21 vs an independent plain-Python chunker on arbitrary texts:
+    every chunk row (ordinal, offset, length, fingerprint) must match,
+    zero-token documents must vanish, and concatenating each doc's
+    stride-prefixes must reconstruct its token stream (coverage)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mirrulations_iceberg_spark.operators.text import (
+        T21_SIZE,
+        T21_STRIDE,
+        t21_chunk_documents,
+    )
+
+    want = []
+    for doc_id, text in enumerate(texts):
+        toks = _py_tokens(text)
+        for start in range(1, len(toks) + 1, T21_STRIDE):
+            w = toks[start - 1 : start - 1 + T21_SIZE]
+            want.append((
+                doc_id,
+                (start - 1) // T21_STRIDE,
+                start,
+                len(w),
+                hashlib.md5(" ".join(w).encode()).hexdigest(),
+            ))
+
+    base = tempfile.mkdtemp(prefix="miis_prop_t21_")
+    try:
+        df = spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        df.write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        got = sorted(
+            tuple(r) for r in t21_chunk_documents(spark, base).collect()
+        )
+        assert got == sorted(want)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
