@@ -142,15 +142,16 @@ DRIVER_WINDOW = (
     "mm6_phash_neardup",          # aHash + banded Hamming image dedup
     "t21_chunk_documents",        # overlapping RAG/packing chunker
     "o12_temporal_embargo_split",  # purged time split + leakage audit
-    # (x22/w17/m19/e16/mm6/t21/o12 landed late in round 13; the
+    "e17_changelog_card_refresh",  # manifest-diff-driven IVM refresh
+    # (x22/w17/m19/e16/mm6/t21/o12/e17 landed late in round 13; the
     # displaced — a6_count_distinct, a10_date_histogram, o2_top_dates,
     # u1_union_base_delta, j6_asof_join, e1_docket_pipeline (5 banked
     # green rounds each — the whole 5-round tie save f3, the only
-    # in-window f representative) and o4_peak_day (4 rounds, with
-    # o6/o9 keeping the o-family live) — join w5/f2/a9 at the head of
-    # r14's rotation queue; a7/a12b/a14/a16 (a), u2/u3 (u),
-    # j2/j3/j4/j5/j7/j8/j10/j11 (j), and e8/e15/e16 (e) keep every
-    # family's live attestation.)
+    # in-window f representative), o4_peak_day and a7_boolean_sum (4
+    # rounds, with o6/o9 and a12b/a14/a16 keeping their families
+    # live) — join w5/f2/a9 at the head of r14's rotation queue;
+    # u2/u3 (u), j2/j3/j4/j5/j7/j8/j10/j11 (j), and e8/e15/e16 (e)
+    # keep every family's live attestation.)
     # --- code changed in round 13: re-verify at the driver
     "o11_neyman_allocation",      # DECIMAL radicand guard (ADVICE r12)
     "x20_filtered_ann_topk",      # truth-driven output (ADVICE r12)
@@ -161,7 +162,6 @@ DRIVER_WINDOW = (
     "a12b_cube",
     "a14_histogram",
     "a16_grouping_sets",
-    "a7_boolean_sum",
     "c11_from_json_typed",
     "c9_ts_minmax",
     "d14_contamination_grade",

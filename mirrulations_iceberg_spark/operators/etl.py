@@ -1563,9 +1563,171 @@ def e16_incremental_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, per)
 
 
+def e17_changelog_card_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m19 × e16 COMPOSITION — the production refresh loop run end
+    to end: a copy-on-write commit produces a manifest-level file
+    diff (m19's machinery), the file diff IS the IVM delta (every row
+    in a dropped file enters at −1, every row in an added file at +1
+    — an UPDATE arrives as its old and new versions, which either
+    cancel exactly in the state merge when the rewrite carried the
+    row verbatim, or retire the old payload and admit the new one),
+    and e16's auxiliary (source, lang, fp) state rolls the dataset
+    card forward without touching the unchanged files. No change
+    classification is needed anywhere: delete+add cancellation does
+    the bookkeeping, which is exactly why changelog-driven IVM
+    composes where rule-based patching doesn't — a changed row whose
+    ``lang`` moved GROUPS (the rewrite prefixes it) debits the old
+    group and credits the new one for free.
+
+    Fixture: m19's exact snapshot layout (files A/B/C; commit 2
+    rewrites B copy-on-write — %3==1 rows dropped, %3==0 rows get the
+    ``rw:`` lang prefix, %3==2 rows carry verbatim — and appends D),
+    deliberately self-contained rather than shared with m19 (the t20
+    precedent: sharing would put a gated operator back through the
+    gate for a pure refactor). Grading: the incrementally-maintained
+    card vs a full recompute from the manifest-2 read, joined FULL
+    OUTER so one-sided groups report consistent = 0.
+
+    Scale shape: the state build and the recompute grade scan the
+    corpus once each (a deployment persists the state and skips the
+    grade); the refresh itself reads ONLY the symmetric-difference
+    files — O(delta) — and the merge shuffles O(state + delta)
+    aggregated rows.
+    """
+    import json as _json
+    import os
+
+    from ..tables import load_table
+    from .dedup import parallelize_scan
+    from .maintenance import _tmpdir, write_parquet
+    from .text import tokens_col
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    base = _tmpdir()
+    try:
+        buckets = {
+            "A": docs.filter(F.col("doc_id") % 4 == 0),
+            "B": docs.filter(F.col("doc_id") % 4 == 1),
+            "C": docs.filter(F.col("doc_id") % 4 == 2),
+        }
+        b_rewritten = (
+            buckets["B"]
+            .filter(F.col("doc_id") % 3 != 1)
+            .withColumn(
+                "lang",
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit("rw:"), F.coalesce("lang", F.lit(""))),
+                ).otherwise(F.col("lang")),
+            )
+        )
+        d_new = docs.filter(F.col("doc_id") % 4 == 3)
+        files: dict[str, list[str]] = {}
+        for name, df in {**buckets, "Bp": b_rewritten, "D": d_new}.items():
+            d = os.path.join(base, f"file-{name}")
+            write_parquet(df, d, n_files=1)
+            files[name] = sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        manifests = {
+            "1": files["A"] + files["B"] + files["C"],
+            "2": files["A"] + files["Bp"] + files["C"] + files["D"],
+        }
+        for snap, paths in manifests.items():
+            with open(os.path.join(base, f"manifest-{snap}.json"), "w") as fh:
+                _json.dump({"snapshot": snap, "files": paths}, fh)
+        with open(os.path.join(base, "manifest-1.json")) as fh:
+            m1 = _json.load(fh)["files"]
+        with open(os.path.join(base, "manifest-2.json")) as fh:
+            m2 = _json.load(fh)["files"]
+        only1 = sorted(set(m1) - set(m2))
+        only2 = sorted(set(m2) - set(m1))
+
+        def _proj(df):
+            return df.withColumn("__toks", tokens_col(F.col("text"))).select(
+                "source",
+                "lang",
+                F.size("__toks").alias("n_toks"),
+                _content_fp(F.col("__toks")).alias("fp"),
+            )
+
+        state = (
+            _proj(spark.read.parquet(*m1))
+            .groupBy("source", "lang", "fp")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_toks").alias("toks"),
+            )
+        )
+        delta = _proj(spark.read.parquet(*only1)).select(
+            "source", "lang", "fp",
+            F.lit(-1).alias("cnt"),
+            (-F.col("n_toks")).alias("toks"),
+        ).unionByName(
+            _proj(spark.read.parquet(*only2)).select(
+                "source", "lang", "fp",
+                F.lit(1).alias("cnt"),
+                F.col("n_toks").alias("toks"),
+            )
+        )
+        merged = (
+            state.unionByName(delta)
+            .groupBy("source", "lang", "fp")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("toks").alias("toks"))
+            .filter(F.col("cnt") > 0)
+        )
+        inc = merged.groupBy("source", "lang").agg(
+            F.sum("cnt").alias("i_docs"),
+            F.sum("toks").alias("i_tokens"),
+            F.count(F.lit(1)).alias("i_unique"),
+        )
+        full = (
+            _proj(spark.read.parquet(*m2))
+            .groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("f_docs"),
+                F.sum("n_toks").alias("f_tokens"),
+                F.countDistinct("fp").alias("f_unique"),
+            )
+        )
+        out = (
+            inc.join(
+                full,
+                (inc.source == full.source) & (inc.lang == full.lang),
+                "full_outer",
+            )
+            .select(
+                F.coalesce(inc.source, full.source).alias("source"),
+                F.coalesce(inc.lang, full.lang).alias("lang"),
+                F.coalesce("i_docs", F.lit(0)).cast("long").alias("n_docs"),
+                F.coalesce("i_tokens", F.lit(0))
+                .cast("long")
+                .alias("n_tokens"),
+                F.coalesce("i_unique", F.lit(0))
+                .cast("long")
+                .alias("n_unique"),
+                F.expr(
+                    "CAST(CASE WHEN i_docs = f_docs"
+                    " AND i_tokens = f_tokens"
+                    " AND i_unique = f_unique THEN 1 ELSE 0 END AS BIGINT)"
+                ).alias("consistent"),
+            )
+            .orderBy("source", "lang")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
     "e15_dataset_card": e15_dataset_card,
     "e16_incremental_card": e16_incremental_card,
+    "e17_changelog_card_refresh": e17_changelog_card_refresh,
     "e10_curriculum_schedule": e10_curriculum_schedule,
     "e11_epoch_cap_allocation": e11_epoch_cap_allocation,
     "e12_packing_curve": e12_packing_curve,
@@ -1586,6 +1748,78 @@ QUERIES = {
     **_WORKLOAD_QUERIES,
 }
 ORACLE = {
+    # e17: both paths replayed from the modular arithmetic — an
+    # INDEPENDENT derivation of the delta the operator obtains from
+    # real manifest file-set differences (delete+add at file level).
+    "e17_changelog_card_refresh": f"""
+        WITH per AS (
+            SELECT doc_id, source, lang,
+                   CAST(len(regexp_extract_all(lower(text),
+                                               '{_TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_toks,
+                   md5(array_to_string(regexp_extract_all(lower(text),
+                                                          '{_TOKEN_PATTERN}'),
+                                       ' ')) AS fp
+            FROM documents
+        ),
+        s1 AS (SELECT * FROM per WHERE doc_id % 4 IN (0, 1, 2)),
+        bp AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'rw:' || COALESCE(lang, '')
+                        ELSE lang END AS lang,
+                   n_toks, fp
+            FROM per WHERE doc_id % 4 = 1 AND doc_id % 3 != 1
+        ),
+        dnew AS (SELECT * FROM per WHERE doc_id % 4 = 3),
+        a1 AS (
+            SELECT source, lang, fp, COUNT(*) AS cnt, SUM(n_toks) AS toks
+            FROM s1 GROUP BY 1, 2, 3
+        ),
+        delta AS (
+            SELECT source, lang, fp, -1 AS cnt, -n_toks AS toks
+            FROM per WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT source, lang, fp, 1, n_toks FROM bp
+            UNION ALL
+            SELECT source, lang, fp, 1, n_toks FROM dnew
+        ),
+        merged AS (
+            SELECT source, lang, fp, SUM(cnt) AS cnt, SUM(toks) AS toks
+            FROM (SELECT * FROM a1 UNION ALL SELECT * FROM delta)
+            GROUP BY 1, 2, 3
+            HAVING SUM(cnt) > 0
+        ),
+        inc AS (
+            SELECT source, lang, SUM(cnt) AS i_docs, SUM(toks) AS i_tokens,
+                   COUNT(*) AS i_unique
+            FROM merged GROUP BY 1, 2
+        ),
+        s2 AS (
+            SELECT doc_id, source, lang, n_toks, fp FROM per
+            WHERE doc_id % 4 IN (0, 2)
+            UNION ALL SELECT doc_id, source, lang, n_toks, fp FROM bp
+            UNION ALL SELECT doc_id, source, lang, n_toks, fp FROM dnew
+        ),
+        refull AS (
+            SELECT source, lang, COUNT(*) AS f_docs,
+                   SUM(n_toks) AS f_tokens,
+                   COUNT(DISTINCT fp) AS f_unique
+            FROM s2 GROUP BY 1, 2
+        )
+        SELECT COALESCE(i.source, f.source) AS source,
+               COALESCE(i.lang, f.lang) AS lang,
+               CAST(COALESCE(i.i_docs, 0) AS BIGINT) AS n_docs,
+               CAST(COALESCE(i.i_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(i.i_unique, 0) AS BIGINT) AS n_unique,
+               CAST(CASE WHEN i.i_docs = f.f_docs
+                          AND i.i_tokens = f.f_tokens
+                          AND i.i_unique = f.f_unique
+                     THEN 1 ELSE 0 END AS BIGINT) AS consistent
+        FROM inc i FULL OUTER JOIN refull f
+          ON i.source = f.source AND i.lang = f.lang
+        ORDER BY source, lang
+    """,
     "e16_incremental_card": f"""
         WITH per AS (
             SELECT doc_id, source, lang,

@@ -57,6 +57,7 @@ SKIP_SWEEP = {
     "m12_vacuum_orphans",  # commit writes + vacuum at construction
     "m19_snapshot_diff",  # snapshot writes + manifest diff at construction
     "e16_incremental_card",  # caches the tokenize projection + materializes
+    "e17_changelog_card_refresh",  # snapshot writes + IVM merge at construction
     "mm6_phash_neardup",  # caches the hash lanes + materializes
     "x9_pq_adc_topk",  # runs the codebook fit at construction
     "d13_semdedup",  # runs the shared Lloyd fit at construction

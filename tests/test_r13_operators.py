@@ -674,3 +674,46 @@ def test_o12_embargo_boundaries_and_leak_audit(spark, tmp_path):
     assert (r["n_train"], r["n_embargo"], r["n_test"]) == (6, 1, 2)
     assert (r["u_train"], r["u_test"], r["u_both"]) == (2, 2, 1)
     assert r["leak_bp"] == 5000
+
+
+def test_e17_changelog_ivm_cancellation_and_group_move(spark, tmp_path):
+    """The file-level delta encodes every row fate without
+    classification: id 5 (carried verbatim through the rewrite) enters
+    at -1 from old-B and +1 from new-B and must CANCEL exactly; id 9's
+    rewrite moves it to the 'rw:en' group (old group debited, new
+    group credited); id 1 is deleted; ids 3/7 are added. Hand-computed
+    final card: ('src','en') = 5 docs / 9 tokens / 5 unique,
+    ('src','rw:en') = 1/1/1, consistent = 1 on both rows."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        e17_changelog_card_refresh,
+    )
+
+    texts = {
+        0: "zero zero",       # %4==0 -> shared file A
+        2: "two",             # %4==2 -> shared file C
+        1: "one",             # %4==1, %3==1 -> deleted
+        5: "five five five",  # %4==1, %3==2 -> carried verbatim
+        9: "nine",            # %4==1, %3==0 -> rewritten (lang moves)
+        3: "three",           # %4==3 -> added
+        7: "seven seven",     # %4==3 -> added
+    }
+    docs = [(i, t, "en", "src", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = {(r["source"], r["lang"]): r
+           for r in e17_changelog_card_refresh(spark, sf).collect()}
+    assert set(out) == {("src", "en"), ("src", "rw:en")}
+    en = out[("src", "en")]
+    assert (en["n_docs"], en["n_tokens"], en["n_unique"]) == (5, 9, 5)
+    assert en["consistent"] == 1
+    rw = out[("src", "rw:en")]
+    assert (rw["n_docs"], rw["n_tokens"], rw["n_unique"]) == (1, 1, 1)
+    assert rw["consistent"] == 1
