@@ -717,3 +717,34 @@ def test_e17_changelog_ivm_cancellation_and_group_move(spark, tmp_path):
     rw = out[("src", "rw:en")]
     assert (rw["n_docs"], rw["n_tokens"], rw["n_unique"]) == (1, 1, 1)
     assert rw["consistent"] == 1
+
+
+def test_hll_swap_for_exact_distinct_within_tolerance(spark):
+    """The e15/e16 cards document 'swap COUNT(DISTINCT fp) for HLL at
+    100 TB by changing one expression'. Measure that swap on the
+    fixture: approx_count_distinct at rsd 0.02 must land within 2.5%
+    of the exact distinct-fingerprint count (HLL sketches are
+    deterministic for a fixed dataset, so this is a stable pin, not a
+    flaky statistical test). Measured: 20 bp at 500 distinct
+    (sf0.01), 100 bp at 4,992 distinct (sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from mirrulations_iceberg_spark.operators.dedup import (
+        content_fp_from_toks,
+    )
+    from mirrulations_iceberg_spark.operators.text import tokens_col
+    from mirrulations_iceberg_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    per = docs.withColumn("__t", tokens_col(F.col("text"))).select(
+        content_fp_from_toks(F.col("__t")).alias("fp")
+    )
+    r = per.agg(
+        F.countDistinct("fp").alias("exact"),
+        F.approx_count_distinct("fp", 0.02).alias("hll"),
+    ).collect()[0]
+    assert r["exact"] > 0
+    rel_bp = abs(r["hll"] - r["exact"]) * 10000 // r["exact"]
+    assert rel_bp <= 250, (r["exact"], r["hll"], rel_bp)
