@@ -86,6 +86,10 @@ TARGETS = {
     # chunk — the CPU-dense zero-shuffle projection shape (d1's
     # family, with a generator and per-chunk hashing on top).
     "t21_chunk_documents": "documents",
+    # Perceptual-hash row (r13): per-image 64-cell decode + pack, then
+    # band joins over distinct hashes — Arrow-batched Python decode on
+    # the Spark side vs a 64×N unnest on the DuckDB side.
+    "mm6_phash_neardup": "documents",
 }
 
 
