@@ -1256,7 +1256,13 @@ def m19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         # immutable data files — one scan, no join
         sh = (
             spark.read.parquet(*shared)
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("ck"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # empty shared set -> SUM is NULL; coalesce so the
+                # int() below can't raise on a corpus with no rows in
+                # the shared buckets (ADVICE r13)
+                F.coalesce(F.sum("doc_id"), F.lit(0)).alias("ck"),
+            )
             .collect()[0]
         )
         # join path: only the delta files on each side. Presence is
@@ -1289,7 +1295,7 @@ def m19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("change_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum("doc_id").alias("ck"),
+                F.coalesce(F.sum("doc_id"), F.lit(0)).alias("ck"),
             )
             .collect()
         )

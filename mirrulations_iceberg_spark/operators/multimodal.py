@@ -322,9 +322,17 @@ MM6_CELLS = 64  # aHash grid: 64 strided sample cells -> 64 sign bits
 #: the synthetic corpus has no re-encodes — its closest natural pairs
 #: sit at h ≈ 10-13 — so the fixture radius is set to surface that
 #: nearest tail and keep the driver row non-empty. Production tunes
-#: this to 3-6; the banding guarantee (pigeonhole over 4 bands) holds
-#: for h <= 3 at any setting.
+#: this to 3-6; the banding guarantee (pigeonhole over MM6_BANDS
+#: bands) holds for h <= MM6_BANDS - 1 at any setting.
 MM6_RADIUS = 12
+#: Band count for the Hamming-LSH candidate join. 8 bands of 8 bits
+#: pigeonhole-guarantee every pair at Hamming <= 7 (ADVICE r13 raised
+#: this from 4×16, which only guaranteed <= 3); pairs at 8..MM6_RADIUS
+#: are best-effort recall — found iff some 8-bit band survives intact.
+#: That residual gap is part of mm6's OUTPUT CONTRACT (see docstring).
+MM6_BANDS = 8
+MM6_BAND_BITS = 64 // MM6_BANDS
+MM6_BAND_MOD = 1 << MM6_BAND_BITS
 
 
 def _ahash_lanes(payloads: pd.Series) -> pd.DataFrame:
@@ -358,13 +366,19 @@ def mm6_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline: stub decode → 64-bit aHash per image (mapInPandas, one
     Arrow batch in, two BIGINT lanes out — a pure projection, no
-    shuffle); then the SCALE path: the hash splits into 4 bands of 16
-    bits, and candidates come from 4 equi-joins on band values, never
-    an all-pairs product. By pigeonhole a pair within Hamming radius 3
-    ALWAYS shares an intact band (≤3 differing bits corrupt ≤3 of 4
-    bands); at wider radii banding is a high-recall filter rather
-    than a guarantee — the standard LSH-for-Hamming trade, and the
-    recall/cost dial is the band count.
+    shuffle); then the SCALE path: the hash splits into ``MM6_BANDS``
+    (8) bands of 8 bits, and candidates come from band-value
+    equi-joins, never an all-pairs product. By pigeonhole a pair
+    within Hamming radius ``MM6_BANDS - 1`` (7) ALWAYS shares an
+    intact band (≤7 differing bits corrupt ≤7 of 8 bands).
+
+    OUTPUT CONTRACT (recall): pairs at Hamming ≤ 7 are EXHAUSTIVE;
+    pairs at Hamming 8..``MM6_RADIUS`` (12) are BEST-EFFORT — emitted
+    iff some 8-bit band survives intact, the standard LSH-for-Hamming
+    trade (the recall/cost dial is the band count; 4×16 bands, the
+    pre-r14 setting, only guaranteed radius 3 — ADVICE r13). Consumers
+    needing exhaustive radius-12 recall must raise ``MM6_BANDS`` to 16
+    (4-bit bands) and pay the larger candidate join.
 
     Identical hashes EXACT-COLLAPSE into clusters before anything
     quadratic runs (the d15b/d16 staging): re-uploads and replicas —
@@ -423,22 +437,17 @@ def mm6_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("bi"),
-                    F.expr("s0 % 65536").alias("bv"),
-                ),
-                F.struct(
-                    F.lit(1).alias("bi"),
-                    F.expr("s0 DIV 65536").alias("bv"),
-                ),
-                F.struct(
-                    F.lit(2).alias("bi"),
-                    F.expr("s1 % 65536").alias("bv"),
-                ),
-                F.struct(
-                    F.lit(3).alias("bi"),
-                    F.expr("s1 DIV 65536").alias("bv"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(bi).alias("bi"),
+                        F.expr(
+                            f"({lane} DIV {MM6_BAND_MOD ** (bi % (MM6_BANDS // 2))})"
+                            f" % {MM6_BAND_MOD}"
+                        ).alias("bv"),
+                    )
+                    for lane, base in (("s0", 0), ("s1", MM6_BANDS // 2))
+                    for bi in range(base, base + MM6_BANDS // 2)
+                ]
             )
         ).alias("b"),
     ).select(
@@ -502,6 +511,16 @@ _KIND = """
              WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END
 """
 
+#: DuckDB twin of the Spark band explode — generated from the same
+#: MM6_BANDS/MM6_BAND_MOD constants so the two sides cannot drift.
+_MM6_BANDS_SQL = "\n            UNION ALL\n            ".join(
+    f"SELECT rep, s0, s1, n, {bi} AS bi,"
+    f" ({lane} // {MM6_BAND_MOD ** (bi % (MM6_BANDS // 2))})"
+    f" % {MM6_BAND_MOD} AS bv FROM clusters"
+    for lane, base in (("s0", 0), ("s1", MM6_BANDS // 2))
+    for bi in range(base, base + MM6_BANDS // 2)
+)
+
 ORACLE = {
     "mm6_phash_neardup": f"""
         WITH media AS (
@@ -534,13 +553,7 @@ ORACLE = {
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM lanes GROUP BY s0, s1
         ), bands AS (
-            SELECT rep, s0, s1, n, 0 AS bi, s0 % 65536 AS bv FROM clusters
-            UNION ALL
-            SELECT rep, s0, s1, n, 1, s0 // 65536 FROM clusters
-            UNION ALL
-            SELECT rep, s0, s1, n, 2, s1 % 65536 FROM clusters
-            UNION ALL
-            SELECT rep, s0, s1, n, 3, s1 // 65536 FROM clusters
+            {_MM6_BANDS_SQL}
         ), cand AS (
             SELECT DISTINCT a.rep AS id_a, b.rep AS id_b,
                    a.s0 AS a0, a.s1 AS a1, b.s0 AS b0, b.s1 AS b1,

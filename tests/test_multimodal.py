@@ -42,6 +42,28 @@ def test_payload_bytes_match_declared(spark):
     assert bad.count() == 0
 
 
+def test_documents_text_is_ascii(spark):
+    """Guard the byte-vs-char parity assumption mm5/mm6 depend on
+    (ADVICE r13): the Spark side hashes UTF-8 payload BYTES while the
+    DuckDB oracles use character ops (LENGTH/ord(substr)); the two
+    agree only while documents.text is pure 1-byte ASCII. If a future
+    fixture adds non-ASCII text this fails LOUDLY here instead of as
+    an opaque oracle hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from mirrulations_iceberg_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    non_ascii = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} documents have non-ASCII text; mm5/mm6 oracles "
+        "(char-indexed) no longer match the Spark byte-indexed hash — "
+        "switch the oracles to octet arithmetic before re-enabling."
+    )
+
+
 def test_resize_plumbing(spark):
     from mirrulations_iceberg_spark.operators.multimodal import (
         RESIZE_TARGET,
