@@ -1006,6 +1006,96 @@ M18_LEVELS = 1 << M18_BITS
 M18_FILES = 16
 
 
+def _m18_zspace(docs: DataFrame) -> tuple[DataFrame, dict]:
+    """Shared m18/m20 Z-space: corpus stats, scaled dims, Morton z.
+
+    Returns ``(dims, geom)`` where ``dims`` carries one row per doc
+    with ``doc_id, n_chars, lang_rank, lang_id (rank scaled to the
+    full B-bit word), lvl (fixed-width length level), z (the 2·B-bit
+    interleave)`` — all exact integer arithmetic, SQL-replayable —
+    and ``geom`` the bounded driver-side literals (corpus min/max,
+    probe coordinates in BOTH systems: raw rank for hit tests, scaled
+    word for zone-map tests; see m18's docstring for why the two
+    coordinate systems exist). The two driver collects are a 1-row
+    stats aggregate and the |langs| distinct set — the x15
+    fit-literal discipline; nothing corpus-sized leaves the cluster.
+    """
+    stats = docs.agg(
+        F.min(F.col("n_chars").cast("long")).alias("mn"),
+        F.max(F.col("n_chars").cast("long")).alias("mx"),
+        F.min("doc_id").alias("id0"),
+        F.max("doc_id").alias("id1"),
+    ).collect()[0]
+    mn, mx = int(stats["mn"]), int(stats["mx"])
+    id0, id1 = int(stats["id0"]), int(stats["id1"])
+    span1 = mx - mn + 1
+    idspan1 = id1 - id0 + 1
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+    # The probe lang lives in TWO coordinate systems: the hit test
+    # compares raw ranks (exact at any cardinality), the zone touched
+    # test compares scaled words (the space zone maps store). Both
+    # values are derived here from the one rank so retuning the probe
+    # to a non-first lang keeps the two tests consistent.
+    probe_rank = 0  # alphabetically first lang
+    probe_scaled = (
+        (probe_rank * (M18_LEVELS - 1)) // max(len(langs) - 1, 1)
+        if len(langs) > 1
+        else 0
+    )
+    lang_rank = (
+        F.array_position(
+            F.array(*[F.lit(l) for l in langs]), F.col("lang")
+        ).cast("int")
+        - 1
+    )
+    # scale the rank to the full B-bit word (see m18 docstring); with
+    # one lang the dim is constant 0 and the DIV-by-zero never
+    # constructs
+    lang_lvl = (
+        F.expr(
+            f"CAST((lang_rank * {M18_LEVELS - 1})"
+            f" DIV {max(len(langs) - 1, 1)} AS INT)"
+        )
+        if len(langs) > 1
+        else F.lit(0)
+    )
+    z_terms = " + ".join(
+        f"(shiftleft((shiftright(lvl, {i}) & 1), {2 * i}))"
+        f" + (shiftleft((shiftright(lang_id, {i}) & 1), {2 * i + 1}))"
+        for i in range(M18_BITS)
+    )
+    dims = (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            lang_rank.alias("lang_rank"),
+            F.expr(
+                f"CAST(((CAST(n_chars AS BIGINT) - {mn}) * {M18_LEVELS})"
+                f" DIV {span1} AS INT)"
+            ).alias("lvl"),
+        )
+        .withColumn("lang_id", lang_lvl)
+        .withColumn("z", F.expr(z_terms))
+    )
+    geom = {
+        "mn": mn,
+        "mx": mx,
+        "id0": id0,
+        "id1": id1,
+        "span1": span1,
+        "idspan1": idspan1,
+        "zmax1": 1 << (2 * M18_BITS),  # z spans [0, 4^B) exactly
+        "probe_rank": probe_rank,
+        "probe_scaled": probe_scaled,
+        "probe_lo": mn + (mx - mn) // 4,
+        "probe_hi": mn + (mx - mn) // 2,
+        "n_langs": len(langs),
+    }
+    return dims, geom
+
+
 def m18_zorder_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER layout DESIGN report — the decision input for
     multi-dimensional clustering (Delta ``OPTIMIZE ZORDER BY`` /
@@ -1055,67 +1145,14 @@ def m18_zorder_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection test).
     """
     docs = load_table(spark, sf_dir, "documents")
-    stats = docs.agg(
-        F.min(F.col("n_chars").cast("long")).alias("mn"),
-        F.max(F.col("n_chars").cast("long")).alias("mx"),
-        F.min("doc_id").alias("id0"),
-        F.max("doc_id").alias("id1"),
-    ).collect()[0]
-    mn, mx = int(stats["mn"]), int(stats["mx"])
-    id0, id1 = int(stats["id0"]), int(stats["id1"])
-    span1 = mx - mn + 1
-    idspan1 = id1 - id0 + 1
-    langs = sorted(
-        r["lang"] for r in docs.select("lang").distinct().collect()
-    )
-    # The probe lang lives in TWO coordinate systems: the hit test
-    # compares raw ranks (exact at any cardinality), the zone touched
-    # test compares scaled words (the space zone maps store). Both
-    # values are derived here from the one rank so retuning the probe
-    # to a non-first lang keeps the two tests consistent.
-    probe_rank = 0  # alphabetically first lang
-    probe_scaled = (
-        (probe_rank * (M18_LEVELS - 1)) // max(len(langs) - 1, 1)
-        if len(langs) > 1
-        else 0
-    )
-    probe_lo = mn + (mx - mn) // 4
-    probe_hi = mn + (mx - mn) // 2
-    lang_rank = (
-        F.array_position(
-            F.array(*[F.lit(l) for l in langs]), F.col("lang")
-        ).cast("int")
-        - 1
-    )
-    # scale the rank to the full B-bit word (see docstring); with one
-    # lang the dim is constant 0 and the DIV-by-zero never constructs
-    lang_lvl = (
-        F.expr(
-            f"CAST((lang_rank * {M18_LEVELS - 1})"
-            f" DIV {max(len(langs) - 1, 1)} AS INT)"
-        )
-        if len(langs) > 1
-        else F.lit(0)
-    )
-    z_terms = " + ".join(
-        f"(shiftleft((shiftright(lvl, {i}) & 1), {2 * i}))"
-        f" + (shiftleft((shiftright(lang_id, {i}) & 1), {2 * i + 1}))"
-        for i in range(M18_BITS)
-    )
-    dims = (
-        docs.select(
-            "doc_id",
-            F.col("n_chars").cast("long").alias("n_chars"),
-            lang_rank.alias("lang_rank"),
-            F.expr(
-                f"CAST(((CAST(n_chars AS BIGINT) - {mn}) * {M18_LEVELS})"
-                f" DIV {span1} AS INT)"
-            ).alias("lvl"),
-        )
-        .withColumn("lang_id", lang_lvl)
-        .withColumn("z", F.expr(z_terms))
-    )
-    zmax1 = 1 << (2 * M18_BITS)  # z spans [0, 4^B) exactly
+    dims, g = _m18_zspace(docs)
+    mn, mx = g["mn"], g["mx"]
+    id0, id1 = g["id0"], g["id1"]
+    idspan1 = g["idspan1"]
+    probe_rank = g["probe_rank"]
+    probe_scaled = g["probe_scaled"]
+    probe_lo, probe_hi = g["probe_lo"], g["probe_hi"]
+    zmax1 = g["zmax1"]
     placed = dims.select(
         "lang_id",
         "n_chars",
@@ -1173,6 +1210,146 @@ def m18_zorder_design(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+def m20_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-extension: Z-ORDER sorted REWRITE — m18 prices the clustered
+    layout, m20 PERFORMS it and measures the payoff on real files:
+    the ``rewrite_data_files``-with-a-sort-order action (Delta
+    ``OPTIMIZE ZORDER BY``) the m18 design report exists to justify
+    (reference anchor: exploration_summary.md:100-112's "partition +
+    cluster" recommendation — this is the operator that executes it).
+
+    Both layouts are REAL partitioned parquet sinks read back through
+    partition discovery, m16's measured-not-simulated discipline:
+
+    * BEFORE — insertion order: unit = fixed-width ``doc_id`` range
+      (m18's layout c), the as-ingested order of an append-only table.
+    * AFTER — the rewrite proper: every row's Morton key ``z`` (the
+      shared ``_m18_zspace`` interleave m18 designed with) maps to a
+      fixed-width z-range unit; rows are repartitioned BY UNIT and
+      z-sorted within each (``repartition(unit) →
+      sortWithinPartitions(unit, z) → partitionBy(unit)``) — exactly
+      the shuffle+sort Iceberg's rewrite action schedules, here with
+      deterministic fixed-width boundaries instead of sampled range
+      bounds so the whole run is oracle-replayable.
+
+    Each layout's placement is then measured FROM THE FILES: the unit
+    id is parsed back out of ``input_file_name()`` (never trusted
+    from the staging column), per-unit zone maps (min/max of both
+    probe dims) are aggregated the way parquet row-group stats would
+    be, and m18's probe (first lang × second length quartile) decides
+    touchability. Output: one row per layout with ``n_units,
+    units_touched, rows_scanned, rows_matching, waste_bp`` — directly
+    comparable to m18's ``a_zorder``/``c_insertion`` prediction rows,
+    which the rewrite must reproduce (same arithmetic, now paid for
+    with a real shuffle and real files).
+
+    Scale shape: one corpus scan to stage dims, one shuffle per
+    layout write (the rewrite IS a shuffle — that's its price, and
+    why m18 runs first), one read-side aggregate per layout bounded
+    by |units|. No corpus-sized collect; the z model is arithmetic,
+    not state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dims, g = _m18_zspace(docs)
+    staged = dims.select(
+        "doc_id",
+        "n_chars",
+        "lang_rank",
+        "lang_id",
+        "z",
+        F.expr(
+            f"CAST(((doc_id - {g['id0']}) * {M18_FILES})"
+            f" DIV {g['idspan1']} AS INT)"
+        ).alias("unit_ins"),
+        F.expr(
+            f"CAST((z * {M18_FILES}) DIV {g['zmax1']} AS INT)"
+        ).alias("unit_z"),
+    )
+    base = _tmpdir()
+    try:
+        before_dir = os.path.join(base, "insertion")
+        after_dir = os.path.join(base, "zorder")
+        staged.withColumnRenamed("unit_ins", "unit").drop(
+            "unit_z"
+        ).write.partitionBy("unit").mode("overwrite").parquet(before_dir)
+        # the rewrite proper: cluster by z-range unit, z-sort within
+        (
+            staged.withColumnRenamed("unit_z", "unit")
+            .drop("unit_ins")
+            .repartition(M18_FILES, "unit")
+            .sortWithinPartitions("unit", "z")
+            .write.partitionBy("unit")
+            .mode("overwrite")
+            .parquet(after_dir)
+        )
+
+        def measure(path: str, layout: str) -> DataFrame:
+            unit = F.regexp_extract(
+                F.input_file_name(), r"unit=([^/]+)", 1
+            ).cast("int")
+            zones = (
+                spark.read.parquet(path)
+                .select(
+                    "n_chars",
+                    "lang_rank",
+                    "lang_id",
+                    unit.alias("unit"),
+                    (
+                        (F.col("lang_rank") == g["probe_rank"])
+                        & F.col("n_chars").between(
+                            g["probe_lo"], g["probe_hi"]
+                        )
+                    )
+                    .cast("long")
+                    .alias("hit"),
+                )
+                .groupBy("unit")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("hit").alias("n_hits"),
+                    F.min("lang_id").alias("lg0"),
+                    F.max("lang_id").alias("lg1"),
+                    F.min("n_chars").alias("ch0"),
+                    F.max("n_chars").alias("ch1"),
+                )
+            )
+            touched = (
+                (F.col("lg0") <= g["probe_scaled"])
+                & (F.col("lg1") >= g["probe_scaled"])
+                & (F.col("ch0") <= g["probe_hi"])
+                & (F.col("ch1") >= g["probe_lo"])
+            )
+            return zones.agg(
+                F.count(F.lit(1)).cast("long").alias("n_units"),
+                F.sum(touched.cast("long"))
+                .cast("long")
+                .alias("units_touched"),
+                F.sum(F.when(touched, F.col("n_rows")).otherwise(0))
+                .cast("long")
+                .alias("rows_scanned"),
+                F.sum("n_hits").cast("long").alias("rows_matching"),
+            ).select(F.lit(layout).alias("layout"), "*")
+
+        out = (
+            measure(before_dir, "before_insertion")
+            .unionByName(measure(after_dir, "after_zorder"))
+            .withColumn(
+                "waste_bp",
+                F.expr(
+                    "CASE WHEN rows_scanned > 0 THEN"
+                    " (10000 * (rows_scanned - rows_matching))"
+                    " DIV rows_scanned ELSE 0 END"
+                ).cast("long"),
+            )
+            .orderBy("layout")
+        )
+        from .util import materialize_release
+
+        return materialize_release(spark, out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def m19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,6 +1493,7 @@ def m19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "m18_zorder_design": m18_zorder_design,
+    "m20_zorder_rewrite": m20_zorder_rewrite,
     "m19_snapshot_diff": m19_snapshot_diff,
     "m16_layout_scatter_report": m16_layout_scatter_report,
     "m15_cdc_merge": m15_cdc_merge,
@@ -1367,17 +1545,38 @@ _M6_UNION = "\n        UNION ALL\n".join(
     for c in _ORDERS_COLS
 )
 
-def _m18_sql() -> str:
-    """m18 oracle: the identical integer z-design pipeline — langs
+def _m18_sql(layouts: tuple[tuple[str, str], ...] | None = None) -> str:
+    """m18/m20 oracle: the identical integer z-design pipeline — langs
     ranked over the distinct set, the same DIV level/unit arithmetic,
     the bit-interleave generated from M18_BITS exactly like the Spark
-    expression (one generator per engine, same loop)."""
+    expression (one generator per engine, same loop).
+
+    ``layouts`` = (name, unit-SQL-over-zz) pairs for the placed CTE;
+    m18 uses its three design layouts (the default), m20 the two it
+    actually materializes (the before/after rewrite pair) — one
+    generator, both operators, so prediction and measurement cannot
+    drift."""
     z_terms = " + ".join(
         f"(((lvl >> {i}) & 1) << {2 * i})"
         f" + (((lang_id >> {i}) & 1) << {2 * i + 1})"
         for i in range(M18_BITS)
     )
     zmax1 = 1 << (2 * M18_BITS)
+    if layouts is None:
+        layouts = (
+            ("a_zorder", f"CAST((z * {M18_FILES}) // {zmax1} AS INT)"),
+            ("b_bylen", "CAST(lvl AS INT)"),
+            (
+                "c_insertion",
+                f"CAST(((doc_id - id0) * {M18_FILES})"
+                " // (id1 - id0 + 1) AS INT)",
+            ),
+        )
+    placed_branches = "\n            UNION ALL\n            ".join(
+        f"SELECT '{name}' AS layout, {unit} AS unit,"
+        " lang_id, lang_rank, n_chars FROM zz"
+        for name, unit in layouts
+    )
     # the two 0 literals live in different coordinate systems: the
     # zone compare (here) is the SCALED word, the hit compare (zones
     # CTE) is the RAW rank — both are 0 only because the probe is the
@@ -1427,17 +1626,7 @@ def _m18_sql() -> str:
                    {z_terms} AS z
             FROM d
         ), placed AS (
-            SELECT 'a_zorder' AS layout,
-                   CAST((z * {M18_FILES}) // {zmax1} AS INT) AS unit,
-                   lang_id, lang_rank, n_chars FROM zz
-            UNION ALL
-            SELECT 'b_bylen', CAST(lvl AS INT), lang_id, lang_rank,
-                   n_chars FROM zz
-            UNION ALL
-            SELECT 'c_insertion',
-                   CAST(((doc_id - id0) * {M18_FILES})
-                        // (id1 - id0 + 1) AS INT),
-                   lang_id, lang_rank, n_chars FROM zz
+            {placed_branches}
         ), zones AS (
             SELECT layout, unit, COUNT(*) AS n_rows,
                    SUM(CASE WHEN lang_rank = 0
@@ -1469,6 +1658,23 @@ def _m18_sql() -> str:
 
 ORACLE = {
     "m18_zorder_design": _m18_sql(),
+    # m20: same generator, the two layouts the rewrite materializes —
+    # the oracle is m18's PREDICTION for those layouts, so a pass
+    # certifies the real-file rewrite delivered exactly the designed
+    # pruning (ground truth independent of the write/readback path)
+    "m20_zorder_rewrite": _m18_sql(
+        (
+            (
+                "after_zorder",
+                f"CAST((z * {M18_FILES}) // {1 << (2 * M18_BITS)} AS INT)",
+            ),
+            (
+                "before_insertion",
+                f"CAST(((doc_id - id0) * {M18_FILES})"
+                " // (id1 - id0 + 1) AS INT)",
+            ),
+        )
+    ),
     # m19: ground truth derived from the deterministic mod splits —
     # the operator computes the same classes from real manifest reads
     # + a delta-only full-outer join, so the two paths are independent.

@@ -947,6 +947,80 @@ def o12_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+O13_FOLDS = 5  # k for the grouped k-fold assignment
+
+
+def o13_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13: GROUP-aware k-fold CV assignment — the eval-hygiene split
+    o8 (row hash) and o12 (time + embargo) don't cover: when rows
+    cluster under an entity (all events of a user, all comments of a
+    docket), a row-level split leaks entity-specific signal across
+    folds, so EVERY row of an entity must land in ONE fold — the
+    sklearn ``GroupKFold`` contract, and the assumption d17's
+    split-leakage audit grades after the fact. Here the assignment is
+    deterministic (fold = first 12 bits of md5(user_id) mod k, the
+    o8/o9 stability idiom): membership depends only on the entity key,
+    never on corpus size, partitioning, or a seed, so folds are stable
+    under corpus growth — an entity keeps its fold when new rows
+    arrive, which no counting-based balancer guarantees.
+
+    The audit is computed FROM THE DATA, not assumed: per entity we
+    count distinct observed folds (>1 would mean the fold expression
+    leaked row-level terms), and the per-fold report carries that
+    ``cross_fold_users`` count — zero by construction, but proven on
+    every run, so a refactor that accidentally keys the hash on a
+    row column fails the oracle loudly rather than silently leaking.
+
+    Scale shape: one events scan → per-(user) aggregate (map-side
+    combine; output is #entities rows, not #events) → k-row rollup →
+    a window over the k-row frame for the share denominators. Nothing
+    event-sized shuffles twice; no collect.
+
+    Reference anchor: the reference has no CV machinery (its queries
+    are exploratory aggregates, exploration_summary.md); this extends
+    the split family a training pipeline needs over the same tables.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 3), 16, 10
+        ).cast("long")
+        % O13_FOLDS
+    ).cast("int")
+    per_user = (
+        events.select(F.col("user_id"), fold.alias("fold"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fold").alias("n_folds_seen"),
+            F.min("fold").alias("fold"),
+        )
+    )
+    per_fold = per_user.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum((F.col("n_folds_seen") > 1).cast("long"))
+        .cast("long")
+        .alias("cross_fold_users"),
+    )
+    w = Window.partitionBy()  # k-row frame: the rollup, never raw events
+    return (
+        per_fold.withColumn("__total", F.sum("n_rows").over(w))
+        # integer basis points — (10000·a) DIV b — per the module
+        # header's float-rounding convention
+        .withColumn(
+            "row_share_bp",
+            F.expr("CAST((10000 * n_rows) DIV __total AS BIGINT)"),
+        )
+        .orderBy("fold")
+        .select(
+            "fold", "n_users", "n_rows", "cross_fold_users", "row_share_bp"
+        )
+    )
+
+
 #: o11: total sample budget as a corpus fraction — n_total = N DIV 10.
 O11_BUDGET_DIV = 10
 
@@ -1191,6 +1265,7 @@ QUERIES = {
     "o7_stratified_sample": o7_stratified_sample,
     "o8_hash_split": o8_hash_split,
     "o12_temporal_embargo_split": o12_temporal_embargo_split,
+    "o13_group_kfold_split": o13_group_kfold_split,
     "o9_weighted_sample": o9_weighted_sample,
     "o10_stratified_quota_sample": o10_stratified_quota_sample,
     "o11_neyman_allocation": o11_neyman_allocation,
@@ -1364,6 +1439,33 @@ ORACLE = {
         SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars, skey
         FROM ranked WHERE rk <= {O10_QUOTA}
         ORDER BY source, rk
+    """,
+    "o13_group_kfold_split": f"""
+        WITH pu AS (
+            SELECT user_id, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT fold) AS n_folds_seen,
+                   MIN(fold) AS fold
+            FROM (
+                SELECT user_id,
+                       CAST((
+                         (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)
+                       ) % {O13_FOLDS} AS INT) AS fold
+                FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h
+                      FROM events)
+            ) GROUP BY user_id
+        ), pf AS (
+            SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN n_folds_seen > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cross_fold_users
+            FROM pu GROUP BY fold
+        )
+        SELECT fold, n_users, n_rows, cross_fold_users,
+               CAST((10000 * n_rows) // (SELECT SUM(n_rows) FROM pf)
+                    AS BIGINT) AS row_share_bp
+        FROM pf ORDER BY fold
     """,
     "o9_weighted_sample": """
         WITH wm AS (

@@ -1,0 +1,108 @@
+"""Engineered known-answer tests for the round-14 operators
+(o13 grouped k-fold split / m20 z-order sorted rewrite) — invariants
+that hold by construction, pinning the semantics the oracle-parity
+sweep can't distinguish from a consistently-wrong twin (entity
+fold-disjointness and assignment stability under corpus growth; the
+rewrite reproducing m18's design prediction on real files)."""
+
+from __future__ import annotations
+
+from .conftest import SF_DIR
+
+
+def test_o13_folds_partition_entities(spark):
+    """Every entity in exactly one fold (the GroupKFold contract),
+    counts consistent with the raw table, shares summing to ~10000."""
+    from pyspark.sql import functions as F
+
+    from mirrulations_iceberg_spark.operators.relational import (
+        O13_FOLDS,
+        o13_group_kfold_split,
+    )
+    from mirrulations_iceberg_spark.tables import load_table
+
+    rows = o13_group_kfold_split(spark, SF_DIR).collect()
+    events = load_table(spark, SF_DIR, "events")
+    assert 1 <= len(rows) <= O13_FOLDS
+    assert all(0 <= r.fold < O13_FOLDS for r in rows)
+    assert all(r.cross_fold_users == 0 for r in rows)
+    assert sum(r.n_rows for r in rows) == events.count()
+    assert (
+        sum(r.n_users for r in rows)
+        == events.select(F.countDistinct("user_id")).collect()[0][0]
+    )
+    # integer-floor shares: sum in (10000 - k, 10000]
+    assert 10000 - len(rows) < sum(r.row_share_bp for r in rows) <= 10000
+
+
+def test_o13_assignment_stable_under_growth(spark, tmp_path):
+    """o8's stability guarantee, grouped: a user keeps its fold when
+    the corpus doubles — fold depends only on the entity key. Runs
+    o13 on the fixture and on fixture ∪ shifted-clone; every fold's
+    user set from the first run must be a subset of some fold with
+    the same id in the second (here: per-fold user counts can only
+    grow, and per-user fold ids match row-for-row)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mirrulations_iceberg_spark.operators.relational import (
+        o13_group_kfold_split,
+    )
+    from mirrulations_iceberg_spark.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    # clone with NEW users (ids shifted far away) — existing users'
+    # folds must not move
+    grown = events.unionByName(
+        events.withColumn("user_id", F.col("user_id") + F.lit(10_000_000))
+    )
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2, exist_ok=True)
+    grown.write.mode("overwrite").parquet(os.path.join(sf2, "events.parquet"))
+
+    base = {
+        r.fold: r.n_users for r in o13_group_kfold_split(spark, SF_DIR).collect()
+    }
+    after = {
+        r.fold: r.n_users for r in o13_group_kfold_split(spark, sf2).collect()
+    }
+    for fold, n in base.items():
+        assert after.get(fold, 0) >= n, (
+            f"fold {fold} shrank {n} -> {after.get(fold, 0)}: an existing "
+            "entity moved folds under corpus growth"
+        )
+
+
+def test_m20_rewrite_matches_m18_prediction(spark):
+    """The VERDICT r13 done-criterion: m20's measured before/after rows
+    on REAL files must equal m18's virtual-layout prediction for the
+    same probe — c_insertion ≡ before_insertion, a_zorder ≡
+    after_zorder — and the rewrite must actually prune."""
+    from mirrulations_iceberg_spark.operators.maintenance import (
+        m18_zorder_design,
+        m20_zorder_rewrite,
+    )
+
+    cols = (
+        "n_units",
+        "units_touched",
+        "rows_scanned",
+        "rows_matching",
+        "waste_bp",
+    )
+    pred = {
+        r.layout: tuple(r[c] for c in cols)
+        for r in m18_zorder_design(spark, SF_DIR).collect()
+    }
+    meas = {
+        r.layout: tuple(r[c] for c in cols)
+        for r in m20_zorder_rewrite(spark, SF_DIR).collect()
+    }
+    assert meas["before_insertion"] == pred["c_insertion"]
+    assert meas["after_zorder"] == pred["a_zorder"]
+    # the payoff the rewrite was priced for: strictly fewer units
+    # touched, never more rows scanned, identical matching rows
+    b, a = meas["before_insertion"], meas["after_zorder"]
+    assert a[1] <= b[1] and a[2] <= b[2]
+    assert a[3] == b[3]
