@@ -575,9 +575,190 @@ def s8_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w16_detect(_run_to_table(daily, "s8_sink"))
 
 
+def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup admission — d18's streaming twin, completing
+    the s-family pattern of one algorithm with two feeders (s6/d10
+    exact, s7/m15 CDC, s8/w16 CUSUM, s9/d18 near-dup): delta documents
+    arrive as a file-source stream in THREE deterministic deliveries
+    (``maxFilesPerTrigger=1`` → three micro-batches), and each
+    micro-batch runs d18's cross-frame banded-LSH probe
+    (``dedup.minhash_lsh_cross_pairs_over``, dedup.py:1767) against
+    the STATIC base rep table inside ``foreachBatch`` — the shape a
+    continuously-ingesting curation pipeline deploys: the base's
+    signature index is standing state, each arriving batch probes it,
+    and per-batch admission partials accumulate into the report.
+
+    Cross-batch correctness is ALGEBRAIC, not lucky: a content's flag
+    depends only on (its shingles × the base), so however the delta
+    splits into batches, per-(lang, fingerprint) sub-group counts and
+    id-sums add — the final per-lang rollup (with ``flagged_bp``
+    computed AFTER summation, never averaged across batches) equals
+    d18's single-pass batch answer. The oracle IS d18's SQL verbatim
+    (the s6 parity discipline), so the driver row proves stream/batch
+    parity of the whole admission pipeline.
+
+    Scale shape: the base side reduces to one rep per fingerprint ONCE
+    and is cached across micro-batches (at 100 TB: the stored,
+    band-bucketed signature table each ingest co-locates against);
+    per-batch cost is the batch's own collapse + LSH probe — nothing
+    grows with stream history, no stream-side state beyond the
+    engine's file tracking. Driver traffic per batch is the |langs|-row
+    partial, the bounded-collect discipline.
+
+    Reference anchor: the reference's incremental conversion loop
+    (convert_to_iceberg.py:956-1121) admits new dockets with no
+    near-dup screen; this is that loop's missing admission gate.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    from .dedup import (
+        D10_DELTA_MOD,
+        content_fp_from_toks,
+        minhash_lsh_cross_pairs_over,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = content_fp_from_toks(tokens_col(F.col("text"))).alias("__fp")
+    is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
+    # d18's bg: one rep per base fingerprint, cached — it is re-probed
+    # by every micro-batch
+    bg = (
+        docs.filter(~is_delta)
+        .select("doc_id", "text", fp)
+        .groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select("doc_id", "text")
+        .cache()
+    )
+    base = tempfile.mkdtemp(prefix="miis_s9_")
+    partials: list[tuple] = []
+    try:
+        # land the delta as three deliveries keyed on doc_id (one
+        # write job partitioned by delivery index, each value hashed
+        # to one task → one file per delivery; the s7 mechanism)
+        scratch = f"{base}/.scratch"
+        (
+            docs.filter(is_delta)
+            .withColumn("__d", (F.col("doc_id") % 3).cast("int"))
+            .repartition("__d")
+            .write.partitionBy("__d")
+            .mode("overwrite")
+            .parquet(scratch)
+        )
+        for k in range(3):
+            parts = sorted(glob.glob(f"{scratch}/__d={k}/part-*.parquet"))
+            for j, p in enumerate(parts):
+                shutil.move(p, f"{base}/delivery_{k}_{j}.parquet")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+        def probe(batch_df: DataFrame, _batch_id: int) -> None:
+            dg = batch_df.select("doc_id", "lang", "text", fp).groupBy(
+                "lang", "__fp"
+            ).agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min_by("text", "doc_id").alias("text"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            caches: list = []
+            flagged = (
+                minhash_lsh_cross_pairs_over(
+                    dg.select("doc_id", "text"), bg, caches=caches
+                )
+                .select(F.col("doc_a").alias("doc_id"))
+                .distinct()
+                .withColumn("__flag", F.lit(1))
+            )
+            rows = (
+                dg.join(flagged, "doc_id", "left")
+                .groupBy("lang")
+                .agg(
+                    F.sum("n").cast("long").alias("n_delta"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("__flag") == 1, F.col("n"))),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_flagged"),
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("__flag") == 1, F.col("id_sum"))
+                        ),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("flagged_id_checksum"),
+                )
+                .collect()
+            )
+            for c in caches:
+                c.unpersist()
+            partials.extend(
+                (
+                    r["lang"],
+                    int(r["n_delta"]),
+                    int(r["n_flagged"]),
+                    int(r["flagged_id_checksum"]),
+                )
+                for r in rows
+            )
+
+        schema = docs.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "delivery_*.parquet")
+            .parquet(base)
+        )
+        with stream_state_conf(spark):
+            q = (
+                stream.writeStream.foreachBatch(probe)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        rep = spark.createDataFrame(
+            partials,
+            "lang string, n_delta long, n_flagged long,"
+            " flagged_id_checksum long",
+        )
+        return (
+            rep.groupBy("lang")
+            .agg(
+                F.sum("n_delta").cast("long").alias("n_delta"),
+                F.sum("n_flagged").cast("long").alias("n_flagged"),
+                F.sum("flagged_id_checksum")
+                .cast("long")
+                .alias("flagged_id_checksum"),
+            )
+            .select(
+                "lang",
+                "n_delta",
+                "n_flagged",
+                (F.col("n_delta") - F.col("n_flagged")).alias("n_novel"),
+                F.expr(
+                    "CASE WHEN n_delta > 0 THEN"
+                    " (10000 * n_flagged) DIV n_delta ELSE 0 END"
+                ).alias("flagged_bp"),
+                "flagged_id_checksum",
+            )
+            .orderBy("lang")
+        )
+    finally:
+        bg.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
     "s7_stream_cdc_upsert": s7_stream_cdc_upsert,
     "s8_stream_cusum": s8_stream_cusum,
+    "s9_stream_neardup_admission": s9_stream_neardup_admission,
     "s1_stream_windowed_counts": s1_stream_windowed_counts,
     "s2_incremental_ingest": s2_incremental_ingest,
     "s3_stream_sessions": s3_stream_sessions,
@@ -612,9 +793,18 @@ def _s8_oracle() -> str:
     return _W["w16_cusum_changepoint"]
 
 
+def _s9_oracle() -> str:
+    """s9's oracle is d18's SQL VERBATIM — the micro-batched admission
+    must equal the single-pass batch admission (the s6 discipline)."""
+    from .dedup import ORACLE as DEDUP_ORACLE
+
+    return DEDUP_ORACLE["d18_incremental_neardup"]
+
+
 ORACLE = {
     "s7_stream_cdc_upsert": _s7_oracle(),
     "s8_stream_cusum": _s8_oracle(),
+    "s9_stream_neardup_admission": _s9_oracle(),
     "s6_stream_base_dedup": _s6_oracle(),
     "s5_stream_attribution": """
         WITH c AS (

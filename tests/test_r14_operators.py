@@ -74,6 +74,28 @@ def test_o13_assignment_stable_under_growth(spark, tmp_path):
         )
 
 
+def test_s9_stream_equals_d18_batch(spark):
+    """The s-family parity claim on a second scale: the micro-batched
+    streaming admission must equal d18's single-pass batch report
+    row-for-row — same langs, same counts, same flagged checksums —
+    regardless of how the three deliveries split the delta."""
+    from mirrulations_iceberg_spark.operators.dedup import (
+        d18_incremental_neardup,
+    )
+    from mirrulations_iceberg_spark.operators.streamq import (
+        s9_stream_neardup_admission,
+    )
+
+    batch = [
+        tuple(r) for r in d18_incremental_neardup(spark, SF_DIR).collect()
+    ]
+    stream = [
+        tuple(r)
+        for r in s9_stream_neardup_admission(spark, SF_DIR).collect()
+    ]
+    assert stream == batch
+
+
 def test_m20_rewrite_matches_m18_prediction(spark):
     """The VERDICT r13 done-criterion: m20's measured before/after rows
     on REAL files must equal m18's virtual-layout prediction for the
