@@ -1000,6 +1000,251 @@ def _t17b_sql() -> str:
     )
 
 
+#: t17c batched-BPE geometry: merges accepted per round, rounds run by
+#: the driver entry, and the ranked candidate pool each round's greedy
+#: disjoint selection walks (bounded driver collect).
+T17C_BATCH = 4
+T17C_ROUNDS = 3
+T17C_POOL = 4 * T17C_BATCH
+
+
+def _t17c_train(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: int,
+    rounds: int,
+    pool: int,
+) -> DataFrame:
+    """Batched BPE training core (t17c; VERDICT r13 item #2): per
+    round, ONE pair-count aggregate ranks candidates, the driver
+    greedily accepts up to ``batch`` pairs whose symbols are PAIRWISE
+    DISJOINT (walking the top-``pool`` ranked list in (count desc,
+    lft, rgt) order), and all accepted merges apply in ONE composed
+    fold — the standard top-B batching that cuts driver round-trips
+    by ~B× vs t17b's one-merge-per-round loop (real tokenizers run
+    thousands of merges; two collects per MERGE cannot ship).
+
+    Why disjointness: if no two accepted pairs share a symbol, no
+    merge can create or destroy instances of another accepted pair
+    (an adjacency of (c,d) can only be disturbed by a replacement
+    touching c or d), so the batch's sequential fold equals applying
+    each merge against its round-start counts — the counts the
+    selection ranked on stay valid for every accepted pair. With
+    ``batch=1`` the selection IS t17b's argmax and the output equals
+    t17b's merge table row-for-row (pinned by pytest).
+
+    Scale shape: t17b's exactly — per round one Heaps-bounded
+    aggregate over the distinct-token vocabulary, TakeOrdered top-pool
+    (never a global sort), a localCheckpoint to truncate lineage, one
+    total aggregate. Driver traffic per round: ``pool`` candidate rows
+    + 1 total row, independent of corpus size.
+    """
+    from .dedup import parallelize_scan as _pscan
+
+    docs = _pscan(load_table(spark, sf_dir, "documents"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    cur = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(chars.alias("syms"), "cnt")
+        .localCheckpoint()
+    )
+    total0 = int(
+        cur.agg(F.sum(F.col("cnt") * F.size("syms")).cast("long")).collect()[
+            0
+        ][0]
+    )
+    total_prev = total0
+    out_rows = []
+    for rnd in range(1, rounds + 1):
+        pair = F.zip_with(
+            F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1),
+            F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("lft"), b.alias("rgt")),
+        )
+        cands = (
+            cur.filter(F.size("syms") >= 2)
+            .select("cnt", F.explode(pair).alias("pr"))
+            .groupBy("pr.lft", "pr.rgt")
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("lft"), F.asc("rgt"))
+            .limit(pool)
+            .collect()
+        )
+        if not cands:  # fully merged vocabulary
+            break
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for c in cands:
+            if len(accepted) == batch:
+                break
+            if c["lft"] in used or c["rgt"] in used:
+                continue
+            accepted.append((c["lft"], c["rgt"], int(c["pc"])))
+            used.update((c["lft"], c["rgt"]))
+        col = F.col("syms")
+        for a, b, _pc in accepted:
+            col = apply_bpe_merge(col, a, b)
+        nxt = cur.select(col.alias("syms"), "cnt").localCheckpoint()
+        total_new = int(
+            nxt.agg(
+                F.sum(F.col("cnt") * F.size("syms")).cast("long")
+            ).collect()[0][0]
+        )
+        for i, (a, b, pc) in enumerate(accepted, 1):
+            out_rows.append(
+                (
+                    rnd,
+                    i,
+                    a,
+                    b,
+                    a + b,
+                    pc,
+                    int(total_prev - total_new),
+                    total_new,
+                    (10000 * total_new) // total0,
+                )
+            )
+        cur = nxt
+        total_prev = total_new
+    return spark.createDataFrame(
+        out_rows,
+        "round int, rank_in_round int, left_sym string, right_sym string,"
+        " merged string, pair_count long, round_merges_applied long,"
+        " total_syms long, compression_bp long",
+    )
+
+
+def t17c_bpe_batch_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the batched trainer: ``T17C_ROUNDS`` rounds ×
+    up to ``T17C_BATCH`` disjoint merges — the same learning budget
+    shape as t17b in a third of the driver round-trips (measured in
+    PLANS.md). See :func:`_t17c_train`."""
+    return _t17c_train(spark, sf_dir, T17C_BATCH, T17C_ROUNDS, T17C_POOL)
+
+
+def _t17c_sql(
+    batch: int = T17C_BATCH,
+    rounds: int = T17C_ROUNDS,
+    pool: int = T17C_POOL,
+) -> str:
+    """t17c oracle: the batched rounds unrolled as chained CTEs on
+    t17b's boundary-wrapped-string model, with the greedy disjoint
+    selection replayed EXACTLY by a recursive CTE per round — walk the
+    top-``pool`` ranked pairs in rank order carrying the used-symbol
+    list, accept while symbols are unseen and the batch has room —
+    and the accepted merges applied as ``batch`` nested sequential
+    ``replace``s (``COALESCE(…, chr(1))`` turns absent ranks into
+    identity replaces; chr(1) cannot occur in a boundary-wrapped
+    alnum string)."""
+    sym = r"\(([a-z0-9]+)\)"
+    parts = [
+        f"""tok AS (
+            SELECT unnest(regexp_extract_all(lower(text),
+                                             '{TOKEN_PATTERN}')) AS tok
+            FROM documents
+        ), v0 AS MATERIALIZED (
+            SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS s,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY tok
+        ), t0 AS MATERIALIZED (
+            SELECT SUM(cnt * len(regexp_extract_all(s, '{sym}', 1)))
+                AS tot FROM v0
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        ok = (
+            "NOT (list_contains(s.used, r2.lft)"
+            " OR list_contains(s.used, r2.rgt))"
+            f" AND s.n_acc < {batch}"
+        )
+        apply_expr = "s"
+        for k in range(1, batch + 1):
+            pat = (
+                f"(SELECT '(' || lft || ')(' || rgt || ')'"
+                f" FROM accf{r} WHERE ar = {k})"
+            )
+            rep = (
+                f"(SELECT '(' || lft || rgt || ')'"
+                f" FROM accf{r} WHERE ar = {k})"
+            )
+            apply_expr = (
+                f"replace({apply_expr}, COALESCE({pat}, chr(1)),"
+                f" COALESCE({rep}, chr(1)))"
+            )
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+            SELECT s, cnt,
+                   regexp_extract_all(s, '{sym}', 1) AS li
+            FROM v{r - 1}
+        ), p{r} AS MATERIALIZED (
+            SELECT li[u.i] AS lft, li[u.i + 1] AS rgt,
+                   CAST(SUM(cnt) AS BIGINT) AS pc
+            FROM l{r}, UNNEST(range(1, len(li))) u(i)
+            GROUP BY 1, 2
+        ), rk{r} AS MATERIALIZED (
+            SELECT lft, rgt, pc,
+                   CAST(row_number() OVER (ORDER BY pc DESC, lft, rgt)
+                        AS INT) AS rnk
+            FROM p{r} ORDER BY pc DESC, lft, rgt LIMIT {pool}
+        ), sel{r} AS MATERIALIZED (
+            SELECT 1 AS rnk, [lft, rgt] AS used, 1 AS n_acc,
+                   [struct_pack(lft := lft, rgt := rgt, pc := pc)] AS acc
+            FROM rk{r} WHERE rnk = 1
+            UNION ALL
+            SELECT r2.rnk,
+                   CASE WHEN {ok}
+                        THEN list_concat(s.used, [r2.lft, r2.rgt])
+                        ELSE s.used END,
+                   s.n_acc + CASE WHEN {ok} THEN 1 ELSE 0 END,
+                   CASE WHEN {ok}
+                        THEN list_append(s.acc, struct_pack(
+                                 lft := r2.lft, rgt := r2.rgt,
+                                 pc := r2.pc))
+                        ELSE s.acc END
+            FROM sel{r} s JOIN rk{r} r2 ON r2.rnk = s.rnk + 1
+        ), fin{r} AS MATERIALIZED (
+            SELECT acc FROM sel{r} ORDER BY rnk DESC LIMIT 1
+        ), accu{r} AS (
+            SELECT unnest(acc) AS m, generate_subscripts(acc, 1) AS ar
+            FROM fin{r}
+        ), accf{r} AS MATERIALIZED (
+            SELECT m.lft AS lft, m.rgt AS rgt, m.pc AS pc,
+                   CAST(ar AS INT) AS ar
+            FROM accu{r}
+        ), v{r} AS MATERIALIZED (
+            SELECT {apply_expr} AS s, cnt FROM l{r}
+        ), t{r} AS MATERIALIZED (
+            SELECT SUM(cnt * len(regexp_extract_all(s, '{sym}', 1)))
+                AS tot FROM v{r}
+        ), row{r} AS (
+            SELECT CAST({r} AS INT) AS round, ar AS rank_in_round,
+                   lft AS left_sym, rgt AS right_sym,
+                   lft || rgt AS merged, pc AS pair_count,
+                   CAST((SELECT tot FROM t{r - 1})
+                        - (SELECT tot FROM t{r}) AS BIGINT)
+                       AS round_merges_applied,
+                   CAST((SELECT tot FROM t{r}) AS BIGINT) AS total_syms,
+                   CAST((10000 * (SELECT tot FROM t{r}))
+                        // (SELECT tot FROM t0) AS BIGINT)
+                       AS compression_bp
+            FROM accf{r}
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM row{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(parts)
+        + f"\n        SELECT * FROM ({union}) ORDER BY round, rank_in_round"
+    )
+
+
 T18_BIGRAMS = 4096  # top-B bigram table (broadcast-sized forever)
 T18_BACKOFF = 2.5  # 1/0.4 — the "stupid backoff" discount as a penalty
 
@@ -1446,6 +1691,7 @@ QUERIES = {
     "t18_backoff_surprisal": t18_backoff_surprisal,
     "t17_bpe_pair_stats": t17_bpe_pair_stats,
     "t17b_bpe_train_iters": t17b_bpe_train_iters,
+    "t17c_bpe_batch_train": t17c_bpe_batch_train,
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
     "t3_fingerprint": t3_fingerprint,
@@ -1575,6 +1821,7 @@ ORACLE = {
         FROM scored GROUP BY lang ORDER BY lang
     """,
     "t17b_bpe_train_iters": _t17b_sql(),
+    "t17c_bpe_batch_train": _t17c_sql(),
     "t20_bpe_encode_corpus": _t20_sql(),
     "t17_bpe_pair_stats": f"""
         WITH tok AS (

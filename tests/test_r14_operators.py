@@ -74,6 +74,58 @@ def test_o13_assignment_stable_under_growth(spark, tmp_path):
         )
 
 
+def test_t17c_batch1_equals_t17b_sequential(spark):
+    """The VERDICT r13 done-criterion for the batched trainer: with
+    batch=1 the greedy disjoint selection degenerates to t17b's
+    argmax, so the merge table must equal t17b's sequential result
+    merge-for-merge (same pairs, same counts, same totals)."""
+    from mirrulations_iceberg_spark.operators.text import (
+        T17B_ITERS,
+        _t17c_train,
+        t17b_bpe_train_iters,
+    )
+
+    seq = t17b_bpe_train_iters(spark, SF_DIR).collect()
+    bat = _t17c_train(
+        spark, SF_DIR, batch=1, rounds=T17B_ITERS, pool=1
+    ).collect()
+    assert len(bat) == len(seq)
+    for s, b in zip(seq, bat):
+        assert (b.round, b.rank_in_round) == (s.iter, 1)
+        assert (b.left_sym, b.right_sym, b.merged) == (
+            s.left_sym,
+            s.right_sym,
+            s.merged,
+        )
+        assert b.pair_count == s.pair_count
+        assert b.round_merges_applied == s.merges_applied
+        assert b.total_syms == s.total_syms
+        assert b.compression_bp == s.compression_bp
+
+
+def test_t17c_round_merges_are_symbol_disjoint(spark):
+    """Within a round no two accepted merges may share a symbol — the
+    invariant that keeps the round-start pair counts valid for every
+    accepted pair (and the batch fold order-independent)."""
+    from mirrulations_iceberg_spark.operators.text import (
+        t17c_bpe_batch_train,
+    )
+
+    rows = t17c_bpe_batch_train(spark, SF_DIR).collect()
+    assert rows, "trainer learned no merges on the fixture"
+    by_round: dict[int, list] = {}
+    for r in rows:
+        by_round.setdefault(r.round, []).append(r)
+    for rnd, merges in by_round.items():
+        seen: set[str] = set()
+        for m in merges:
+            assert m.left_sym not in seen and m.right_sym not in seen, (
+                f"round {rnd}: merge ({m.left_sym},{m.right_sym}) shares "
+                "a symbol with an earlier accepted merge"
+            )
+            seen.update((m.left_sym, m.right_sym))
+
+
 def test_s9_stream_equals_d18_batch(spark):
     """The s-family parity claim on a second scale: the micro-batched
     streaming admission must equal d18's single-pass batch report
