@@ -127,72 +127,87 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: 2 rows-only / 0 fail) with the o11/x20 fixes in, each new operator
 #: verified at sf0.01 on first contact, and the exact 50-slot order
 #: replayed green via --window-order before commit.
+#: Round-14 rotation (VERDICT r13 item #1 + the round's build list):
+#: the window = 6 NEW oracle-bearing entries (o13 grouped k-fold
+#: split, m20 z-order sorted rewrite, s9 streaming near-dup admission
+#: — d18's parity twin, t17c batched BPE trainer, and m1/m2 which flip
+#: from rows-only to hash-checked on their engine-invariant halves —
+#: VERDICT r13 #6; their byte-size halves split out as m1b/m2b,
+#: rows-only by nature, outside the window per the round-6 rule) + 3
+#: whose code changed this round and must re-verify at the driver
+#: (m19: coalesced checksum aggregates — ADVICE r13; mm6: banding
+#: widened 4×16 → 8×8 bits with the oracle regenerated from the same
+#: constants — ADVICE r13; m18: z-space extraction into the shared
+#: _m18_zspace helper m20 composes) + ALL 11 remaining r08-stale
+#: greens (a6/a7/a9/a10/e1/f2/j6/o2/o4/u1/w5 — last driver-checked six
+#: rounds of refactors ago; exactly the list VERDICT r13 #1 names,
+#: verified against the regenerated LEDGER.md, never memory) + 30 of
+#: the 45 r10-stale greens. The 15 r10 entries left for r15's queue
+#: (q2/q4/q5/q6, e10/e11/e12, d15/d16, f1c, s3, t16, x13, w15, m13)
+#: were picked by family redundancy — each leaves same-family siblings
+#: in the window (q7/q10; e9/e13/e14/e1; d7/d10/d17/d18; f1b/f4/f2;
+#: s2/s5/s7/s13/s9; t13/t17/t18/t17c; x7/x10/x15; w14/w5;
+#: m7/m14/m15/m16/m19/m18/m20/m1/m2) — so no family's live attestation
+#: thins. Pre-rotation gate: the full sf0.01 sweep ran green this
+#: session with every new/changed entry re-verified at sf0.01 on
+#: first contact, and the exact 50-slot order replayed green via
+#: --window-order before commit.
 DRIVER_WINDOW = (
-    # --- NEW round-13 operators (oracle-bearing, never checked)
-    "w16_cusum_changepoint",      # two-sided CUSUM over daily volumes
-    "d20_minhash_source_sketch",  # one-pass source sketch + grade
-    "x21_ivfpq_upsert_topk",      # frozen-model incremental upsert
-    "e15_dataset_card",           # grouping-sets release-stats card
-    "t20_bpe_encode_corpus",      # BPE-encode via the learned merges
-    "s8_stream_cusum",            # streamed w16: parity-proved alarm
-    "x22_binary_hamming_topk",    # 1-bit sign codes, packed Hamming
-    "w17_seasonal_robust_anomaly",  # per-dow median/MAD outlier flags
-    "m19_snapshot_diff",          # manifest-pruned changelog classes
-    "e16_incremental_card",       # IVM card refresh vs full recompute
-    "mm6_phash_neardup",          # aHash + banded Hamming image dedup
-    "t21_chunk_documents",        # overlapping RAG/packing chunker
-    "o12_temporal_embargo_split",  # purged time split + leakage audit
-    "e17_changelog_card_refresh",  # manifest-diff-driven IVM refresh
-    # (x22/w17/m19/e16/mm6/t21/o12/e17 landed late in round 13; the
-    # displaced — a6_count_distinct, a10_date_histogram, o2_top_dates,
-    # u1_union_base_delta, j6_asof_join, e1_docket_pipeline (5 banked
-    # green rounds each — the whole 5-round tie save f3, the only
-    # in-window f representative), o4_peak_day and a7_boolean_sum (4
-    # rounds, with o6/o9 and a12b/a14/a16 keeping their families
-    # live) — join w5/f2/a9 at the head of r14's rotation queue;
-    # u2/u3 (u), j2/j3/j4/j5/j7/j8/j10/j11 (j), and e8/e15/e16 (e)
-    # keep every family's live attestation.)
-    # --- code changed in round 13: re-verify at the driver
-    "o11_neyman_allocation",      # DECIMAL radicand guard (ADVICE r12)
-    "x20_filtered_ann_topk",      # truth-driven output (ADVICE r12)
-    # --- 35 of the 45 r08-stale greens (w5/f2/a9 -> r14 queue at
-    #     rotation; a6/a10/o2/u1/j6/e1/o4 displaced late-round by
-    #     x22/w17/m19/e16/mm6/t21/o12 — the list in the header
-    #     comment above)
-    "a12b_cube",
-    "a14_histogram",
-    "a16_grouping_sets",
-    "c11_from_json_typed",
-    "c9_ts_minmax",
-    "d14_contamination_grade",
-    "d9_decontaminate",
-    "e8_temperature_mixture",
-    "f3_boolean_filter",
-    "j10_bucketed_colocated_join",
-    "j11_salted_skew_join",
-    "j2_semi_join",
-    "j3_anti_join",
-    "j4_fact_fact_join",
-    "j5_left_outer_join",
-    "j7_range_join",
-    "j8_full_outer_join",
-    "m3_delta_append",
-    "m4_compaction",
-    "m9_partition_overwrite",
-    "o6_systematic_sample",
-    "o9_weighted_sample",
-    "t11_bigram_coverage",
-    "t15_freq_spectrum",
-    "t2_quality_score",
-    "t3_fingerprint",
-    "t4_token_index_lookup",
-    "t6_winnow_fingerprints",
-    "u2_intersect",
-    "u3_except",
-    "w12_retention_cohorts",
-    "w13_sequence_with_negation",
-    "w2_running_sum",
-    "w4_rank_in_partition",
+    # --- NEW round-14 operators (oracle-bearing, never checked)
+    "o13_group_kfold_split",      # GroupKFold entity-disjoint folds
+    "m20_zorder_rewrite",         # performs m18's clustered rewrite
+    "s9_stream_neardup_admission",  # d18's stream/batch parity twin
+    "t17c_bpe_batch_train",       # top-B disjoint merges per round
+    "m1_codec_benchmark",         # invariant half now hash-checked
+    "m2_storage_efficiency",      # footer audit now hash-checked
+    # --- code changed in round 14: re-verify at the driver
+    "m19_snapshot_diff",          # coalesced checksums (ADVICE r13)
+    "mm6_phash_neardup",          # 8×8-bit banding (ADVICE r13)
+    "m18_zorder_design",          # shared _m18_zspace extraction
+    # --- the 11 r08-stale greens (VERDICT r13 item #1's list)
+    "a10_date_histogram",
+    "a6_count_distinct",
+    "a7_boolean_sum",
+    "a9_value_counts",
+    "e1_docket_pipeline",
+    "f2_is_not_null",
+    "j6_asof_join",
+    "o2_top_dates",
+    "o4_peak_day",
+    "u1_union_base_delta",
+    "w5_sessionize",
+    # --- 30 of the 45 r10-stale greens (the 15 named in the header
+    #     comment above head r15's queue)
+    "d10_incremental_dedup",
+    "d17_split_leakage",
+    "d18_incremental_neardup",
+    "d7_dedup_apply_lsh",
+    "e13_cluster_aware_split",
+    "e14_release_pipeline",
+    "e9_refresh_pipeline",
+    "f1b_indexed_substring",
+    "f4_conjunctive_filter",
+    "j12_interval_overlap_join",
+    "j1_broadcast_star_join",
+    "m14_drift_report",
+    "m15_cdc_merge",
+    "m16_layout_scatter_report",
+    "m7_contract_check",
+    "mm2_feature_stats",
+    "o10_stratified_quota_sample",
+    "q10_docket_rollup",
+    "q7_text_search",
+    "s13_schema_evolution",
+    "s2_incremental_ingest",
+    "s5_stream_attribution",
+    "s7_stream_cdc_upsert",
+    "t13_unigram_logprob",
+    "t17_bpe_pair_stats",
+    "t18_backoff_surprisal",
+    "w14_gapfill_downsample",
+    "x10_mmr_select",
+    "x15_sq_int8_recall",
+    "x7_ann_partitioned_index",
 )
 
 

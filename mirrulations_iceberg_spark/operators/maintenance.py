@@ -82,19 +82,70 @@ def write_parquet(
 
 
 def m1_codec_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1: write the same table under each codec, report size + ratio
-    vs the uncompressed write. Sizes are environment-dependent →
-    rows-only check (row count == len(CODECS), stable)."""
+    """M1, engine-invariant half (VERDICT r13 item #6): write the
+    orders table under each codec and report what any correct writer
+    must produce — the requested file count, a lossless readback (row
+    count + orderkey checksum), and actual compression (codec bytes <
+    uncompressed-write bytes). These ARE checkable facts: the oracle
+    recomputes counts/checksum from the source table and states the
+    file-count/compresses invariants (the m16 units_clustered=1
+    idiom), so m1 carries a real hash-checked row instead of the
+    rows-only pass it had through r13. The writer-dependent byte
+    sizes move to :func:`m1b_codec_sizes` (rows-only by nature)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _tmpdir()
+    try:
+        raw_path = os.path.join(base, "none")
+        write_parquet(orders, raw_path, codec="none", n_files=M1_FILES)
+        raw = _dir_bytes(raw_path)
+        rows = []
+        for codec in CODECS:
+            path = os.path.join(base, codec)
+            write_parquet(orders, path, codec=codec, n_files=M1_FILES)
+            n_files = sum(
+                1 for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            rb = (
+                spark.read.parquet(path)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("o_orderkey").alias("ck"),
+                )
+                .collect()[0]
+            )
+            rows.append(
+                (
+                    codec,
+                    n_files,
+                    int(rb["n"]),
+                    int(rb["ck"]),
+                    _dir_bytes(path) < raw,
+                )
+            )
+        return spark.createDataFrame(
+            sorted(rows),
+            "codec string, n_files long, n_rows long, id_checksum long,"
+            " compresses boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def m1b_codec_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1, writer-dependent half: byte size + ratio vs the
+    uncompressed write per codec — the numbers a capacity plan reads.
+    Sizes vary with writer version/row-group layout → rows-only check
+    by design (the invariant half is :func:`m1_codec_benchmark`)."""
     orders = load_table(spark, sf_dir, "orders")
     base = _tmpdir()
     try:
         sizes: dict[str, int] = {}
         for codec in CODECS:
             path = os.path.join(base, codec)
-            write_parquet(orders, path, codec=codec, n_files=4)
+            write_parquet(orders, path, codec=codec, n_files=M1_FILES)
             sizes[codec] = _dir_bytes(path)
         raw_path = os.path.join(base, "none")
-        write_parquet(orders, raw_path, codec="none", n_files=4)
+        write_parquet(orders, raw_path, codec="none", n_files=M1_FILES)
         raw = _dir_bytes(raw_path)
         rows = [
             (codec, sizes[codec], round(raw / sizes[codec], 4))
@@ -107,11 +158,55 @@ def m1_codec_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+#: Columns of the orders fixture — the m2 oracle is generated from
+#: this list; a fixture schema change fails loudly at generation.
+M2_ORDERS_COLUMNS = (
+    "o_custkey",
+    "o_orderdate",
+    "o_orderkey",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+)
+M1_FILES = 4
+
+
 def m2_storage_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2: per-column compressed/uncompressed bytes from the parquet
-    footer of the orders fixture — the report the reference derives in
-    ``exploration_summary.md:11-28``. Footer-only: no data scan.
-    Byte counts are writer-dependent → rows-only check."""
+    """M2, engine-invariant half (VERDICT r13 item #6): audit the
+    parquet FOOTER of the orders fixture against the data it
+    describes — per column, the footer's declared row count and the
+    row-group statistics' summed null count. The oracle recomputes
+    both FROM THE DATA (``COUNT(*)``, ``COUNT(*) - COUNT(col)``), so
+    a footer that lies about either diverges — a real check of the
+    metadata path every zone-map/pruning argument in this repo leans
+    on, where through r13 m2 carried only a rows-only pass. The
+    writer-dependent byte sizes move to :func:`m2b_column_sizes`.
+    Footer-only on the Spark side: no data scan here; the SCAN happens
+    in DuckDB, which is exactly what makes the comparison a check."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata
+    nulls: dict[str, int] = {}
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            nulls[col.path_in_schema] = nulls.get(
+                col.path_in_schema, 0
+            ) + (col.statistics.null_count if col.is_stats_set else 0)
+    rows = [
+        (name, meta.num_rows, nc) for name, nc in sorted(nulls.items())
+    ]
+    return spark.createDataFrame(
+        rows, "column string, n_rows long, null_count long"
+    )
+
+
+def m2b_column_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2, writer-dependent half: per-column compressed/uncompressed
+    bytes from the parquet footer — the report the reference derives
+    in ``exploration_summary.md:11-28``. Footer-only: no data scan.
+    Byte counts are writer-dependent → rows-only check by design (the
+    invariant half is :func:`m2_storage_efficiency`)."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata
@@ -1502,7 +1597,9 @@ QUERIES = {
     "m11_time_travel": m11_time_travel,
     "m12_vacuum_orphans": m12_vacuum_orphans,
     "m1_codec_benchmark": m1_codec_benchmark,
+    "m1b_codec_sizes": m1b_codec_sizes,
     "m2_storage_efficiency": m2_storage_efficiency,
+    "m2b_column_sizes": m2b_column_sizes,
     "m3_delta_append": m3_delta_append,
     "m4_compaction": m4_compaction,
     "m6_profile": m6_profile,
@@ -1656,7 +1753,35 @@ def _m18_sql(layouts: tuple[tuple[str, str], ...] | None = None) -> str:
     """
 
 
+#: m1 oracle: counts/checksum recomputed from the source table; the
+#: file count and compresses flags are stated invariants (the m16
+#: units_clustered=1 idiom — Spark measures them from real files).
+_M1_SQL = (
+    "WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+    " CAST(SUM(o_orderkey) AS BIGINT) AS ck FROM orders)\n"
+    "SELECT codec, CAST(4 AS BIGINT) AS n_files, t.n AS n_rows,"
+    " t.ck AS id_checksum, TRUE AS compresses\n"
+    "FROM (VALUES "
+    + ", ".join(f"('{c}')" for c in sorted(CODECS))
+    + ") c(codec) CROSS JOIN t ORDER BY codec"
+)
+
+#: m2 oracle: the footer's claims recomputed FROM THE DATA, one branch
+#: per column of the fixture schema (generated from M2_ORDERS_COLUMNS).
+_M2_SQL = (
+    "SELECT * FROM (\n"
+    + "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count"
+        " FROM orders"
+        for c in M2_ORDERS_COLUMNS
+    )
+    + '\n) ORDER BY "column"'
+)
+
 ORACLE = {
+    "m1_codec_benchmark": _M1_SQL,
+    "m2_storage_efficiency": _M2_SQL,
     "m18_zorder_design": _m18_sql(),
     # m20: same generator, the two layouts the rewrite materializes —
     # the oracle is m18's PREDICTION for those layouts, so a pass

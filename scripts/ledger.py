@@ -37,7 +37,7 @@ sys.path.insert(0, REPO)
 #: can exist: m1 writes files and reports codec sizes, m2 reports
 #: filesystem bytes). Kept out of the window per ADVICE r5 so every
 #: correctness-gate slot carries a hash-checked oracle.
-ROWS_ONLY_BY_DESIGN = frozenset({"m1_codec_benchmark", "m2_storage_efficiency"})
+ROWS_ONLY_BY_DESIGN = frozenset({"m1b_codec_sizes", "m2b_column_sizes"})
 
 
 def load_rounds(rounds_filter: set[str] | None = None) -> dict[str, dict]:

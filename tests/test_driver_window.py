@@ -32,10 +32,12 @@ def test_window_is_first_50():
     assert len(DRIVER_WINDOW) == 50
     assert names[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     # Round 6: every correctness-gate slot carries a hash-checked
-    # oracle; the no-oracle m1/m2 reports live past the window.
+    # oracle; the no-oracle size reports (r14: split out of m1/m2 as
+    # m1b/m2b so the invariant halves carry real oracles) live past
+    # the window.
     missing_oracle = [n for n in DRIVER_WINDOW if n not in oracle]
     assert not missing_oracle, f"window entries without oracle: {missing_oracle}"
-    for name in ("m1_codec_benchmark", "m2_storage_efficiency"):
+    for name in ("m1b_codec_sizes", "m2b_column_sizes"):
         assert name in queries and name not in DRIVER_WINDOW
 
 

@@ -38,7 +38,9 @@ CROSS_JOIN_OK = {
 #: are slow; keep the sweep to declarative queries plus these few.
 SKIP_SWEEP = {
     "m1_codec_benchmark",
+    "m1b_codec_sizes",
     "m2_storage_efficiency",
+    "m2b_column_sizes",
     "m3_delta_append",
     "m4_compaction",
     "m11_time_travel",  # writes snapshots + manifests at construction
