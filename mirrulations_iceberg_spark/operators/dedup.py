@@ -1766,10 +1766,11 @@ def d17_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_cross_pairs_over(
     probe: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None = None,
     threshold: float = 0.18,
     max_bucket_size: int = 1_000,
     caches: list | None = None,
+    base_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH candidates BETWEEN two frames — probe×base
     pairs only, never probe×probe or base×base — verified with exact
@@ -1785,9 +1786,20 @@ def minhash_lsh_cross_pairs_over(
     cap, and only candidate pairs reach the exact verify join.
     ``caches`` registers the internal signature cache for release by
     the materializing caller (see minhash_lsh_pairs_over).
+
+    ``base_sigs`` (instead of ``base``): a PRECOMPUTED
+    ``minhash_signatures(base)`` frame — the stored signature index of
+    the 100 TB story. A caller probing the same base repeatedly (s9's
+    per-micro-batch admission) computes it once and caches it; passing
+    raw ``base`` would re-shingle and re-hash the base text on every
+    probe.
     """
     sig_p = minhash_signatures(probe).withColumn("__probe", F.lit(True))
-    sig_b = minhash_signatures(base).withColumn("__probe", F.lit(False))
+    if (base is None) == (base_sigs is None):
+        raise ValueError("pass exactly one of base / base_sigs")
+    sig_b = (
+        base_sigs if base_sigs is not None else minhash_signatures(base)
+    ).withColumn("__probe", F.lit(False))
     sigs = sig_p.unionByName(sig_b).cache()
     if caches is not None:
         caches.append(sigs)

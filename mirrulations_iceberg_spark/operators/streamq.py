@@ -620,11 +620,16 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_col,
     )
 
+    from .dedup import minhash_signatures
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     fp = content_fp_from_toks(tokens_col(F.col("text"))).alias("__fp")
     is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
-    # d18's bg: one rep per base fingerprint, cached — it is re-probed
-    # by every micro-batch
+    # d18's bg collapsed reps, then SIGNED once: the standing signature
+    # index every micro-batch probes (the stored-index shape of the
+    # 100 TB story). Caching raw text here instead would re-shingle and
+    # re-hash the whole base per batch — measured 8.4s → this shape in
+    # the r14 bench note.
     bg = (
         docs.filter(~is_delta)
         .select("doc_id", "text", fp)
@@ -634,8 +639,8 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("text", "doc_id").alias("text"),
         )
         .select("doc_id", "text")
-        .cache()
     )
+    base_sigs = minhash_signatures(bg).cache()
     base = tempfile.mkdtemp(prefix="miis_s9_")
     partials: list[tuple] = []
     try:
@@ -669,7 +674,9 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             caches: list = []
             flagged = (
                 minhash_lsh_cross_pairs_over(
-                    dg.select("doc_id", "text"), bg, caches=caches
+                    dg.select("doc_id", "text"),
+                    base_sigs=base_sigs,
+                    caches=caches,
                 )
                 .select(F.col("doc_a").alias("doc_id"))
                 .distinct()
@@ -751,7 +758,7 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang")
         )
     finally:
-        bg.unpersist()
+        base_sigs.unpersist()
         shutil.rmtree(base, ignore_errors=True)
 
 

@@ -1245,6 +1245,120 @@ def _t17c_sql(
     )
 
 
+#: t22 flag thresholds, integer basis points (the Gopher/MassiveText
+#: repetition filters' shape — Rae et al. 2021 App. A — retuned to the
+#: fixture's token distribution so the driver row carries both flagged
+#: and unflagged docs).
+T22_DUP_BIGRAM_BP = 2000  # >20% of bigrams are repeats of earlier ones
+T22_TOP_UNIGRAM_BP = 1000  # top token accounts for >10% of the doc
+
+
+def t22_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition quality filter — the Gopher-family
+    heuristic t2 doesn't cover: t2 scores surface features (length,
+    stopwords, alpha ratio) and the dedup family scores CROSS-document
+    duplication; degenerate generated/boilerplate text is repetitive
+    WITHIN one document (the same bigram looping, one token dominating)
+    and passes both. Per doc: ``dup_bigram_bp`` = basis points of
+    bigram instances that repeat an earlier bigram of the SAME doc
+    ((total − distinct) · 10⁴ DIV total) and ``top_unigram_bp`` = the
+    modal token's share; a doc flags when either exceeds its
+    threshold. Output: per-lang rollup — docs, flagged, flag rate,
+    integer-mean bps, and the flagged-set id checksum.
+
+    Scale shape: tokens are projected ONCE into a named column (the
+    CollapseProject discipline), then two explode→hash-agg chains both
+    keyed on doc_id — after the first exchange the per-doc aggregates
+    are co-partitioned, and every agg has map-side combine (the
+    (doc, gram) partials collapse before shuffling). The rollup is
+    bounded by |langs|. Nothing quadratic, no windows over raw tokens,
+    no driver-side state: the same shape as a production quality scan
+    over 100 TB (one pass, two narrow shuffles on the doc key).
+
+    All ratios are integer basis points (``(10⁴·a) DIV b``) so both
+    engines agree bit-wise; the oracle replays bigram construction
+    with the same list arithmetic.
+    """
+    from .dedup import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id", "lang", tokens_col(F.col("text")).alias("__toks")
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("__toks"), F.lit(1), F.size("__toks") - 1),
+        F.slice(F.col("__toks"), F.lit(2), F.size("__toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    per_bi = (
+        toked.filter(F.size("__toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("bi_total"),
+            F.count(F.lit(1)).alias("bi_distinct"),
+        )
+    )
+    per_uni = (
+        toked.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_toks"), F.max("c").alias("top_c"))
+    )
+    scored = (
+        toked.select("doc_id", "lang")
+        .join(per_uni, "doc_id", "left")
+        .join(per_bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "CASE WHEN bi_total > 0 THEN"
+                " (10000 * (bi_total - bi_distinct)) DIV bi_total"
+                " ELSE 0 END"
+            ).alias("dup_bigram_bp"),
+            F.expr(
+                "CASE WHEN n_toks > 0 THEN (10000 * top_c) DIV n_toks"
+                " ELSE 0 END"
+            ).alias("top_unigram_bp"),
+        )
+        .withColumn(
+            "flagged",
+            (
+                (F.col("dup_bigram_bp") > T22_DUP_BIGRAM_BP)
+                | (F.col("top_unigram_bp") > T22_TOP_UNIGRAM_BP)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+            F.sum("dup_bigram_bp").alias("__sdb"),
+            F.sum("top_unigram_bp").alias("__stb"),
+            F.sum(F.col("flagged") * F.col("doc_id"))
+            .cast("long")
+            .alias("flagged_id_checksum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_flagged",
+            F.expr("(10000 * n_flagged) DIV n_docs").alias("flag_bp"),
+            F.expr("__sdb DIV n_docs").cast("long").alias("avg_dup_bigram_bp"),
+            F.expr("__stb DIV n_docs")
+            .cast("long")
+            .alias("avg_top_unigram_bp"),
+            "flagged_id_checksum",
+        )
+        .orderBy("lang")
+    )
+
+
 T18_BIGRAMS = 4096  # top-B bigram table (broadcast-sized forever)
 T18_BACKOFF = 2.5  # 1/0.4 — the "stupid backoff" discount as a penalty
 
@@ -1685,6 +1799,7 @@ def t21_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "t22_intra_doc_repetition": t22_intra_doc_repetition,
     "t21_chunk_documents": t21_chunk_documents,
     "t20_bpe_encode_corpus": t20_bpe_encode_corpus,
     "t19_quality_classifier": t19_quality_classifier,
@@ -1716,6 +1831,59 @@ _WINNOW_HASH_SQL = " + ".join(
 )
 
 ORACLE = {
+    "t22_intra_doc_repetition": f"""
+        WITH toked AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), u1 AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toked)
+            GROUP BY 1, 2
+        ), uni AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+                   CAST(MAX(c) AS BIGINT) AS top_c
+            FROM u1 GROUP BY 1
+        ), b1 AS (
+            SELECT doc_id, bg, COUNT(*) AS c
+            FROM (
+                SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS bg
+                FROM toked, UNNEST(range(1, len(t))) u(i)
+                WHERE len(t) >= 2
+            ) GROUP BY 1, 2
+        ), bi AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bi_total,
+                   CAST(COUNT(*) AS BIGINT) AS bi_distinct
+            FROM b1 GROUP BY 1
+        ), scored AS (
+            SELECT d.doc_id, d.lang,
+                   CASE WHEN bi_total > 0
+                        THEN (10000 * (bi_total - bi_distinct)) // bi_total
+                        ELSE 0 END AS dup_bigram_bp,
+                   CASE WHEN n_toks > 0
+                        THEN (10000 * top_c) // n_toks
+                        ELSE 0 END AS top_unigram_bp
+            FROM toked d LEFT JOIN uni USING (doc_id)
+                 LEFT JOIN bi USING (doc_id)
+        ), fl AS (
+            SELECT *,
+                   CASE WHEN dup_bigram_bp > {T22_DUP_BIGRAM_BP}
+                          OR top_unigram_bp > {T22_TOP_UNIGRAM_BP}
+                        THEN 1 ELSE 0 END AS flagged
+            FROM scored
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+               CAST((10000 * SUM(flagged)) // COUNT(*) AS BIGINT)
+                   AS flag_bp,
+               CAST(SUM(dup_bigram_bp) // COUNT(*) AS BIGINT)
+                   AS avg_dup_bigram_bp,
+               CAST(SUM(top_unigram_bp) // COUNT(*) AS BIGINT)
+                   AS avg_top_unigram_bp,
+               CAST(SUM(flagged * doc_id) AS BIGINT)
+                   AS flagged_id_checksum
+        FROM fl GROUP BY lang ORDER BY lang
+    """,
     "t21_chunk_documents": f"""
         WITH per AS (
             SELECT doc_id,

@@ -148,6 +148,45 @@ def test_s9_stream_equals_d18_batch(spark):
     assert stream == batch
 
 
+def test_t22_flags_repetitive_not_diverse(spark, tmp_path):
+    """Engineered known answers: a doc that loops one bigram must flag
+    (dup_bigram_bp ≈ 10000, top share 1/2), a doc of all-distinct
+    tokens must not (zero repeats, top share 1/n); a single-token doc
+    exercises the no-bigram guard (flags only via top_unigram 10000)."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mirrulations_iceberg_spark.operators.text import (
+        t22_intra_doc_repetition,
+    )
+
+    docs = [
+        # 40 tokens, all "spam spam ...": every bigram repeats
+        (1, " ".join(["spam"] * 40), "xx", "s1"),
+        # 40 distinct tokens: zero repeated bigrams, top share 1/40
+        (2, " ".join(f"tok{i}" for i in range(40)), "xx", "s1"),
+        # single token: no bigrams; flags on top_unigram_bp = 10000
+        (3, "solo", "yy", "s1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, src, len(t)) for i, t, lg, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    rows = {r.lang: r for r in t22_intra_doc_repetition(spark, sf).collect()}
+    xx, yy = rows["xx"], rows["yy"]
+    assert xx.n_docs == 2 and xx.n_flagged == 1
+    assert xx.flagged_id_checksum == 1  # the spam doc, not the diverse one
+    assert yy.n_docs == 1 and yy.n_flagged == 1
+    assert yy.flagged_id_checksum == 3
+    # the spam doc's bigram repetition is total: (39-1)/39 ≈ 9743 bp,
+    # averaged with the diverse doc's 0 → 4871
+    assert xx.avg_dup_bigram_bp == ((10000 * 38) // 39) // 2
+
+
 def test_m20_rewrite_matches_m18_prediction(spark):
     """The VERDICT r13 done-criterion: m20's measured before/after rows
     on REAL files must equal m18's virtual-layout prediction for the
