@@ -497,9 +497,161 @@ def mm6_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, clusters)
 
 
+#: mm7 tuning: minimum frame-set containment to report a pair, and the
+#: hot-frame postings cap (a frame hash shared by more reps than this
+#: — intros, black frames, test cards — is dropped from pairing, the
+#: d2b hot-shingle discipline; deterministic, so the oracle replays it).
+MM7_MIN_BP = 5000
+MM7_MAX_POSTINGS = 64
+
+
+def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection by FRAME-SIGNATURE containment —
+    the modality-dedup matrix's third member (mm1 exact bytes, mm6
+    image perceptual hash, mm7 video): a re-encoded/trimmed upload of
+    the same footage shares most of its sampled frames, so videos pair
+    when ``shared_frames / min(|A|, |B|)`` — set containment, robust
+    to one side being a longer cut — exceeds ``MM7_MIN_BP``.
+
+    Pipeline, every stage the 100 TB shape:
+
+    1. frame sampling is mm3's: every ``FRAME_SAMPLE_EVERY``-th
+       ``FRAME_BYTES`` stride of the payload, JVM byte slicing, hashed
+       to a 128-bit md5 per frame — a pure projection, no Python, no
+       shuffle; DISTINCT (video, frame-hash) gives set semantics.
+    2. EXACT-COLLAPSE first (the mm6/d15b staging): videos with an
+       identical full signature (md5 over the sorted frame-hash set)
+       collapse to one representative before anything pairwise runs —
+       re-uploads cost one cluster row, and pairing cost is bounded by
+       distinct content.
+    3. the pair generator is an inverted-index equi-join on frame
+       hash — only reps sharing at least one frame ever meet, never an
+       all-pairs product — with a deterministic hot-frame cap
+       (``MM7_MAX_POSTINGS``): a frame hash present in more reps than
+       the cap (station idents, black frames) is excluded from
+       pairing, the d2b bounded-bucket discipline.
+
+    Output: one self-row per exact-signature cluster of size > 1
+    (containment 10000) plus one row per rep pair at containment ≥
+    ``MM7_MIN_BP``, with both frame-set sizes and cluster sizes. On
+    the fixture the byte-stub decode only aligns frames of exact text
+    clones, so all pairs sit at 10000 — a real decoder's shot
+    normalization is what produces the 5000..9999 band; the plumbing
+    and arithmetic are identical (stub swap point = the frame hash).
+
+    Oracle: the same sampling/md5/containment replayed over character
+    arithmetic (the mm5 byte-parity idiom, guarded ASCII-only by
+    ``tests/test_multimodal.py``).
+    """
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "video")
+    stride = FRAME_SAMPLE_EVERY * FRAME_BYTES
+    n = F.octet_length("payload")
+    frames = (
+        media.filter(n >= FRAME_BYTES)
+        .select(
+            "media_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((n - FRAME_BYTES) / stride).cast("int"),
+                    ),
+                    lambda i: F.md5(
+                        F.substring(
+                            F.col("payload"),
+                            i * stride + 1,
+                            FRAME_BYTES,
+                        )
+                    ),
+                )
+            ).alias("fhash"),
+        )
+        .distinct()
+        .cache()
+    )
+    per_video = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("fhash")), "")
+        ).alias("sig"),
+    )
+    clusters = (
+        per_video.groupBy("sig")
+        .agg(
+            F.min("media_id").alias("rep"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("nf").alias("nf"),
+        )
+        .cache()
+    )
+    self_rows = clusters.filter(F.col("n") > 1).select(
+        F.col("rep").alias("media_id_a"),
+        F.col("rep").alias("media_id_b"),
+        F.col("nf").alias("shared_frames"),
+        F.col("nf").alias("nf_a"),
+        F.col("nf").alias("nf_b"),
+        F.lit(10000).cast("long").alias("containment_bp"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+    )
+    postings = frames.join(
+        clusters.select(F.col("rep").alias("media_id"), "nf", "n"),
+        "media_id",
+    )
+    hot = (
+        postings.groupBy("fhash")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .filter(F.col("__deg") > MM7_MAX_POSTINGS)
+        .select("fhash")
+    )
+    kept = postings.join(hot, "fhash", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    near_rows = (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.col("a.nf").alias("nf_a"),
+            F.col("b.nf").alias("nf_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .withColumn(
+            "containment_bp",
+            F.expr(
+                "CAST((10000 * shared_frames) DIV LEAST(nf_a, nf_b)"
+                " AS BIGINT)"
+            ),
+        )
+        .filter(F.col("containment_bp") >= MM7_MIN_BP)
+        .select(
+            "media_id_a",
+            "media_id_b",
+            "shared_frames",
+            "nf_a",
+            "nf_b",
+            "containment_bp",
+            "n_a",
+            "n_b",
+        )
+    )
+    out = self_rows.unionByName(near_rows).orderBy(
+        "media_id_a", "media_id_b"
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, frames, clusters)
+
+
 QUERIES = {
     "mm1_media_manifest": mm1_media_manifest,
     "mm6_phash_neardup": mm6_phash_neardup,
+    "mm7_video_framesig_neardup": mm7_video_framesig_neardup,
     "mm2_feature_stats": mm2_feature_stats,
     "mm3_frame_sample": mm3_frame_sample,
     "mm4_audio_rms": mm4_audio_rms,
@@ -521,7 +673,60 @@ _MM6_BANDS_SQL = "\n            UNION ALL\n            ".join(
     for bi in range(base, base + MM6_BANDS // 2)
 )
 
+_MM7_STRIDE = FRAME_SAMPLE_EVERY * FRAME_BYTES
+
 ORACLE = {
+    "mm7_video_framesig_neardup": f"""
+        WITH media AS (
+            SELECT doc_id AS media_id, text, LENGTH(text) AS n
+            FROM documents
+            WHERE {_KIND} = 'video'
+        ), fs AS (
+            SELECT DISTINCT media_id,
+                   md5(substr(text, CAST(i * {_MM7_STRIDE} AS INT) + 1,
+                              {FRAME_BYTES})) AS fhash
+            FROM media,
+                 UNNEST(range(0, ((n - {FRAME_BYTES}) // {_MM7_STRIDE}) + 1))
+                     u(i)
+            WHERE n >= {FRAME_BYTES}
+        ), pv AS (
+            SELECT media_id, CAST(COUNT(*) AS BIGINT) AS nf,
+                   md5(string_agg(fhash, '' ORDER BY fhash)) AS sig
+            FROM fs GROUP BY 1
+        ), clusters AS (
+            SELECT sig, MIN(media_id) AS rep,
+                   CAST(COUNT(*) AS BIGINT) AS n, MIN(nf) AS nf
+            FROM pv GROUP BY 1
+        ), postings AS (
+            SELECT c.rep AS media_id, f.fhash, c.nf, c.n
+            FROM clusters c JOIN fs f ON f.media_id = c.rep
+        ), deg AS (
+            SELECT fhash FROM postings
+            GROUP BY 1 HAVING COUNT(*) > {MM7_MAX_POSTINGS}
+        ), kept AS (
+            SELECT * FROM postings
+            WHERE fhash NOT IN (SELECT fhash FROM deg)
+        ), pairs AS (
+            SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_frames,
+                   a.nf AS nf_a, b.nf AS nf_b, a.n AS n_a, b.n AS n_b
+            FROM kept a JOIN kept b
+              ON a.fhash = b.fhash AND a.media_id < b.media_id
+            GROUP BY 1, 2, 4, 5, 6, 7
+        )
+        SELECT rep AS media_id_a, rep AS media_id_b,
+               nf AS shared_frames, nf AS nf_a, nf AS nf_b,
+               CAST(10000 AS BIGINT) AS containment_bp, n AS n_a, n AS n_b
+        FROM clusters WHERE n > 1
+        UNION ALL
+        SELECT media_id_a, media_id_b, shared_frames, nf_a, nf_b,
+               CAST((10000 * shared_frames) // LEAST(nf_a, nf_b)
+                    AS BIGINT),
+               n_a, n_b
+        FROM pairs
+        WHERE (10000 * shared_frames) // LEAST(nf_a, nf_b)
+              >= {MM7_MIN_BP}
+    """,
     "mm6_phash_neardup": f"""
         WITH media AS (
             SELECT doc_id AS media_id, text, LENGTH(text) AS n

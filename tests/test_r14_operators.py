@@ -187,6 +187,52 @@ def test_t22_flags_repetitive_not_diverse(spark, tmp_path):
     assert xx.avg_dup_bigram_bp == ((10000 * 38) // 39) // 2
 
 
+def test_mm7_containment_and_collapse(spark, tmp_path):
+    """Engineered known answers for the video frame-signature dedup:
+    a byte-identical clone pair collapses to one exact-signature
+    cluster row; a 3/4-overlap cut pairs with that cluster's rep at
+    containment 7500; an unrelated video appears nowhere."""
+    import os
+
+    from mirrulations_iceberg_spark.operators.multimodal import (
+        mm7_video_framesig_neardup,
+    )
+
+    def vid(seed: str, n: int) -> str:
+        # deterministic ASCII filler, 64-char period broken by the seed
+        return "".join(
+            f"{seed}{i:06d}!" [:8] + "abcdefgh" * 7 for i in range(n // 64)
+        )[:n]
+
+    a = vid("A", 1024)  # sampled frames at offsets 0/256/512/768
+    c = a[:768] + vid("Z", 256)  # shares 3 of its 4 sampled frames
+    d = vid("D", 1024)  # unrelated
+    rows = [
+        (1, a, "xx", "src1"),
+        (2, a, "xx", "src1"),  # exact clone of 1
+        (3, c, "xx", "src1"),
+        (4, d, "xx", "src1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        (r.media_id_a, r.media_id_b): r
+        for r in mm7_video_framesig_neardup(spark, sf).collect()
+    }
+    assert set(out) == {(1, 1), (1, 3)}
+    cluster = out[(1, 1)]
+    assert cluster.n_a == 2 and cluster.containment_bp == 10000
+    pair = out[(1, 3)]
+    assert pair.shared_frames == 3
+    assert (pair.nf_a, pair.nf_b) == (4, 4)
+    assert pair.containment_bp == 7500
+
+
 def test_m20_rewrite_matches_m18_prediction(spark):
     """The VERDICT r13 done-criterion: m20's measured before/after rows
     on REAL files must equal m18's virtual-layout prediction for the
