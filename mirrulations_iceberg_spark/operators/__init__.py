@@ -128,7 +128,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: verified at sf0.01 on first contact, and the exact 50-slot order
 #: replayed green via --window-order before commit.
 #: Round-14 rotation (VERDICT r13 item #1 + the round's build list):
-#: the window = 8 NEW oracle-bearing entries (t22 intra-doc repetition
+#: the window = 9 NEW oracle-bearing entries (t22 intra-doc repetition
 #: filter and mm7 video frame-signature dedup — landed late-round,
 #: displacing q10/e9, o13 grouped k-fold
 #: split, m20 z-order sorted rewrite, s9 streaming near-dup admission
@@ -146,9 +146,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: verified against the regenerated LEDGER.md, never memory) + 30 of
 #: the 45 r10-stale greens. The 15 r10 entries left for r15's queue
 #: (q2/q4/q5/q6, e10/e11/e12, d15/d16, f1c, s3, t16, x13, w15, m13 —
-#: plus q10 and e9, displaced late-round when t22_intra_doc_repetition
-#: and mm7_video_framesig_neardup landed; q7 keeps the q family live,
-#: e1/e13/e14 the e family)
+#: plus q10, e9, and d7, displaced late-round when
+#: t22_intra_doc_repetition, mm7_video_framesig_neardup, and
+#: o14_walk_forward_folds landed; q7 keeps the q family live,
+#: e1/e13/e14 the e family, d10/d17/d18 the d family)
 #: were picked by family redundancy — each leaves same-family siblings
 #: in the window (q7/q10; e9/e13/e14/e1; d7/d10/d17/d18; f1b/f4/f2;
 #: s2/s5/s7/s13/s9; t13/t17/t18/t17c; x7/x10/x15; w14/w5;
@@ -159,6 +160,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: --window-order before commit.
 DRIVER_WINDOW = (
     # --- NEW round-14 operators (oracle-bearing, never checked)
+    "o14_walk_forward_folds",     # expanding-window backtest splits
     "mm7_video_framesig_neardup",  # frame-set containment video dedup
     "t22_intra_doc_repetition",   # Gopher-style repetition filter
     "o13_group_kfold_split",      # GroupKFold entity-disjoint folds
@@ -188,7 +190,6 @@ DRIVER_WINDOW = (
     "d10_incremental_dedup",
     "d17_split_leakage",
     "d18_incremental_neardup",
-    "d7_dedup_apply_lsh",
     "e13_cluster_aware_split",
     "e14_release_pipeline",
     "f1b_indexed_substring",

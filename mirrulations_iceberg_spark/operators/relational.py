@@ -1021,6 +1021,116 @@ def o13_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: o14 walk-forward geometry (day offsets from the observed minimum):
+#: fold k ∈ 1..FOLDS trains on offsets [0, BASE + (k−1)·STEP) and
+#: tests on the HORIZON days starting EMBARGO after the train end.
+O14_FOLDS = 4
+O14_BASE_DAYS = 10
+O14_STEP_DAYS = 4
+O14_EMBARGO_DAYS = 1
+O14_HORIZON_DAYS = 3
+
+
+def o14_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14: WALK-FORWARD (expanding-window) backtest folds — the
+    time-series CV design that completes the eval-hygiene family: o8
+    splits exchangeable rows by hash, o13 splits by entity, o12 makes
+    ONE leakage-safe temporal split; model selection on time-ordered
+    data needs K of them, each training strictly on the past and
+    testing on a fixed horizon after an embargo gap (sklearn's
+    ``TimeSeriesSplit`` with purging — the standard financial-ML
+    backtest shape). Fold k trains on day-offsets
+    ``[0, BASE + (k−1)·STEP)`` and tests on ``HORIZON`` days starting
+    ``EMBARGO`` after the train end; boundaries derive from the data's
+    min day, so the design is deterministic on any fixture.
+
+    Per fold the output carries the counts a backtest report needs
+    (train/test events and users) plus o12's entity-leakage audit
+    (``u_both``, ``leak_bp``) — in a walk-forward split the same user
+    recurring across sides is EXPECTED (it is a time split, not an
+    entity split); the audit quantifies how much user-level signal a
+    per-user model could leak, which decides whether o13's grouped
+    folds are needed instead.
+
+    Scale shape: ONE events scan; each row meets the K-row fold spec
+    through a BROADCAST range join (no shuffle of events by fold), is
+    flagged train/test/neither, and collapses through a per-(fold,
+    user) aggregate (map-side combine; output |folds|·|users| rows at
+    most) before the K-row rollup. The driver-side min-day collect is
+    1 row (the fit-literal discipline).
+    """
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", F.to_date("ts").alias("day"))
+    d0 = ev.agg(F.min("day").alias("d0")).collect()[0]["d0"]
+    spec = spark.createDataFrame(
+        [
+            (
+                k,
+                O14_BASE_DAYS + (k - 1) * O14_STEP_DAYS,  # train_days
+                O14_BASE_DAYS + (k - 1) * O14_STEP_DAYS + O14_EMBARGO_DAYS,
+                O14_BASE_DAYS
+                + (k - 1) * O14_STEP_DAYS
+                + O14_EMBARGO_DAYS
+                + O14_HORIZON_DAYS,
+            )
+            for k in range(1, O14_FOLDS + 1)
+        ],
+        "fold int, train_days int, test_start int, test_end int",
+    )
+    flagged = (
+        ev.withColumn("off", F.datediff("day", F.lit(d0)))
+        .join(F.broadcast(spec))
+        .select(
+            "fold",
+            "train_days",
+            "user_id",
+            (F.col("off") < F.col("train_days")).cast("int").alias("is_tr"),
+            (
+                (F.col("off") >= F.col("test_start"))
+                & (F.col("off") < F.col("test_end"))
+            )
+            .cast("int")
+            .alias("is_te"),
+        )
+        .filter((F.col("is_tr") == 1) | (F.col("is_te") == 1))
+    )
+    per_user = flagged.groupBy("fold", "train_days", "user_id").agg(
+        F.sum("is_tr").alias("n_tr"),
+        F.sum("is_te").alias("n_te"),
+        F.max("is_tr").alias("in_tr"),
+        F.max("is_te").alias("in_te"),
+    )
+    return (
+        per_user.groupBy("fold", "train_days")
+        .agg(
+            F.sum("n_tr").cast("long").alias("n_train"),
+            F.sum("n_te").cast("long").alias("n_test"),
+            F.sum("in_tr").cast("long").alias("u_train"),
+            F.sum("in_te").cast("long").alias("u_test"),
+            F.sum(F.col("in_tr") * F.col("in_te"))
+            .cast("long")
+            .alias("u_both"),
+        )
+        .withColumn(
+            "leak_bp",
+            F.expr(
+                "CAST((10000 * u_both) DIV GREATEST(u_test, 1) AS BIGINT)"
+            ),
+        )
+        .select(
+            "fold",
+            F.col("train_days").cast("long").alias("train_days"),
+            "n_train",
+            "n_test",
+            "u_train",
+            "u_test",
+            "u_both",
+            "leak_bp",
+        )
+        .orderBy("fold")
+    )
+
+
 #: o11: total sample budget as a corpus fraction — n_total = N DIV 10.
 O11_BUDGET_DIV = 10
 
@@ -1266,6 +1376,7 @@ QUERIES = {
     "o8_hash_split": o8_hash_split,
     "o12_temporal_embargo_split": o12_temporal_embargo_split,
     "o13_group_kfold_split": o13_group_kfold_split,
+    "o14_walk_forward_folds": o14_walk_forward_folds,
     "o9_weighted_sample": o9_weighted_sample,
     "o10_stratified_quota_sample": o10_stratified_quota_sample,
     "o11_neyman_allocation": o11_neyman_allocation,
@@ -1439,6 +1550,45 @@ ORACLE = {
         SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars, skey
         FROM ranked WHERE rk <= {O10_QUOTA}
         ORDER BY source, rk
+    """,
+    "o14_walk_forward_folds": f"""
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   (SELECT MIN(CAST(ts AS DATE)) FROM events) AS d0
+            FROM events
+        ), spec AS (
+            SELECT k AS fold,
+                   {O14_BASE_DAYS} + (k - 1) * {O14_STEP_DAYS} AS train_days,
+                   {O14_BASE_DAYS} + (k - 1) * {O14_STEP_DAYS}
+                       + {O14_EMBARGO_DAYS} AS test_start,
+                   {O14_BASE_DAYS} + (k - 1) * {O14_STEP_DAYS}
+                       + {O14_EMBARGO_DAYS} + {O14_HORIZON_DAYS} AS test_end
+            FROM (SELECT unnest(range(1, {O14_FOLDS + 1})) AS k)
+        ), flagged AS (
+            SELECT s.fold, s.train_days, e.user_id,
+                   CASE WHEN (e.day - e.d0) < s.train_days
+                        THEN 1 ELSE 0 END AS is_tr,
+                   CASE WHEN (e.day - e.d0) >= s.test_start
+                         AND (e.day - e.d0) < s.test_end
+                        THEN 1 ELSE 0 END AS is_te
+            FROM ev e CROSS JOIN spec s
+        ), pu AS (
+            SELECT fold, train_days, user_id,
+                   SUM(is_tr) AS n_tr, SUM(is_te) AS n_te,
+                   MAX(is_tr) AS in_tr, MAX(is_te) AS in_te
+            FROM flagged WHERE is_tr = 1 OR is_te = 1
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(fold AS INT) AS fold,
+               CAST(train_days AS BIGINT) AS train_days,
+               CAST(SUM(n_tr) AS BIGINT) AS n_train,
+               CAST(SUM(n_te) AS BIGINT) AS n_test,
+               CAST(SUM(in_tr) AS BIGINT) AS u_train,
+               CAST(SUM(in_te) AS BIGINT) AS u_test,
+               CAST(SUM(in_tr * in_te) AS BIGINT) AS u_both,
+               CAST((10000 * SUM(in_tr * in_te))
+                    // GREATEST(SUM(in_te), 1) AS BIGINT) AS leak_bp
+        FROM pu GROUP BY 1, 2 ORDER BY fold
     """,
     "o13_group_kfold_split": f"""
         WITH pu AS (

@@ -187,6 +187,33 @@ def test_t22_flags_repetitive_not_diverse(spark, tmp_path):
     assert xx.avg_dup_bigram_bp == ((10000 * 38) // 39) // 2
 
 
+def test_o14_expanding_windows(spark):
+    """Walk-forward invariants: train windows expand monotonically
+    (fold k's train set contains fold k−1's, so n_train and u_train
+    are nondecreasing), the published geometry matches the constants,
+    and the leakage audit is internally consistent."""
+    from mirrulations_iceberg_spark.operators.relational import (
+        O14_BASE_DAYS,
+        O14_FOLDS,
+        O14_STEP_DAYS,
+        o14_walk_forward_folds,
+    )
+
+    rows = o14_walk_forward_folds(spark, SF_DIR).collect()
+    assert [r.fold for r in rows] == list(range(1, O14_FOLDS + 1))
+    assert [r.train_days for r in rows] == [
+        O14_BASE_DAYS + (k - 1) * O14_STEP_DAYS
+        for k in range(1, O14_FOLDS + 1)
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_train >= prev.n_train
+        assert cur.u_train >= prev.u_train
+    for r in rows:
+        assert r.n_test > 0, f"fold {r.fold}: empty test window"
+        assert r.u_both <= min(r.u_train, r.u_test)
+        assert 0 <= r.leak_bp <= 10000
+
+
 def test_mm7_containment_and_collapse(spark, tmp_path):
     """Engineered known answers for the video frame-signature dedup:
     a byte-identical clone pair collapses to one exact-signature
