@@ -31,6 +31,7 @@ CROSS_JOIN_OK = {
     "o9_weighted_sample",  # broadcast 1-row w_max for the threshold compare
     "w13_sequence_with_negation",  # three 1-row stage counts joined into the summary
     "x13_lsh_recall_curve",  # 4-row sweep levels + 1-row exact-count broadcast
+    "o14_walk_forward_folds",  # broadcast K-row fold spec over the events scan
 }
 
 #: Queries that run their own jobs / driver-side work during
