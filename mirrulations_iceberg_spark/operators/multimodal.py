@@ -546,34 +546,39 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir).filter(F.col("kind") == "video")
     stride = FRAME_SAMPLE_EVERY * FRAME_BYTES
     n = F.octet_length("payload")
-    frames = (
-        media.filter(n >= FRAME_BYTES)
+    raw_frames = media.filter(n >= FRAME_BYTES).select(
+        "media_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((n - FRAME_BYTES) / stride).cast("int"),
+                ),
+                lambda i: F.md5(
+                    F.substring(
+                        F.col("payload"),
+                        i * stride + 1,
+                        FRAME_BYTES,
+                    )
+                ),
+            )
+        ).alias("fhash"),
+    )
+    # ONE exchange for the whole signature stage: collect_set gives
+    # frame-SET semantics in the aggregate itself (map-side partials
+    # dedup before the shuffle), so no separate distinct() pass over
+    # the frame stream — measured 2.5× vs DuckDB at 5M docs with the
+    # two-shuffle shape this replaced. Per-video sets are bounded by
+    # payload length / stride, so the arrays stay small.
+    per_video = (
+        raw_frames.groupBy("media_id")
+        .agg(F.collect_set("fhash").alias("fset"))
         .select(
             "media_id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.floor((n - FRAME_BYTES) / stride).cast("int"),
-                    ),
-                    lambda i: F.md5(
-                        F.substring(
-                            F.col("payload"),
-                            i * stride + 1,
-                            FRAME_BYTES,
-                        )
-                    ),
-                )
-            ).alias("fhash"),
+            F.size("fset").cast("long").alias("nf"),
+            F.md5(F.array_join(F.array_sort("fset"), "")).alias("sig"),
+            "fset",
         )
-        .distinct()
-        .cache()
-    )
-    per_video = frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("nf"),
-        F.md5(
-            F.array_join(F.array_sort(F.collect_list("fhash")), "")
-        ).alias("sig"),
     )
     clusters = (
         per_video.groupBy("sig")
@@ -581,6 +586,7 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("rep"),
             F.count(F.lit(1)).alias("n"),
             F.min("nf").alias("nf"),
+            F.min_by("fset", "media_id").alias("fset"),
         )
         .cache()
     )
@@ -594,9 +600,13 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_a"),
         F.col("n").alias("n_b"),
     )
-    postings = frames.join(
-        clusters.select(F.col("rep").alias("media_id"), "nf", "n"),
-        "media_id",
+    # postings explode only the |distinct signatures| rep rows — the
+    # pair stage's input is bounded by unique content, not corpus size
+    postings = clusters.select(
+        F.col("rep").alias("media_id"),
+        "nf",
+        "n",
+        F.explode("fset").alias("fhash"),
     )
     hot = (
         postings.groupBy("fhash")
@@ -645,7 +655,7 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .util import materialize_release
 
-    return materialize_release(spark, out, frames, clusters)
+    return materialize_release(spark, out, clusters)
 
 
 QUERIES = {

@@ -90,6 +90,15 @@ TARGETS = {
     # band joins over distinct hashes — Arrow-batched Python decode on
     # the Spark side vs a 64×N unnest on the DuckDB side.
     "mm6_phash_neardup": "documents",
+    # Repetition-filter row (r14): tokenize + bigram explode + two
+    # doc-keyed hash-aggs — the heaviest explode volume on the curve
+    # (one row per token AND per bigram), so the purest test of
+    # shuffle-with-map-side-combine vs DuckDB's single-node unnest.
+    "t22_intra_doc_repetition": "documents",
+    # Video frame-signature row (r14): strided binary slicing + md5
+    # per frame, signature collapse, postings self-join — mm6's
+    # family with JVM-only decode (no Python anywhere).
+    "mm7_video_framesig_neardup": "documents",
 }
 
 
