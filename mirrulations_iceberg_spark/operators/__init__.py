@@ -143,15 +143,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: _m18_zspace helper m20 composes) + ALL 11 remaining r08-stale
 #: greens (a6/a7/a9/a10/e1/f2/j6/o2/o4/u1/w5 — last driver-checked six
 #: rounds of refactors ago; exactly the list VERDICT r13 #1 names,
-#: verified against the regenerated LEDGER.md, never memory) + 30 of
-#: the 45 r10-stale greens. The 15 r10 entries left for r15's queue
-#: (q2/q4/q5/q6, e10/e11/e12, d15/d16, f1c, s3, t16, x13, w15, m13 —
-#: plus q10, e9, and d7, displaced late-round when
-#: t22_intra_doc_repetition, mm7_video_framesig_neardup, and
-#: o14_walk_forward_folds landed; q7 keeps the q family live,
-#: e1/e13/e14 the e family, d10/d17/d18 the d family)
+#: verified against the regenerated LEDGER.md, never memory) + 27 of
+#: the 45 r10-stale greens (30 at first rotation; q10, e9, and d7 were
+#: then displaced late-round when t22_intra_doc_repetition,
+#: mm7_video_framesig_neardup, and o14_walk_forward_folds landed — q7
+#: keeps the q family live, e1/e13/e14 the e family, d10/d17/d18 the
+#: d family). The 18 r10 entries heading r15's queue
+#: (q2/q4/q5/q6/q10, e9/e10/e11/e12, d7/d15/d16, f1c, s3, t16, x13,
+#: w15, m13)
 #: were picked by family redundancy — each leaves same-family siblings
-#: in the window (q7/q10; e9/e13/e14/e1; d7/d10/d17/d18; f1b/f4/f2;
+#: in the window (q7; e1/e13/e14; d10/d17/d18; f1b/f4/f2;
 #: s2/s5/s7/s13/s9; t13/t17/t18/t17c; x7/x10/x15; w14/w5;
 #: m7/m14/m15/m16/m19/m18/m20/m1/m2) — so no family's live attestation
 #: thins. Pre-rotation gate: the full sf0.01 sweep ran green this
@@ -185,7 +186,7 @@ DRIVER_WINDOW = (
     "o4_peak_day",
     "u1_union_base_delta",
     "w5_sessionize",
-    # --- 30 of the 45 r10-stale greens (the 15 named in the header
+    # --- 27 of the 45 r10-stale greens (the 18 named in the header
     #     comment above head r15's queue)
     "d10_incremental_dedup",
     "d17_split_leakage",

@@ -102,9 +102,7 @@ def m1_codec_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         for codec in CODECS:
             path = os.path.join(base, codec)
             write_parquet(orders, path, codec=codec, n_files=M1_FILES)
-            n_files = sum(
-                1 for f in os.listdir(path) if f.endswith(".parquet")
-            )
+            n_files = _n_files(path)
             rb = (
                 spark.read.parquet(path)
                 .agg(
@@ -190,9 +188,15 @@ def m2_storage_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rg in range(meta.num_row_groups):
         for ci in range(meta.num_columns):
             col = meta.row_group(rg).column(ci)
+            # stats may exist without a null_count (pyarrow -> None);
+            # treat as 0 so a lying footer fails the ORACLE compare
+            # loudly instead of raising TypeError here (review r14)
+            nc = (
+                col.statistics.null_count if col.is_stats_set else None
+            )
             nulls[col.path_in_schema] = nulls.get(
                 col.path_in_schema, 0
-            ) + (col.statistics.null_count if col.is_stats_set else 0)
+            ) + (nc or 0)
     rows = [
         (name, meta.num_rows, nc) for name, nc in sorted(nulls.items())
     ]
@@ -1759,7 +1763,7 @@ def _m18_sql(layouts: tuple[tuple[str, str], ...] | None = None) -> str:
 _M1_SQL = (
     "WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
     " CAST(SUM(o_orderkey) AS BIGINT) AS ck FROM orders)\n"
-    "SELECT codec, CAST(4 AS BIGINT) AS n_files, t.n AS n_rows,"
+    f"SELECT codec, CAST({M1_FILES} AS BIGINT) AS n_files, t.n AS n_rows,"
     " t.ck AS id_checksum, TRUE AS compresses\n"
     "FROM (VALUES "
     + ", ".join(f"('{c}')" for c in sorted(CODECS))

@@ -588,14 +588,23 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature index is standing state, each arriving batch probes it,
     and per-batch admission partials accumulate into the report.
 
-    Cross-batch correctness is ALGEBRAIC, not lucky: a content's flag
-    depends only on (its shingles × the base), so however the delta
-    splits into batches, per-(lang, fingerprint) sub-group counts and
-    id-sums add — the final per-lang rollup (with ``flagged_bp``
-    computed AFTER summation, never averaged across batches) equals
-    d18's single-pass batch answer. The oracle IS d18's SQL verbatim
-    (the s6 parity discipline), so the driver row proves stream/batch
-    parity of the whole admission pipeline.
+    Cross-batch correctness is ALGEBRAIC — with one stated boundary: a
+    content's flag depends only on (its shingles × the base), so
+    however the delta splits into batches, per-(lang, fingerprint)
+    sub-group counts and id-sums add — the final per-lang rollup
+    (with ``flagged_bp`` computed AFTER summation, never averaged
+    across batches) equals d18's single-pass batch answer. The oracle
+    IS d18's SQL verbatim (the s6 parity discipline), so the driver
+    row proves stream/batch parity of the whole admission pipeline.
+    BOUNDARY (review r14): the LSH degenerate-bucket cap counts probe
+    AND base rows per (band, bucket), so a bucket hot enough to trip
+    it can be dropped by d18's all-at-once probe yet survive s9's
+    smaller per-batch probes — exact parity is the contract only
+    while the cap never fires (true on the fixture by orders of
+    magnitude, and the tuned-production regime: set
+    ``max_bucket_size`` for the batch size you feed; a firing cap is
+    itself batch-composition-dependent and cannot be made
+    batch-invariant without shipping the whole probe set).
 
     Scale shape: the base side reduces to one rep per fingerprint ONCE
     and is cached across micro-batches (at 100 TB: the stored,
@@ -620,9 +629,14 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_col,
     )
 
-    from .dedup import minhash_signatures
+    from ..tables import load_table
+    from .dedup import minhash_signatures, parallelize_scan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the d18 convention: load_table validates the name, and
+    # parallelize_scan spreads the single-row-group fixture scan —
+    # the base signature build below is the run's heaviest stage and
+    # would otherwise run on one task (review r14)
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     fp = content_fp_from_toks(tokens_col(F.col("text"))).alias("__fp")
     is_delta = F.col("doc_id") % D10_DELTA_MOD == 0
     # d18's bg collapsed reps, then SIGNED once: the standing signature
@@ -716,7 +730,7 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in rows
             )
 
-        schema = docs.schema
+        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")

@@ -1024,12 +1024,18 @@ def _t17c_train(
     by ~B× vs t17b's one-merge-per-round loop (real tokenizers run
     thousands of merges; two collects per MERGE cannot ship).
 
-    Why disjointness: if no two accepted pairs share a symbol, no
-    merge can create or destroy instances of another accepted pair
-    (an adjacency of (c,d) can only be disturbed by a replacement
-    touching c or d), so the batch's sequential fold equals applying
-    each merge against its round-start counts — the counts the
-    selection ranked on stay valid for every accepted pair. With
+    Why disjointness: acceptance excludes any candidate whose left,
+    right, OR MERGED symbol intersects the inputs-and-outputs of the
+    already-accepted set. Input-disjointness alone is not enough (the
+    r14 review's hole): with symbols 'a','bc','abc','d' all live,
+    ('a','bc') and ('abc','d') have disjoint INPUTS but the first
+    merge's OUTPUT 'abc' feeds the second — its round-start count is
+    stale and the fold becomes order-dependent. Excluding outputs too
+    restores the invariant: no accepted merge can create or destroy
+    instances of another accepted pair (an adjacency of (c,d) can
+    only be disturbed by a replacement touching c or d, and no
+    replacement produces c or d), so the batch's sequential fold
+    equals applying each merge against its round-start counts. With
     ``batch=1`` the selection IS t17b's argmax and the output equals
     t17b's merge table row-for-row (pinned by pytest).
 
@@ -1082,10 +1088,15 @@ def _t17c_train(
         for c in cands:
             if len(accepted) == batch:
                 break
-            if c["lft"] in used or c["rgt"] in used:
+            # inputs AND the would-be output must be fresh (docstring)
+            if (
+                c["lft"] in used
+                or c["rgt"] in used
+                or (c["lft"] + c["rgt"]) in used
+            ):
                 continue
             accepted.append((c["lft"], c["rgt"], int(c["pc"])))
-            used.update((c["lft"], c["rgt"]))
+            used.update((c["lft"], c["rgt"], c["lft"] + c["rgt"]))
         col = F.col("syms")
         for a, b, _pc in accepted:
             col = apply_bpe_merge(col, a, b)
@@ -1159,7 +1170,8 @@ def _t17c_sql(
     for r in range(1, rounds + 1):
         ok = (
             "NOT (list_contains(s.used, r2.lft)"
-            " OR list_contains(s.used, r2.rgt))"
+            " OR list_contains(s.used, r2.rgt)"
+            " OR list_contains(s.used, r2.lft || r2.rgt))"
             f" AND s.n_acc < {batch}"
         )
         apply_expr = "s"
@@ -1192,13 +1204,14 @@ def _t17c_sql(
                         AS INT) AS rnk
             FROM p{r} ORDER BY pc DESC, lft, rgt LIMIT {pool}
         ), sel{r} AS MATERIALIZED (
-            SELECT 1 AS rnk, [lft, rgt] AS used, 1 AS n_acc,
+            SELECT 1 AS rnk, [lft, rgt, lft || rgt] AS used, 1 AS n_acc,
                    [struct_pack(lft := lft, rgt := rgt, pc := pc)] AS acc
             FROM rk{r} WHERE rnk = 1
             UNION ALL
             SELECT r2.rnk,
                    CASE WHEN {ok}
-                        THEN list_concat(s.used, [r2.lft, r2.rgt])
+                        THEN list_concat(s.used,
+                                         [r2.lft, r2.rgt, r2.lft || r2.rgt])
                         ELSE s.used END,
                    s.n_acc + CASE WHEN {ok} THEN 1 ELSE 0 END,
                    CASE WHEN {ok}

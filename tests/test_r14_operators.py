@@ -104,9 +104,11 @@ def test_t17c_batch1_equals_t17b_sequential(spark):
 
 
 def test_t17c_round_merges_are_symbol_disjoint(spark):
-    """Within a round no two accepted merges may share a symbol — the
-    invariant that keeps the round-start pair counts valid for every
-    accepted pair (and the batch fold order-independent)."""
+    """Within a round no accepted merge's INPUTS or OUTPUT may
+    intersect the inputs-and-outputs of earlier accepted merges — the
+    strengthened invariant (r14 review: input-disjointness alone lets
+    one merge's output feed another's input, invalidating its
+    round-start count) that keeps the batch fold order-independent."""
     from mirrulations_iceberg_spark.operators.text import (
         t17c_bpe_batch_train,
     )
@@ -119,11 +121,13 @@ def test_t17c_round_merges_are_symbol_disjoint(spark):
     for rnd, merges in by_round.items():
         seen: set[str] = set()
         for m in merges:
-            assert m.left_sym not in seen and m.right_sym not in seen, (
-                f"round {rnd}: merge ({m.left_sym},{m.right_sym}) shares "
-                "a symbol with an earlier accepted merge"
+            fresh = {m.left_sym, m.right_sym, m.merged}
+            assert not (fresh & seen), (
+                f"round {rnd}: merge ({m.left_sym},{m.right_sym})->"
+                f"{m.merged} intersects earlier accepted symbols "
+                f"{fresh & seen}"
             )
-            seen.update((m.left_sym, m.right_sym))
+            seen |= fresh
 
 
 def test_s9_stream_equals_d18_batch(spark):
