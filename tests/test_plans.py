@@ -32,6 +32,7 @@ CROSS_JOIN_OK = {
     "w13_sequence_with_negation",  # three 1-row stage counts joined into the summary
     "x13_lsh_recall_curve",  # 4-row sweep levels + 1-row exact-count broadcast
     "o14_walk_forward_folds",  # broadcast K-row fold spec over the events scan
+    "o13_group_kfold_split",  # broadcast 1-row total for the share denominator
 }
 
 #: Queries that run their own jobs / driver-side work during
