@@ -1724,10 +1724,273 @@ def e17_changelog_card_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+#: e18: DSIR target slice (the "curated" corpus the raw pool is
+#: resampled toward), score scale (1e-4 log2 units — the t13 exact-
+#: decimal idiom, held as integers end-to-end), and the driver-walk
+#: coarse-bucket geometry (1 bit per bucket; the offset shifts scores
+#: non-negative so integer DIV truncation IS floor).
+E18_TARGET_SOURCES = ("src0", "src1")
+E18_UNIT = 10_000
+E18_OFFSET = 10_000_000_000
+
+
+def e18_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") — the
+    middle rung of the data-selection ladder this family was missing:
+    e5/e8 apply FIXED mixture weights, t19 a trained quality gate;
+    DSIR learns per-example weights from hashed-ngram DISTRIBUTIONS —
+    how target-like does each raw document look — and resamples the
+    raw pool to the target's size. Here: features are t19's recipe
+    verbatim (unigrams + bigrams md5-hashed to ``T19_BUCKETS``
+    buckets — the oracle replays the same hash), the target is the
+    curated ``E18_TARGET_SOURCES`` slice, and each raw doc's score is
+    the summed per-feature log-ratio ``log2(p̂(b)/q̂(b))`` under
+    Laplace-smoothed bucket unigram models of target (p̂) vs raw (q̂).
+    The top ``n_target`` raw docs by (score desc, doc_id) are the
+    resampled corpus; output is the per-source admission report.
+
+    Cross-engine exactness with float logs (the t13 discipline,
+    tightened): per-bucket log-ratios are quantized ONCE to integer
+    1e-4-log2 units via ``floor((log2(A) − log2(B)) · 10⁴)`` where A,
+    B are exact integer products ``(cnt+1)·(othertot+BUCKETS)`` (all
+    < 2⁵³, so the doubles entering log2 are identical in Python and
+    DuckDB; floor has no rounding-mode ambiguity, unlike round-half).
+    Doc scores are then pure integer sums — no float accumulation
+    order anywhere. (At 100 TB the products would pass 2⁵³: compute
+    the same quantity as ``log2(p+1)−log2(q+1)+log2(Qt+B)−log2(Pt+B)``
+    and re-pin the oracle to that op order.)
+
+    Scale shape — exactly two corpus scans plus a column-pruned count:
+    (1) the distribution pass: explode features → map-side-combined
+    count to ≤ 2·BUCKETS groups → collect the bounded table and fit
+    the 512-entry integer log-ratio array DRIVER-SIDE (the x15/m18
+    fit-literal discipline); (2) the scoring pass: the array rides
+    into a PURE PROJECTION (``F.aggregate`` over the feature array —
+    zero corpus shuffle, the t19 shape with a learned table instead of
+    arithmetic weights). Selection reuses e6's no-global-sort greedy:
+    bounded per-coarse-bucket counts walk on the driver, a filter
+    keeps whole buckets above the cutoff, and only the ONE boundary
+    bucket pays a window. The only corpus-sized shuffles are the
+    distribution count and the |sources|-row rollups.
+
+    Reference anchor: extends the mixture-recommendation territory of
+    ``exploration_summary.md:100-112`` to learned importance weights —
+    the reference picks corpus slices by hand; a training pipeline at
+    scale picks them by distribution match.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from ..tables import load_table
+    from .dedup import parallelize_scan
+    from .text import T19_BUCKETS, tokens_col
+
+    nb = T19_BUCKETS
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    t = F.col("__t")
+    # t19's feature recipe, self-contained (sharing the expression
+    # would put green t19 back through the rotation gate — the t20
+    # precedent): unigrams + space-joined bigrams.
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", t[i], t[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def bucket(f):
+        return (
+            F.conv(F.substring(F.md5(f), 1, 3), 16, 10).cast("long") % nb
+        )
+
+    is_target = F.col("source").isin(*E18_TARGET_SOURCES)
+    featd = docs.withColumn("__t", tokens_col(F.col("text"))).select(
+        "doc_id",
+        "source",
+        is_target.alias("__tgt"),
+        F.concat(t, bigrams).alias("__f"),
+    )
+    # PASS 1 — both bucket distributions in one explode (≤ 2·nb groups
+    # after map-side combine; the collect is bounded by construction)
+    counts = (
+        featd.select("__tgt", F.explode("__f").alias("f"))
+        .select("__tgt", bucket(F.col("f")).alias("b"))
+        .groupBy("__tgt", "b")
+        .count()
+        .collect()
+    )
+    p = {r["b"]: r["count"] for r in counts if r["__tgt"]}
+    q = {r["b"]: r["count"] for r in counts if not r["__tgt"]}
+    pt, qt = sum(p.values()), sum(q.values())
+    lr_units = [
+        math.floor(
+            (
+                math.log2((p.get(b, 0) + 1) * (qt + nb))
+                - math.log2((q.get(b, 0) + 1) * (pt + nb))
+            )
+            * float(E18_UNIT)
+        )
+        for b in range(nb)
+    ]
+    n_target = docs.filter(is_target).count()
+
+    # PASS 2 — score raw docs: the 512-long integer array is a literal
+    # in the projection; per-doc score is one exact integer array fold.
+    lr_arr = F.lit(lr_units)
+    score = F.aggregate(
+        F.col("__f"),
+        F.lit(0).cast("long"),
+        lambda acc, f: acc + F.element_at(lr_arr, (bucket(f) + 1).cast("int")),
+    )
+    scored = (
+        featd.filter(~F.col("__tgt"))
+        .select("doc_id", "source", score.alias("score"))
+        .withColumn(
+            "cscore",
+            F.expr(f"CAST((score + {E18_OFFSET}) DIV {E18_UNIT} AS BIGINT)"),
+        )
+        .cache()  # feeds the bucket walk + both selection branches
+    )
+    csums = sorted(
+        (
+            (r["cscore"], r["n"])
+            for r in scored.groupBy("cscore")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    cum, cutoff, residual = 0, None, 0
+    for cs, n in csums:
+        if cum + n <= n_target:
+            cum += n
+        else:
+            cutoff, residual = cs, n_target - cum
+            break
+    if cutoff is None:  # budget >= pool: keep everything
+        cutoff = (csums[-1][0] - 1) if csums else 0
+    kept_full = scored.filter(F.col("cscore") > cutoff)
+    w = Window.partitionBy("cscore").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    boundary = (
+        scored.filter(F.col("cscore") == cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= residual)
+        .drop("__rn")
+    )
+    sel_roll = (
+        kept_full.unionByName(boundary)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("score").cast("long").alias("sel_score_units"),
+        )
+    )
+    raw_roll = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("score").cast("long").alias("raw_score_units"),
+    )
+    out = (
+        raw_roll.join(F.broadcast(sel_roll), "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            F.expr(
+                "CAST((10000 * COALESCE(n_selected, 0)) DIV n_raw AS BIGINT)"
+            ).alias("selected_bp"),
+            F.coalesce("sel_score_units", F.lit(0))
+            .cast("long")
+            .alias("sel_score_units"),
+            "raw_score_units",
+        )
+        .orderBy("source")
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, scored)
+
+
+def _e18_oracle() -> str:
+    targets = ", ".join(f"'{s}'" for s in E18_TARGET_SOURCES)
+    from .text import T19_BUCKETS
+
+    nb = T19_BUCKETS
+    return f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, source,
+                   source IN ({targets}) AS is_target,
+                   regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+            FROM documents
+        ), fe AS MATERIALIZED (
+            SELECT doc_id, source, is_target,
+                   list_transform(
+                       t || CASE WHEN len(t) >= 2
+                                 THEN list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])
+                                 ELSE CAST([] AS VARCHAR[]) END,
+                       x -> ('0x' || substr(md5(x), 1, 3))::BIGINT % {nb}
+                   ) AS bks
+            FROM t
+        ), cnt AS MATERIALIZED (
+            SELECT b,
+                   CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                       AS p_cnt,
+                   CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+                       AS q_cnt
+            FROM (SELECT is_target, unnest(bks) AS b FROM fe) GROUP BY b
+        ), tot AS (
+            SELECT CAST(SUM(p_cnt) AS BIGINT) AS pt,
+                   CAST(SUM(q_cnt) AS BIGINT) AS qt FROM cnt
+        ), lr AS MATERIALIZED (
+            -- exact op order mirrored in the operator: log2 of exact
+            -- integer products, subtract, scale, FLOOR (no round-half)
+            SELECT g.b,
+                   CAST(FLOOR((log2((COALESCE(c.p_cnt, 0) + 1) * (t.qt + {nb}))
+                             - log2((COALESCE(c.q_cnt, 0) + 1) * (t.pt + {nb})))
+                              * {E18_UNIT}) AS BIGINT) AS lru
+            FROM range({nb}) g(b)
+            LEFT JOIN cnt c ON c.b = g.b CROSS JOIN tot t
+        ), persum AS (
+            SELECT u.doc_id, CAST(SUM(l.lru) AS BIGINT) AS s
+            FROM (SELECT doc_id, unnest(bks) AS b
+                  FROM fe WHERE NOT is_target) u
+            JOIN lr l ON l.b = u.b GROUP BY u.doc_id
+        ), sc AS MATERIALIZED (
+            SELECT f.doc_id, f.source, COALESCE(p.s, 0) AS score
+            FROM fe f LEFT JOIN persum p USING (doc_id)
+            WHERE NOT f.is_target
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM sc
+        ), sel AS (
+            SELECT r.*,
+                   r.rk <= (SELECT COUNT(*) FROM fe WHERE is_target)
+                       AS selected
+            FROM ranked r
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_selected,
+               CAST((10000 * SUM(CASE WHEN selected THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS selected_bp,
+               CAST(SUM(CASE WHEN selected THEN score ELSE 0 END) AS BIGINT)
+                   AS sel_score_units,
+               CAST(SUM(score) AS BIGINT) AS raw_score_units
+        FROM sel GROUP BY source ORDER BY source
+    """
+
+
 QUERIES = {
     "e15_dataset_card": e15_dataset_card,
     "e16_incremental_card": e16_incremental_card,
     "e17_changelog_card_refresh": e17_changelog_card_refresh,
+    "e18_dsir_resample": e18_dsir_resample,
     "e10_curriculum_schedule": e10_curriculum_schedule,
     "e11_epoch_cap_allocation": e11_epoch_cap_allocation,
     "e12_packing_curve": e12_packing_curve,
@@ -2153,6 +2416,7 @@ ORACLE = {
     "e4_pack_sequences": _e4_oracle(),
     "e5_mixture_sample": _e5_oracle(),
     "e6_budget_select": _e6_oracle(),
+    "e18_dsir_resample": _e18_oracle(),
     "e9_refresh_pipeline": _e9_oracle(),
     "e7_epoch_shuffle": f"""
         WITH k AS (

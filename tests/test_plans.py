@@ -99,6 +99,7 @@ SKIP_SWEEP = {
     "d20_minhash_source_sketch",  # caches shingles + posting set
     "t20_bpe_encode_corpus",  # N train rounds at construction
     "s8_stream_cusum",  # runs a streaming job at construction
+    "e18_dsir_resample",  # distribution fit + bucket walk at construction
 }
 
 

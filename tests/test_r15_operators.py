@@ -7,9 +7,14 @@
   and that parity is restored the moment the cap stops firing.
 * ``lsh_hottest_bucket`` (the quantity s9's runtime guard compares
   against the cap) is pinned on the same engineered frames.
+* e18 DSIR resampling: target-like raw docs outrank distribution-alien
+  ones on an engineered corpus, and the selection size is exactly the
+  target count (the resample-to-target contract).
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -118,3 +123,71 @@ def test_s9_guard_raises_on_cap_proximity(spark, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="cap proximity"):
         streamq.s9_stream_neardup_admission(spark, SF_DIR)
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source) — n_chars derived."""
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+def test_e18_engineered_target_like_docs_win(spark, tmp_path):
+    """Semantics, not just plumbing: raw docs sharing the target's
+    vocabulary must outrank distribution-alien docs, and the resample
+    keeps exactly n_target raw docs. Target (src0, 4 docs) and srcA
+    (3 docs) draw from one vocabulary; srcB (5 docs) from a disjoint
+    one — so all of srcA is selected and exactly one srcB doc fills
+    the remaining slot (ties broken by doc_id)."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        E18_TARGET_SOURCES,
+        e18_dsir_resample,
+    )
+
+    like = "cat dog fish bird cat dog fish bird cat dog"
+    alien = "zeta omega sigma kappa zeta omega sigma kappa zeta omega"
+    tgt = E18_TARGET_SOURCES[0]
+    rows = [(i, like, "en", tgt) for i in range(4)]
+    rows += [(10 + i, like, "en", "srcA") for i in range(3)]
+    rows += [(20 + i, alien, "en", "srcB") for i in range(5)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["source"]: r for r in e18_dsir_resample(spark, sf).collect()
+    }
+    assert set(got) == {"srcA", "srcB"}
+    assert got["srcA"]["n_raw"] == 3 and got["srcA"]["n_selected"] == 3
+    assert got["srcB"]["n_raw"] == 5 and got["srcB"]["n_selected"] == 1
+    assert got["srcA"]["selected_bp"] == 10000
+    assert got["srcB"]["selected_bp"] == 2000
+    # target-like docs carry positive log-ratio mass, alien negative
+    assert got["srcA"]["sel_score_units"] > 0
+    assert got["srcB"]["raw_score_units"] < 0
+
+
+def test_e18_resamples_to_target_size(spark):
+    """On the real fixture the selected pool is exactly the target
+    corpus' size — DSIR's resample-to-target contract."""
+    import duckdb
+
+    from mirrulations_iceberg_spark.operators.etl import (
+        E18_TARGET_SOURCES,
+        e18_dsir_resample,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = e18_dsir_resample(spark, SF_DIR).collect()
+    targets = ", ".join(f"'{s}'" for s in E18_TARGET_SOURCES)
+    n_target = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+        f" WHERE source IN ({targets})"
+    ).fetchone()[0]
+    assert sum(r["n_selected"] for r in rows) == n_target
+    assert all(r["n_selected"] <= r["n_raw"] for r in rows)
