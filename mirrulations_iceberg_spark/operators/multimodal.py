@@ -564,13 +564,38 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fhash"),
     )
-    # ONE exchange for the whole signature stage: collect_set gives
-    # frame-SET semantics in the aggregate itself (map-side partials
-    # dedup before the shuffle), so no separate distinct() pass over
-    # the frame stream — measured 2.5× vs DuckDB at 5M docs with the
-    # two-shuffle shape this replaced. Per-video sets are bounded by
-    # payload length / stride, so the arrays stay small.
-    per_video = (
+    out, clusters = signature_containment_pairs(
+        raw_frames, MM7_MIN_BP, MM7_MAX_POSTINGS
+    )
+    from .util import materialize_release
+
+    return materialize_release(spark, out, clusters)
+
+
+def signature_containment_pairs(
+    raw_frames: DataFrame,
+    min_bp: int,
+    max_postings: int,
+    min_nf: int = 1,
+    shared_col: str = "shared_frames",
+) -> tuple[DataFrame, DataFrame]:
+    """The containment-dedup machinery shared by mm7 (video frame
+    hashes) and mm8 (audio fingerprint shingles): exact-signature
+    collapse → inverted-index equi-join with the hot-postings cap →
+    exact containment in basis points. Input is any (media_id, fhash)
+    element stream; ``min_nf`` drops items whose signature set is too
+    small to fingerprint reliably (mm8's gate — a 2-shingle clip
+    "contains" anything by chance; mm7 passes 1). Returns (output,
+    clusters-cache) — the caller releases via materialize_release.
+
+    ONE exchange for the whole signature stage: collect_set gives
+    SET semantics in the aggregate itself (map-side partials dedup
+    before the shuffle), so no separate distinct() pass over the
+    element stream — measured 2.5× vs DuckDB at 5M docs with the
+    two-shuffle shape this replaced. Per-item sets are bounded by
+    payload length / stride, so the arrays stay small.
+    """
+    per_item = (
         raw_frames.groupBy("media_id")
         .agg(F.collect_set("fhash").alias("fset"))
         .select(
@@ -579,9 +604,10 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(F.array_sort("fset"), "")).alias("sig"),
             "fset",
         )
+        .filter(F.col("nf") >= min_nf)
     )
     clusters = (
-        per_video.groupBy("sig")
+        per_item.groupBy("sig")
         .agg(
             F.min("media_id").alias("rep"),
             F.count(F.lit(1)).alias("n"),
@@ -593,7 +619,7 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self_rows = clusters.filter(F.col("n") > 1).select(
         F.col("rep").alias("media_id_a"),
         F.col("rep").alias("media_id_b"),
-        F.col("nf").alias("shared_frames"),
+        F.col("nf").alias(shared_col),
         F.col("nf").alias("nf_a"),
         F.col("nf").alias("nf_b"),
         F.lit(10000).cast("long").alias("containment_bp"),
@@ -611,7 +637,7 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = (
         postings.groupBy("fhash")
         .agg(F.count(F.lit(1)).alias("__deg"))
-        .filter(F.col("__deg") > MM7_MAX_POSTINGS)
+        .filter(F.col("__deg") > max_postings)
         .select("fhash")
     )
     kept = postings.join(hot, "fhash", "left_anti")
@@ -630,19 +656,19 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
         )
-        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .agg(F.count(F.lit(1)).alias(shared_col))
         .withColumn(
             "containment_bp",
             F.expr(
-                "CAST((10000 * shared_frames) DIV LEAST(nf_a, nf_b)"
+                f"CAST((10000 * {shared_col}) DIV LEAST(nf_a, nf_b)"
                 " AS BIGINT)"
             ),
         )
-        .filter(F.col("containment_bp") >= MM7_MIN_BP)
+        .filter(F.col("containment_bp") >= min_bp)
         .select(
             "media_id_a",
             "media_id_b",
-            "shared_frames",
+            shared_col,
             "nf_a",
             "nf_b",
             "containment_bp",
@@ -653,6 +679,125 @@ def mm7_video_framesig_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = self_rows.unionByName(near_rows).orderBy(
         "media_id_a", "media_id_b"
     )
+    return out, clusters
+
+
+#: mm8 audio fingerprint geometry. Analysis frame (bytes of "PCM"),
+#: quantizer alphabet size and its CLAMP range — chosen for the ASCII
+#: stub's energy band (measured sf0.1 frame square-sums: p1=135k,
+#: p99=175k — a [130k, 180k) range spreads real frames over ~7 levels;
+#: a real decoder quantizes chroma/mel bins instead, same plumbing).
+#: Shingle width (consecutive quantized symbols per fingerprint
+#: element — temporal structure, the Chromaprint idea), the minimum
+#: signature size to participate in pairing (a 2-shingle clip
+#: "contains" anything by chance; short audio is unfingerprint-able,
+#: the Chromaprint minimum-duration stance), and mm7's containment
+#: threshold / hot-postings cap.
+MM8_FRAME = 16
+MM8_LEVELS = 8
+MM8_Q_LO = 130_000
+MM8_Q_HI = 180_000
+MM8_ALPHABET = "01234567"
+MM8_SHINGLE = 4
+MM8_MIN_SHINGLES = 8
+MM8_MIN_BP = 5000
+MM8_MAX_POSTINGS = 64
+
+
+def _audio_symbols(payloads: pd.Series) -> list[str]:
+    """STUB DECODE for mm8: per-frame energy quantized to a small
+    alphabet — the Chromaprint shape (decode → per-frame feature →
+    quantize → symbol string) with byte energy standing in for chroma
+    features. Vectorized per payload: reshape to frames, integer
+    square-sums (exact in both engines), clamp-then-divide quantizer
+    (clamping FIRST keeps the division non-negative, so truncation is
+    unambiguous across numpy / DuckDB). With audio libs installed the
+    real decoder replaces THIS function; everything downstream
+    (shingling, containment) is unchanged."""
+    import numpy as np
+
+    out = []
+    for p in payloads:
+        arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+        n = (len(arr) // MM8_FRAME) * MM8_FRAME
+        if n == 0:
+            out.append("")
+            continue
+        sq = (arr[:n].reshape(-1, MM8_FRAME) ** 2).sum(axis=1)
+        lev = (np.clip(sq, MM8_Q_LO, MM8_Q_HI - 1) - MM8_Q_LO) * MM8_LEVELS // (
+            MM8_Q_HI - MM8_Q_LO
+        )
+        out.append("".join(MM8_ALPHABET[v] for v in lev))
+    return out
+
+
+def mm8_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-duplicate detection by FINGERPRINT-SHINGLE
+    containment — the modality-dedup matrix's last cell (mm1 exact
+    bytes, mm6 image perceptual hash, mm7 video frame signatures, mm8
+    audio): a re-encoded/trimmed upload of the same recording shares
+    most of its fingerprint shingles, so clips pair when
+    ``shared_shingles / min(|A|, |B|)`` exceeds ``MM8_MIN_BP`` —
+    containment, robust to one side being a longer cut, exactly mm7's
+    criterion.
+
+    Pipeline, Chromaprint-shaped end to end:
+
+    1. DECODE+QUANTIZE (:func:`_audio_symbols`, Arrow ``mapInPandas``
+       like mm4): per-``MM8_FRAME`` energy → clamp-quantize to
+       ``MM8_LEVELS`` symbols → one symbol string per clip. Pure
+       projection; the only Python in the operator, the mm2/mm4 stub
+       swap point.
+    2. SHINGLE (JVM): every ``MM8_SHINGLE``-symbol window, md5-hashed —
+       temporal structure, so a reshuffled clip does NOT match (a bag
+       of frame energies would). Clips with fewer than
+       ``MM8_MIN_SHINGLES`` distinct shingles are dropped as
+       unfingerprint-able (too short to assert anything — without the
+       gate, 2-shingle clips "contain" by chance: measured 125 junk
+       pairs at sf0.01, 4 with it).
+    3. PAIR: :func:`signature_containment_pairs` — mm7's machinery
+       verbatim (exact-signature collapse before anything pairwise,
+       inverted-index equi-join, deterministic hot-postings cap,
+       containment in integer basis points).
+
+    Oracle: the same frame energies / quantizer / shingles / pairing
+    replayed over character arithmetic (the mm4/mm7 byte-parity idiom,
+    ASCII-guarded by ``tests/test_multimodal.py``).
+
+    Reference anchor: the reference carries attachments as opaque
+    blobs with no content screen (``convert_to_iceberg.py:956-1121``
+    admits files by name); this is the audio admission gate of the
+    north-star pipeline's modality matrix.
+    """
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sym": _audio_symbols(pdf["payload"]),
+                }
+            )
+
+    fp = media.mapInPandas(run, "media_id long, sym string")
+    s = F.col("sym")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (MM8_SHINGLE - 1)),
+        lambda i: F.md5(s.substr(i, F.lit(MM8_SHINGLE))),
+    )
+    raw = fp.filter(F.length(s) >= MM8_SHINGLE).select(
+        "media_id", F.explode(shingles).alias("fhash")
+    )
+    out, clusters = signature_containment_pairs(
+        raw,
+        MM8_MIN_BP,
+        MM8_MAX_POSTINGS,
+        min_nf=MM8_MIN_SHINGLES,
+        shared_col="shared_shingles",
+    )
     from .util import materialize_release
 
     return materialize_release(spark, out, clusters)
@@ -662,6 +807,7 @@ QUERIES = {
     "mm1_media_manifest": mm1_media_manifest,
     "mm6_phash_neardup": mm6_phash_neardup,
     "mm7_video_framesig_neardup": mm7_video_framesig_neardup,
+    "mm8_audio_fingerprint_neardup": mm8_audio_fingerprint_neardup,
     "mm2_feature_stats": mm2_feature_stats,
     "mm3_frame_sample": mm3_frame_sample,
     "mm4_audio_rms": mm4_audio_rms,
@@ -686,6 +832,75 @@ _MM6_BANDS_SQL = "\n            UNION ALL\n            ".join(
 _MM7_STRIDE = FRAME_SAMPLE_EVERY * FRAME_BYTES
 
 ORACLE = {
+    # mm8: frame energies / clamp-quantizer / shingles / containment
+    # replayed over character arithmetic — the mm4 integer-square-sum
+    # idiom feeding mm7's pairing SQL (the two stages mm8 composes).
+    "mm8_audio_fingerprint_neardup": f"""
+        WITH media AS (
+            SELECT doc_id AS media_id, text, LENGTH(text) AS n
+            FROM documents
+            WHERE {_KIND} = 'audio'
+        ), fe AS (
+            SELECT media_id, fr,
+                   LEAST(GREATEST(
+                       list_sum(list_transform(range(1, {MM8_FRAME + 1}), j ->
+                           CAST(ord(substr(text,
+                               CAST(fr * {MM8_FRAME} + j AS INT), 1)) AS BIGINT)
+                           * ord(substr(text,
+                               CAST(fr * {MM8_FRAME} + j AS INT), 1)))),
+                       {MM8_Q_LO}), {MM8_Q_HI - 1}) AS sqc
+            FROM media, UNNEST(range(0, n // {MM8_FRAME})) u(fr)
+        ), sym AS (
+            SELECT media_id,
+                   string_agg(substr('{MM8_ALPHABET}',
+                       CAST((sqc - {MM8_Q_LO}) * {MM8_LEVELS}
+                            // {MM8_Q_HI - MM8_Q_LO} + 1 AS INT), 1),
+                       '' ORDER BY fr) AS s
+            FROM fe GROUP BY media_id
+        ), sh AS (
+            SELECT DISTINCT media_id,
+                   md5(substr(s, CAST(i AS INT), {MM8_SHINGLE})) AS fhash
+            FROM sym, UNNEST(range(1, len(s) - {MM8_SHINGLE} + 2)) u(i)
+            WHERE len(s) >= {MM8_SHINGLE}
+        ), pv AS (
+            SELECT media_id, CAST(COUNT(*) AS BIGINT) AS nf,
+                   md5(string_agg(fhash, '' ORDER BY fhash)) AS sig
+            FROM sh GROUP BY 1
+            HAVING COUNT(*) >= {MM8_MIN_SHINGLES}
+        ), clusters AS (
+            SELECT sig, MIN(media_id) AS rep,
+                   CAST(COUNT(*) AS BIGINT) AS n, MIN(nf) AS nf
+            FROM pv GROUP BY 1
+        ), postings AS (
+            SELECT c.rep AS media_id, f.fhash, c.nf, c.n
+            FROM clusters c JOIN sh f ON f.media_id = c.rep
+        ), deg AS (
+            SELECT fhash FROM postings
+            GROUP BY 1 HAVING COUNT(*) > {MM8_MAX_POSTINGS}
+        ), kept AS (
+            SELECT * FROM postings
+            WHERE fhash NOT IN (SELECT fhash FROM deg)
+        ), pairs AS (
+            SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_shingles,
+                   a.nf AS nf_a, b.nf AS nf_b, a.n AS n_a, b.n AS n_b
+            FROM kept a JOIN kept b
+              ON a.fhash = b.fhash AND a.media_id < b.media_id
+            GROUP BY 1, 2, 4, 5, 6, 7
+        )
+        SELECT rep AS media_id_a, rep AS media_id_b,
+               nf AS shared_shingles, nf AS nf_a, nf AS nf_b,
+               CAST(10000 AS BIGINT) AS containment_bp, n AS n_a, n AS n_b
+        FROM clusters WHERE n > 1
+        UNION ALL
+        SELECT media_id_a, media_id_b, shared_shingles, nf_a, nf_b,
+               CAST((10000 * shared_shingles) // LEAST(nf_a, nf_b)
+                    AS BIGINT),
+               n_a, n_b
+        FROM pairs
+        WHERE (10000 * shared_shingles) // LEAST(nf_a, nf_b)
+              >= {MM8_MIN_BP}
+    """,
     "mm7_video_framesig_neardup": f"""
         WITH media AS (
             SELECT doc_id AS media_id, text, LENGTH(text) AS n

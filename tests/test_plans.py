@@ -100,6 +100,7 @@ SKIP_SWEEP = {
     "t20_bpe_encode_corpus",  # N train rounds at construction
     "s8_stream_cusum",  # runs a streaming job at construction
     "e18_dsir_resample",  # distribution fit + bucket walk at construction
+    "mm8_audio_fingerprint_neardup",  # caches clusters + materializes
 }
 
 

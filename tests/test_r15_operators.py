@@ -191,3 +191,60 @@ def test_e18_resamples_to_target_size(spark):
     ).fetchone()[0]
     assert sum(r["n_selected"] for r in rows) == n_target
     assert all(r["n_selected"] <= r["n_raw"] for r in rows)
+
+
+def test_mm8_engineered_clone_and_trimmed_pair(spark, tmp_path):
+    """The mm7 discipline applied to audio: a byte-identical clone pair
+    collapses to one exact-signature cluster (self-row, containment
+    10000), and a TRIMMED copy — the shorter clip's frames a strict
+    prefix of the longer's — pairs at containment 10000 with
+    shared == the smaller signature. Texts are built from 16-char
+    constant-energy blocks so each block quantizes to one known symbol
+    and the two constructs share no 4-gram."""
+    from mirrulations_iceberg_spark.operators.multimodal import (
+        MM8_FRAME,
+        MM8_MIN_SHINGLES,
+        mm8_audio_fingerprint_neardup,
+    )
+
+    blk = {0: " ", 3: "a", 4: "d", 5: "f", 6: "h", 7: "j"}
+
+    def audio(levels):
+        return "".join(blk[v] * MM8_FRAME for v in levels)
+
+    clone = audio([3, 0, 7, 4, 6, 0, 5, 3, 7, 0, 4, 6])
+    full = audio([0, 3, 4, 7, 5, 6, 0, 4, 3, 7, 6, 5, 0, 7, 4])
+    trim = full[: 11 * MM8_FRAME]  # 11 frames -> exactly 8 shingles
+    rows = [
+        (1, clone, "en", "src2"),
+        (2, clone, "en", "src2"),
+        (3, full, "en", "src2"),
+        (4, trim, "en", "src2"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r
+        for r in mm8_audio_fingerprint_neardup(spark, sf).collect()
+    }
+    assert set(got) == {(1, 1), (3, 4)}
+    self_row = got[(1, 1)]  # the clone cluster, rep = min id
+    assert self_row["n_a"] == 2 and self_row["containment_bp"] == 10000
+    pair = got[(3, 4)]
+    assert pair["containment_bp"] == 10000  # trim's shingles ⊂ full's
+    assert pair["nf_b"] == MM8_MIN_SHINGLES  # right at the gate line
+    assert pair["shared_shingles"] == min(pair["nf_a"], pair["nf_b"])
+
+
+def test_mm8_short_clips_are_unfingerprintable(spark, tmp_path):
+    """Clips below MM8_MIN_SHINGLES never pair — even a byte-identical
+    short clone is excluded (too little signal to assert containment),
+    which is what kept 125 chance pairs out of the sf0.01 output."""
+    from mirrulations_iceberg_spark.operators.multimodal import (
+        MM8_FRAME,
+        mm8_audio_fingerprint_neardup,
+    )
+
+    short = "a" * (6 * MM8_FRAME)  # 6 frames -> 3 shingles < 8
+    rows = [(1, short, "en", "src2"), (2, short, "en", "src2")]
+    sf = _write_docs(spark, tmp_path, rows)
+    assert mm8_audio_fingerprint_neardup(spark, sf).count() == 0
