@@ -159,62 +159,87 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: session with every new/changed entry re-verified at sf0.01 on
 #: first contact, and the exact 50-slot order replayed green via
 #: --window-order before commit.
+#: Round-15 rotation (VERDICT r14 item #2 + the round's build list):
+#: the window = 2 NEW oracle-bearing entries (e18 DSIR importance
+#: resampling, mm8 audio fingerprint near-dup — never green by
+#: definition, forced in by the rotation-queue rule) + 5 whose code
+#: changed this round and must re-verify at the driver (m1/m2: the
+#: ADVICE r14 writer-independence split — compresses flag moved to
+#: m1b, null_count data-scan fallback; o13: broadcast 1-row total
+#: replaces the unpartitioned Window — ADVICE r14; s9: the
+#: cap-proximity runtime guard; mm7: containment machinery extracted
+#: into the shared signature_containment_pairs helper mm8 composes) +
+#: ALL 18 r10-stale greens (d7/d15/d16, e9/e10/e11/e12, f1c, m13,
+#: q2/q4/q5/q6/q10, s3, t16, w15, x13 — exactly the list VERDICT r14
+#: #2 names, verified against the regenerated LEDGER.md, never
+#: memory) + 25 of the 45 r11-stale greens chosen for family spread
+#: (a1–a5/a8/a12, both c-suite entries, d1/d3/d8, e4–e7, g1, j9, m6,
+#: t1, t19, w7, x2/x5/x6). The 20 r11 entries heading r16's queue
+#: (d13/d15b/d19, f1, j13/j14, m10/m11, mm3, o7, q1/q3/q8/q9, s1/s6,
+#: x11/x12/x14/x16) were picked by family redundancy — each leaves
+#: same-family siblings in the window (d1/d3/d7/d8/d15/d16; f1c;
+#: j9; m1/m2/m6/m13; mm7/mm8; o13; q2/q4/q5/q6/q10; s3/s9;
+#: x2/x5/x6/x13) — so no family's live attestation thins. Pre-rotation
+#: gate: the full sf0.01 sweep ran green this session with every
+#: new/changed entry re-verified at sf0.01 on first contact, and the
+#: exact 50-slot order replayed green via --window-order before
+#: commit.
 DRIVER_WINDOW = (
-    # --- NEW round-14 operators (oracle-bearing, never checked)
-    "o14_walk_forward_folds",     # expanding-window backtest splits
-    "mm7_video_framesig_neardup",  # frame-set containment video dedup
-    "t22_intra_doc_repetition",   # Gopher-style repetition filter
-    "o13_group_kfold_split",      # GroupKFold entity-disjoint folds
-    "m20_zorder_rewrite",         # performs m18's clustered rewrite
-    "s9_stream_neardup_admission",  # d18's stream/batch parity twin
-    "t17c_bpe_batch_train",       # top-B disjoint merges per round
-    "m1_codec_benchmark",         # invariant half now hash-checked
-    "m2_storage_efficiency",      # footer audit now hash-checked
-    # --- code changed in round 14: re-verify at the driver
-    "m19_snapshot_diff",          # coalesced checksums (ADVICE r13)
-    "mm6_phash_neardup",          # 8×8-bit banding (ADVICE r13)
-    "m18_zorder_design",          # shared _m18_zspace extraction
-    # --- the 11 r08-stale greens (VERDICT r13 item #1's list)
-    "a10_date_histogram",
-    "a6_count_distinct",
-    "a7_boolean_sum",
-    "a9_value_counts",
-    "e1_docket_pipeline",
-    "f2_is_not_null",
-    "j6_asof_join",
-    "o2_top_dates",
-    "o4_peak_day",
-    "u1_union_base_delta",
-    "w5_sessionize",
-    # --- 27 of the 45 r10-stale greens (the 18 named in the header
-    #     comment above head r15's queue)
-    "d10_incremental_dedup",
-    "d17_split_leakage",
-    "d18_incremental_neardup",
-    "e13_cluster_aware_split",
-    "e14_release_pipeline",
-    "f1b_indexed_substring",
-    "f4_conjunctive_filter",
-    "j12_interval_overlap_join",
-    "j1_broadcast_star_join",
-    "m14_drift_report",
-    "m15_cdc_merge",
-    "m16_layout_scatter_report",
-    "m7_contract_check",
-    "mm2_feature_stats",
-    "o10_stratified_quota_sample",
-    "q7_text_search",
-    "s13_schema_evolution",
-    "s2_incremental_ingest",
-    "s5_stream_attribution",
-    "s7_stream_cdc_upsert",
-    "t13_unigram_logprob",
-    "t17_bpe_pair_stats",
-    "t18_backoff_surprisal",
-    "w14_gapfill_downsample",
-    "x10_mmr_select",
-    "x15_sq_int8_recall",
-    "x7_ann_partitioned_index",
+    # --- NEW round-15 operators (oracle-bearing, never checked)
+    "e18_dsir_resample",          # DSIR hashed-ngram importance resample
+    "mm8_audio_fingerprint_neardup",  # audio shingle containment dedup
+    # --- code changed in round 15: re-verify at the driver
+    "m1_codec_benchmark",         # compresses flag moved to m1b (ADVICE)
+    "m2_storage_efficiency",      # null_count data-scan fallback (ADVICE)
+    "o13_group_kfold_split",      # broadcast total, no global Window
+    "s9_stream_neardup_admission",  # cap-proximity runtime guard
+    "mm7_video_framesig_neardup",  # shared containment helper extracted
+    # --- ALL 18 r10-stale greens (VERDICT r14 item #2's list)
+    "d15_exact_substring_spans",
+    "d16_cluster_best_select",
+    "d7_dedup_apply_lsh",
+    "e10_curriculum_schedule",
+    "e11_epoch_cap_allocation",
+    "e12_packing_curve",
+    "e9_refresh_pipeline",
+    "f1c_index_refresh",
+    "m13_preflight_report",
+    "q10_docket_rollup",
+    "q2_count_by_agency",
+    "q4_avg_comment_length",
+    "q5_top_commenters",
+    "q6_comments_by_date",
+    "s3_stream_sessions",
+    "t16_source_overlap",
+    "w15_ohlc_downsample",
+    "x13_lsh_recall_curve",
+    # --- 25 of the 45 r11-stale greens (family-spread picks; the 20
+    #     left out head r16's queue, each with siblings in-window)
+    "a12_rollup",
+    "a1_count_star",
+    "a2_groupby_count",
+    "a3_multikey_groupby",
+    "a4_avg_length",
+    "a5_numeric_stats",
+    "a8_null_profile",
+    "c_json_extract",
+    "c_scalar_suite",
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "d8_dedup_components",
+    "e4_pack_sequences",
+    "e5_mixture_sample",
+    "e6_budget_select",
+    "e7_epoch_shuffle",
+    "g1_glob_read",
+    "j9_bloom_pruned_join",
+    "m6_profile",
+    "t19_quality_classifier",
+    "t1_token_stats",
+    "w7_ntile_deciles",
+    "x2_ann_lsh_topk",
+    "x5_ann_ivf_topk",
+    "x6_embedding_dedup_apply",
 )
 
 

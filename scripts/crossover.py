@@ -99,6 +99,16 @@ TARGETS = {
     # per frame, signature collapse, postings self-join — mm6's
     # family with JVM-only decode (no Python anywhere).
     "mm7_video_framesig_neardup": "documents",
+    # Audio fingerprint row (r15): Arrow-batched numpy quantize decode
+    # + JVM shingle md5 + mm7's containment machinery — the mm7 shape
+    # with a Python decode stage in front (mm6's regime), so the ratio
+    # shows what the mapInPandas hop costs at corpus scale.
+    "mm8_audio_fingerprint_neardup": "documents",
+    # DSIR row (r15): two corpus scans with a 2-feature-per-token
+    # explode each (distribution count, then pure-projection scoring)
+    # — the heaviest explode volume on the curve after t22, plus the
+    # e6 greedy-selection machinery on top.
+    "e18_dsir_resample": "documents",
 }
 
 

@@ -248,3 +248,80 @@ def test_mm8_short_clips_are_unfingerprintable(spark, tmp_path):
     rows = [(1, short, "en", "src2"), (2, short, "en", "src2")]
     sf = _write_docs(spark, tmp_path, rows)
     assert mm8_audio_fingerprint_neardup(spark, sf).count() == 0
+
+
+def test_mm6_swap_point_accepts_real_decoder():
+    """VERDICT r14 #8 (skipped while the container ships no codec
+    libs): prove the mm6 stub swap point compiles against a REAL
+    decoder. The function to replace is
+    ``multimodal._ahash_lanes(payloads) -> DataFrame[s0, s1]`` — this
+    test implements it with PIL (decode -> 8x8 grayscale -> aHash ->
+    the same two 32-bit lane packing) and asserts the contract the
+    pipeline relies on: byte-identical re-uploads hash equal (the
+    exact-collapse stage), and a lightly-corrupted re-encode lands
+    within the pigeonhole-guaranteed Hamming radius (MM6_BANDS - 1).
+    The sibling swap points are ``_audio_symbols`` (mm8) and the frame
+    md5 in mm7 step 1 — same drill: replace the function, keep the
+    schema, everything downstream is unchanged.
+
+    NOTE scope: monkeypatching the stub cannot drive the full
+    mapInPandas pipeline here — executors re-import the module, so a
+    driver-side patch does not propagate; swapping for real means
+    editing the function (or injecting via spark-submit --py-files),
+    which is exactly what this test documents.
+    """
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import pandas as pd
+
+    from mirrulations_iceberg_spark.operators.multimodal import (
+        MM6_BANDS,
+        MM6_CELLS,
+    )
+
+    def _ahash_lanes_pil(payloads: pd.Series) -> pd.DataFrame:
+        """Drop-in replacement for multimodal._ahash_lanes."""
+        s0s, s1s = [], []
+        for p in payloads:
+            img = (
+                PIL_Image.open(io.BytesIO(bytes(p)))
+                .convert("L")
+                .resize((8, 8))
+            )
+            cells = list(img.getdata())
+            mf = sum(cells) // MM6_CELLS
+            s0s.append(
+                sum(1 << (i - 1) for i in range(1, 33) if cells[i - 1] > mf)
+            )
+            s1s.append(
+                sum(1 << (i - 33) for i in range(33, 65) if cells[i - 1] > mf)
+            )
+        return pd.DataFrame({"s0": s0s, "s1": s1s})
+
+    def png_bytes(pixels) -> bytes:
+        img = PIL_Image.new("L", (64, 64))
+        img.putdata(pixels)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    # structured gradient: a nontrivial aHash (half the cells above
+    # the mean), not a constant image whose hash is all-zero
+    base_px = [(x * 4 + y * 2) % 256 for y in range(64) for x in range(64)]
+    corrupt_px = list(base_px)
+    for k in range(0, 64):  # one corrupted scanline: a mild re-encode
+        corrupt_px[32 * 64 + k] = (corrupt_px[32 * 64 + k] + 24) % 256
+    clone, original, corrupted = (
+        png_bytes(base_px),
+        png_bytes(base_px),
+        png_bytes(corrupt_px),
+    )
+    lanes = _ahash_lanes_pil(pd.Series([original, clone, corrupted]))
+    assert lanes.dtypes.tolist() == [lanes["s0"].dtype] * 2  # two lanes
+    o, c, x = (
+        (int(lanes["s0"][i]), int(lanes["s1"][i])) for i in range(3)
+    )
+    assert o == c  # byte-identical copy -> exact-collapse cluster
+    hamming = bin(o[0] ^ x[0]).count("1") + bin(o[1] ^ x[1]).count("1")
+    assert 0 < hamming <= MM6_BANDS - 1  # within guaranteed recall
