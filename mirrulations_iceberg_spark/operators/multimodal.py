@@ -835,6 +835,11 @@ ORACLE = {
     # mm8: frame energies / clamp-quantizer / shingles / containment
     # replayed over character arithmetic — the mm4 integer-square-sum
     # idiom feeding mm7's pairing SQL (the two stages mm8 composes).
+    # Multi-referenced CTEs are MATERIALIZED: DuckDB inlines a CTE per
+    # reference, and the pairs self-join re-derives the whole energy
+    # chain CONCURRENTLY on both sides — measured OOM at 500k docs
+    # un-materialized, 6s materialized (the t17c CTE trap, memory
+    # edition).
     "mm8_audio_fingerprint_neardup": f"""
         WITH media AS (
             SELECT doc_id AS media_id, text, LENGTH(text) AS n
@@ -857,7 +862,7 @@ ORACLE = {
                             // {MM8_Q_HI - MM8_Q_LO} + 1 AS INT), 1),
                        '' ORDER BY fr) AS s
             FROM fe GROUP BY media_id
-        ), sh AS (
+        ), sh AS MATERIALIZED (
             SELECT DISTINCT media_id,
                    md5(substr(s, CAST(i AS INT), {MM8_SHINGLE})) AS fhash
             FROM sym, UNNEST(range(1, len(s) - {MM8_SHINGLE} + 2)) u(i)
@@ -867,17 +872,17 @@ ORACLE = {
                    md5(string_agg(fhash, '' ORDER BY fhash)) AS sig
             FROM sh GROUP BY 1
             HAVING COUNT(*) >= {MM8_MIN_SHINGLES}
-        ), clusters AS (
+        ), clusters AS MATERIALIZED (
             SELECT sig, MIN(media_id) AS rep,
                    CAST(COUNT(*) AS BIGINT) AS n, MIN(nf) AS nf
             FROM pv GROUP BY 1
-        ), postings AS (
+        ), postings AS MATERIALIZED (
             SELECT c.rep AS media_id, f.fhash, c.nf, c.n
             FROM clusters c JOIN sh f ON f.media_id = c.rep
         ), deg AS (
             SELECT fhash FROM postings
             GROUP BY 1 HAVING COUNT(*) > {MM8_MAX_POSTINGS}
-        ), kept AS (
+        ), kept AS MATERIALIZED (
             SELECT * FROM postings
             WHERE fhash NOT IN (SELECT fhash FROM deg)
         ), pairs AS (
