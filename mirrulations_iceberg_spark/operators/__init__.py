@@ -185,9 +185,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: exact 50-slot order replayed green via --window-order before
 #: commit.
 DRIVER_WINDOW = (
-    # --- NEW round-15 operators (oracle-bearing, never checked)
+    # --- NEW round-15 operators (oracle-bearing, never checked).
+    #     e19 landed late-round and displaced e7_epoch_shuffle (the
+    #     rotation-queue rule forces never-green entries in; e7 leaves
+    #     e4/e5/e6 + e9–e12 + e18 keeping the e family live and heads
+    #     r16's queue with the r11 cohort).
     "e18_dsir_resample",          # DSIR hashed-ngram importance resample
     "mm8_audio_fingerprint_neardup",  # audio shingle containment dedup
+    "e19_filter_ablation",        # Gopher-style per-filter kill report
     # --- code changed in round 15: re-verify at the driver
     "m1_codec_benchmark",         # compresses flag moved to m1b (ADVICE)
     "m2_storage_efficiency",      # null_count data-scan fallback (ADVICE)
@@ -230,7 +235,6 @@ DRIVER_WINDOW = (
     "e4_pack_sequences",
     "e5_mixture_sample",
     "e6_budget_select",
-    "e7_epoch_shuffle",
     "g1_glob_read",
     "j9_bloom_pruned_join",
     "m6_profile",

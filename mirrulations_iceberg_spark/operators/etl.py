@@ -1986,7 +1986,191 @@ def _e18_oracle() -> str:
     """
 
 
+#: e19 quality-filter thresholds, calibrated against the measured
+#: fixture quantiles (sf0.01: n_toks p5=16/p25=32; alpha_bp p25=8175;
+#: top-share p75=1111/p95=1603; mean-len-deci p5=41) so every filter
+#: kills a real, distinct slice instead of 0% or 100%.
+E19_MIN_TOKENS = 25
+E19_MIN_ALPHA_BP = 8150
+E19_MAX_TOPSHARE_BP = 1300
+E19_MIN_MEANLEN_DECI = 42
+
+
+def e19_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ABLATION report — the Gopher/MassiveText curation
+    table (Rae et al. 2021 report per-rule removal rates before fixing
+    an ensemble): for each candidate filter, how many docs it kills,
+    how many it is the ONLY killer of (its unique contribution — the
+    number that decides whether a rule earns its place), and the
+    ensemble's total/exactly-one-rule kill counts. Four standard
+    heuristics over integer-exact statistics: minimum token count,
+    alphanumeric density (bp of text length), top-token share (bp of
+    tokens — the t22 repetition axis at its crudest), and mean token
+    length (deci-chars). Thresholds in the constant block, calibrated
+    from measured fixture quantiles.
+
+    Scale shape: ONE corpus scan → token-level hash-agg (map-side
+    combine; the t22 shape) → per-doc rollup → LEFT join back to the
+    doc spine (zero-token docs must FAIL, not vanish) → one global
+    aggregate of boolean sums; the 5-row report is built from that
+    single collected row (bounded driver traffic, the m2 idiom).
+    Every statistic is integer arithmetic (DIV, counts), so the oracle
+    replays bit-exactly.
+
+    Reference anchor: the reference ingests every comment untouched
+    (``convert_to_iceberg.py`` has no quality gate); this is the
+    ablation table a curation deployment reads before choosing which
+    of t2/t11/t13/t19's gates to enable.
+    """
+    from ..tables import load_table
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n"),
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    )
+    per_doc = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("n").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.sum(F.length("tok") * F.col("c")).alias("alpha"),
+            F.max("c").alias("maxc"),
+            F.max("n").alias("n"),
+        )
+    )
+    flags = (
+        docs.select("doc_id", F.length("text").cast("long").alias("__n"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+            F.coalesce("alpha", F.lit(0)).alias("alpha"),
+            F.coalesce("maxc", F.lit(0)).alias("maxc"),
+            F.col("__n").alias("n"),
+        )
+        .selectExpr(
+            f"(n_toks < {E19_MIN_TOKENS}) AS k_tok",
+            f"((10000 * alpha) DIV GREATEST(n, 1)"
+            f" < {E19_MIN_ALPHA_BP}) AS k_alpha",
+            f"((10000 * maxc) DIV GREATEST(n_toks, 1)"
+            f" > {E19_MAX_TOPSHARE_BP}) AS k_share",
+            f"((10 * alpha) DIV GREATEST(n_toks, 1)"
+            f" < {E19_MIN_MEANLEN_DECI}) AS k_len",
+        )
+        .selectExpr(
+            "*",
+            "CAST(k_tok AS INT) + CAST(k_alpha AS INT)"
+            " + CAST(k_share AS INT) + CAST(k_len AS INT) AS k_n",
+        )
+    )
+    row = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(k).cast("long")).alias(f"f_{k}")
+            for k in ("k_tok", "k_alpha", "k_share", "k_len")
+        ],
+        *[
+            F.sum((F.col(k) & (F.col("k_n") == 1)).cast("long")).alias(
+                f"u_{k}"
+            )
+            for k in ("k_tok", "k_alpha", "k_share", "k_len")
+        ],
+        F.sum((F.col("k_n") >= 1).cast("long")).alias("f_any"),
+        F.sum((F.col("k_n") == 1).cast("long")).alias("u_any"),
+    ).collect()[0]
+    n = int(row["n_docs"])
+    comp = {
+        "min_tokens": ("f_k_tok", "u_k_tok"),
+        "alpha_ratio": ("f_k_alpha", "u_k_alpha"),
+        "max_token_share": ("f_k_share", "u_k_share"),
+        "mean_token_len": ("f_k_len", "u_k_len"),
+        "ensemble": ("f_any", "u_any"),
+    }
+    out = [
+        (
+            name,
+            n,
+            int(row[fk] or 0),
+            int(row[uk] or 0),
+            (10000 * int(row[fk] or 0)) // max(n, 1),
+            (10000 * int(row[uk] or 0)) // max(n, 1),
+        )
+        for name, (fk, uk) in sorted(comp.items())
+    ]
+    return spark.createDataFrame(
+        out,
+        "component string, n_docs long, n_fail long, n_unique_fail long,"
+        " fail_bp long, unique_fail_bp long",
+    )
+
+
+def _e19_oracle() -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, LENGTH(text) AS n, unnest(
+                regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS tok
+            FROM documents
+        ), tc AS (
+            SELECT doc_id, tok, COUNT(*) AS c, MAX(n) AS n
+            FROM tok GROUP BY 1, 2
+        ), per AS (
+            SELECT doc_id, SUM(c) AS n_toks,
+                   SUM(LENGTH(tok) * c) AS alpha,
+                   MAX(c) AS maxc, MAX(n) AS n
+            FROM tc GROUP BY 1
+        ), flags AS MATERIALIZED (
+            SELECT
+                COALESCE(p.n_toks, 0) < {E19_MIN_TOKENS} AS k_tok,
+                (10000 * COALESCE(p.alpha, 0))
+                    // GREATEST(LENGTH(d.text), 1)
+                    < {E19_MIN_ALPHA_BP} AS k_alpha,
+                (10000 * COALESCE(p.maxc, 0))
+                    // GREATEST(COALESCE(p.n_toks, 0), 1)
+                    > {E19_MAX_TOPSHARE_BP} AS k_share,
+                (10 * COALESCE(p.alpha, 0))
+                    // GREATEST(COALESCE(p.n_toks, 0), 1)
+                    < {E19_MIN_MEANLEN_DECI} AS k_len
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        ), f2 AS MATERIALIZED (
+            SELECT *, CAST(k_tok AS INT) + CAST(k_alpha AS INT)
+                    + CAST(k_share AS INT) + CAST(k_len AS INT) AS k_n
+            FROM flags
+        ), agg AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN k_tok THEN 1 ELSE 0 END) AS BIGINT) AS f_tok,
+                CAST(SUM(CASE WHEN k_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+                CAST(SUM(CASE WHEN k_share THEN 1 ELSE 0 END) AS BIGINT) AS f_share,
+                CAST(SUM(CASE WHEN k_len THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+                CAST(SUM(CASE WHEN k_tok AND k_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_tok,
+                CAST(SUM(CASE WHEN k_alpha AND k_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_alpha,
+                CAST(SUM(CASE WHEN k_share AND k_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_share,
+                CAST(SUM(CASE WHEN k_len AND k_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_len,
+                CAST(SUM(CASE WHEN k_n >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS f_any,
+                CAST(SUM(CASE WHEN k_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_any
+            FROM f2
+        )
+        SELECT component, n_docs, n_fail, n_unique_fail,
+               CAST((10000 * n_fail) // GREATEST(n_docs, 1) AS BIGINT)
+                   AS fail_bp,
+               CAST((10000 * n_unique_fail) // GREATEST(n_docs, 1) AS BIGINT)
+                   AS unique_fail_bp
+        FROM (
+            SELECT 'min_tokens' AS component, n_docs, f_tok AS n_fail,
+                   u_tok AS n_unique_fail FROM agg
+            UNION ALL SELECT 'alpha_ratio', n_docs, f_alpha, u_alpha FROM agg
+            UNION ALL SELECT 'max_token_share', n_docs, f_share, u_share
+                FROM agg
+            UNION ALL SELECT 'mean_token_len', n_docs, f_len, u_len FROM agg
+            UNION ALL SELECT 'ensemble', n_docs, f_any, u_any FROM agg
+        ) ORDER BY component
+    """
+
+
 QUERIES = {
+    "e19_filter_ablation": e19_filter_ablation,
     "e15_dataset_card": e15_dataset_card,
     "e16_incremental_card": e16_incremental_card,
     "e17_changelog_card_refresh": e17_changelog_card_refresh,
@@ -2417,6 +2601,7 @@ ORACLE = {
     "e5_mixture_sample": _e5_oracle(),
     "e6_budget_select": _e6_oracle(),
     "e18_dsir_resample": _e18_oracle(),
+    "e19_filter_ablation": _e19_oracle(),
     "e9_refresh_pipeline": _e9_oracle(),
     "e7_epoch_shuffle": f"""
         WITH k AS (

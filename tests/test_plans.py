@@ -101,6 +101,7 @@ SKIP_SWEEP = {
     "s8_stream_cusum",  # runs a streaming job at construction
     "e18_dsir_resample",  # distribution fit + bucket walk at construction
     "mm8_audio_fingerprint_neardup",  # caches clusters + materializes
+    "e19_filter_ablation",  # collects the 1-row flag aggregate
 }
 
 

@@ -325,3 +325,62 @@ def test_mm6_swap_point_accepts_real_decoder():
     assert o == c  # byte-identical copy -> exact-collapse cluster
     hamming = bin(o[0] ^ x[0]).count("1") + bin(o[1] ^ x[1]).count("1")
     assert 0 < hamming <= MM6_BANDS - 1  # within guaranteed recall
+
+
+def test_e19_engineered_ablation_accounting(spark, tmp_path):
+    """The ablation arithmetic on a hand-built corpus where every doc's
+    fate is known: doc 1 passes everything, doc 2 fails ONLY min_tokens
+    (unique kill), doc 3 fails ONLY alpha_ratio (unique kill), doc 4
+    fails ONLY max_token_share (unique kill), doc 5 fails min_tokens
+    AND alpha_ratio (shared kill — unique for neither). Zero-token docs
+    must fail, not vanish: doc 6 is punctuation-only and fails
+    min_tokens+alpha+mean_len (shared)."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        e19_filter_ablation,
+    )
+
+    # 30 DISTINCT 5-char tokens: share 333bp, alpha 8379bp, len 50 deci
+    pass_all = " ".join(f"abc{i:02d}" for i in range(30))
+    short = " ".join(f"tok{i:02d}x" for i in range(10))  # 10 distinct
+    # alpha: tokens are 7 chars, 10 tokens = 70 alpha / 79 chars = 8860 OK
+    # share: 1000bp OK; mean len 70/10=7.0 (70 deci) OK -> fails ONLY min_tokens
+    low_alpha = " ".join(
+        f"w{i:02d}" for i in range(30)
+    ) + "!!!" * 30  # 30 distinct 4-char tokens + 90 punct chars
+    # alpha = 120 / (30*4 + 29 + 90=239) = 5020bp FAIL; tokens 30 OK;
+    # share 333bp OK; mean len 40 deci < 42? 120*10/30 = 40 -> FAILS len too!
+    low_alpha = " ".join(
+        f"word{i:02d}" for i in range(30)
+    ) + "!!!" * 40  # 30 tokens of 6 chars = 180 alpha
+    # chars = 180 + 29 spaces + 120 punct = 329 -> 5471bp FAIL alpha;
+    # mean len 60 deci OK; share 333 OK; tokens 30 OK -> alpha only
+    top_heavy = " ".join(["abcdef"] * 10 + [f"zz{i:02d}qq" for i in range(20)])
+    # 30 tokens, top share = 10/30 = 3333bp FAIL; alpha = 180/209=8612 OK;
+    # mean len 60 OK -> share only
+    both = " ".join(f"y{i}" for i in range(10)) + " " + "???" * 40
+    # 10 tokens (2-3 chars): min_tokens FAIL; alpha small FAIL;
+    # mean len ~25 deci FAIL too -> 3-way shared; fine, assert not-unique
+    punct_only = "?!... ---"
+    rows = [
+        (1, pass_all, "en", "src0"),
+        (2, short, "en", "src0"),
+        (3, low_alpha, "en", "src0"),
+        (4, top_heavy, "en", "src0"),
+        (5, both, "en", "src0"),
+        (6, punct_only, "en", "src0"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["component"]: r for r in e19_filter_ablation(spark, sf).collect()
+    }
+    assert got["ensemble"]["n_docs"] == 6
+    assert got["ensemble"]["n_fail"] == 5  # everyone but doc 1
+    # unique kills: docs 2 (min_tokens), 3 (alpha), 4 (share)
+    assert got["ensemble"]["n_unique_fail"] == 3
+    assert got["min_tokens"]["n_unique_fail"] == 1
+    assert got["alpha_ratio"]["n_unique_fail"] == 1
+    assert got["max_token_share"]["n_unique_fail"] == 1
+    assert got["mean_token_len"]["n_unique_fail"] == 0
+    # shared kills count in n_fail: docs 2,5,6 fail min_tokens
+    assert got["min_tokens"]["n_fail"] == 3
+    assert got["ensemble"]["fail_bp"] == (10000 * 5) // 6
