@@ -186,13 +186,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: commit.
 DRIVER_WINDOW = (
     # --- NEW round-15 operators (oracle-bearing, never checked).
-    #     e19 landed late-round and displaced e7_epoch_shuffle (the
-    #     rotation-queue rule forces never-green entries in; e7 leaves
-    #     e4/e5/e6 + e9–e12 + e18 keeping the e family live and heads
-    #     r16's queue with the r11 cohort).
+    #     e19 and t23 landed late-round and displaced e7_epoch_shuffle
+    #     and t1_token_stats (the rotation-queue rule forces never-green
+    #     entries in; e7 leaves e4/e5/e6 + e9–e12 + e18 keeping the e
+    #     family live, t1 leaves t16/t19/t23; both displaced head r16's
+    #     queue with the r11 cohort).
     "e18_dsir_resample",          # DSIR hashed-ngram importance resample
     "mm8_audio_fingerprint_neardup",  # audio shingle containment dedup
     "e19_filter_ablation",        # Gopher-style per-filter kill report
+    "t23_char_ngram_langid",      # trigram NB language-ID + confusion
     # --- code changed in round 15: re-verify at the driver
     "m1_codec_benchmark",         # compresses flag moved to m1b (ADVICE)
     "m2_storage_efficiency",      # null_count data-scan fallback (ADVICE)
@@ -239,7 +241,6 @@ DRIVER_WINDOW = (
     "j9_bloom_pruned_join",
     "m6_profile",
     "t19_quality_classifier",
-    "t1_token_stats",
     "w7_ntile_deciles",
     "x2_ann_lsh_topk",
     "x5_ann_ivf_topk",

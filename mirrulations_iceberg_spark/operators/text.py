@@ -1820,7 +1820,194 @@ def t21_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t23 char-n-gram language-ID geometry: gram width, model size per
+#: language (top-K grams by count — deterministic total order), and
+#: the 1e-4-log2 integer unit scale (the e18 floor-quantization idiom:
+#: log2 over exact integers, identical doubles in the Python fit and
+#: the DuckDB oracle, floor has no rounding-mode ambiguity).
+T23_GRAM = 3
+T23_TOP_GRAMS = 200
+T23_UNIT = 10_000
+
+
+def t23_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram LANGUAGE-ID with a measured confusion matrix —
+    the brief's "language-ID (n-gram heuristic)" as an actual
+    classifier, not just t5's marker-scoring plumbing: per language a
+    naive-Bayes unigram model over its ``T23_TOP_GRAMS`` most frequent
+    character trigrams (trained from the corpus's own labels — the
+    self-training shape; swap the fit literal for fastText/CLD3 tables
+    in production, the scoring plan is unchanged), every document
+    scored against every language model and argmax-assigned, and the
+    output is the (true, predicted) CONFUSION MATRIX with per-true-
+    language share — accuracy as DATA, so a corpus whose text carries
+    no language signal (this synthetic fixture) is VISIBLE in the
+    driver row rather than assumed away.
+
+    Exactness: gram weights are integer 1e-4-log2 units —
+    ``floor((log2(c+1) − log2(tot+K))·10⁴)`` fitted DRIVER-SIDE from
+    the collected ≤ K·|langs| model rows (the x15/e18 fit-literal
+    discipline); out-of-vocabulary grams pay the per-language floor
+    weight (c=0). Per-doc scores are pure integer sums; argmax ties
+    break to the lexicographically LARGEST language on both engines
+    (Spark ``max(struct(score, lang))`` ≡ oracle ``ORDER BY score
+    DESC, lang DESC LIMIT 1``). Documents shorter than one gram carry
+    no evidence and are excluded on both sides.
+
+    Scale shape — two corpus scans (the e18 pattern): (1) TRAIN: gram
+    explode → map-side-combined (lang, gram) count → per-lang top-K
+    through a window over the bounded count table → bounded collect →
+    integer weight fit; (2) SCORE: gram explode × broadcast |langs|-row
+    dim → broadcast left join against the ≤ K·|langs|-row model →
+    per-(doc, lang) partial sums (map-side combine) → per-doc argmax →
+    ≤ |langs|² confusion rollup with a broadcast per-true-lang total
+    for the share. No corpus-sized shuffle except the two doc-keyed
+    aggregates; the model never leaves broadcast size.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from .dedup import parallelize_scan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    low = F.lower(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(low) - (T23_GRAM - 1)),
+        lambda i: low.substr(i, F.lit(T23_GRAM)),
+    )
+    base = docs.filter(F.length(low) >= T23_GRAM).select(
+        "doc_id", F.col("lang").alias("true_lang"), grams.alias("__g")
+    )
+    # PASS 1 — train: bounded (lang, gram) count table -> top-K per
+    # lang (count desc, gram asc: a total order) -> bounded collect
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("c"), F.asc("g")
+    )
+    top = (
+        base.select(F.col("true_lang").alias("lang"), F.explode("__g").alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= T23_TOP_GRAMS)
+        .select("lang", "g", "c")
+        .collect()
+    )
+    tot: dict[str, int] = {}
+    for r in top:
+        tot[r["lang"]] = tot.get(r["lang"], 0) + int(r["c"])
+
+    def unit(c: int, lang: str) -> int:
+        return math.floor(
+            (math.log2(c + 1) - math.log2(tot[lang] + T23_TOP_GRAMS))
+            * float(T23_UNIT)
+        )
+
+    model = spark.createDataFrame(
+        [(r["lang"], r["g"], unit(int(r["c"]), r["lang"])) for r in top],
+        "lang string, g string, w long",
+    )
+    lang_dim = spark.createDataFrame(
+        [(lg, unit(0, lg)) for lg in sorted(tot)], "lang string, oov_w long"
+    )
+    # PASS 2 — score every doc against every language model
+    scored = (
+        base.select("doc_id", "true_lang", F.explode("__g").alias("g"))
+        .join(F.broadcast(lang_dim))
+        .join(F.broadcast(model), ["g", "lang"], "left")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum(F.coalesce("w", "oov_w")).cast("long").alias("score"))
+    )
+    pred = scored.groupBy("doc_id", "true_lang").agg(
+        F.max(F.struct("score", "lang")).alias("__best")
+    )
+    conf = pred.groupBy(
+        "true_lang", F.col("__best.lang").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    totals = conf.groupBy("true_lang").agg(
+        F.sum("n_docs").cast("long").alias("__t")
+    )
+    return (
+        conf.join(F.broadcast(totals), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("CAST((10000 * n_docs) DIV __t AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _t23_oracle() -> str:
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, lang AS true_lang,
+                   list_transform(
+                       range(1, LENGTH(lower(text)) - {T23_GRAM - 1} + 1),
+                       i -> substr(lower(text), CAST(i AS INT), {T23_GRAM})
+                   ) AS g
+            FROM documents WHERE LENGTH(lower(text)) >= {T23_GRAM}
+        ), cnt AS MATERIALIZED (
+            SELECT true_lang AS lang, gg AS g,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT true_lang, unnest(g) AS gg FROM base)
+            GROUP BY 1, 2
+        ), top AS MATERIALIZED (
+            SELECT lang, g, c FROM (
+                SELECT lang, g, c, ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY c DESC, g ASC) AS r
+                FROM cnt
+            ) WHERE r <= {T23_TOP_GRAMS}
+        ), tot AS MATERIALIZED (
+            SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM top GROUP BY 1
+        ), model AS MATERIALIZED (
+            -- the exact fit arithmetic: log2 of exact integers,
+            -- subtract, scale, FLOOR (mirrors the driver-side Python)
+            SELECT top.lang, top.g,
+                   CAST(FLOOR((log2(top.c + 1)
+                             - log2(tot.t + {T23_TOP_GRAMS}))
+                              * {T23_UNIT}) AS BIGINT) AS w
+            FROM top JOIN tot USING (lang)
+        ), oov AS MATERIALIZED (
+            SELECT lang, CAST(FLOOR((log2(1)
+                             - log2(t + {T23_TOP_GRAMS}))
+                              * {T23_UNIT}) AS BIGINT) AS oov_w
+            FROM tot
+        ), dg AS MATERIALIZED (
+            SELECT doc_id, true_lang, gg AS g
+            FROM (SELECT doc_id, true_lang, unnest(g) AS gg FROM base)
+        ), sc AS MATERIALIZED (
+            SELECT d.doc_id, d.true_lang, o.lang,
+                   CAST(SUM(COALESCE(m.w, o.oov_w)) AS BIGINT) AS score
+            FROM dg d CROSS JOIN oov o
+            LEFT JOIN model m ON m.g = d.g AND m.lang = o.lang
+            GROUP BY 1, 2, 3
+        ), pred AS MATERIALIZED (
+            SELECT doc_id, true_lang, lang AS pred_lang FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, lang DESC
+                ) AS r FROM sc
+            ) WHERE r = 1
+        ), conf AS MATERIALIZED (
+            SELECT true_lang, pred_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY 1, 2
+        )
+        SELECT c.true_lang, c.pred_lang, c.n_docs,
+               CAST((10000 * c.n_docs) // t.t AS BIGINT) AS share_bp
+        FROM conf c JOIN (
+            SELECT true_lang, CAST(SUM(n_docs) AS BIGINT) AS t
+            FROM conf GROUP BY 1
+        ) t USING (true_lang)
+        ORDER BY true_lang, pred_lang
+    """
+
+
 QUERIES = {
+    "t23_char_ngram_langid": t23_char_ngram_langid,
     "t22_intra_doc_repetition": t22_intra_doc_repetition,
     "t21_chunk_documents": t21_chunk_documents,
     "t20_bpe_encode_corpus": t20_bpe_encode_corpus,
@@ -1853,6 +2040,7 @@ _WINNOW_HASH_SQL = " + ".join(
 )
 
 ORACLE = {
+    "t23_char_ngram_langid": _t23_oracle(),
     "t22_intra_doc_repetition": f"""
         WITH toked AS (
             SELECT doc_id, lang,

@@ -102,6 +102,7 @@ SKIP_SWEEP = {
     "e18_dsir_resample",  # distribution fit + bucket walk at construction
     "mm8_audio_fingerprint_neardup",  # caches clusters + materializes
     "e19_filter_ablation",  # collects the 1-row flag aggregate
+    "t23_char_ngram_langid",  # trains the gram model at construction
 }
 
 

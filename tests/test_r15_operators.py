@@ -384,3 +384,32 @@ def test_e19_engineered_ablation_accounting(spark, tmp_path):
     # shared kills count in n_fail: docs 2,5,6 fail min_tokens
     assert got["min_tokens"]["n_fail"] == 3
     assert got["ensemble"]["fail_bp"] == (10000 * 5) // 6
+
+
+def test_t23_engineered_disjoint_alphabets(spark, tmp_path):
+    """Language-ID semantics on a corpus with REAL language signal:
+    two artificial languages over disjoint alphabets train separable
+    trigram models, so the confusion matrix must be perfectly
+    diagonal (share_bp 10000 on both diagonal cells). A third set of
+    sub-gram-length docs carries no evidence and must be excluded."""
+    from mirrulations_iceberg_spark.operators.text import (
+        t23_char_ngram_langid,
+    )
+
+    aa = " ".join("abcab bacba cabac".split() * 8)   # alphabet {a,b,c}
+    zz = " ".join("xyzxy zyxzy yxzyx".split() * 8)   # alphabet {x,y,z}
+    rows = (
+        [(i, aa + f" ab{i}ca", "aa", "src0") for i in range(6)]
+        + [(10 + i, zz + f" xy{i}zx", "zz", "src0") for i in range(6)]
+        + [(20, "hi", "aa", "src0")]  # shorter than one trigram
+    )
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["true_lang"], r["pred_lang"]): r
+        for r in t23_char_ngram_langid(spark, sf).collect()
+    }
+    assert set(got) == {("aa", "aa"), ("zz", "zz")}
+    assert got[("aa", "aa")]["n_docs"] == 6
+    assert got[("zz", "zz")]["n_docs"] == 6
+    assert got[("aa", "aa")]["share_bp"] == 10000
+    assert got[("zz", "zz")]["share_bp"] == 10000
