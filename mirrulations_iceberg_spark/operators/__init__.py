@@ -160,30 +160,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: first contact, and the exact 50-slot order replayed green via
 #: --window-order before commit.
 #: Round-15 rotation (VERDICT r14 item #2 + the round's build list):
-#: the window = 2 NEW oracle-bearing entries (e18 DSIR importance
-#: resampling, mm8 audio fingerprint near-dup — never green by
-#: definition, forced in by the rotation-queue rule) + 5 whose code
-#: changed this round and must re-verify at the driver (m1/m2: the
-#: ADVICE r14 writer-independence split — compresses flag moved to
-#: m1b, null_count data-scan fallback; o13: broadcast 1-row total
-#: replaces the unpartitioned Window — ADVICE r14; s9: the
+#: the window = 4 NEW oracle-bearing entries (e18 DSIR importance
+#: resampling and mm8 audio fingerprint near-dup at rotation time;
+#: e19 filter ablation and t23 language-ID landed late-round — never
+#: green by definition, all forced in by the rotation-queue rule) + 5
+#: whose code changed this round and must re-verify at the driver
+#: (m1/m2: the ADVICE r14 writer-independence split — compresses flag
+#: moved to m1b, null_count data-scan fallback; o13: broadcast 1-row
+#: total replaces the unpartitioned Window — ADVICE r14; s9: the
 #: cap-proximity runtime guard; mm7: containment machinery extracted
 #: into the shared signature_containment_pairs helper mm8 composes) +
 #: ALL 18 r10-stale greens (d7/d15/d16, e9/e10/e11/e12, f1c, m13,
 #: q2/q4/q5/q6/q10, s3, t16, w15, x13 — exactly the list VERDICT r14
 #: #2 names, verified against the regenerated LEDGER.md, never
-#: memory) + 25 of the 45 r11-stale greens chosen for family spread
-#: (a1–a5/a8/a12, both c-suite entries, d1/d3/d8, e4–e7, g1, j9, m6,
-#: t1, t19, w7, x2/x5/x6). The 20 r11 entries heading r16's queue
-#: (d13/d15b/d19, f1, j13/j14, m10/m11, mm3, o7, q1/q3/q8/q9, s1/s6,
-#: x11/x12/x14/x16) were picked by family redundancy — each leaves
-#: same-family siblings in the window (d1/d3/d7/d8/d15/d16; f1c;
-#: j9; m1/m2/m6/m13; mm7/mm8; o13; q2/q4/q5/q6/q10; s3/s9;
-#: x2/x5/x6/x13) — so no family's live attestation thins. Pre-rotation
-#: gate: the full sf0.01 sweep ran green this session with every
-#: new/changed entry re-verified at sf0.01 on first contact, and the
-#: exact 50-slot order replayed green via --window-order before
-#: commit.
+#: memory) + 23 of the 45 r11-stale greens chosen for family spread
+#: (a1–a5/a8/a12, both c-suite entries, d1/d3/d8, e4/e5/e6, g1, j9,
+#: m6, t19, w7, x2/x5/x6 — e7 and t1 entered at first rotation and
+#: yielded their slots to the late e19/t23). The 22 r11 entries
+#: heading r16's queue (d13/d15b/d19, e7, f1, j13/j14, m10/m11, mm3,
+#: o7, q1/q3/q8/q9, s1/s6, t1, x11/x12/x14/x16) were picked by family
+#: redundancy — each leaves same-family siblings in the window
+#: (d1/d3/d7/d8/d15/d16; e4/e5/e6 + e9–e12 + e18/e19; f1c; j9;
+#: m1/m2/m6/m13; mm7/mm8; o13; q2/q4/q5/q6/q10; s3/s9; t16/t19/t23;
+#: x2/x5/x6/x13) — so no family's live attestation thins.
+#: Pre-rotation gate: the full sf0.01 sweep ran green this session
+#: (twice — 210 pass pre-rotation, 211 pass after e19 landed) with
+#: every new/changed entry re-verified at sf0.01 on first contact,
+#: and the exact 50-slot order replayed green via --window-order
+#: after every window edit (four replays this round).
 DRIVER_WINDOW = (
     # --- NEW round-15 operators (oracle-bearing, never checked).
     #     e19 and t23 landed late-round and displaced e7_epoch_shuffle
