@@ -109,6 +109,14 @@ TARGETS = {
     # — the heaviest explode volume on the curve after t22, plus the
     # e6 greedy-selection machinery on top.
     "e18_dsir_resample": "documents",
+    # Filter-ablation row (r15): token-level hash-agg -> per-doc
+    # rollup -> spine join -> one boolean-sum aggregate — the pure
+    # curation-report shape (no pairing, no model).
+    "e19_filter_ablation": "documents",
+    # Language-ID row (r15): two scans, char-trigram explode (the
+    # heaviest per-char volume on the curve) and a x|langs| broadcast
+    # scoring join with per-(doc, lang) map-side combine.
+    "t23_char_ngram_langid": "documents",
 }
 
 

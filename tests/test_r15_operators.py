@@ -413,3 +413,25 @@ def test_t23_engineered_disjoint_alphabets(spark, tmp_path):
     assert got[("zz", "zz")]["n_docs"] == 6
     assert got[("aa", "aa")]["share_bp"] == 10000
     assert got[("zz", "zz")]["share_bp"] == 10000
+
+
+def test_containment_helper_plan_is_bounded(spark):
+    """The shared mm7/mm8 pairing machinery must never degenerate into
+    a cartesian/broadcast-nested-loop product: the pair generator is an
+    EQUI-join on the element hash, and the hot-postings cap is a
+    left-anti join — assert both on the physical plan of the helper's
+    output (mm7/mm8 themselves are SKIP_SWEEP'd as construction-heavy,
+    so the plan sweep never sees this shape)."""
+    from mirrulations_iceberg_spark.operators.multimodal import (
+        signature_containment_pairs,
+    )
+
+    frames = spark.createDataFrame(
+        [(i, f"h{i % 7}") for i in range(40)], "media_id long, fhash string"
+    )
+    out, clusters = signature_containment_pairs(frames, 5000, 64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    clusters.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # the hot-postings cap join
