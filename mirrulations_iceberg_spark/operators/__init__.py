@@ -224,7 +224,7 @@ DRIVER_WINDOW = (
     "t16_source_overlap",
     "w15_ohlc_downsample",
     "x13_lsh_recall_curve",
-    # --- 25 of the 45 r11-stale greens (family-spread picks; the 20
+    # --- 23 of the 45 r11-stale greens (family-spread picks; the 22
     #     left out head r16's queue, each with siblings in-window)
     "a12_rollup",
     "a1_count_star",

@@ -1756,6 +1756,17 @@ def e18_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     B are exact integer products ``(cnt+1)·(othertot+BUCKETS)`` (all
     < 2⁵³, so the doubles entering log2 are identical in Python and
     DuckDB; floor has no rounding-mode ambiguity, unlike round-half).
+    SAME-LIBM ASSUMPTION (ADVICE r15): log2 is not correctly rounded
+    by IEEE-754, so "identical doubles in" guarantees "identical
+    doubles out" only because Python's ``math.log2`` and DuckDB's
+    ``log2`` bind the SAME platform libm here. A cross-platform oracle
+    run could flip ``floor(x·10⁴)`` at a boundary and move one weight
+    by 1 unit — treat a 1-unit weight diff on a foreign libm as this
+    known boundary artifact, not a logic bug.
+    ``tests/test_r16_operators.py`` sweeps every fixture-produced fit
+    input and asserts none sits within 1e-9 of a floor boundary, so on
+    THIS host no value is close enough for any sub-ulp libm divergence
+    to flip it.
     Doc scores are then pure integer sums — no float accumulation
     order anywhere. (At 100 TB the products would pass 2⁵³: compute
     the same quantity as ``log2(p+1)−log2(q+1)+log2(Qt+B)−log2(Pt+B)``
@@ -1854,15 +1865,25 @@ def e18_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()  # feeds the bucket walk + both selection branches
     )
-    csums = sorted(
-        (
-            (r["cscore"], r["n"])
-            for r in scored.groupBy("cscore")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        ),
-        reverse=True,
+    crows = (
+        scored.groupBy("cscore")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("score").alias("mn"))
+        .collect()
     )
+    # ADVICE r15: the coarse-bucket DIV is floor ONLY while
+    # score + E18_OFFSET stays non-negative (Spark DIV truncates toward
+    # zero). Selection would survive a breach (truncation is monotone
+    # and the boundary window orders by exact score), but the documented
+    # invariant would silently rot — so assert the headroom on the same
+    # bounded collect the bucket walk already pays for.
+    if crows and min(int(r["mn"]) for r in crows) + E18_OFFSET < 0:
+        raise ValueError(
+            "e18: score + E18_OFFSET went negative — DIV is no longer "
+            "floor. Raise E18_OFFSET (or derive it as "
+            "-min_unit * max_feature_count) before trusting cscore "
+            "bucket boundaries."
+        )
+    csums = sorted(((r["cscore"], r["n"]) for r in crows), reverse=True)
     cum, cutoff, residual = 0, None, 0
     for cs, n in csums:
         if cum + n <= n_target:

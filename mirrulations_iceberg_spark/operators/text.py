@@ -1848,7 +1848,13 @@ def t23_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``floor((log2(c+1) − log2(tot+K))·10⁴)`` fitted DRIVER-SIDE from
     the collected ≤ K·|langs| model rows (the x15/e18 fit-literal
     discipline); out-of-vocabulary grams pay the per-language floor
-    weight (c=0). Per-doc scores are pure integer sums; argmax ties
+    weight (c=0). SAME-LIBM ASSUMPTION (ADVICE r15): log2 is not
+    correctly rounded, so Python-fit and DuckDB-replayed weights agree
+    only because both bind the same platform libm — a foreign-libm
+    oracle could flip a ``floor(x·10⁴)`` boundary by 1 unit (known
+    boundary artifact, not a logic bug). ``tests/test_r16_operators.py``
+    proves no fixture fit input sits within 1e-9 of a floor boundary
+    on this host. Per-doc scores are pure integer sums; argmax ties
     break to the lexicographically LARGEST language on both engines
     (Spark ``max(struct(score, lang))`` ≡ oracle ``ORDER BY score
     DESC, lang DESC LIMIT 1``). Documents shorter than one gram carry
