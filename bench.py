@@ -72,11 +72,13 @@ def _load_avg() -> float:
         return -1.0
 
 
-def _prior_timings() -> dict[str, float]:
+def _prior_timings(path: str | None = None) -> dict[str, float]:
     """Previous run's per-query numbers (same sf only) — the reference
-    for the >50%-regression re-run rule."""
+    for the >50%-regression re-run rule. A shuffled-order run still
+    compares against the CANONICAL prior (that cross-order comparison
+    is the point of shuffle mode)."""
     try:
-        with open(_DETAIL_PATH) as fh:
+        with open(path or _DETAIL_PATH) as fh:
             prior = json.load(fh)
     except (OSError, ValueError):
         return {}
@@ -89,6 +91,28 @@ def _prior_timings() -> dict[str, float]:
 
 
 def main() -> None:
+    # --shuffle-order <seed> (VERDICT r15 item #2): run the sweep in a
+    # seeded-shuffled order instead of sorted. Banking one shuffled run
+    # beside the canonical order makes POSITION effects (cache/GC
+    # accumulation biasing late-alphabet queries) measurable forever:
+    # a query slow in both orders is really slow; slow only when it
+    # sits late is paying for session age. A shuffled run never
+    # clobbers the canonical prior or the versioned round snapshot —
+    # it writes BENCH_DETAIL_SHUFFLED.json unless the detail path is
+    # explicitly overridden.
+    shuffle_seed: int | None = None
+    argv = sys.argv[1:]
+    if "--shuffle-order" in argv:
+        i = argv.index("--shuffle-order")
+        try:
+            shuffle_seed = int(argv[i + 1])
+        except (IndexError, ValueError):
+            print("bench: --shuffle-order requires an int seed", file=sys.stderr)
+            raise SystemExit(2)
+    global _DETAIL_PATH
+    if shuffle_seed is not None and "SPARK_GRAFT_DETAIL_PATH" not in os.environ:
+        _DETAIL_PATH = os.path.join(_REPO, "BENCH_DETAIL_SHUFFLED.json")
+
     spark = get_spark(app_name="bench")
     queries, _ = collect_queries()
 
@@ -99,7 +123,11 @@ def main() -> None:
 
     load_start = _load_avg()
     probe_start = _probe(spark)
-    prior = _prior_timings()
+    prior = _prior_timings(
+        os.path.join(_REPO, "BENCH_DETAIL.json")
+        if shuffle_seed is not None and "SPARK_GRAFT_DETAIL_PATH" not in os.environ
+        else None
+    )
 
     # Single pass, one fresh session — the driver's own protocol. Each
     # per-query number includes ~0.5-1 s of one-time Catalyst/codegen
@@ -164,7 +192,12 @@ def main() -> None:
             return t > 1.35 * p and t - p > 0.5
         return t > 2.0 * p and t - p > 0.15
 
-    for i, (name, fn) in enumerate(sorted(queries.items())):
+    ordered = sorted(queries.items())
+    if shuffle_seed is not None:
+        import random
+
+        random.Random(shuffle_seed).shuffle(ordered)
+    for i, (name, fn) in enumerate(ordered):
         t = _run_once(name, fn)
         p = prior.get(name)
         if t >= 0 and p is not None and _regressed(t, p):
@@ -214,7 +247,13 @@ def main() -> None:
         "load_avg_1min": {"start": load_start, "end": load_end},
         "reruns": reruns,
         "contaminated": contaminated,
+        "order": "sorted" if shuffle_seed is None else f"shuffled:{shuffle_seed}",
     }
+    if shuffle_seed is not None:
+        # Per-query sweep position: the regression variable for the
+        # position-effect analysis (time_shuffled/time_sorted vs
+        # position delta).
+        detail["positions"] = {name: i for i, (name, _) in enumerate(ordered)}
     try:
         with open(_DETAIL_PATH, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
@@ -237,6 +276,7 @@ def main() -> None:
         if (
             "SPARK_GRAFT_DETAIL_PATH" not in os.environ
             and "SPARK_GRAFT_SF_DIR" not in os.environ
+            and shuffle_seed is None  # shuffled runs never become the round detail
         ):
             import glob as _glob
             import re as _re
@@ -289,6 +329,9 @@ def main() -> None:
                     1 for r in reruns.values() if r["verdict"] == "environment"
                 ),
                 "contaminated": contaminated,
+                "order": "sorted"
+                if shuffle_seed is None
+                else f"shuffled:{shuffle_seed}",
             }
         )
     )

@@ -188,67 +188,89 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: every new/changed entry re-verified at sf0.01 on first contact,
 #: and the exact 50-slot order replayed green via --window-order
 #: after every window edit (four replays this round).
+#: Round-16 rotation (VERDICT r15 items #1/#3): 2 NEW oracle-bearing
+#: entries (e19b threshold sweep, t24 predicted-language card) + 2
+#: whose code changed this round (e18: ADVICE r15 offset-headroom
+#: guard; t23: scoring factored into the shared t23_pred_frame swap
+#: point that t24 composes) + ALL 22 r11-stale greens (exactly
+#: VERDICT r15 #1's list, from the regenerated ledger) + 24 of the 47
+#: r12-stale greens by family spread. The 23 r12 entries left out
+#: head r17's queue (a13/a15/a5b, d12/d2b/d3b/d5/d6, o8, t8/t12/
+#: t17b, w6/w8/w9/w10/w11, x17/x18/x18b/x19/x4/x4b) — each has
+#: same-family siblings in-window or a green row <= 2 rounds old.
+#: WINDOW-SIZE CONSTRAINT (VERDICT r15 #3): the driver consumes
+#: list(queries())[:50] — every CORRECTNESS_r02..r15 file has exactly
+#: 50 rows regardless of registry size (60 -> 215 queries), so the cap
+#: is the driver's, not ours. Growth policy from r16 on: new operators
+#: per round <= 50 − (code-changed re-verifies) − (current oldest
+#: stale cohort), so the worst-case attestation staleness stops
+#: lengthening; see README "Driver window" note.
 DRIVER_WINDOW = (
-    # --- NEW round-15 operators (oracle-bearing, never checked).
-    #     e19 and t23 landed late-round and displaced e7_epoch_shuffle
-    #     and t1_token_stats (the rotation-queue rule forces never-green
-    #     entries in; e7 leaves e4/e5/e6 + e9–e12 + e18 keeping the e
-    #     family live, t1 leaves t16/t19/t23; both displaced head r16's
-    #     queue with the r11 cohort).
-    "e18_dsir_resample",          # DSIR hashed-ngram importance resample
-    "mm8_audio_fingerprint_neardup",  # audio shingle containment dedup
-    "e19_filter_ablation",        # Gopher-style per-filter kill report
-    "t23_char_ngram_langid",      # trigram NB language-ID + confusion
-    # --- code changed in round 15: re-verify at the driver
-    "m1_codec_benchmark",         # compresses flag moved to m1b (ADVICE)
-    "m2_storage_efficiency",      # null_count data-scan fallback (ADVICE)
-    "o13_group_kfold_split",      # broadcast total, no global Window
-    "s9_stream_neardup_admission",  # cap-proximity runtime guard
-    "mm7_video_framesig_neardup",  # shared containment helper extracted
-    # --- ALL 18 r10-stale greens (VERDICT r14 item #2's list)
-    "d15_exact_substring_spans",
-    "d16_cluster_best_select",
-    "d7_dedup_apply_lsh",
-    "e10_curriculum_schedule",
-    "e11_epoch_cap_allocation",
-    "e12_packing_curve",
-    "e9_refresh_pipeline",
-    "f1c_index_refresh",
-    "m13_preflight_report",
-    "q10_docket_rollup",
-    "q2_count_by_agency",
-    "q4_avg_comment_length",
-    "q5_top_commenters",
-    "q6_comments_by_date",
-    "s3_stream_sessions",
-    "t16_source_overlap",
-    "w15_ohlc_downsample",
-    "x13_lsh_recall_curve",
-    # --- 23 of the 45 r11-stale greens (family-spread picks; the 22
-    #     left out head r16's queue, each with siblings in-window)
-    "a12_rollup",
-    "a1_count_star",
-    "a2_groupby_count",
-    "a3_multikey_groupby",
-    "a4_avg_length",
-    "a5_numeric_stats",
-    "a8_null_profile",
-    "c_json_extract",
-    "c_scalar_suite",
-    "d1_exact_dedup",
-    "d3_minhash_lsh_pairs",
-    "d8_dedup_components",
-    "e4_pack_sequences",
-    "e5_mixture_sample",
-    "e6_budget_select",
-    "g1_glob_read",
-    "j9_bloom_pruned_join",
-    "m6_profile",
-    "t19_quality_classifier",
-    "w7_ntile_deciles",
-    "x2_ann_lsh_topk",
-    "x5_ann_ivf_topk",
-    "x6_embedding_dedup_apply",
+    # --- NEW round-16 operators (oracle-bearing, never checked;
+    #     forced in by the rotation-queue rule). mm9 (VERDICT r15 #7,
+    #     optional) was SKIPPED on the window budget: with 2 new + 2
+    #     changed the round affords exactly 24 r12-stale slots and the
+    #     staleness debt (VERDICT r15 #3/#4 history) outranks an
+    #     optional composition.
+    "e19b_filter_threshold_sweep",  # e19 swept: kill/unique/ensemble per (rule, theta)
+    "t24_predlang_dataset_card",    # e15 card keyed on t23's argmax + agreement bp
+    # --- code changed in round 16: re-verify at the driver
+    "e18_dsir_resample",          # offset-headroom guard on the cscore collect (ADVICE r15)
+    "t23_char_ngram_langid",      # scoring factored into t23_pred_frame (t24's swap point)
+    # --- ALL 22 r11-stale greens (VERDICT r15 item #1's list,
+    #     verified against the regenerated LEDGER.md at r16 open)
+    "d13_semdedup",
+    "d15b_exact_substring_cut",
+    "d19_duplicate_reweight",
+    "e7_epoch_shuffle",
+    "f1_like_substring",
+    "j13_interval_coalesce",
+    "j14_episode_attribution",
+    "m10_skew_report",
+    "m11_time_travel",
+    "mm3_frame_sample",
+    "o7_stratified_sample",
+    "q1_count_total",
+    "q3_with_attachments",
+    "q8_complex_filter",
+    "q9_comments_per_document",
+    "s1_stream_windowed_counts",
+    "s6_stream_base_dedup",
+    "t1_token_stats",
+    "x11_ivf_tuning_curve",
+    "x12_knn_graph",
+    "x14_cluster_balanced_sample",
+    "x16_graph_community_dedup",
+    # --- 24 of the 47 r12-stale greens (family-spread picks; the 23
+    #     left out head r17's queue, each with same-family siblings
+    #     in-window or green <= 2 rounds ago per the ledger:
+    #     a13/a15/a5b <- a-family r15 greens; d12/d2b/d3b/d5/d6 <-
+    #     d2/d4/d13 in-window; o8 <- o7; t8/t12/t17b <- t1/t23;
+    #     w6/w8-w11 <- w1/w3; x17/x18/x18b/x19/x4/x4b <- x1/x3/x8/x9)
+    "e2_training_pipeline",       # flagship
+    "e3_shard_assign",
+    "w1_topn_per_group",
+    "w3_lag_delta",
+    "s4_stream_dedup",
+    "t5_lang_profile",
+    "t7_tfidf_top_terms",
+    "t9_token_counts",
+    "t10_pii_redact",
+    "u4_except_all",
+    "u5_intersect_all",
+    "x1_cosine_topk",
+    "x3_label_centroid_sim",
+    "x8_range_search",
+    "x9_pq_adc_topk",
+    "g2_csv_roundtrip",
+    "g3_jsonl_roundtrip",
+    "g4_orc_roundtrip",
+    "mm1_media_manifest",
+    "mm4_audio_rms",
+    "mm5_resize_thumbs",
+    "m12_vacuum_orphans",
+    "d2_ngram_jaccard_pairs_diag",
+    "d4_simhash",
 )
 
 

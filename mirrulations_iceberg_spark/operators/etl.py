@@ -2190,8 +2190,317 @@ def _e19_oracle() -> str:
     """
 
 
+#: e19b sweep grids (VERDICT r15 item #5): 5 points per rule spanning
+#: the measured fixture quantile range (the e19 calibration comment),
+#: with e19's calibrated point at the center of every grid so the
+#: calibrated row of the sweep must reproduce e19's report exactly
+#: (pinned in tests/test_r16_operators.py). ``lt`` rules kill when the
+#: statistic is BELOW the threshold, ``gt`` when above.
+E19B_GRID: tuple[tuple[str, str, str, tuple[int, ...]], ...] = (
+    ("min_tokens", "lt", "n_toks", (10, 18, 25, 32, 40)),
+    ("alpha_ratio", "lt", "alpha_bp", (7900, 8000, 8150, 8300, 8400)),
+    ("max_token_share", "gt", "share_bp", (1000, 1150, 1300, 1450, 1600)),
+    ("mean_token_len", "lt", "len_deci", (38, 40, 42, 44, 46)),
+)
+
+#: rule -> the OTHER rules' calibrated kill flags (for unique-kill /
+#: ensemble-kill while sweeping one rule, others held at e19's
+#: calibrated thresholds — one-factor-at-a-time ablation).
+_E19B_OTHERS = {
+    "min_tokens": "(k_alpha OR k_share OR k_len)",
+    "alpha_ratio": "(k_tok OR k_share OR k_len)",
+    "max_token_share": "(k_tok OR k_alpha OR k_len)",
+    "mean_token_len": "(k_tok OR k_alpha OR k_share)",
+}
+
+
+def e19b_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter THRESHOLD SWEEP — x11's measurement discipline
+    applied to e19's ablation (VERDICT r15 item #5): e19 reports the
+    four Gopher-style rules at single calibrated points; a deployment
+    picks thresholds from a CURVE. For each rule, five threshold
+    points spanning the measured fixture quantile range (calibrated
+    point center-of-grid), one-factor-at-a-time: the swept rule moves,
+    the other three stay at e19's calibrated thresholds. Per (rule,
+    threshold): docs killed by the rule alone, docs it UNIQUELY kills
+    (no other calibrated rule fires), and the resulting ensemble kill
+    — the three numbers that price a threshold move before shipping it.
+
+    Scale shape — ONE corpus scan feeds every sweep point: the token
+    hash-agg and per-doc rollup are computed once (e19's recipe,
+    self-contained per the t20 precedent so green e19 stays untouched),
+    reduced to an integer per-doc stats frame (n_toks / alpha_bp /
+    share_bp / len_deci + the four calibrated kill flags), and the
+    whole 20-point grid is CONDITIONAL AGGREGATION over that frame —
+    60 boolean sums, map-side combined to a single row; the 20-row
+    report unpivots driver-side from that one collected row (the e19/
+    m2 bounded-driver idiom). No per-point rescan, no crossJoin, no
+    second shuffle: adding sweep points changes only the projection
+    width. All statistics are integer (DIV, counts) so the oracle
+    replays bit-exactly.
+
+    Reference anchor: extends ``exploration_summary.md:100-112``'s
+    quality-recommendation territory the same way x11 extends x5 —
+    the operating point becomes a measured curve, not a guess.
+    """
+    from ..tables import load_table
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n"),
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    )
+    per_doc = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("n").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.sum(F.length("tok") * F.col("c")).alias("alpha"),
+            F.max("c").alias("maxc"),
+        )
+    )
+    stats = (
+        docs.select("doc_id", F.length("text").cast("long").alias("__n"))
+        .join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "COALESCE(n_toks, 0) AS n_toks",
+            "(10000 * COALESCE(alpha, 0)) DIV GREATEST(__n, 1) AS alpha_bp",
+            "(10000 * COALESCE(maxc, 0))"
+            " DIV GREATEST(COALESCE(n_toks, 0), 1) AS share_bp",
+            "(10 * COALESCE(alpha, 0))"
+            " DIV GREATEST(COALESCE(n_toks, 0), 1) AS len_deci",
+        )
+        .selectExpr(
+            "n_toks",
+            "alpha_bp",
+            "share_bp",
+            "len_deci",
+            f"(n_toks < {E19_MIN_TOKENS}) AS k_tok",
+            f"(alpha_bp < {E19_MIN_ALPHA_BP}) AS k_alpha",
+            f"(share_bp > {E19_MAX_TOPSHARE_BP}) AS k_share",
+            f"(len_deci < {E19_MIN_MEANLEN_DECI}) AS k_len",
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for rule, op, stat, grid in E19B_GRID:
+        other = _E19B_OTHERS[rule]
+        for j, theta in enumerate(grid):
+            fail = f"({stat} {'<' if op == 'lt' else '>'} {theta})"
+            aggs.append(
+                F.expr(f"SUM(CAST({fail} AS BIGINT))").alias(f"f_{rule}_{j}")
+            )
+            aggs.append(
+                F.expr(
+                    f"SUM(CAST(({fail} AND NOT {other}) AS BIGINT))"
+                ).alias(f"u_{rule}_{j}")
+            )
+            aggs.append(
+                F.expr(f"SUM(CAST(({fail} OR {other}) AS BIGINT))").alias(
+                    f"e_{rule}_{j}"
+                )
+            )
+    row = stats.agg(*aggs).collect()[0]
+    n = int(row["n_docs"])
+    out = [
+        (
+            rule,
+            theta,
+            n,
+            int(row[f"f_{rule}_{j}"] or 0),
+            int(row[f"u_{rule}_{j}"] or 0),
+            int(row[f"e_{rule}_{j}"] or 0),
+            (10000 * int(row[f"f_{rule}_{j}"] or 0)) // max(n, 1),
+        )
+        for rule, _op, _stat, grid in E19B_GRID
+        for j, theta in enumerate(grid)
+    ]
+    return spark.createDataFrame(
+        out,
+        "rule string, threshold long, n_docs long, n_fail long,"
+        " n_unique_fail long, n_ensemble_fail long, fail_bp long",
+    )
+
+
+def _e19b_oracle() -> str:
+    grid_values = ", ".join(
+        f"('{rule}', CAST({theta} AS BIGINT))"
+        for rule, _op, _stat, grid in E19B_GRID
+        for theta in grid
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, LENGTH(text) AS n, unnest(
+                regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS tok
+            FROM documents
+        ), tc AS (
+            SELECT doc_id, tok, COUNT(*) AS c, MAX(n) AS n
+            FROM tok GROUP BY 1, 2
+        ), per AS (
+            SELECT doc_id, SUM(c) AS n_toks,
+                   SUM(LENGTH(tok) * c) AS alpha,
+                   MAX(c) AS maxc
+            FROM tc GROUP BY 1
+        ), stats AS MATERIALIZED (
+            SELECT
+                COALESCE(p.n_toks, 0) AS n_toks,
+                (10000 * COALESCE(p.alpha, 0))
+                    // GREATEST(LENGTH(d.text), 1) AS alpha_bp,
+                (10000 * COALESCE(p.maxc, 0))
+                    // GREATEST(COALESCE(p.n_toks, 0), 1) AS share_bp,
+                (10 * COALESCE(p.alpha, 0))
+                    // GREATEST(COALESCE(p.n_toks, 0), 1) AS len_deci
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        ), flagged AS MATERIALIZED (
+            SELECT *,
+                n_toks < {E19_MIN_TOKENS} AS k_tok,
+                alpha_bp < {E19_MIN_ALPHA_BP} AS k_alpha,
+                share_bp > {E19_MAX_TOPSHARE_BP} AS k_share,
+                len_deci < {E19_MIN_MEANLEN_DECI} AS k_len
+            FROM stats
+        ), grid(rule, threshold) AS (VALUES {grid_values}),
+        crossed AS (
+            SELECT g.rule, g.threshold,
+                CASE g.rule
+                    WHEN 'min_tokens' THEN s.n_toks < g.threshold
+                    WHEN 'alpha_ratio' THEN s.alpha_bp < g.threshold
+                    WHEN 'max_token_share' THEN s.share_bp > g.threshold
+                    ELSE s.len_deci < g.threshold
+                END AS fail,
+                CASE g.rule
+                    WHEN 'min_tokens' THEN (k_alpha OR k_share OR k_len)
+                    WHEN 'alpha_ratio' THEN (k_tok OR k_share OR k_len)
+                    WHEN 'max_token_share' THEN (k_tok OR k_alpha OR k_len)
+                    ELSE (k_tok OR k_alpha OR k_share)
+                END AS other
+            FROM flagged s CROSS JOIN grid g
+        )
+        SELECT rule, threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail,
+               CAST(SUM(CASE WHEN fail AND NOT other THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_unique_fail,
+               CAST(SUM(CASE WHEN fail OR other THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_ensemble_fail,
+               CAST((10000 * SUM(CASE WHEN fail THEN 1 ELSE 0 END))
+                   // GREATEST(COUNT(*), 1) AS BIGINT) AS fail_bp
+        FROM crossed
+        GROUP BY rule, threshold
+        ORDER BY rule, threshold
+    """
+
+
+def t24_predlang_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card grouped by PREDICTED language (VERDICT r15 item
+    #6) — what a production corpus with NO language labels actually
+    runs: e15's release card keys its language axis on the fixture's
+    given ``lang`` column; real crawls don't have one, so this card
+    groups by t23's argmax prediction instead, and carries an
+    AGREEMENT column (pred == labeled, in basis points) so the
+    self-labeling error is a visible number on every row rather than
+    an assumption. Documents too short to carry one trigram get the
+    ISO-639 undetermined code ``und`` (they never agree).
+
+    Composition is the point: :func:`~.text.t23_pred_frame` is the
+    shared model swap point — swap its fit literal for fastText/CLD3
+    tables and this card retargets with zero changes here — and the
+    card shape is e15's (GROUPING SETS detail/subtotal/total, exact
+    distinct-fp duplication, integer basis points).
+
+    Scale shape: t23's two model passes (bounded broadcast model), ONE
+    card scan projecting (doc_id, source, lang, n_toks, fp), one
+    doc-keyed equi-join card×pred (the only corpus-sized shuffle this
+    operator adds), then the a16 Expand machinery — grouping flags
+    emitted per column, never a packed grouping_id. 100 TB note: the
+    doc-keyed join co-partitions with e15's ingest layout (doc_id is
+    the natural bucketing key), and ``COUNT(DISTINCT fp)`` downgrades
+    to HLL exactly as e15 documents.
+
+    Oracle: ``_t23_pred_cte()`` (string-shared with t23's oracle — the
+    x11/x16 anti-drift discipline) + the identical GROUPING SETS card.
+    """
+    from ..tables import load_table
+    from .dedup import parallelize_scan
+    from .text import t23_pred_frame, tokens_col
+
+    pred = t23_pred_frame(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    per = (
+        docs.withColumn("__toks", tokens_col(F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size("__toks").alias("n_toks"),
+            _content_fp(F.col("__toks")).alias("fp"),
+        )
+        .join(pred, "doc_id", "left")
+        .withColumn("pred_lang", F.coalesce("pred_lang", F.lit("und")))
+    )
+    per.createOrReplaceTempView("t24_docs")
+    return spark.sql(
+        """
+        SELECT source, pred_lang,
+               CAST(grouping(source) AS INT) AS g_source,
+               CAST(grouping(pred_lang) AS INT) AS g_lang,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT fp) AS n_unique,
+               (10000 * (COUNT(*) - COUNT(DISTINCT fp))) DIV COUNT(*)
+                   AS dup_bp,
+               SUM(n_toks) AS n_tokens,
+               SUM(n_toks) DIV COUNT(*) AS mean_tokens,
+               SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                   AS n_agree,
+               (10000 * SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END))
+                   DIV COUNT(*) AS agree_bp
+        FROM t24_docs
+        GROUP BY GROUPING SETS ((source, pred_lang), (pred_lang), ())
+        ORDER BY g_source, g_lang, source, pred_lang
+        """
+    )
+
+
+def _t24_oracle() -> str:
+    from .text import _t23_pred_cte
+
+    return _t23_pred_cte() + f""", card AS MATERIALIZED (
+            SELECT d.doc_id, d.source, d.lang,
+                   CAST(len(regexp_extract_all(lower(d.text),
+                                               '{_TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_toks,
+                   md5(array_to_string(regexp_extract_all(lower(d.text),
+                                                          '{_TOKEN_PATTERN}'),
+                                       ' ')) AS fp,
+                   COALESCE(p.pred_lang, 'und') AS pred_lang
+            FROM documents d LEFT JOIN pred p USING (doc_id)
+        )
+        SELECT source, pred_lang,
+               CAST(GROUPING(source) AS INT) AS g_source,
+               CAST(GROUPING(pred_lang) AS INT) AS g_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+               CAST((10000 * (COUNT(*) - COUNT(DISTINCT fp))) // COUNT(*)
+                    AS BIGINT) AS dup_bp,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_toks) // COUNT(*) AS BIGINT) AS mean_tokens,
+               CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree,
+               CAST((10000 * SUM(CASE WHEN pred_lang = lang
+                                      THEN 1 ELSE 0 END)) // COUNT(*)
+                    AS BIGINT) AS agree_bp
+        FROM card
+        GROUP BY GROUPING SETS ((source, pred_lang), (pred_lang), ())
+        ORDER BY g_source, g_lang, source, pred_lang
+    """
+
+
 QUERIES = {
     "e19_filter_ablation": e19_filter_ablation,
+    "e19b_filter_threshold_sweep": e19b_filter_threshold_sweep,
+    "t24_predlang_dataset_card": t24_predlang_dataset_card,
     "e15_dataset_card": e15_dataset_card,
     "e16_incremental_card": e16_incremental_card,
     "e17_changelog_card_refresh": e17_changelog_card_refresh,
@@ -2623,6 +2932,8 @@ ORACLE = {
     "e6_budget_select": _e6_oracle(),
     "e18_dsir_resample": _e18_oracle(),
     "e19_filter_ablation": _e19_oracle(),
+    "e19b_filter_threshold_sweep": _e19b_oracle(),
+    "t24_predlang_dataset_card": _t24_oracle(),
     "e9_refresh_pipeline": _e9_oracle(),
     "e7_epoch_shuffle": f"""
         WITH k AS (

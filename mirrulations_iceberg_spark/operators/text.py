@@ -1830,45 +1830,17 @@ T23_TOP_GRAMS = 200
 T23_UNIT = 10_000
 
 
-def t23_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-n-gram LANGUAGE-ID with a measured confusion matrix —
-    the brief's "language-ID (n-gram heuristic)" as an actual
-    classifier, not just t5's marker-scoring plumbing: per language a
-    naive-Bayes unigram model over its ``T23_TOP_GRAMS`` most frequent
-    character trigrams (trained from the corpus's own labels — the
-    self-training shape; swap the fit literal for fastText/CLD3 tables
-    in production, the scoring plan is unchanged), every document
-    scored against every language model and argmax-assigned, and the
-    output is the (true, predicted) CONFUSION MATRIX with per-true-
-    language share — accuracy as DATA, so a corpus whose text carries
-    no language signal (this synthetic fixture) is VISIBLE in the
-    driver row rather than assumed away.
-
-    Exactness: gram weights are integer 1e-4-log2 units —
-    ``floor((log2(c+1) − log2(tot+K))·10⁴)`` fitted DRIVER-SIDE from
-    the collected ≤ K·|langs| model rows (the x15/e18 fit-literal
-    discipline); out-of-vocabulary grams pay the per-language floor
-    weight (c=0). SAME-LIBM ASSUMPTION (ADVICE r15): log2 is not
-    correctly rounded, so Python-fit and DuckDB-replayed weights agree
-    only because both bind the same platform libm — a foreign-libm
-    oracle could flip a ``floor(x·10⁴)`` boundary by 1 unit (known
-    boundary artifact, not a logic bug). ``tests/test_r16_operators.py``
-    proves no fixture fit input sits within 1e-9 of a floor boundary
-    on this host. Per-doc scores are pure integer sums; argmax ties
-    break to the lexicographically LARGEST language on both engines
-    (Spark ``max(struct(score, lang))`` ≡ oracle ``ORDER BY score
-    DESC, lang DESC LIMIT 1``). Documents shorter than one gram carry
-    no evidence and are excluded on both sides.
-
-    Scale shape — two corpus scans (the e18 pattern): (1) TRAIN: gram
-    explode → map-side-combined (lang, gram) count → per-lang top-K
-    through a window over the bounded count table → bounded collect →
-    integer weight fit; (2) SCORE: gram explode × broadcast |langs|-row
-    dim → broadcast left join against the ≤ K·|langs|-row model →
-    per-(doc, lang) partial sums (map-side combine) → per-doc argmax →
-    ≤ |langs|² confusion rollup with a broadcast per-true-lang total
-    for the share. No corpus-sized shuffle except the two doc-keyed
-    aggregates; the model never leaves broadcast size.
+def t23_pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t23's shared scoring machinery — THE model swap point (round
+    16, VERDICT r15 #6): train the per-language trigram NB model from
+    the corpus's own labels and return the per-doc prediction frame
+    ``(doc_id, true_lang, pred_lang)`` for every document long enough
+    to carry one gram. Both t23 (confusion rollup) and t24 (predicted-
+    language dataset card) compose this frame, so swapping the fit
+    literal for fastText/CLD3 tables here retargets every downstream
+    consumer at once — the scoring PLAN (wide broadcast model, one
+    gram-stream join, one doc-keyed aggregate) is unchanged by design.
+    Plan/exactness contract: see ``t23_char_ngram_langid``.
     """
     import math
 
@@ -1957,7 +1929,55 @@ def t23_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    pred = scored.select("true_lang", best["lang"].alias("pred_lang"))
+    return scored.select(
+        "doc_id", "true_lang", best["lang"].alias("pred_lang")
+    )
+
+
+def t23_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram LANGUAGE-ID with a measured confusion matrix —
+    the brief's "language-ID (n-gram heuristic)" as an actual
+    classifier, not just t5's marker-scoring plumbing: per language a
+    naive-Bayes unigram model over its ``T23_TOP_GRAMS`` most frequent
+    character trigrams (trained from the corpus's own labels — the
+    self-training shape; swap the fit literal for fastText/CLD3 tables
+    in production, the scoring plan is unchanged), every document
+    scored against every language model and argmax-assigned, and the
+    output is the (true, predicted) CONFUSION MATRIX with per-true-
+    language share — accuracy as DATA, so a corpus whose text carries
+    no language signal (this synthetic fixture) is VISIBLE in the
+    driver row rather than assumed away.
+
+    Exactness: gram weights are integer 1e-4-log2 units —
+    ``floor((log2(c+1) − log2(tot+K))·10⁴)`` fitted DRIVER-SIDE from
+    the collected ≤ K·|langs| model rows (the x15/e18 fit-literal
+    discipline); out-of-vocabulary grams pay the per-language floor
+    weight (c=0). SAME-LIBM ASSUMPTION (ADVICE r15): log2 is not
+    correctly rounded, so Python-fit and DuckDB-replayed weights agree
+    only because both bind the same platform libm — a foreign-libm
+    oracle could flip a ``floor(x·10⁴)`` boundary by 1 unit (known
+    boundary artifact, not a logic bug). ``tests/test_r16_operators.py``
+    proves no fixture fit input sits within 1e-9 of a floor boundary
+    on this host. Per-doc scores are pure integer sums; argmax ties
+    break to the lexicographically LARGEST language on both engines
+    (Spark ``max(struct(score, lang))`` ≡ oracle ``ORDER BY score
+    DESC, lang DESC LIMIT 1``). Documents shorter than one gram carry
+    no evidence and are excluded on both sides.
+
+    Scale shape — two corpus scans (the e18 pattern): (1) TRAIN: gram
+    explode → map-side-combined (lang, gram) count → per-lang top-K
+    through a window over the bounded count table → bounded collect →
+    integer weight fit; (2) SCORE: gram explode × broadcast |langs|-row
+    dim → broadcast left join against the ≤ K·|langs|-row model →
+    per-(doc, lang) partial sums (map-side combine) → per-doc argmax →
+    ≤ |langs|² confusion rollup with a broadcast per-true-lang total
+    for the share. No corpus-sized shuffle except the two doc-keyed
+    aggregates; the model never leaves broadcast size.
+    """
+    # Train + score through the shared swap point (round 16: the
+    # machinery moved to t23_pred_frame so t24's card composes the
+    # same per-doc predictions — column pruning drops doc_id here).
+    pred = t23_pred_frame(spark, sf_dir).select("true_lang", "pred_lang")
     conf = pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
@@ -1978,7 +1998,13 @@ def t23_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _t23_oracle() -> str:
+def _t23_pred_cte() -> str:
+    """The oracle twin of :func:`t23_pred_frame`: the CTE chain from
+    raw documents through per-doc ``pred (doc_id, true_lang,
+    pred_lang)``. STRING-SHARED by t23's confusion oracle and t24's
+    card oracle (the x11/x16 anti-drift discipline — two oracles that
+    replay the same machinery share the literal SQL, so they cannot
+    drift apart silently)."""
     return f"""
         WITH base AS MATERIALIZED (
             SELECT doc_id, lang AS true_lang,
@@ -2028,7 +2054,11 @@ def _t23_oracle() -> str:
                     PARTITION BY doc_id ORDER BY score DESC, lang DESC
                 ) AS r FROM sc
             ) WHERE r = 1
-        ), conf AS MATERIALIZED (
+        )"""
+
+
+def _t23_oracle() -> str:
+    return _t23_pred_cte() + """, conf AS MATERIALIZED (
             SELECT true_lang, pred_lang,
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM pred GROUP BY 1, 2

@@ -12,14 +12,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_emits_one_wellformed_json_line(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("shuffle_args", [(), ("--shuffle-order", "7")])
+def test_bench_emits_one_wellformed_json_line(tmp_path, shuffle_args):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
     detail_path = str(tmp_path / "detail.json")
     env["SPARK_GRAFT_DETAIL_PATH"] = detail_path
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        [sys.executable, os.path.join(REPO, "bench.py"), *shuffle_args],
         capture_output=True,
         text=True,
         timeout=900,
@@ -47,3 +51,16 @@ def test_bench_emits_one_wellformed_json_line(tmp_path):
     q, _ = collect_queries()
     assert set(detail["queries"]) == set(q)
     assert detail["failed"] == []
+    # shuffle mode (VERDICT r15 item #2): order is recorded in both
+    # artifacts, the seed is deterministic, and positions cover every
+    # query so position-effect regressions stay computable.
+    if shuffle_args:
+        assert d["order"] == "shuffled:7"
+        assert detail["order"] == "shuffled:7"
+        assert set(detail["positions"]) == set(q)
+        assert sorted(detail["positions"].values()) == list(range(len(q)))
+        assert list(detail["positions"]) != sorted(detail["positions"])
+    else:
+        assert d["order"] == "sorted"
+        assert detail["order"] == "sorted"
+        assert "positions" not in detail

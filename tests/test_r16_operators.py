@@ -34,6 +34,132 @@ SF_DIRS = [
 BOUNDARY_EPS = 1e-9
 
 
+def test_e19b_calibrated_point_reproduces_e19(spark):
+    """The sweep's center-of-grid point IS e19's calibrated operating
+    point: n_fail / n_unique_fail at that threshold must equal e19's
+    report exactly (both run the same recipe; e19b is self-contained
+    per the t20 precedent, so this is the drift tripwire)."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        E19_MAX_TOPSHARE_BP,
+        E19_MIN_ALPHA_BP,
+        E19_MIN_MEANLEN_DECI,
+        E19_MIN_TOKENS,
+        e19_filter_ablation,
+        e19b_filter_threshold_sweep,
+    )
+    from tests.conftest import SF_DIR
+
+    e19 = {
+        r["component"]: r
+        for r in e19_filter_ablation(spark, SF_DIR).collect()
+    }
+    sweep = {
+        (r["rule"], r["threshold"]): r
+        for r in e19b_filter_threshold_sweep(spark, SF_DIR).collect()
+    }
+    calibrated = {
+        "min_tokens": E19_MIN_TOKENS,
+        "alpha_ratio": E19_MIN_ALPHA_BP,
+        "max_token_share": E19_MAX_TOPSHARE_BP,
+        "mean_token_len": E19_MIN_MEANLEN_DECI,
+    }
+    for rule, theta in calibrated.items():
+        s, e = sweep[(rule, theta)], e19[rule]
+        assert s["n_docs"] == e["n_docs"]
+        assert s["n_fail"] == e["n_fail"], rule
+        assert s["n_unique_fail"] == e["n_unique_fail"], rule
+        # ensemble at the calibrated point = e19's ensemble total
+        assert s["n_ensemble_fail"] == e19["ensemble"]["n_fail"], rule
+
+
+def test_e19b_sweep_is_monotone(spark):
+    """Tightening a kill threshold can only kill more: n_fail and
+    n_ensemble_fail are nondecreasing in theta for < rules,
+    nonincreasing for the > rule — and unique kills never exceed
+    kills, ensemble never falls below either component."""
+    from mirrulations_iceberg_spark.operators.etl import (
+        E19B_GRID,
+        e19b_filter_threshold_sweep,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {
+        (r["rule"], r["threshold"]): r
+        for r in e19b_filter_threshold_sweep(spark, SF_DIR).collect()
+    }
+    for rule, op, _stat, grid in E19B_GRID:
+        seq = [rows[(rule, t)] for t in grid]
+        fails = [r["n_fail"] for r in seq]
+        ens = [r["n_ensemble_fail"] for r in seq]
+        if op == "gt":
+            fails, ens = fails[::-1], ens[::-1]
+        assert fails == sorted(fails), rule
+        assert ens == sorted(ens), rule
+        for r in seq:
+            assert 0 <= r["n_unique_fail"] <= r["n_fail"] <= r["n_ensemble_fail"]
+            assert r["n_ensemble_fail"] <= r["n_docs"]
+
+
+def test_t24_agreement_matches_t23_diagonal(spark):
+    """t24's grand-total n_agree IS t23's confusion-matrix diagonal —
+    both compose t23_pred_frame, so the two reports must tell one
+    story (and every doc, including the sub-gram 'und' ones, is on
+    the card exactly once)."""
+    import pyarrow.parquet as pq
+
+    from mirrulations_iceberg_spark.operators.etl import (
+        t24_predlang_dataset_card,
+    )
+    from mirrulations_iceberg_spark.operators.text import (
+        t23_char_ngram_langid,
+    )
+    from tests.conftest import SF_DIR
+
+    card = t24_predlang_dataset_card(spark, SF_DIR).collect()
+    conf = t23_char_ngram_langid(spark, SF_DIR).collect()
+    total = [r for r in card if r["g_source"] == 1 and r["g_lang"] == 1]
+    assert len(total) == 1
+    diag = sum(r["n_docs"] for r in conf if r["true_lang"] == r["pred_lang"])
+    assert total[0]["n_agree"] == diag
+    n_all = pq.read_metadata(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).num_rows
+    assert total[0]["n_docs"] == n_all
+
+
+def test_t24_card_levels_roll_up(spark):
+    """Detail rows sum to their per-pred-language subtotal, subtotals
+    to the grand total; 'und' rows never agree."""
+    from collections import defaultdict
+
+    from mirrulations_iceberg_spark.operators.etl import (
+        t24_predlang_dataset_card,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = t24_predlang_dataset_card(spark, SF_DIR).collect()
+    detail = [r for r in rows if r["g_source"] == 0]
+    sub = {r["pred_lang"]: r for r in rows if r["g_source"] == 1 and r["g_lang"] == 0}
+    total = next(r for r in rows if r["g_source"] == 1 and r["g_lang"] == 1)
+    by_lang: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for r in detail:
+        acc = by_lang[r["pred_lang"]]
+        acc[0] += r["n_docs"]
+        acc[1] += r["n_tokens"]
+        acc[2] += r["n_agree"]
+    for lang, (nd, nt, na) in by_lang.items():
+        assert sub[lang]["n_docs"] == nd, lang
+        assert sub[lang]["n_tokens"] == nt, lang
+        assert sub[lang]["n_agree"] == na, lang
+    assert sum(r["n_docs"] for r in sub.values()) == total["n_docs"]
+    assert sum(r["n_agree"] for r in sub.values()) == total["n_agree"]
+    for r in rows:
+        if r["pred_lang"] == "und":
+            assert r["n_agree"] == 0
+        assert 0 <= r["agree_bp"] <= 10000
+        assert r["n_unique"] <= r["n_docs"]
+
+
 def _docs(sf_dir):
     import pyarrow.parquet as pq
 
