@@ -2243,6 +2243,33 @@ def e19b_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-recommendation territory the same way x11 extends x5 —
     the operating point becomes a measured curve, not a guess.
     """
+    row = _e19b_stats_agg(spark, sf_dir).collect()[0]
+    n = int(row["n_docs"])
+    out = [
+        (
+            rule,
+            theta,
+            n,
+            int(row[f"f_{rule}_{j}"] or 0),
+            int(row[f"u_{rule}_{j}"] or 0),
+            int(row[f"e_{rule}_{j}"] or 0),
+            (10000 * int(row[f"f_{rule}_{j}"] or 0)) // max(n, 1),
+        )
+        for rule, _op, _stat, grid in E19B_GRID
+        for j, theta in enumerate(grid)
+    ]
+    return spark.createDataFrame(
+        out,
+        "rule string, threshold long, n_docs long, n_fail long,"
+        " n_unique_fail long, n_ensemble_fail long, fail_bp long",
+    )
+
+
+def _e19b_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e19b's single-row conditional aggregate (un-collected — the
+    plan seam ``tests/test_plans.py`` asserts on: one SinglePartition
+    exchange, two column-pruned scans, grid width only in the
+    projection)."""
     from ..tables import load_table
     from .text import tokens_col
 
@@ -2302,26 +2329,7 @@ def e19b_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"e_{rule}_{j}"
                 )
             )
-    row = stats.agg(*aggs).collect()[0]
-    n = int(row["n_docs"])
-    out = [
-        (
-            rule,
-            theta,
-            n,
-            int(row[f"f_{rule}_{j}"] or 0),
-            int(row[f"u_{rule}_{j}"] or 0),
-            int(row[f"e_{rule}_{j}"] or 0),
-            (10000 * int(row[f"f_{rule}_{j}"] or 0)) // max(n, 1),
-        )
-        for rule, _op, _stat, grid in E19B_GRID
-        for j, theta in enumerate(grid)
-    ]
-    return spark.createDataFrame(
-        out,
-        "rule string, threshold long, n_docs long, n_fail long,"
-        " n_unique_fail long, n_ensemble_fail long, fail_bp long",
-    )
+    return stats.agg(*aggs)
 
 
 def _e19b_oracle() -> str:

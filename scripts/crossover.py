@@ -117,6 +117,17 @@ TARGETS = {
     # heaviest per-char volume on the curve) and a x|langs| broadcast
     # scoring join with per-(doc, lang) map-side combine.
     "t23_char_ngram_langid": "documents",
+    # Threshold-sweep row (r16): e19's token stats computed once, the
+    # 20-point grid as 60 conditional sums in one map-side-combined
+    # aggregate — tests whether sweep width is really free at corpus
+    # scale (the DuckDB oracle pays a 20x cross join instead).
+    "e19b_filter_threshold_sweep": "documents",
+    # Predicted-language card row (r16): t23's two model passes + one
+    # card scan + a doc-keyed equi-join + grouping sets — the full
+    # self-labeling composition; the DuckDB side replays the whole
+    # t23 CTE chain before the card, so the ratio shows what oracle-
+    # replayability costs the single-node engine at volume.
+    "t24_predlang_dataset_card": "documents",
 }
 
 

@@ -103,6 +103,8 @@ SKIP_SWEEP = {
     "mm8_audio_fingerprint_neardup",  # caches clusters + materializes
     "e19_filter_ablation",  # collects the 1-row flag aggregate
     "t23_char_ngram_langid",  # trains the gram model at construction
+    "e19b_filter_threshold_sweep",  # collects the 61-sum sweep row
+    "t24_predlang_dataset_card",  # trains t23's model at construction
 }
 
 
@@ -394,6 +396,41 @@ def test_e8_single_corpus_pass(spark):
     plan = _plan(spark, "e8_temperature_mixture")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_e19b_sweep_is_one_aggregate(spark):
+    """e19b's whole scale claim: every (rule, theta) grid point rides
+    ONE map-side-combined aggregate — a single SinglePartition
+    exchange carries one partial row per task, the only corpus-wide
+    hash exchanges are the token rollup chain (not per-point), and
+    exactly two column-pruned parquet scans feed it. Widening the
+    grid must never add an exchange or a scan."""
+    from mirrulations_iceberg_spark.operators.etl import _e19b_stats_agg
+
+    plan = (
+        _e19b_stats_agg(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 2
+    # grid membership lives in the aggregate expressions, not in joins
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_t24_card_plan_shape(spark):
+    """t24 adds exactly one corpus-sized shuffle beyond t23's scoring
+    (the doc-keyed card×pred equi-join): the model stays a broadcast
+    join, grouping sets appear as Expand, and nothing degenerates to
+    a cartesian."""
+    plan = _plan(spark, "t24_predlang_dataset_card")
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan  # the wide gram model
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_f1b_answers_without_reading_text(spark, tmp_path):
