@@ -2226,18 +2226,20 @@ def e19b_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no other calibrated rule fires), and the resulting ensemble kill
     — the three numbers that price a threshold move before shipping it.
 
-    Scale shape — ONE corpus scan feeds every sweep point: the token
-    hash-agg and per-doc rollup are computed once (e19's recipe,
-    self-contained per the t20 precedent so green e19 stays untouched),
-    reduced to an integer per-doc stats frame (n_toks / alpha_bp /
-    share_bp / len_deci + the four calibrated kill flags), and the
-    whole 20-point grid is CONDITIONAL AGGREGATION over that frame —
-    60 boolean sums, map-side combined to a single row; the 20-row
-    report unpivots driver-side from that one collected row (the e19/
-    m2 bounded-driver idiom). No per-point rescan, no crossJoin, no
-    second shuffle: adding sweep points changes only the projection
-    width. All statistics are integer (DIV, counts) so the oracle
-    replays bit-exactly.
+    Scale shape — ONE corpus scan, ZERO corpus shuffles: the per-doc
+    token stats are a pure projection (array size / fold / sorted-run-
+    length — see :func:`_e19b_stats_agg`; value-pinned to e19's
+    explode recipe, which stays untouched per the t20 precedent),
+    reduced to an integer stats frame (n_toks / alpha_bp / share_bp /
+    len_deci + the four calibrated kill flags), and the whole 20-point
+    grid is CONDITIONAL AGGREGATION over that frame — 60 boolean
+    sums, map-side combined to a single row; the 20-row report
+    unpivots driver-side from that one collected row (the e19/m2
+    bounded-driver idiom). No per-point rescan, no crossJoin, no
+    (doc, tok) exchange: adding sweep points changes only the
+    projection width (A/B vs the explode shape: 1.9× at 500 K docs,
+    4.1× at 5 M — PLANS.md). All statistics are integer (DIV, counts)
+    so the oracle replays bit-exactly.
 
     Reference anchor: extends ``exploration_summary.md:100-112``'s
     quality-recommendation territory the same way x11 extends x5 —
@@ -2268,37 +2270,60 @@ def e19b_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _e19b_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e19b's single-row conditional aggregate (un-collected — the
     plan seam ``tests/test_plans.py`` asserts on: one SinglePartition
-    exchange, two column-pruned scans, grid width only in the
-    projection)."""
+    exchange, ONE column-pruned scan, zero joins, grid width only in
+    the projection).
+
+    The per-doc token stats are a PURE PROJECTION, not e19's explode →
+    (doc, tok) shuffle → per-doc rollup → spine join: ``n_toks`` is
+    the array size, ``alpha`` an array fold, and the top-token count
+    ``maxc`` the longest equal-run of the SORTED token array (a
+    per-row O(n log n) sort + interpreted fold instead of a corpus-
+    wide (doc, tok) exchange — at 5M docs that exchange is ~325M rows,
+    and the A/B on the 500K replicated corpus measured the projection
+    at <<the explode shape; see PLANS.md). Values are pinned identical
+    to e19's explode recipe by
+    ``tests/test_r16_operators.py::test_e19b_calibrated_point_reproduces_e19``
+    and the oracle, which still replays the explode form."""
     from ..tables import load_table
     from .text import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n"),
-        F.explode(tokens_col(F.col("text"))).alias("tok"),
-    )
-    per_doc = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"), F.max("n").alias("n"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_toks"),
-            F.sum(F.length("tok") * F.col("c")).alias("alpha"),
-            F.max("c").alias("maxc"),
-        )
-    )
+    zero = F.lit(0).cast("long")
+    run = lambda acc, x: F.when(  # noqa: E731 — shared by run/best legs
+        x == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1).cast("long"))
     stats = (
-        docs.select("doc_id", F.length("text").cast("long").alias("__n"))
-        .join(per_doc, "doc_id", "left")
+        docs.withColumn("__t", tokens_col(F.col("text")))
+        .select(
+            F.coalesce(F.size("__t"), F.lit(0)).cast("long").alias("n_toks"),
+            F.coalesce(
+                F.aggregate("__t", zero, lambda acc, x: acc + F.length(x)),
+                zero,
+            ).alias("alpha"),
+            F.coalesce(
+                F.aggregate(
+                    F.sort_array("__t"),
+                    F.struct(
+                        F.lit("").alias("prev"),
+                        zero.alias("run"),
+                        zero.alias("best"),
+                    ),
+                    lambda acc, x: F.struct(
+                        x.alias("prev"),
+                        run(acc, x).alias("run"),
+                        F.greatest(acc["best"], run(acc, x)).alias("best"),
+                    ),
+                    lambda acc: acc["best"],
+                ),
+                zero,
+            ).alias("maxc"),
+            F.length("text").cast("long").alias("__n"),
+        )
         .selectExpr(
-            "COALESCE(n_toks, 0) AS n_toks",
-            "(10000 * COALESCE(alpha, 0)) DIV GREATEST(__n, 1) AS alpha_bp",
-            "(10000 * COALESCE(maxc, 0))"
-            " DIV GREATEST(COALESCE(n_toks, 0), 1) AS share_bp",
-            "(10 * COALESCE(alpha, 0))"
-            " DIV GREATEST(COALESCE(n_toks, 0), 1) AS len_deci",
+            "n_toks",
+            "(10000 * alpha) DIV GREATEST(__n, 1) AS alpha_bp",
+            "(10000 * maxc) DIV GREATEST(n_toks, 1) AS share_bp",
+            "(10 * alpha) DIV GREATEST(n_toks, 1) AS len_deci",
         )
         .selectExpr(
             "n_toks",

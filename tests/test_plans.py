@@ -399,12 +399,13 @@ def test_e8_single_corpus_pass(spark):
 
 
 def test_e19b_sweep_is_one_aggregate(spark):
-    """e19b's whole scale claim: every (rule, theta) grid point rides
-    ONE map-side-combined aggregate — a single SinglePartition
-    exchange carries one partial row per task, the only corpus-wide
-    hash exchanges are the token rollup chain (not per-point), and
-    exactly two column-pruned parquet scans feed it. Widening the
-    grid must never add an exchange or a scan."""
+    """e19b's whole scale claim: the per-doc stats are a PURE
+    PROJECTION (size / fold / sorted-run-length — no (doc, tok)
+    explode shuffle, no spine join) and every (rule, theta) grid
+    point rides ONE map-side-combined aggregate. The only exchange in
+    the whole operator is the SinglePartition carrying one partial
+    row per task; one column-pruned scan feeds it. Widening the grid
+    must never add an exchange, a join, or a scan."""
     from mirrulations_iceberg_spark.operators.etl import _e19b_stats_agg
 
     plan = (
@@ -414,11 +415,10 @@ def test_e19b_sweep_is_one_aggregate(spark):
         .toString()
     )
     assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Scan parquet") == 2
-    # grid membership lives in the aggregate expressions, not in joins
-    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert plan.count("Scan parquet") == 1
 
 
 def test_t24_card_plan_shape(spark):
