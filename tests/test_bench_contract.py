@@ -59,7 +59,11 @@ def test_bench_emits_one_wellformed_json_line(tmp_path, shuffle_args):
         assert detail["order"] == "shuffled:7"
         assert set(detail["positions"]) == set(q)
         assert sorted(detail["positions"].values()) == list(range(len(q)))
-        assert list(detail["positions"]) != sorted(detail["positions"])
+        # the sweep really was shuffled: ordering queries by recorded
+        # position must differ from alphabetical. (JSON key order can't
+        # carry this — the detail is dumped with sort_keys=True.)
+        by_position = sorted(detail["positions"], key=detail["positions"].get)
+        assert by_position != sorted(detail["positions"])
     else:
         assert d["order"] == "sorted"
         assert detail["order"] == "sorted"
