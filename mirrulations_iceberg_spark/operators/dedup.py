@@ -726,25 +726,37 @@ def connected_components(
     label converges to the minimum node id in its component.
 
     Iterative DataFrame algorithm (the idiomatic Spark shape for graph
-    fixpoints, cf. GraphFrames/GraphX): per round, each node takes
-    ``min(own label, min neighbor label)`` — one join + one groupBy per
-    round, O(graph diameter) rounds, early-stopped on a zero-change
-    round. ``localCheckpoint`` truncates lineage so round N's plan does
-    not replay rounds 1..N-1 (and the input's own pipeline is
-    materialized once up front). Near-dup graphs have tiny diameters —
-    clusters are quasi-cliques — so this converges in 2-3 rounds.
+    fixpoints, cf. GraphFrames/GraphX). Per round (r16 staging):
 
-    A component whose diameter exceeds the round budget (possible for
-    chain/filament shapes in x16's thresholded k-NN graphs, unlike
-    d8's quasi-cliques) would otherwise return silently WRONG labels —
-    split communities with duplicate representatives — so an
-    UNCONFIRMED fixpoint raises instead: convergence is confirmed only
-    by a zero-change round, so the usable diameter budget is
-    ``max_iter - 1`` (a graph whose labels settle exactly on the last
-    round still raises — a conservative false positive, never a quiet
-    wrong answer). The caller answers by raising ``max_iter`` (each
-    extra round is one join + groupBy) or switching to pointer
-    jumping.
+    * POINTER JUMP: each node first takes its label's label
+      (``labels ⋈ labels`` on ``label == node`` — every label value is
+      itself a node id, so the join is total). Jumping halves the
+      remaining distance-to-root, turning O(diameter) rounds into
+      O(log diameter) — the difference between ~18 and ~5 rounds on
+      x16's chain-shaped thresholded k-NN graphs (measured r16), and
+      at 100 TB the difference between d and log d full label
+      shuffles.
+    * neighbor-min: ``min(own, min neighbor label)`` — one join + one
+      groupBy, as before.
+    * the convergence check is a column compare on the SAME frame (the
+      pre-round label rides along as ``__old``) — the former new⋈old
+      join re-shuffled every label row purely to count changes. The
+      lazy ``localCheckpoint`` materializes inside the ``count()`` job
+      (one action per round instead of eager-checkpoint + count), and
+      later rounds read the checkpointed blocks, not the lineage.
+
+    Early-stopped on a zero-change round; the fixpoint (minimum node
+    id per component) is identical to plain propagation — jumping only
+    accelerates monotone convergence to the same labels.
+
+    A component needing more than the round budget would otherwise
+    return silently WRONG labels — split communities with duplicate
+    representatives — so an UNCONFIRMED fixpoint raises instead:
+    convergence is confirmed only by a zero-change round, so the
+    usable budget is ``max_iter - 1`` rounds (a graph whose labels
+    settle exactly on the last round still raises — a conservative
+    false positive, never a quiet wrong answer). With jumping the
+    budget covers diameters ~2^(max_iter-1): effectively any graph.
 
     Returns (node, label) for every node with at least one edge.
     """
@@ -761,26 +773,32 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     for _ in range(max_iter):
-        nbr_min = sym.join(labels, sym.b == labels.node).groupBy("a").agg(
+        jumped = (
+            labels.alias("l")
+            .join(labels.alias("p"), F.col("l.label") == F.col("p.node"))
+            .select(
+                F.col("l.node").alias("node"),
+                F.col("p.label").alias("label"),
+                F.col("l.label").alias("__old"),
+            )
+        )
+        nbr_min = sym.join(jumped, sym.b == jumped.node).groupBy("a").agg(
             F.min("label").alias("nbr_label")
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+        new_label = F.least(
+            F.col("label"), F.coalesce("nbr_label", F.col("label"))
+        )
+        stepped = (
+            jumped.join(nbr_min, jumped.node == nbr_min.a, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("__old")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.label <> o.label")
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("__changed").count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     else:

@@ -602,8 +602,23 @@ IVF_SAMPLE_MOD = 4  # deterministic 25% fit sample: vec_id % 4 == 0
 IVF_LLOYD_ITERS = 2
 
 
-def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
-    """Deterministic Lloyd coarse quantizer — (cell, center) DataFrame.
+def _center_rows_lit(center_rows: list) -> "F.Column":
+    """(cell, center[]) rows → the ONE nested centroid literal the
+    assign fold consumes (``[{cell, center}]``, cells ascending)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
+            )
+            for c, vec in center_rows
+        ]
+    )
+
+
+def _ivf_fit_center_rows(emb: DataFrame) -> list:
+    """Deterministic Lloyd coarse quantizer — sorted (cell, center[])
+    rows.
 
     Round 6 replaced MLlib KMeans here: its centroids depend on
     aggregation order inside the JVM, which no other engine can
@@ -623,37 +638,55 @@ def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
       assign = argmin L2 with ties to the lowest cell, recompute =
       per-dimension mean with the sum carried in DECIMAL(27,12) so it
       is exact and aggregation-order-independent, then divided once in
-      double. Empty cells drop (deterministic on both engines).
+      double (both steps in Spark — the collected doubles round-trip
+      through literals bit-exactly). Empty cells drop (deterministic
+      on both engines).
 
-    Everything is DataFrame ops — the assign step is a 16-row
-    broadcast against the sample, the recompute a (cell, dim)
-    hash-agg; nothing iterates driver-side.
+    Staging (r16): each Lloyd step collects the ≤IVF_CLUSTERS centers
+    (bounded driver traffic, the d8 dimension-sized-control-flow
+    discipline) and re-enters them as a BROADCAST 1-row frame, so the
+    assign step is the zero-shuffle argmin fold the corpus assignment
+    uses (:func:`_ivf_assign_fold`, reading the centroid array from
+    the broadcast column) instead of a 16× crossJoin + a row_number
+    window that shuffled the whole fit sample per iteration. The
+    centroids ride as DATA, not as a 16×64-literal expression tree — a
+    literal re-enters Catalyst/codegen per iteration and was measured
+    at ~2 s of pure compile per Lloyd step at sf0.1, swamping the
+    shuffle saved. The recompute keeps the original (cell, dim)
+    hash-agg expressions verbatim (both its exchanges carry
+    pre-aggregated ≤cells·dims rows — already scale-safe). Per
+    iteration the sample now crosses NO exchange at all (the window
+    shuffle is gone); arithmetic is unchanged
+    expression-for-expression, so the fit stays bit-identical to the
+    oracle's replay.
     """
+    spark = emb.sparkSession
     samp = emb.filter(F.col("vec_id") % IVF_SAMPLE_MOD == 0).select("vec_id", "e")
-    seeds = (
+    # Iteration 1's centroid frame is built from the seed SUBPLAN (the
+    # md5 ranking reduced to one array row — collect_list of 16 structs,
+    # array_sort pins cell order), so the seed selection and the first
+    # Lloyd step share one job instead of paying a separate collect.
+    w0 = Window.orderBy("__seed", "vec_id")  # IVF_CLUSTERS rows only
+    cents_df = (
         samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__seed", "vec_id")
         .limit(IVF_CLUSTERS)
-    )
-    w0 = Window.orderBy("__seed", "vec_id")  # IVF_CLUSTERS rows only
-    centers = seeds.select(
-        (F.row_number().over(w0) - 1).alias("cell"), F.col("e").alias("center")
-    )
-    d2 = F.aggregate(
-        F.zip_with("e", "center", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-    wa = Window.partitionBy("vec_id").orderBy("dist2", "cell")
-    for _ in range(IVF_LLOYD_ITERS):
-        assigned = (
-            samp.crossJoin(F.broadcast(centers))
-            .withColumn("dist2", d2)
-            .withColumn("pr", F.row_number().over(wa))
-            .filter(F.col("pr") == 1)
-            .select("cell", "e")
+        .select(
+            (F.row_number().over(w0) - 1).alias("cell"),
+            F.col("e").alias("center"),
         )
-        centers = (
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cell", "center"))
+            ).alias("__cents")
+        )
+    )
+    centers: list = []
+    for _ in range(IVF_LLOYD_ITERS):
+        assigned = samp.crossJoin(F.broadcast(cents_df)).select(
+            _ivf_assign_fold(F.col("__cents"))["c"].alias("cell"), "e"
+        )
+        rows = (
             assigned.select("cell", F.posexplode("e").alias("dim", "v"))
             .groupBy("cell", "dim")
             .agg(
@@ -669,29 +702,33 @@ def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
                     lambda s: s["cv"],
                 ).alias("center")
             )
+            .collect()
+        )
+        centers = sorted((r["cell"], [float(v) for v in r["center"]]) for r in rows)
+        cents_df = spark.createDataFrame(
+            [(centers,)],
+            "__cents array<struct<cell:int,center:array<double>>>",
         )
     return centers
 
 
+def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
+    """:func:`_ivf_fit_center_rows` as a (cell, center) DataFrame —
+    the artifact-writing shape x19's build phase persists."""
+    return emb.sparkSession.createDataFrame(
+        [(c, vec) for c, vec in _ivf_fit_center_rows(emb)],
+        "cell int, center array<double>",
+    )
+
+
 def _ivf_cent_lit(emb: DataFrame):
     """Fit the IVF coarse quantizer and return the centroid literal
-    for the fold-based corpus assignment. Fit executes once:
-    IVF_CLUSTERS rows collect (bounded, like d8's dimension-sized
+    for the fold-based corpus assignment. Fit traffic is bounded:
+    ≤IVF_CLUSTERS rows per Lloyd step (like d8's dimension-sized
     control flow). Callers that never rank probes (d13, x14) use this
     directly and skip the centers DataFrame."""
-    center_rows = sorted(
-        (r["cell"], list(r["center"]))
-        for r in _ivf_fit_centroids(emb).collect()
-    )
-    return center_rows, F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("cell"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
-            )
-            for c, vec in center_rows
-        ]
-    )
+    center_rows = _ivf_fit_center_rows(emb)
+    return center_rows, _center_rows_lit(center_rows)
 
 
 def _ivf_centroid_artifacts(spark, emb: DataFrame):
@@ -929,54 +966,91 @@ PQ_SAMPLE_MOD = 4  # deterministic 25% fit sample, like IVF
 PQ_LLOYD_ITERS = 2
 
 
-def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
-    """Deterministic per-subspace Lloyd — (m, cell, center[PQ_SUBDIM]).
+def _pq_fit_codebook_rows(emb: DataFrame) -> list:
+    """Deterministic per-subspace Lloyd — sorted (m, cell,
+    center[PQ_SUBDIM]) rows.
 
     The x5 fit generalized with a subspace key: each vector splits into
     ``PQ_M`` disjoint ``PQ_SUBDIM``-dim subvectors and every subspace
     learns its own ``PQ_K``-centroid quantizer. Same engine-
-    reproducibility recipe as ``_ivf_fit_centroids`` (md5-seeded init
+    reproducibility recipe as ``_ivf_fit_center_rows`` (md5-seeded init
     on the shared sample — one seed ranking serves all subspaces —
     fixed iteration count, DECIMAL-exact means), so the whole PQ
-    pipeline carries a full DuckDB oracle. All DataFrame ops: the
-    assign step broadcasts M·K ≤ 128 tiny centroids, the recompute is
-    an (m, cell, dim) hash-agg.
+    pipeline carries a full DuckDB oracle.
+
+    Staging (r16, same move as the IVF fit): each Lloyd step collects
+    the ≤M·K centers and re-enters them as a BROADCAST 1-row frame, so
+    the assign step is a zero-shuffle per-subspace argmin fold in one
+    projection (the `_pq_code_col` shape, with explicit cell ids
+    because cells can go empty mid-fit) instead of a 16×-multiplying
+    broadcast join + a (vec_id, m) row_number window that shuffled
+    sample×M rows per iteration. The centroids ride as DATA, not as a
+    literal expression tree (the literal form costs ~2 s of Catalyst/
+    codegen per step — see the IVF fit note). The recompute keeps the
+    ONE (m, cell) hash-agg. Arithmetic is unchanged expression-for-
+    expression — the fold's strict-< first-wins on ascending cells IS
+    the window's ``ORDER BY dist2, cell`` — so the fit stays
+    bit-identical to the oracle's replay.
     """
+    spark = emb.sparkSession
     samp = emb.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0).select("vec_id", "e")
-    sub_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda m: F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM),
-    )
-    subs = samp.select("vec_id", F.posexplode(sub_arr).alias("m", "sub"))
-    seeds = (
+    # Iteration 1's codebook frame is the seed SUBPLAN reduced to one
+    # nested-array row (the IVF fit's seed-fusion move, plus the
+    # per-subspace slicing): no separate seeds collect.
+    w0 = Window.orderBy("__seed", "vec_id")  # PQ_K rows only
+    cb_df = (
         samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__seed", "vec_id")
         .limit(PQ_K)
-    )
-    w0 = Window.orderBy("__seed", "vec_id")  # PQ_K rows only
-    centers = seeds.select(
-        (F.row_number().over(w0) - 1).alias("cell"), "e"
-    ).select("cell", F.posexplode(sub_arr).alias("m", "center"))
-    d2 = F.aggregate(
-        F.zip_with("sub", "center", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-    wa = Window.partitionBy("vec_id", "m").orderBy("dist2", "cell")
-    for _ in range(PQ_LLOYD_ITERS):
-        assigned = (
-            subs.join(F.broadcast(centers), "m")
-            .withColumn("dist2", d2)
-            .withColumn("pr", F.row_number().over(wa))
-            .filter(F.col("pr") == 1)
-            .select("m", "cell", "sub")
+        .select(
+            (F.row_number().over(w0) - 1).alias("cell"),
+            F.col("e").alias("full"),
         )
-        # recompute in ONE (m, cell) hash-agg: per-dim decimal-exact
-        # sums as PQ_SUBDIM agg columns (vs x5's posexplode + two
-        # groupBys — with PQ_SUBDIM fixed and small, column-wise sums
-        # save a shuffle per iteration)
-        centers = (
-            assigned.groupBy("m", "cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("cell", "full"))).alias("__s")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.transform(
+                    F.col("__s"),
+                    lambda cs: F.struct(
+                        cs["cell"].alias("cell"),
+                        _pq_slice(cs["full"], m).alias("center"),
+                    ),
+                ),
+            ).alias("__cbs")
+        )
+    )
+    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
+    centers: dict[int, list] = {}
+    for _ in range(PQ_LLOYD_ITERS):
+
+        def _argmin_cell(m):
+            def step(acc, cs):
+                d = _pq_sub_d2(_pq_slice(F.col("e"), m), cs["center"])
+                better = d < acc["d"]
+                return F.struct(
+                    F.when(better, d).otherwise(acc["d"]).alias("d"),
+                    F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
+                )
+
+            return F.aggregate(
+                F.element_at(F.col("__cbs"), m + 1), acc0, step
+            )["c"]
+
+        assign_structs = F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.struct(
+                _argmin_cell(m).alias("cell"),
+                _pq_slice(F.col("e"), m).alias("sub"),
+            ),
+        )
+        rows = (
+            samp.crossJoin(F.broadcast(cb_df))
+            .select(F.posexplode(assign_structs).alias("m", "a"))
+            .select("m", F.col("a.cell").alias("cell"), F.col("a.sub").alias("sub"))
+            .groupBy("m", "cell")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
                 *[
@@ -996,8 +1070,28 @@ def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
                     ]
                 ).alias("center"),
             )
+            .collect()
         )
-    return centers
+        nxt: dict[int, list] = {m: [] for m in range(PQ_M)}
+        for r in sorted(rows, key=lambda r: (r["m"], r["cell"])):
+            nxt[r["m"]].append((r["cell"], [float(v) for v in r["center"]]))
+        centers = nxt
+        cb_df = spark.createDataFrame(
+            [([centers[m] for m in range(PQ_M)],)],
+            "__cbs array<array<struct<cell:int,center:array<double>>>>",
+        )
+    return sorted(
+        (m, cell, cen) for m, cs in centers.items() for cell, cen in cs
+    )
+
+
+def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
+    """:func:`_pq_fit_codebook_rows` as a (m, cell, center) DataFrame —
+    the artifact-writing shape x19's build phase persists."""
+    return emb.sparkSession.createDataFrame(
+        _pq_fit_codebook_rows(emb),
+        "m int, cell int, center array<double>",
+    )
 
 
 def _pq_cb_lit(emb: DataFrame):
@@ -1010,10 +1104,7 @@ def _pq_cb_lit(emb: DataFrame):
     When-chain variant of the argmin embeds the accumulator 3× per
     centroid (≈3^16 nodes — OOMed the analyzer). A lambda fold is one
     node; acc is a named variable."""
-    cb = sorted(
-        (r["m"], r["cell"], [float(v) for v in r["center"]])
-        for r in _pq_fit_codebooks(emb).collect()
-    )
+    cb = _pq_fit_codebook_rows(emb)
     by_m: dict[int, list[list[float]]] = {m: [] for m in range(PQ_M)}
     for m, _cell, cen in cb:  # cells ascend within m; positions follow
         by_m[m].append(cen)

@@ -45,20 +45,54 @@ from pyspark.sql import functions as F
 _STATE_CONF_LOCK = threading.RLock()
 
 
+#: Input bytes one state partition is sized for. The state-store task
+#: count is pure per-micro-batch fixed cost when state is small, so the
+#: partition count must GROW from the data instead of starting at the
+#: core count. Env-overridable for deployments whose per-key state is
+#: far wider than their input rows.
+STREAM_STATE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_TARGET", str(32 << 20))
+)
+
+
+def _path_bytes(path: str) -> int:
+    """Total bytes under ``path`` (file or directory) — the input-size
+    term of the state-parallelism rule. 0 when unreadable."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(d, f))
+                for d, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 @contextmanager
-def stream_state_conf(spark: SparkSession):
+def stream_state_conf(spark: SparkSession, input_bytes: int | None = None):
     """Right-size stateful-shuffle parallelism for the one-shot runs.
 
     The state-store partition count is pinned per checkpoint at first
     run and every partition becomes a task in EVERY micro-batch of
-    every stateful operator — so it must track the executor core
-    count, not the batch default. A plain driver session's 200 means
+    every stateful operator — so it must be derived from the data, not
+    left at the batch default. A plain driver session's 200 means
     200 near-empty state tasks per micro-batch here: measured at
     sf0.01, s5 costs 25.4 s at 200 partitions vs 4.9 s at 32 and
     2.4 s at 8 — pure scheduling overhead, zero semantic difference
-    (state is hash-distributed; the oracles pin the results). On a
-    real cluster the same rule holds with a bigger number: set state
-    parallelism ≈ total cores at the checkpoint's first run.
+    (state is hash-distributed; the oracles pin the results).
+
+    Scale-adaptive (r16, guide §2.2/§2.5): with ``input_bytes`` the
+    count is ``clamp(input_bytes / STREAM_STATE_TARGET_BYTES, 1,
+    cores)`` — tiny inputs run one state task instead of ``cores``
+    near-empty ones, and a production-sized feed saturates the cap at
+    the executor core count, exactly the old rule's value. AQE cannot
+    do this for us: adaptive coalescing is disabled in stateful
+    streaming plans because the state-store layout must stay stable
+    across micro-batches, so the initial number IS the final number.
+    Callers that cannot size their input omit ``input_bytes`` and keep
+    the core-count rule.
 
     Scoped: set for the duration of the streaming run (conf is read at
     plan time), restored afterwards so callers' batch work keeps its
@@ -74,7 +108,13 @@ def stream_state_conf(spark: SparkSession):
     with _STATE_CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         cores = spark.sparkContext.defaultParallelism
-        spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+        parts = cores
+        if input_bytes is not None:
+            parts = max(
+                1,
+                min(cores, -(-int(input_bytes) // STREAM_STATE_TARGET_BYTES)),
+            )
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         try:
             yield
         finally:
@@ -96,12 +136,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_table(agg: DataFrame, prefix: str) -> DataFrame:
+def _run_to_table(
+    agg: DataFrame, prefix: str, input_bytes: int | None = None
+) -> DataFrame:
     """Execute a streaming aggregation to completion (availableNow)
     into a uniquely-named memory sink and return the result table.
     State parallelism is right-sized for the run (stream_state_conf)."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    with stream_state_conf(agg.sparkSession):
+    with stream_state_conf(agg.sparkSession, input_bytes):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -139,7 +181,7 @@ def s1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_table(agg, "s1_sink")
+    return _run_to_table(agg, "s1_sink", _path_bytes(f"{sf_dir}/events.parquet"))
 
 
 def s2_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +212,8 @@ def s2_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         root, out, ckpt = f"{base}/tree", f"{base}/out", f"{base}/ckpt"
         write_docket_tree(root)
-        with stream_state_conf(spark):
+        tree_bytes = _path_bytes(root)
+        with stream_state_conf(spark, tree_bytes):
             stream_comments(spark, root, out, ckpt).awaitTermination()
         n_initial = spark.read.parquet(out).count()
 
@@ -195,11 +238,11 @@ def s2_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(late_path, "w") as f:
             json.dump(late, f)
-        with stream_state_conf(spark):
+        with stream_state_conf(spark, tree_bytes):
             stream_comments(spark, root, out, ckpt).awaitTermination()
         n_late = spark.read.parquet(out).count()
 
-        with stream_state_conf(spark):
+        with stream_state_conf(spark, tree_bytes):
             stream_comments(spark, root, out, ckpt).awaitTermination()
         landed = spark.read.parquet(out)
         n_rerun = landed.count()
@@ -285,7 +328,7 @@ def s4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["event_id"]
         )
         name = f"s4_sink_{uuid.uuid4().hex[:8]}"
-        with stream_state_conf(spark):
+        with stream_state_conf(spark, _path_bytes(base)):
             q = (
                 deduped.writeStream.format("memory")
                 .queryName(name)
@@ -334,6 +377,10 @@ def s3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events_stream(spark, sf_dir)
     sess = sessionize_stream(events.select("user_id", "ts", "value"))
     name = f"s3_sink_{uuid.uuid4().hex[:8]}"
+    # deliberately UNSIZED (cores rule): the cost here is per-group
+    # Python compute inside applyInPandasWithState, which wants all
+    # cores regardless of input bytes — byte-sizing to 1 partition
+    # serialized it (measured 8.4 s → 13.9 s at sf0.1, reverted)
     with stream_state_conf(spark):
         q = (
             sess.writeStream.format("memory")
@@ -372,7 +419,7 @@ def s5_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = attributed_purchases(spark, sf_dir)
     name = f"s5_sink_{uuid.uuid4().hex[:8]}"
-    with stream_state_conf(spark):
+    with stream_state_conf(spark, _path_bytes(f"{sf_dir}/events.parquet")):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -440,7 +487,9 @@ def s6_stream_base_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
     return (
-        _run_to_table(agg, "s6_sink")
+        _run_to_table(
+            agg, "s6_sink", _path_bytes(f"{sf_dir}/documents.parquet")
+        )
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_novel"),
@@ -523,7 +572,7 @@ def s7_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct("seq", "op", "new_text", "lang")
             ).alias("last")
         )
-        latest = _run_to_table(lww, "s7_sink").select(
+        latest = _run_to_table(lww, "s7_sink", _path_bytes(base_dir)).select(
             "key",
             F.col("last.op").alias("op"),
             F.col("last.new_text").alias("new_text"),
@@ -572,7 +621,7 @@ def s8_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    return w16_detect(_run_to_table(daily, "s8_sink"))
+    return w16_detect(_run_to_table(daily, "s8_sink", _path_bytes(src)))
 
 
 def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,7 +823,11 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "delivery_*.parquet")
             .parquet(base)
         )
-        with stream_state_conf(spark):
+        # sized on the WHOLE documents fixture, not just the delta: the
+        # per-batch probe jobs shuffle base-side signature buckets too
+        with stream_state_conf(
+            spark, _path_bytes(f"{sf_dir}/documents.parquet")
+        ):
             q = (
                 stream.writeStream.foreachBatch(probe)
                 .trigger(availableNow=True)

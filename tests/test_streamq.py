@@ -86,3 +86,24 @@ def test_stream_state_conf_scoped_and_restored(spark):
     except RuntimeError:
         pass
     assert spark.conf.get(key) == prev
+
+
+def test_stream_state_conf_sizes_from_input_bytes(spark):
+    """r16 scale-adaptive state parallelism: the partition count grows
+    with the input and saturates at the core count — tiny inputs get 1
+    state task, production-sized inputs keep the old cores rule."""
+    from mirrulations_iceberg_spark.operators.streamq import (
+        STREAM_STATE_TARGET_BYTES,
+        stream_state_conf,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    cores = spark.sparkContext.defaultParallelism
+    with stream_state_conf(spark, 1):
+        assert spark.conf.get(key) == "1"
+    with stream_state_conf(spark, 3 * STREAM_STATE_TARGET_BYTES):
+        assert spark.conf.get(key) == str(min(cores, 3))
+    with stream_state_conf(spark, 10**15):
+        assert spark.conf.get(key) == str(cores)
+    assert spark.conf.get(key) == prev
