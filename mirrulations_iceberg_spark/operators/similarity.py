@@ -616,9 +616,8 @@ def _center_rows_lit(center_rows: list) -> "F.Column":
     )
 
 
-def _ivf_fit_center_rows(emb: DataFrame) -> list:
-    """Deterministic Lloyd coarse quantizer — sorted (cell, center[])
-    rows.
+def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic Lloyd coarse quantizer — (cell, center) DataFrame.
 
     Round 6 replaced MLlib KMeans here: its centroids depend on
     aggregation order inside the JVM, which no other engine can
@@ -638,36 +637,29 @@ def _ivf_fit_center_rows(emb: DataFrame) -> list:
       assign = argmin L2 with ties to the lowest cell, recompute =
       per-dimension mean with the sum carried in DECIMAL(27,12) so it
       is exact and aggregation-order-independent, then divided once in
-      double (both steps in Spark — the collected doubles round-trip
-      through literals bit-exactly). Empty cells drop (deterministic
-      on both engines).
+      double. Empty cells drop (deterministic on both engines).
 
-    Staging (r16): each Lloyd step collects the ≤IVF_CLUSTERS centers
-    (bounded driver traffic, the d8 dimension-sized-control-flow
-    discipline) and re-enters them as a BROADCAST 1-row frame, so the
-    assign step is the zero-shuffle argmin fold the corpus assignment
-    uses (:func:`_ivf_assign_fold`, reading the centroid array from
-    the broadcast column) instead of a 16× crossJoin + a row_number
-    window that shuffled the whole fit sample per iteration. The
-    centroids ride as DATA, not as a 16×64-literal expression tree — a
-    literal re-enters Catalyst/codegen per iteration and was measured
-    at ~2 s of pure compile per Lloyd step at sf0.1, swamping the
-    shuffle saved. The recompute keeps the original (cell, dim)
-    hash-agg expressions verbatim (both its exchanges carry
-    pre-aggregated ≤cells·dims rows — already scale-safe). Per
-    iteration the sample now crosses NO exchange at all (the window
-    shuffle is gone); arithmetic is unchanged
-    expression-for-expression, so the fit stays bit-identical to the
-    oracle's replay.
+    Staging (r16, guide §2.4): each Lloyd step's centroids ride as a
+    BROADCAST 1-row frame (``collect_list`` of ≤IVF_CLUSTERS structs,
+    ``array_sort`` pinning cell order, built IN-PLAN from the previous
+    step), and the assign step is the zero-shuffle argmin fold the
+    corpus assignment uses (:func:`_ivf_assign_fold`, reading the
+    centroid array from the broadcast column) instead of a 16×
+    crossJoin + a row_number window that SHUFFLED the whole fit sample
+    per iteration. The whole fit stays ONE lazy plan — no driver
+    round-trips between steps (two alternatives were measured and
+    rejected at sf0.1: re-entering centroids as a 16×64-literal tree
+    costs ~2 s of Catalyst/codegen per step, and collecting between
+    steps costs one driver-gap per extra job, which grows with session
+    age). The recompute keeps the original (cell, dim) hash-agg
+    expressions verbatim (its exchanges carry pre-aggregated
+    ≤cells·dims rows — already scale-safe). The fit sample now crosses
+    NO exchange at all; arithmetic is unchanged expression-for-
+    expression, so the fit stays bit-identical to the oracle's replay.
     """
-    spark = emb.sparkSession
     samp = emb.filter(F.col("vec_id") % IVF_SAMPLE_MOD == 0).select("vec_id", "e")
-    # Iteration 1's centroid frame is built from the seed SUBPLAN (the
-    # md5 ranking reduced to one array row — collect_list of 16 structs,
-    # array_sort pins cell order), so the seed selection and the first
-    # Lloyd step share one job instead of paying a separate collect.
     w0 = Window.orderBy("__seed", "vec_id")  # IVF_CLUSTERS rows only
-    cents_df = (
+    centers = (
         samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__seed", "vec_id")
         .limit(IVF_CLUSTERS)
@@ -675,18 +667,17 @@ def _ivf_fit_center_rows(emb: DataFrame) -> list:
             (F.row_number().over(w0) - 1).alias("cell"),
             F.col("e").alias("center"),
         )
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("cell", "center"))
-            ).alias("__cents")
-        )
     )
-    centers: list = []
     for _ in range(IVF_LLOYD_ITERS):
-        assigned = samp.crossJoin(F.broadcast(cents_df)).select(
+        cents_1row = centers.agg(
+            F.array_sort(F.collect_list(F.struct("cell", "center"))).alias(
+                "__cents"
+            )
+        )
+        assigned = samp.crossJoin(F.broadcast(cents_1row)).select(
             _ivf_assign_fold(F.col("__cents"))["c"].alias("cell"), "e"
         )
-        rows = (
+        centers = (
             assigned.select("cell", F.posexplode("e").alias("dim", "v"))
             .groupBy("cell", "dim")
             .agg(
@@ -702,32 +693,20 @@ def _ivf_fit_center_rows(emb: DataFrame) -> list:
                     lambda s: s["cv"],
                 ).alias("center")
             )
-            .collect()
-        )
-        centers = sorted((r["cell"], [float(v) for v in r["center"]]) for r in rows)
-        cents_df = spark.createDataFrame(
-            [(centers,)],
-            "__cents array<struct<cell:int,center:array<double>>>",
         )
     return centers
 
 
-def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
-    """:func:`_ivf_fit_center_rows` as a (cell, center) DataFrame —
-    the artifact-writing shape x19's build phase persists."""
-    return emb.sparkSession.createDataFrame(
-        [(c, vec) for c, vec in _ivf_fit_center_rows(emb)],
-        "cell int, center array<double>",
-    )
-
-
 def _ivf_cent_lit(emb: DataFrame):
     """Fit the IVF coarse quantizer and return the centroid literal
-    for the fold-based corpus assignment. Fit traffic is bounded:
-    ≤IVF_CLUSTERS rows per Lloyd step (like d8's dimension-sized
+    for the fold-based corpus assignment. Fit executes once:
+    IVF_CLUSTERS rows collect (bounded, like d8's dimension-sized
     control flow). Callers that never rank probes (d13, x14) use this
     directly and skip the centers DataFrame."""
-    center_rows = _ivf_fit_center_rows(emb)
+    center_rows = sorted(
+        (r["cell"], [float(v) for v in r["center"]])
+        for r in _ivf_fit_centroids(emb).collect()
+    )
     return center_rows, _center_rows_lit(center_rows)
 
 
@@ -966,65 +945,59 @@ PQ_SAMPLE_MOD = 4  # deterministic 25% fit sample, like IVF
 PQ_LLOYD_ITERS = 2
 
 
-def _pq_fit_codebook_rows(emb: DataFrame) -> list:
-    """Deterministic per-subspace Lloyd — sorted (m, cell,
-    center[PQ_SUBDIM]) rows.
+def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
+    """Deterministic per-subspace Lloyd — (m, cell, center[PQ_SUBDIM]).
 
     The x5 fit generalized with a subspace key: each vector splits into
     ``PQ_M`` disjoint ``PQ_SUBDIM``-dim subvectors and every subspace
     learns its own ``PQ_K``-centroid quantizer. Same engine-
-    reproducibility recipe as ``_ivf_fit_center_rows`` (md5-seeded init
+    reproducibility recipe as ``_ivf_fit_centroids`` (md5-seeded init
     on the shared sample — one seed ranking serves all subspaces —
     fixed iteration count, DECIMAL-exact means), so the whole PQ
     pipeline carries a full DuckDB oracle.
 
-    Staging (r16, same move as the IVF fit): each Lloyd step collects
-    the ≤M·K centers and re-enters them as a BROADCAST 1-row frame, so
-    the assign step is a zero-shuffle per-subspace argmin fold in one
-    projection (the `_pq_code_col` shape, with explicit cell ids
-    because cells can go empty mid-fit) instead of a 16×-multiplying
-    broadcast join + a (vec_id, m) row_number window that shuffled
-    sample×M rows per iteration. The centroids ride as DATA, not as a
-    literal expression tree (the literal form costs ~2 s of Catalyst/
-    codegen per step — see the IVF fit note). The recompute keeps the
-    ONE (m, cell) hash-agg. Arithmetic is unchanged expression-for-
-    expression — the fold's strict-< first-wins on ascending cells IS
-    the window's ``ORDER BY dist2, cell`` — so the fit stays
-    bit-identical to the oracle's replay.
+    Staging (r16, same move as the IVF fit): each Lloyd step's
+    codebooks ride as a BROADCAST 1-row nested-array frame built
+    IN-PLAN from the previous step (per-m ``collect_list`` +
+    ``array_sort``, cells ascending), and the assign step is a
+    zero-shuffle per-subspace argmin fold in one projection (the
+    `_pq_code_col` shape, with explicit cell ids because cells can go
+    empty mid-fit) instead of a 16×-multiplying broadcast join + a
+    (vec_id, m) row_number window that SHUFFLED sample×M rows per
+    iteration. One lazy plan, no driver round-trips between steps, no
+    literal trees (both measured slower — see the IVF fit note). The
+    recompute keeps the ONE (m, cell) hash-agg. Arithmetic is
+    unchanged expression-for-expression — the fold's strict-<
+    first-wins on ascending cells IS the window's ``ORDER BY dist2,
+    cell`` — so the fit stays bit-identical to the oracle's replay.
     """
-    spark = emb.sparkSession
     samp = emb.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0).select("vec_id", "e")
-    # Iteration 1's codebook frame is the seed SUBPLAN reduced to one
-    # nested-array row (the IVF fit's seed-fusion move, plus the
-    # per-subspace slicing): no separate seeds collect.
+    sub_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM),
+    )
     w0 = Window.orderBy("__seed", "vec_id")  # PQ_K rows only
-    cb_df = (
+    cb = (
         samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__seed", "vec_id")
         .limit(PQ_K)
-        .select(
-            (F.row_number().over(w0) - 1).alias("cell"),
-            F.col("e").alias("full"),
-        )
-        .agg(
-            F.array_sort(F.collect_list(F.struct("cell", "full"))).alias("__s")
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.transform(
-                    F.col("__s"),
-                    lambda cs: F.struct(
-                        cs["cell"].alias("cell"),
-                        _pq_slice(cs["full"], m).alias("center"),
-                    ),
-                ),
-            ).alias("__cbs")
-        )
+        .select((F.row_number().over(w0) - 1).alias("cell"), "e")
+        .select("cell", F.posexplode(sub_arr).alias("m", "center"))
     )
     acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
-    centers: dict[int, list] = {}
     for _ in range(PQ_LLOYD_ITERS):
+        cb_1row = (
+            cb.groupBy("m")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cell", "center"))
+                ).alias("pc")
+            )
+            .agg(F.array_sort(F.collect_list(F.struct("m", "pc"))).alias("__s"))
+            .select(
+                F.transform(F.col("__s"), lambda x: x["pc"]).alias("__cbs")
+            )
+        )
 
         def _argmin_cell(m):
             def step(acc, cs):
@@ -1046,8 +1019,8 @@ def _pq_fit_codebook_rows(emb: DataFrame) -> list:
                 _pq_slice(F.col("e"), m).alias("sub"),
             ),
         )
-        rows = (
-            samp.crossJoin(F.broadcast(cb_df))
+        cb = (
+            samp.crossJoin(F.broadcast(cb_1row))
             .select(F.posexplode(assign_structs).alias("m", "a"))
             .select("m", F.col("a.cell").alias("cell"), F.col("a.sub").alias("sub"))
             .groupBy("m", "cell")
@@ -1070,28 +1043,8 @@ def _pq_fit_codebook_rows(emb: DataFrame) -> list:
                     ]
                 ).alias("center"),
             )
-            .collect()
         )
-        nxt: dict[int, list] = {m: [] for m in range(PQ_M)}
-        for r in sorted(rows, key=lambda r: (r["m"], r["cell"])):
-            nxt[r["m"]].append((r["cell"], [float(v) for v in r["center"]]))
-        centers = nxt
-        cb_df = spark.createDataFrame(
-            [([centers[m] for m in range(PQ_M)],)],
-            "__cbs array<array<struct<cell:int,center:array<double>>>>",
-        )
-    return sorted(
-        (m, cell, cen) for m, cs in centers.items() for cell, cen in cs
-    )
-
-
-def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
-    """:func:`_pq_fit_codebook_rows` as a (m, cell, center) DataFrame —
-    the artifact-writing shape x19's build phase persists."""
-    return emb.sparkSession.createDataFrame(
-        _pq_fit_codebook_rows(emb),
-        "m int, cell int, center array<double>",
-    )
+    return cb
 
 
 def _pq_cb_lit(emb: DataFrame):
@@ -1104,7 +1057,10 @@ def _pq_cb_lit(emb: DataFrame):
     When-chain variant of the argmin embeds the accumulator 3× per
     centroid (≈3^16 nodes — OOMed the analyzer). A lambda fold is one
     node; acc is a named variable."""
-    cb = _pq_fit_codebook_rows(emb)
+    cb = sorted(
+        (r["m"], r["cell"], [float(v) for v in r["center"]])
+        for r in _pq_fit_codebooks(emb).collect()
+    )
     by_m: dict[int, list[list[float]]] = {m: [] for m in range(PQ_M)}
     for m, _cell, cen in cb:  # cells ascend within m; positions follow
         by_m[m].append(cen)

@@ -823,11 +823,13 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "delivery_*.parquet")
             .parquet(base)
         )
-        # sized on the WHOLE documents fixture, not just the delta: the
-        # per-batch probe jobs shuffle base-side signature buckets too
-        with stream_state_conf(
-            spark, _path_bytes(f"{sf_dir}/documents.parquet")
-        ):
+        # deliberately UNSIZED (cores rule, the s3 exception): the
+        # stream itself is stateless (foreachBatch), so the conf here
+        # governs the PROBE's batch-side shuffles — tokenize/shingle/
+        # signature CPU work that wants all cores. Byte-sizing it to 1
+        # partition serialized the probe (measured 12.8 s → 29.2 s in
+        # the r16 bench; reverted)
+        with stream_state_conf(spark):
             q = (
                 stream.writeStream.foreachBatch(probe)
                 .trigger(availableNow=True)
