@@ -772,16 +772,21 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iter):
-        jumped = (
-            labels.alias("l")
-            .join(labels.alias("p"), F.col("l.label") == F.col("p.node"))
-            .select(
-                F.col("l.node").alias("node"),
-                F.col("p.label").alias("label"),
-                F.col("l.label").alias("__old"),
+    for rnd in range(max_iter):
+        if rnd == 0:
+            # round 1's jump is the identity (labels start as
+            # node → node) — skip its self-join outright
+            jumped = labels.withColumn("__old", F.col("label"))
+        else:
+            jumped = (
+                labels.alias("l")
+                .join(labels.alias("p"), F.col("l.label") == F.col("p.node"))
+                .select(
+                    F.col("l.node").alias("node"),
+                    F.col("p.label").alias("label"),
+                    F.col("l.label").alias("__old"),
+                )
             )
-        )
         nbr_min = sym.join(jumped, sym.b == jumped.node).groupBy("a").agg(
             F.min("label").alias("nbr_label")
         )
