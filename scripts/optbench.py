@@ -65,7 +65,7 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    plans_dir = os.path.join(REPO, "plans", "r16")
+    plans_dir = os.path.join(REPO, "plans", "r17")
     os.makedirs(plans_dir, exist_ok=True)
 
     def _dump_jobs(since_job: int, label: str) -> None:

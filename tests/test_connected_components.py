@@ -31,6 +31,22 @@ def test_connected_components_early_stop(spark):
     assert set(got.values()) == {0}
 
 
+def test_pointer_jump_still_log_diameter_from_round_3(spark):
+    """r17 adaptive jump (VERDICT r16 #6): rounds 1–2 skip the jump
+    self-join (identity / near-identity on the quasi-clique graphs
+    that dominate this repo's cc calls), but chain-shaped graphs must
+    still converge in O(log d) rounds. A diameter-20 path needs ~21
+    rounds under plain propagation; with jumping from round 3 it
+    confirms within 7 — so max_iter=7 succeeding IS the evidence the
+    jump still fires."""
+    path = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    got = {
+        r.node: r.label for r in connected_components(df, max_iter=7).collect()
+    }
+    assert all(got[i] == 0 for i in range(21))
+
+
 def test_connected_components_unconfirmed_fixpoint_raises(spark):
     """A path needing more change-rounds than the budget must raise
     (never return silently partial labels), and max_iter < 1 is a

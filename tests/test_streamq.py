@@ -107,3 +107,38 @@ def test_stream_state_conf_sizes_from_input_bytes(spark):
     with stream_state_conf(spark, 10**15):
         assert spark.conf.get(key) == str(cores)
     assert spark.conf.get(key) == prev
+
+
+def test_unsizeable_input_falls_back_to_cores_rule(spark, tmp_path):
+    """VERDICT r16 #2: an input this local probe cannot size (non-local
+    URI, missing path, empty tree) must mean UNKNOWN → the cores rule —
+    never 0 → 1 state partition, because the state-store layout is
+    pinned at the checkpoint's first run and a spurious 1 would
+    permanently serialize every stateful shuffle of a production
+    (s3a://…) deployment."""
+    from mirrulations_iceberg_spark.operators.streamq import (
+        _path_bytes,
+        stream_state_conf,
+    )
+
+    # non-local URI schemes: os.walk would silently yield nothing
+    assert _path_bytes("s3a://bucket/prefix/events") is None
+    assert _path_bytes("hdfs://nn:8020/data/events.parquet") is None
+    # missing path and empty directory: unknown, not tiny
+    assert _path_bytes(str(tmp_path / "does_not_exist")) is None
+    assert _path_bytes(str(tmp_path)) is None  # exists but 0 bytes under it
+    # file:// on a real local file still sizes
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"abc")
+    assert _path_bytes(f"file://{f}") == 3
+    assert _path_bytes(str(f)) == 3
+
+    # and the conf helper treats None/0 as the cores rule, not 1
+    key = "spark.sql.shuffle.partitions"
+    cores = str(spark.sparkContext.defaultParallelism)
+    with stream_state_conf(spark, None):
+        assert spark.conf.get(key) == cores
+    with stream_state_conf(spark, 0):
+        assert spark.conf.get(key) == cores
+    with stream_state_conf(spark, _path_bytes("s3a://bucket/events")):
+        assert spark.conf.get(key) == cores
