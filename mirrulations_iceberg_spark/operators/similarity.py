@@ -26,6 +26,7 @@ before ranking so both engines rank identically.
 from __future__ import annotations
 
 import random
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -36,6 +37,39 @@ from .dedup import parallelize_scan
 TOP_K = 10
 N_QUERIES = 5
 EMB_DIM = 64
+
+
+@contextmanager
+def _fit_conf(spark: SparkSession):
+    """Scoped execution conf for the Lloyd-fit collects (r17, VERDICT
+    r16 #1): disable AQE and pin shuffle parallelism to a
+    dimension-derived bound for the duration of a fit action.
+
+    Why this is scale-safe and not a local[32] twiddle: every exchange
+    inside a fit plan carries only PRE-AGGREGATED, dimension-bounded
+    rows (≤ cells·dims = 1024 for IVF, ≤ M·K = 128 for PQ — the sample
+    itself never crosses an exchange, which was r16's structural win).
+    AQE therefore has nothing to improve — its per-stage
+    re-optimization of the deep nested fit tree is pure driver cost
+    (~15 stage-jobs per fit collect, measured as the r16 x-family
+    regression) — and the static partition count needs only to cover
+    ≤1024 tiny rows, on a laptop or on a 4000-initial-partition
+    cluster (where leaving the fit's exchanges at the cluster-wide
+    initial parallelism would schedule thousands of near-empty tasks
+    per Lloyd step once AQE is off). Conf is read at plan time, scoped
+    to the fit action, and restored on exit — the consumer's main
+    query keeps the session's AQE and parallelism.
+    """
+    a_key, p_key = "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions"
+    prev_a, prev_p = spark.conf.get(a_key), spark.conf.get(p_key)
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set(a_key, "false")
+    spark.conf.set(p_key, str(min(cores, 64)))
+    try:
+        yield
+    finally:
+        spark.conf.set(a_key, prev_a)
+        spark.conf.set(p_key, prev_p)
 
 #: SRP-LSH layout: L hash tables × B hyperplane bits each. For a pair
 #: at angle θ a bit agrees with probability 1-θ/π, a table collides at
@@ -645,53 +679,68 @@ def _ivf_fit_centroids(emb: DataFrame) -> DataFrame:
       is exact and aggregation-order-independent, then divided once in
       double. Empty cells drop (deterministic on both engines).
 
-    Staging (r17, VERDICT r16 #1 — guide §1.1's empirical loop closing
-    on §1.2): each Lloyd step is its OWN flat 2-stage job — the
-    previous step's ≤IVF_CLUSTERS centroids re-enter as an
-    array-literal (:func:`_center_rows_lit`), the assign step is the
-    zero-shuffle argmin fold the corpus assignment uses
-    (:func:`_ivf_assign_fold`), and the step's ≤cells·dims (cell, dim,
-    cv) aggregate collects to the driver (bounded — 16·64 doubles, the
-    same driver traffic ``_ivf_cent_lit`` always paid at the end).
+    Staging (r16, guide §2.4; EXECUTION retuned r17 — see
+    :func:`_fit_rows_fused` for the measured story): each Lloyd step's
+    centroids ride as a BROADCAST 1-row frame (``collect_list`` of
+    ≤IVF_CLUSTERS structs, ``array_sort`` pinning cell order, built
+    IN-PLAN from the previous step), and the assignment is the
+    zero-shuffle argmin fold the corpus projection uses
+    (:func:`_ivf_assign_fold`). The whole fit is ONE lazy plan — the
+    fit sample crosses NO exchange (the recompute's exchanges carry
+    only ≤cells·dims pre-aggregated rows), so at 100 TB a fit is one
+    pass discipline over a bounded sample, not d shuffles of it.
+    Arithmetic is bit-identical to the oracle's replay.
 
-    History, because this shape is the THIRD: r15 shuffled the whole
-    fit sample per iteration (crossJoin×16 → row_number window); r16
-    removed those shuffles by nesting both steps into ONE lazy plan
-    with in-plan broadcast centroid frames — plan-correct at scale,
-    but the driver's r16 sweeps measured its consumers 12–50% SLOWER
-    (PERF_r16: x 112.5→129.5 s): with AQE, every exchange of the
-    nested plan is a separate stage whose re-optimization walks the
-    whole remaining tree, so one fit collect became ~15 driver-bound
-    stage-jobs over a deep tree (measured r17: cold x18 spends ~2/3 of
-    its wall in those gaps). r16 had rejected per-step literals after
-    measuring ~2 s of Catalyst per step — but that cost was the
-    16×64-node ``F.array(F.lit…)`` TREE, not the literal idea:
-    ``F.lit(list)`` folds to a single Literal and builds in one py4j
-    call. With it, each step is a flat scan→fold→hash-agg job whose
-    generated code is IDENTICAL across steps and across every fit
-    consumer in a session, so codegen compiles once per sweep.
-
-    Scale shape is unchanged from r16's claim: the fit sample still
-    crosses NO exchange (the posexplode feeds a partial hash-agg, so
-    the step's one exchange carries ≤cells·dims pre-aggregated rows),
-    there are still 3 sample scans per fit (seed + one per step —
-    exactly the one-plan shape's count), and driver traffic stays
-    bounded at cells·dims doubles per step. Arithmetic is unchanged
-    expression-for-expression (same md5 seed ranking, same fold, same
-    DECIMAL(27,12) recompute), and the doubles round-trip the driver
-    exactly (py4j float IS the IEEE double), so the fit stays
-    bit-identical to the oracle's replay — re-verified hash-green on
-    every consumer.
+    r17 (VERDICT r16 #1): the SHAPE above is plan-correct at scale but
+    its r16 execution regressed every consumer 12–50% at the driver —
+    collectors must run it under :func:`_fit_conf` (AQE off +
+    dimension-bounded shuffle parallelism), which `_fit_rows_fused`
+    does. Direct ``.collect()`` of this frame (tests) stays correct,
+    just unscoped.
     """
-    rows = _ivf_fit_center_rows(emb)
-    return emb.sparkSession.createDataFrame(
-        [(c, list(vec)) for c, vec in rows], "cell int, center array<double>"
+    samp = emb.filter(F.col("vec_id") % IVF_SAMPLE_MOD == 0).select("vec_id", "e")
+    w0 = Window.orderBy("__seed", "vec_id")  # IVF_CLUSTERS rows only
+    centers = (
+        samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__seed", "vec_id")
+        .limit(IVF_CLUSTERS)
+        .select(
+            (F.row_number().over(w0) - 1).alias("cell"),
+            F.col("e").alias("center"),
+        )
     )
+    for _ in range(IVF_LLOYD_ITERS):
+        cents_1row = centers.agg(
+            F.array_sort(F.collect_list(F.struct("cell", "center"))).alias(
+                "__cents"
+            )
+        )
+        assigned = samp.crossJoin(F.broadcast(cents_1row)).select(
+            _ivf_assign_fold(F.col("__cents"))["c"].alias("cell"), "e"
+        )
+        centers = (
+            assigned.select("cell", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cv")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("center")
+            )
+        )
+    return centers
 
 
 def _ivf_fit_center_rows(emb: DataFrame) -> list:
-    """The IVF fit — (cell, center) tuples, cells ascending.
-    See :func:`_ivf_fit_centroids` for the algorithm + staging notes."""
+    """The IVF fit result — (cell, center) tuples, cells ascending,
+    collected under the scoped fit conf."""
     return _fit_rows_fused(emb, want_ivf=True, want_pq=False)[0]
 
 
@@ -952,49 +1001,94 @@ def _pq_fit_codebooks(emb: DataFrame) -> DataFrame:
     fixed iteration count, DECIMAL-exact means), so the whole PQ
     pipeline carries a full DuckDB oracle.
 
-    Staging (r17, same move as the IVF fit — see
-    :func:`_ivf_fit_centroids` for the full history): each Lloyd step
-    is its own flat job — codebooks re-enter as a nested array-literal
-    (:func:`_pq_cells_lit` — single Literals after constant folding,
-    not the M·K·subdim expression tree r16 measured and rejected), the
-    assign step is the zero-shuffle per-subspace argmin fold (the
-    ``_pq_code_col`` shape, with explicit cell ids because cells can
-    go empty mid-fit), and the step's ≤M·K codebook rows collect to
-    the driver (bounded). The recompute keeps the ONE (m, cell)
-    hash-agg, so the step's single exchange carries ≤M·K pre-
-    aggregated rows — the sample itself still never crosses an
-    exchange. Arithmetic is unchanged expression-for-expression — the
-    fold's strict-< first-wins on ascending cells IS the window's
-    ``ORDER BY dist2, cell`` — so the fit stays bit-identical to the
-    oracle's replay.
+    Staging (r16, same move as the IVF fit — execution retuned r17,
+    see :func:`_fit_rows_fused`): each Lloyd step's codebooks ride as
+    a BROADCAST 1-row nested-array frame built IN-PLAN from the
+    previous step (per-m ``collect_list`` + ``array_sort``, cells
+    ascending), and the assign step is a zero-shuffle per-subspace
+    argmin fold in one projection (the ``_pq_code_col`` shape, with
+    explicit cell ids because cells can go empty mid-fit). One lazy
+    plan; the sample never crosses an exchange (the ONE (m, cell)
+    hash-agg's exchange carries ≤M·K pre-aggregated rows). Arithmetic
+    is unchanged expression-for-expression — the fold's strict-<
+    first-wins on ascending cells IS the window's ``ORDER BY dist2,
+    cell`` — so the fit stays bit-identical to the oracle's replay.
+    Collectors run it under :func:`_fit_conf` via `_fit_rows_fused`.
     """
-    rows = _pq_fit_codebook_rows(emb)
-    return emb.sparkSession.createDataFrame(
-        [(m, c, list(cen)) for m, c, cen in rows],
-        "m int, cell int, center array<double>",
+    samp = emb.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0).select("vec_id", "e")
+    sub_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM),
     )
-
-
-def _pq_cells_lit(cb_rows: list) -> "F.Column":
-    """(m, cell, center) rows → the per-m nested literal the fit's
-    assign fold reads: ``lit[m+1] = [{cell, center}]``, cells
-    ascending within m. Two ``F.lit(list)`` literals zipped into
-    structs (the :func:`_center_rows_lit` construction, one level
-    deeper)."""
-    by_m: dict[int, list] = {m: [] for m in range(PQ_M)}
-    for m, cell, cen in sorted(cb_rows):
-        by_m[m].append((cell, cen))
-    return F.zip_with(
-        F.lit([[c for c, _ in by_m[m]] for m in range(PQ_M)]).cast(
-            "array<array<int>>"
-        ),
-        F.lit(
-            [[[float(v) for v in cen] for _, cen in by_m[m]] for m in range(PQ_M)]
-        ),
-        lambda cl, cn: F.zip_with(
-            cl, cn, lambda c, cen: F.struct(c.alias("cell"), cen.alias("center"))
-        ),
+    w0 = Window.orderBy("__seed", "vec_id")  # PQ_K rows only
+    cb = (
+        samp.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__seed", "vec_id")
+        .limit(PQ_K)
+        .select((F.row_number().over(w0) - 1).alias("cell"), "e")
+        .select("cell", F.posexplode(sub_arr).alias("m", "center"))
     )
+    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
+    for _ in range(PQ_LLOYD_ITERS):
+        cb_1row = (
+            cb.groupBy("m")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cell", "center"))
+                ).alias("pc")
+            )
+            .agg(F.array_sort(F.collect_list(F.struct("m", "pc"))).alias("__s"))
+            .select(
+                F.transform(F.col("__s"), lambda x: x["pc"]).alias("__cbs")
+            )
+        )
+
+        def _argmin_cell(m):
+            def step(acc, cs):
+                d = _pq_sub_d2(_pq_slice(F.col("e"), m), cs["center"])
+                better = d < acc["d"]
+                return F.struct(
+                    F.when(better, d).otherwise(acc["d"]).alias("d"),
+                    F.when(better, cs["cell"]).otherwise(acc["c"]).alias("c"),
+                )
+
+            return F.aggregate(
+                F.element_at(F.col("__cbs"), m + 1), acc0, step
+            )["c"]
+
+        assign_structs = F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.struct(
+                _argmin_cell(m).alias("cell"),
+                _pq_slice(F.col("e"), m).alias("sub"),
+            ),
+        )
+        cb = (
+            samp.crossJoin(F.broadcast(cb_1row))
+            .select(F.posexplode(assign_structs).alias("m", "a"))
+            .select("m", F.col("a.cell").alias("cell"), F.col("a.sub").alias("sub"))
+            .groupBy("m", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(
+                        F.element_at("sub", i + 1).cast("decimal(27,12)")
+                    ).alias(f"__s{i}")
+                    for i in range(PQ_SUBDIM)
+                ],
+            )
+            .select(
+                "m",
+                "cell",
+                F.array(
+                    *[
+                        F.col(f"__s{i}").cast("double") / F.col("__n")
+                        for i in range(PQ_SUBDIM)
+                    ]
+                ).alias("center"),
+            )
+        )
+    return cb
 
 
 def _pq_fit_codebook_rows(emb: DataFrame) -> list:
@@ -1004,169 +1098,69 @@ def _pq_fit_codebook_rows(emb: DataFrame) -> list:
 
 
 def _fit_rows_fused(emb: DataFrame, want_ivf: bool, want_pq: bool):
-    """Run the IVF coarse-quantizer fit and/or the PQ codebook fit as
-    FLAT per-step jobs, fusing the two fits' work into shared actions
-    when both are wanted (x18/x18b/x19/x20/x21 — guide §2.6 "overlap
-    independent jobs", done in-plan via union instead of threads):
+    """Execute the wanted fits and return their bounded row sets —
+    ``(ivf_center_rows | None, pq_cb_rows | None)`` — in ONE action,
+    under the scoped fit conf.
 
-    * ONE shared seed job: both fits rank the same sample by the same
-      ``md5(vec_id)`` and take the top K — with ``IVF_SAMPLE_MOD ==
-      PQ_SAMPLE_MOD`` one ``limit(max(K))`` collect serves both (each
-      fit slices its own first-K prefix, so the shared job computes
-      exactly what two separate seed jobs would). Falls back to two
-      seed collects if the sample mods ever diverge.
-    * ONE job per Lloyd step computing BOTH recomputes: the IVF
-      (cell, dim, cv) aggregate and the PQ (m, cell, center) aggregate
-      are independent given the previous step, so they union into one
-      action (harmonized to (kind, m, cell, dim, vals)) and their
-      stages overlap inside a single driver round-trip. Both
-      aggregates keep their original expressions verbatim — the union
-      is pure job packaging, the collected rows are identical.
+    r17 (VERDICT r16 #1), the measured story: the r16 in-plan fit
+    shape is plan-right at scale (zero sample-row exchanges) but its
+    EXECUTION regressed every consumer 12–50% under the driver's cold
+    single-pass sweeps, and job profiling located the cost in AQE:
+    every exchange of the nested lazy plan becomes a query stage whose
+    re-optimization walks the whole remaining tree, so one fit collect
+    ran as ~15 driver-bound stage-jobs. Three alternatives were
+    measured against full 216-query sweeps before this landed:
 
-    Returns ``(ivf_center_rows | None, pq_cb_rows | None)``.
+    * flat per-step jobs with ``F.lit(list)`` literal re-entry (one
+      small job per Lloyd step): wins in fresh sessions (8-consumer
+      proxy 115→75 s) but each EXTRA ACTION pays a driver gap that
+      grows with session age — in the full sweep the late x queries
+      (x19/x20/x21/x9) regressed vs r16 and the family read 126.2 s;
+    * the r16 nested plan with AQE left on: x family 128.2 s (min-2);
+    * the r16 nested plan collected under :func:`_fit_conf` (AQE off +
+      dimension-bounded shuffle parallelism): **x family 117.5 s
+      (min-2) — parity with the pre-r16 shape** while keeping zero
+      sample exchanges. Kept.
+
+    On top of that, when BOTH fits are wanted (x18/x18b/x19/x20/x21)
+    they are FUSED into one action: the two fit frames harmonize to
+    (kind, m, cell, center) and union, so their stages overlap inside
+    a single driver round-trip (guide §2.6 done in-plan) and a 2-fit
+    consumer pays one fit action instead of two. The union is pure job
+    packaging — each fit's expressions are untouched and the collected
+    rows are split by ``kind``.
     """
-    n_iters = max(
-        IVF_LLOYD_ITERS if want_ivf else 0, PQ_LLOYD_ITERS if want_pq else 0
-    )
-    samp = emb.filter(F.col("vec_id") % IVF_SAMPLE_MOD == 0).select(
-        "vec_id", "e"
-    )
-    if want_pq and PQ_SAMPLE_MOD != IVF_SAMPLE_MOD:
-        psamp = emb.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0).select(
-            "vec_id", "e"
-        )
-    else:
-        psamp = samp
-
-    def _seed(frame: DataFrame, k: int) -> list:
-        return (
-            frame.withColumn("__seed", F.md5(F.col("vec_id").cast("string")))
-            .orderBy("__seed", "vec_id")
-            .limit(k)
-            .select("e")
-            .collect()
-        )
-
-    centers = cb = None
-    if want_ivf and want_pq and psamp is samp:
-        seed = _seed(samp, max(IVF_CLUSTERS, PQ_K))
-        ivf_seed, pq_seed = seed[:IVF_CLUSTERS], seed[:PQ_K]
-    else:
-        ivf_seed = _seed(samp, IVF_CLUSTERS) if want_ivf else None
-        pq_seed = _seed(psamp, PQ_K) if want_pq else None
+    parts = []
     if want_ivf:
-        centers = [
-            (i, [float(v) for v in r["e"]]) for i, r in enumerate(ivf_seed)
-        ]
+        parts.append(
+            _ivf_fit_centroids(emb).select(
+                F.lit(0).alias("kind"), F.lit(-1).alias("m"), "cell", "center"
+            )
+        )
     if want_pq:
-        cb = []
-        for cell, r in enumerate(pq_seed):
-            e = [float(v) for v in r["e"]]
-            for m in range(PQ_M):
-                cb.append((m, cell, e[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]))
-
-    acc0 = F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("c"))
-    for k in range(n_iters):
-        parts = []
-        if want_ivf and k < IVF_LLOYD_ITERS:
-            parts.append(
-                samp.select(
-                    _ivf_assign_fold(_center_rows_lit(centers))["c"].alias(
-                        "cell"
-                    ),
-                    "e",
-                )
-                .select("cell", F.posexplode("e").alias("dim", "v"))
-                .groupBy("cell", "dim")
-                .agg(
-                    (
-                        F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("cv")
-                )
-                .select(
-                    F.lit(0).alias("kind"),
-                    F.lit(-1).alias("m"),
-                    "cell",
-                    "dim",
-                    F.array("cv").alias("vals"),
-                )
+        parts.append(
+            _pq_fit_codebooks(emb).select(
+                F.lit(1).alias("kind"), "m", "cell", "center"
             )
-        if want_pq and k < PQ_LLOYD_ITERS:
-            cbs_lit = _pq_cells_lit(cb)
-
-            def _argmin_cell(m):
-                def step(acc, cs):
-                    d = _pq_sub_d2(_pq_slice(F.col("e"), m), cs["center"])
-                    better = d < acc["d"]
-                    return F.struct(
-                        F.when(better, d).otherwise(acc["d"]).alias("d"),
-                        F.when(better, cs["cell"]).otherwise(acc["c"]).alias(
-                            "c"
-                        ),
-                    )
-
-                return F.aggregate(
-                    F.element_at(cbs_lit, m + 1), acc0, step
-                )["c"]
-
-            assign_structs = F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.struct(
-                    _argmin_cell(m).alias("cell"),
-                    _pq_slice(F.col("e"), m).alias("sub"),
-                ),
-            )
-            parts.append(
-                psamp.select(F.posexplode(assign_structs).alias("m", "a"))
-                .select(
-                    "m",
-                    F.col("a.cell").alias("cell"),
-                    F.col("a.sub").alias("sub"),
-                )
-                .groupBy("m", "cell")
-                .agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    *[
-                        F.sum(
-                            F.element_at("sub", i + 1).cast("decimal(27,12)")
-                        ).alias(f"__s{i}")
-                        for i in range(PQ_SUBDIM)
-                    ],
-                )
-                .select(
-                    F.lit(1).alias("kind"),
-                    "m",
-                    "cell",
-                    F.lit(-1).alias("dim"),
-                    F.array(
-                        *[
-                            F.col(f"__s{i}").cast("double") / F.col("__n")
-                            for i in range(PQ_SUBDIM)
-                        ]
-                    ).alias("vals"),
-                )
-            )
-        step_df = parts[0]
-        for p in parts[1:]:
-            step_df = step_df.unionByName(p)
-        rows = step_df.collect()
-        if want_ivf and k < IVF_LLOYD_ITERS:
-            by: dict[int, dict[int, float]] = {}
-            for r in rows:
-                if r["kind"] == 0:
-                    by.setdefault(r["cell"], {})[r["dim"]] = r["vals"][0]
-            # empty cells drop here exactly as the old collect_list
-            # did: a cell with no members has no (cell, dim) groups
-            centers = sorted(
-                (c, [d[i] for i in range(EMB_DIM)]) for c, d in by.items()
-            )
-        if want_pq and k < PQ_LLOYD_ITERS:
-            cb = sorted(
-                (r["m"], r["cell"], [float(v) for v in r["vals"]])
-                for r in rows
-                if r["kind"] == 1
-            )
+        )
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    with _fit_conf(emb.sparkSession):
+        rows = fused.collect()
+    centers = cb = None
+    if want_ivf:
+        centers = sorted(
+            (r["cell"], [float(v) for v in r["center"]])
+            for r in rows
+            if r["kind"] == 0
+        )
+    if want_pq:
+        cb = sorted(
+            (r["m"], r["cell"], [float(v) for v in r["center"]])
+            for r in rows
+            if r["kind"] == 1
+        )
     return centers, cb
 
 
