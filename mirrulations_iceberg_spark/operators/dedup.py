@@ -48,7 +48,9 @@ SHINGLE_K = 3
 LSH_MAX_BUCKET = 1_000
 
 
-def lsh_hottest_bucket(sigs: DataFrame) -> int:
+def lsh_hottest_bucket(
+    sigs: DataFrame, extra_counts: DataFrame | None = None
+) -> int:
     """Max (band, bucket) occupancy of a signature frame — the exact
     quantity the degenerate-bucket cap compares against. For the
     cross-frame probe, feeding the UNION of base and probe signatures
@@ -60,16 +62,37 @@ def lsh_hottest_bucket(sigs: DataFrame) -> int:
     batch-composition-dependent and breaks the stream/batch parity
     contract by design (ADVICE r14). A row-count bound would be
     uselessly conservative (all-rows-in-one-bucket); the measured
-    occupancy is the fact (3–4 vs cap 1000 on the fixtures)."""
-    hottest = (
+    occupancy is the fact (3–4 vs cap 1000 on the fixtures).
+
+    ``extra_counts`` (r17): a precomputed (band, bucket, n) frame to
+    union into the occupancy — a caller that already holds a cached
+    bucket index for one side (s9's standing base index) passes its
+    counts instead of re-exploding that side's signatures. Per-bucket
+    occupancy of a union of disjoint frames is the SUM of the sides'
+    counts, so ``max(count_sigs + count_extra)`` over a full outer
+    join is exactly the old ``max`` over the unioned signatures."""
+    counts = (
         sigs.select(
             F.posexplode(band_buckets_col()).alias("band", "bucket")
         )
         .groupBy("band", "bucket")
         .count()
-        .agg(F.max("count").alias("m"))
-        .collect()[0]["m"]
     )
+    if extra_counts is not None:
+        counts = (
+            counts.join(
+                extra_counts.select("band", "bucket", F.col("n").alias("__n")),
+                ["band", "bucket"],
+                "full",
+            )
+            .select(
+                (
+                    F.coalesce(F.col("count"), F.lit(0))
+                    + F.coalesce(F.col("__n"), F.lit(0))
+                ).alias("count")
+            )
+        )
+    hottest = counts.agg(F.max("count").alias("m")).collect()[0]["m"]
     return int(hottest or 0)
 
 
@@ -395,17 +418,21 @@ def band_buckets_col():
 
 
 def verify_exact_jaccard(
-    cand: DataFrame, sigs: DataFrame, threshold: float
+    cand: DataFrame, sigs: DataFrame, threshold: float,
+    sigs_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verify of candidate ``(doc_a, doc_b)`` pairs
     against the signature frame's shingle arrays — the shared verify
     step of the within-corpus and cross-frame LSH paths (the
     ``ROUND(j, 4) >= threshold`` contract the oracles mirror lives
-    here once)."""
+    here once). ``sigs_b`` (r17): the cross-frame probe resolves
+    ``doc_a`` from the probe frame and ``doc_b`` from the base frame
+    directly — doc-id spaces are disjoint, so two frames and the old
+    union are the same lookup, minus materializing a combined cache."""
     sh_a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
-    sh_b = sigs.select(
+    sh_b = (sigs_b if sigs_b is not None else sigs).select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
     return (
@@ -1828,6 +1855,22 @@ def d17_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(spark, out, groups, pe, *lsh_caches)
 
 
+def lsh_band_buckets(sigs: DataFrame, ids_alias: str) -> DataFrame:
+    """One side's (band, bucket) → sorted doc-id array index — the
+    band explode + hash-agg of the banded-LSH probe, factored out so a
+    repeat prober (s9) can compute the BASE side once, cache it, and
+    reuse it across micro-batches (the stored-index shape of the
+    100 TB story). Null signatures (shingle-less docs) explode to zero
+    rows, exactly as in the fused pre-r17 shape."""
+    return (
+        sigs.select(
+            "doc_id", F.posexplode(band_buckets_col()).alias("band", "bucket")
+        )
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias(ids_alias))
+    )
+
+
 def minhash_lsh_cross_pairs_over(
     probe: DataFrame,
     base: DataFrame | None = None,
@@ -1835,6 +1878,7 @@ def minhash_lsh_cross_pairs_over(
     max_bucket_size: int = LSH_MAX_BUCKET,
     caches: list | None = None,
     base_sigs: DataFrame | None = None,
+    base_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH candidates BETWEEN two frames — probe×base
     pairs only, never probe×probe or base×base — verified with exact
@@ -1857,39 +1901,41 @@ def minhash_lsh_cross_pairs_over(
     per-micro-batch admission) computes it once and caches it; passing
     raw ``base`` would re-shingle and re-hash the base text on every
     probe.
+
+    ``base_buckets`` (r17, VERDICT r16 #4): a PRECOMPUTED
+    ``lsh_band_buckets(base_sigs, "bids")`` frame. Before r17 the
+    probe unioned probe+base signatures, cached the union, and
+    re-exploded + re-shuffled the BASE's band rows on every call —
+    s9's three micro-batches each re-bucketed and re-cached the whole
+    base, contradicting the operator's own stored-index story. Now the
+    two sides bucket separately and inner-join on (band, bucket): a
+    repeat prober passes the cached base bucket index once and each
+    batch shuffles only its OWN bands — at 100 TB, exactly "each
+    ingest co-locates against the stored band-bucketed signature
+    table". One-shot callers (d18, e14) omit it and the index is
+    derived (and cached alongside the probe signatures) internally.
+    Pair set unchanged: the inner join keeps exactly the buckets where
+    both sides are non-empty, the cap still compares the combined
+    occupancy, and the verify resolves each pair side from its own
+    frame (disjoint id spaces — see ``verify_exact_jaccard``).
     """
-    sig_p = minhash_signatures(probe).withColumn("__probe", F.lit(True))
     if (base is None) == (base_sigs is None):
         raise ValueError("pass exactly one of base / base_sigs")
-    sig_b = (
-        base_sigs if base_sigs is not None else minhash_signatures(base)
-    ).withColumn("__probe", F.lit(False))
-    sigs = sig_p.unionByName(sig_b).cache()
+    sig_p = minhash_signatures(probe).cache()
     if caches is not None:
-        caches.append(sigs)
-    bands = sigs.select(
-        "doc_id",
-        "__probe",
-        F.posexplode(band_buckets_col()).alias("band", "bucket"),
-    )
-    # collect_list drops the NULLs the when() produces for the other
-    # side, so each bucket carries its probe ids and base ids as two
-    # sorted arrays; the cross product stays inside the bucket task.
+        caches.append(sig_p)
+    if base_sigs is not None:
+        sig_b = base_sigs  # caller owns its cache lifecycle
+    else:
+        sig_b = minhash_signatures(base).cache()
+        if caches is not None:
+            caches.append(sig_b)
+    if base_buckets is None:
+        base_buckets = lsh_band_buckets(sig_b, "bids")
     buckets = (
-        bands.groupBy("band", "bucket")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.when(F.col("__probe"), F.col("doc_id")))
-            ).alias("pids"),
-            F.sort_array(
-                F.collect_list(F.when(~F.col("__probe"), F.col("doc_id")))
-            ).alias("bids"),
-        )
-        .filter(
-            (F.size("pids") >= 1)
-            & (F.size("bids") >= 1)
-            & ((F.size("pids") + F.size("bids")) <= max_bucket_size)
-        )
+        lsh_band_buckets(sig_p, "pids")
+        .join(base_buckets, ["band", "bucket"])
+        .filter((F.size("pids") + F.size("bids")) <= max_bucket_size)
     )
     pair_arr = F.flatten(
         F.transform(
@@ -1905,7 +1951,7 @@ def minhash_lsh_cross_pairs_over(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return verify_exact_jaccard(cand, sigs, threshold)
+    return verify_exact_jaccard(cand, sig_p, threshold, sigs_b=sig_b)
 
 
 def d18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -699,6 +699,7 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
         D10_DELTA_MOD,
         content_fp_from_toks,
+        lsh_band_buckets,
         minhash_lsh_cross_pairs_over,
         tokens_col,
     )
@@ -729,6 +730,12 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     base_sigs = minhash_signatures(bg).cache()
+    # r17 (VERDICT r16 #4): the base's band-bucket index is standing
+    # state too — computed and cached ONCE, so each micro-batch
+    # shuffles only its own bands and joins the stored index, instead
+    # of re-exploding + re-shuffling (and re-caching, via the old
+    # probe-side union) the whole base per batch.
+    base_buckets = lsh_band_buckets(base_sigs, "bids").cache()
     # Cap-proximity guard (ADVICE r14): the parity contract above holds
     # only while the LSH degenerate-bucket cap never fires — on either
     # side. The union of base signatures and the full delta's collapsed
@@ -751,37 +758,64 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text")
     )
-    hottest = lsh_hottest_bucket(
-        base_sigs.unionByName(minhash_signatures(dg_all))
-    )
-    if hottest > LSH_MAX_BUCKET // 2:
-        raise RuntimeError(
-            "s9 cap proximity: hottest (band,bucket) occupancy "
-            f"{hottest} exceeds half the LSH cap ({LSH_MAX_BUCKET}); "
-            "a firing cap is batch-composition-dependent and breaks "
-            "the s9↔d18 stream/batch parity contract — raise the cap "
-            "or shrink the delivery before trusting the driver row"
-        )
     base = tempfile.mkdtemp(prefix="miis_s9_")
     partials: list[tuple] = []
     try:
-        # land the delta as three deliveries keyed on doc_id (one
-        # write job partitioned by delivery index, each value hashed
-        # to one task → one file per delivery; the s7 mechanism)
-        scratch = f"{base}/.scratch"
-        (
-            docs.filter(is_delta)
-            .withColumn("__d", (F.col("doc_id") % 3).cast("int"))
-            .repartition("__d")
-            .write.partitionBy("__d")
-            .mode("overwrite")
-            .parquet(scratch)
-        )
-        for k in range(3):
-            parts = sorted(glob.glob(f"{scratch}/__d={k}/part-*.parquet"))
-            for j, p in enumerate(parts):
-                shutil.move(p, f"{base}/delivery_{k}_{j}.parquet")
-        shutil.rmtree(scratch, ignore_errors=True)
+        # r17 (guide §2.6 "overlap independent jobs"): the guard pass
+        # and the delta landing write are independent actions on
+        # independent lineages — run them from a 2-thread pool so the
+        # landing back-fills the guard's tail instead of queueing
+        # behind it. The guard reuses the CACHED base bucket index for
+        # the base side of the occupancy (no second base explode —
+        # lsh_hottest_bucket sums the sides' per-bucket counts, which
+        # over disjoint id spaces is exactly the old unioned-frame
+        # occupancy). The raise still happens before any micro-batch
+        # runs: both futures resolve before the stream starts.
+        def _guard() -> int:
+            return lsh_hottest_bucket(
+                minhash_signatures(dg_all),
+                extra_counts=base_buckets.select(
+                    "band", "bucket", F.size("bids").alias("n")
+                ),
+            )
+
+        def _land() -> None:
+            # land the delta as three deliveries keyed on doc_id (one
+            # write job partitioned by delivery index, each value
+            # hashed to one task → one file per delivery; the s7
+            # mechanism)
+            scratch = f"{base}/.scratch"
+            (
+                docs.filter(is_delta)
+                .withColumn("__d", (F.col("doc_id") % 3).cast("int"))
+                .repartition("__d")
+                .write.partitionBy("__d")
+                .mode("overwrite")
+                .parquet(scratch)
+            )
+            for k in range(3):
+                parts = sorted(
+                    glob.glob(f"{scratch}/__d={k}/part-*.parquet")
+                )
+                for j, p in enumerate(parts):
+                    shutil.move(p, f"{base}/delivery_{k}_{j}.parquet")
+            shutil.rmtree(scratch, ignore_errors=True)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            hot_fut = pool.submit(_guard)
+            land_fut = pool.submit(_land)
+            hottest = hot_fut.result()
+            land_fut.result()
+        if hottest > LSH_MAX_BUCKET // 2:
+            raise RuntimeError(
+                "s9 cap proximity: hottest (band,bucket) occupancy "
+                f"{hottest} exceeds half the LSH cap ({LSH_MAX_BUCKET}); "
+                "a firing cap is batch-composition-dependent and breaks "
+                "the s9↔d18 stream/batch parity contract — raise the cap "
+                "or shrink the delivery before trusting the driver row"
+            )
 
         def probe(batch_df: DataFrame, _batch_id: int) -> None:
             dg = batch_df.select("doc_id", "lang", "text", fp).groupBy(
@@ -797,6 +831,7 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 minhash_lsh_cross_pairs_over(
                     dg.select("doc_id", "text"),
                     base_sigs=base_sigs,
+                    base_buckets=base_buckets,
                     caches=caches,
                 )
                 .select(F.col("doc_a").alias("doc_id"))
@@ -886,6 +921,7 @@ def s9_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         base_sigs.unpersist()
+        base_buckets.unpersist()
         shutil.rmtree(base, ignore_errors=True)
 
 

@@ -119,7 +119,7 @@ def test_s9_guard_raises_on_cap_proximity(spark, monkeypatch):
     monkeypatch.setattr(
         dedup,
         "lsh_hottest_bucket",
-        lambda sigs: LSH_MAX_BUCKET // 2 + 1,
+        lambda *a, **k: LSH_MAX_BUCKET // 2 + 1,
     )
     with pytest.raises(RuntimeError, match="cap proximity"):
         streamq.s9_stream_neardup_admission(spark, SF_DIR)
